@@ -1,0 +1,73 @@
+"""Benchmark runner (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized through the noop sink (forces the whole
+plan — scan, shuffle, agg — without paying driver-side collect/serialization,
+which is what a cluster deployment would also avoid).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from scraping_jobsdb_spark.plans.queries import REGISTRY  # noqa: E402
+from scraping_jobsdb_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + one representative per operator family.
+BENCH_QUERIES = [
+    "impute_interval_merge",
+    "pricing_summary",
+    "groupby_min_max",
+    "dedup_distinct_on",
+    "join_dims_broadcast",
+    "join_left_outer_agg",
+    "anti_join_not_in",
+    "count_distinct_pagination",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches once so per-query numbers measure
+    # the plan, not first-touch JIT.
+    REGISTRY["groupby_min_max"].spark_fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Data-quality assertion operators.
+
+Port of the reference's ``SQLColumnCheckOperator`` sanity task
+(``airflow/dags/scrape_url.py:424-436``): job_id uniqueness, scraped_date
+within bounds, zero NULL file_path — plus its fail-loud runtime raises
+(``scrape_url.py:276-277, 289-290``). The engine computes *all* checks in one
+aggregate pass (single job, tiny collected scalar row) and raises on
+violation, mirroring the DAG-failure semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CheckResult", "run_checks", "unique_check", "null_check", "bounds_check"]
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    name: str
+    passed: bool
+    observed: object
+
+
+def unique_check(col: str) -> tuple[str, Column, Column]:
+    """count(*) == count(distinct col) → no duplicate keys."""
+    obs = (F.count(F.lit(1)) - F.countDistinct(F.col(col))).alias(f"dup_{col}")
+    return (f"unique:{col}", obs, obs == 0)
+
+
+def null_check(col: str) -> tuple[str, Column, Column]:
+    """Zero NULLs in col (the reference's file_path null-count check)."""
+    obs = F.sum(F.col(col).isNull().cast("int")).alias(f"nulls_{col}")
+    return (f"not_null:{col}", obs, obs == 0)
+
+
+def bounds_check(col: str, lo, hi) -> tuple[str, Column, Column]:
+    """min/max of col within [lo, hi] (the scraped_date window check)."""
+    obs = F.struct(F.min(col).alias("lo"), F.max(col).alias("hi")).alias(f"bounds_{col}")
+    ok = (F.min(col) >= F.lit(lo)) & (F.max(col) <= F.lit(hi))
+    return (f"bounds:{col}", obs, ok)
+
+
+def run_checks(
+    df: DataFrame, checks: list[tuple[str, Column, Column]], raise_on_fail: bool = True
+) -> list[CheckResult]:
+    """Evaluate all checks in ONE aggregation (one pass over the data, one
+    tiny row collected). Raises AssertionError listing every failed check."""
+    agg_cols = []
+    for i, (name, obs, ok) in enumerate(checks):
+        agg_cols.append(obs.alias(f"__obs_{i}"))
+        agg_cols.append(ok.alias(f"__ok_{i}"))
+    row = df.agg(*agg_cols).collect()[0]
+    results = [
+        CheckResult(name, bool(row[f"__ok_{i}"]), row[f"__obs_{i}"])
+        for i, (name, _, _) in enumerate(checks)
+    ]
+    failed = [r for r in results if not r.passed]
+    if failed and raise_on_fail:
+        raise AssertionError(
+            "data-quality checks failed: "
+            + "; ".join(f"{r.name} (observed={r.observed!r})" for r in failed)
+        )
+    return results

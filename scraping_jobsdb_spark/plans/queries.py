@@ -436,4 +436,272 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_acctbal")
 
 
+# ---------------------------------------------------------------------------
+# Windows / sort / limit / set ops (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_rank_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_rank_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking + navigation windows: order sequence per customer with
+    prev/next price. The reference's 'latest scrape wins' overwrite
+    (``scrape_url.py:301-303``) is this window family. Order key
+    (o_orderdate, o_orderkey) is total → deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@_register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 aggregate-over-frame: per-customer running spend. Decimal-exact
+    so the frame accumulation order can't produce float drift."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@_register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 top-k: orderBy + limit; Spark plans TakeOrderedAndProject (per-
+    partition top-k then a k-row merge on the driver — no global sort/shuffle
+    of the full table at any scale). Tie-break on the unique key keeps the
+    selected set deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey AS entity_key, 'customer' AS kind FROM customer WHERE c_nationkey = 1
+    UNION ALL
+    SELECT s_suppkey, 'supplier' FROM supplier WHERE s_nationkey = 1
+    """,
+)
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set ops (union): the reference unions per-combo temp tables by
+    repeated INSERT (``sql/scrape_url_insert_data.sql`` × 88 combos); the
+    engine form is unionByName — no shuffle, partitions concatenate."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.filter(F.col("c_nationkey") == 1)
+        .select(F.col("c_custkey").alias("entity_key"), F.lit("customer").alias("kind"))
+        .unionByName(
+            s.filter(F.col("s_nationkey") == 1).select(
+                F.col("s_suppkey").alias("entity_key"), F.lit("supplier").alias("kind")
+            )
+        )
+    )
+
+
+@_register(
+    "set_intersect_except",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_acctbal > 0
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    (SELECT c_custkey FROM customer WHERE c_acctbal > 0
+     EXCEPT ALL
+     SELECT o_custkey FROM orders)
+    """,
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 set ops (intersect distinct + except-all) in one plan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    all_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    return pos.intersect(finished).unionByName(pos.exceptAll(all_orders))
+
+
+@_register(
+    "rollup_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 grouping sets: ROLLUP over (status, priority) with decimal-exact
+    totals — subtotal and grand-total rows carry NULL group keys identically
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_spend"),
+    )
+
+
+@_register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 grouping sets: full CUBE over two low-cardinality dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function packs (§2.6, F1-F16)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scalar_string_pack",
+    oracle="""
+    SELECT c_custkey,
+           replace(c_name, '#', '-') AS slug,
+           regexp_extract(c_name, '(\\d+)$', 1) AS trailing_id,
+           (c_name LIKE 'Customer%') AS is_customer,
+           split_part(c_name, '#', 1) AS name_prefix,
+           upper(c_mktsegment) AS segment_uc,
+           substring(c_mktsegment, 1, 3) AS seg3,
+           trim(concat(' ', c_mktsegment, ' ')) AS seg_trimmed,
+           concat_ws(',', c_name, c_mktsegment) AS joined
+    FROM customer
+    """,
+)
+def q_scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3/F7/F8/F9/F14: the string-function family over customer —
+    slugify (translate), trailing-id regex capture, prefix test, split-and-
+    pick, case/substring/trim, concat_ws. Reference sites:
+    ``scrape_url.py:54,170,176,178-181``; ``utils.py:33-36,56-74``."""
+    from scraping_jobsdb_spark.functions.scalars import split_item, strip_ws
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "#", "-").alias("slug"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("trailing_id"),
+        F.col("c_name").startswith("Customer").alias("is_customer"),
+        split_item("c_name", "#", 0).alias("name_prefix"),
+        F.upper("c_mktsegment").alias("segment_uc"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        strip_ws(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "seg_trimmed"
+        ),
+        F.concat_ws(",", "c_name", "c_mktsegment").alias("joined"),
+    )
+
+
+@_register(
+    "scalar_date_pack",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    """,
+)
+def q_scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F11/F12/F13: date-part extraction + ISO formatting + truncation.
+    Reference: partition-path slicing ``scrape_url.py:112``, strftime/strptime
+    ``utils.py:56-61``."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    )
+
+
+@_register(
+    "scalar_json_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CAST(CEIL(CAST(json_extract_string(props, '$.k') AS INT) / 30.0) AS BIGINT)
+               AS k_pages
+    FROM events
+    """,
+)
+def q_scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: JSON field extraction + pagination ceil-div. Reference:
+    ``scrape_url.py:216-219`` (json.loads(attr)['totalJobCount'],
+    ceil(n/30))."""
+    from scraping_jobsdb_spark.functions.scalars import json_field, pages_for
+
+    ev = load_table(spark, sf_dir, "events")
+    k = json_field("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", k.alias("k_val"), pages_for(k).alias("k_pages")
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

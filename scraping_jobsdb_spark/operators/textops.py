@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+North-star extensions over the ``documents`` table (BASELINE.json): language
+identification, quality scoring, token counting, and document fingerprinting.
+The reference's only text processing is the BeautifulSoup extraction UDF
+(``spark/lib/utils.py:10-125``); these operators generalize that single
+document column into the text-pipeline toolkit an LLM-data engine needs.
+
+Everything here is built-in-function only (no Python UDFs): tokenization is
+``split``, counting is higher-order array functions, hashing is xxhash64/md5 —
+all whole-stage-codegen'd JVM expressions that scale linearly with no shuffle
+(per-row map work) until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "avg_token_length",
+    "stopword_ratio",
+    "alpha_ratio",
+    "quality_score",
+    "lang_guess",
+    "fingerprint",
+    "with_text_stats",
+]
+
+# Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "und", "die", "ist", "das"),
+    "es": ("el", "la", "de", "es", "los"),
+}
+
+_EN_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length; single double division → deterministic."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    return total / F.size(t)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = _EN_STOPWORDS) -> Column:
+    t = tokens(col)
+    n_stop = F.size(F.filter(t, lambda x: F.lower(x).isin(*stopwords)))
+    return n_stop / F.size(t)
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are a-z/A-Z or space (junk detector)."""
+    c = F.col(col) if isinstance(col, str) else col
+    clean = F.length(F.regexp_replace(c, r"[^A-Za-z ]", ""))
+    return clean / F.length(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword presence
+    + alphabetic purity. Mirrors the length/punct/stopword-ratio family of
+    pretraining quality filters; fixed weights keep it deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop = stopword_ratio(c)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (0.4 * length_ok + 0.3 * stop_ok + 0.3 * alpha_ratio(c)).cast("double")
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Marker-word language heuristic: count per-language stopword hits over
+    the token set; highest count wins (CJK-codepoint presence short-circuits
+    to 'zh'). Ties resolve in fixed order en > de > es > unknown."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    def _marker_count(markers: tuple[str, ...]) -> Column:
+        # NB: the predicate must be a 1-arg lambda — F.filter treats a second
+        # parameter as the element-index argument.
+        return F.size(F.filter(t, lambda x: F.lower(x).isin(*markers)))
+
+    counts = {lang: _marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    has_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
+    en, de, es = counts["en"], counts["de"], counts["es"]
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when((en >= de) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= es) & (de > 0), F.lit("de"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text.
+    The canonical key for exact near-layout dedup (same words, different
+    spacing/case collapse to one digest)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats family in one projection (single map stage)."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+        avg_token_length(text_col).alias("avg_token_len"),
+        stopword_ratio(text_col).alias("stop_ratio"),
+        alpha_ratio(text_col).alias("alpha_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_guess(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,75 @@
+"""Quality assertions for the non-SQL-expressible similarity operators
+(rows-only in the driver gate): the injected near-duplicates must actually be
+found, and the approximate ANN path must agree with the exact one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from scraping_jobsdb_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    minhash_candidate_pairs,
+    simhash_candidate_pairs,
+)
+from scraping_jobsdb_spark.sources.tables import load_table
+
+
+def _docs_with_neardups(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return docs.unionByName(near), near
+
+
+def test_minhash_finds_injected_neardups(spark):
+    corpus, near = _docs_with_neardups(spark)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text", k=32, bands=8)
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("id_b") >= 10000).collect()
+        if r.id_b - 10000 == r.id_a
+    }
+    n_injected = near.count()
+    # LSH is probabilistic per-pair but a one-word-dropped doc shares almost
+    # all shingles: expect the vast majority of injected pairs recovered.
+    assert len(found) >= int(0.8 * n_injected), (len(found), n_injected)
+
+
+def test_simhash_neardups_low_hamming(spark):
+    corpus, near = _docs_with_neardups(spark)
+    pairs = simhash_candidate_pairs(corpus, "doc_id", "text")
+    injected = pairs.filter(
+        (F.col("id_b") - 10000 == F.col("id_a")) & (F.col("hamming") <= 3)
+    ).count()
+    assert injected >= int(0.8 * near.count())
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, query, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, query, n_centroids=10, n_probe=3, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # probing 3/10 cells of random embeddings
+
+
+def test_exact_dedup_removes_all_duplicates(spark):
+    from scraping_jobsdb_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    dupes = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    deduped = dedup_exact(docs.unionByName(dupes), ["text"], "doc_id")
+    assert deduped.count() == docs.count()
+    # survivor is always the lowest id
+    assert deduped.filter(F.col("doc_id") >= 10000).count() == 0

@@ -1,0 +1,74 @@
+"""Parse pipeline: the ``parse_html_in_spark`` DAG + ParseHtml job
+(SURVEY.md §3.2), Spark-first.
+
+Reference flow: JDBC scan with a hand-pushed NOT-IN subquery (single
+partition! ``ParseHtml.py:23-41``) → row-at-a-time UDF invoked 12× per row,
+each call re-opening the HTML file from inside the UDF (``ParseHtml.py:48``,
+``utils.py:29-30``) → single-writer JDBC append.
+
+Engine flow: splittable parquet scan of the lake (partition-pruned to the
+requested date range) → left-anti vs already-parsed keys (J3) → ONE
+Arrow-batched struct-returning pandas UDF (operators/extract.py) → parquet
+append. Idempotent by construction: re-running cannot duplicate job_ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.extract import extract_jobs
+from scraping_jobsdb_spark.operators.incremental import new_rows
+
+__all__ = ["parse"]
+
+
+def parse(
+    spark: SparkSession,
+    lake_path: str,
+    parsed_path: str,
+    year: int | None = None,
+    month: int | None = None,
+    day: int | None = None,
+) -> int:
+    """Parse lake documents not yet in the parsed table; returns rows added.
+
+    Passing year/month/day prunes the lake scan to those partitions (the
+    reference never exploited its own date layout — SURVEY.md §4 'partition
+    pruning')."""
+    lake = spark.read.parquet(lake_path)
+    for col, val in (("year", year), ("month", month), ("day", day)):
+        if val is not None:
+            lake = lake.filter(F.col(col) == val)
+    lake = lake.filter(F.col("html").isNotNull())
+
+    try:
+        parsed_keys = spark.read.parquet(parsed_path)
+        todo = new_rows(lake, parsed_keys, ["job_id"])
+    except Exception:  # first run
+        todo = lake
+
+    extracted: DataFrame = extract_jobs(
+        todo.select("job_id", "html", "scraped_date"), "html", "scraped_date"
+    )
+    out = extracted.select(
+        "job_id",
+        "job_title",
+        "company_name",
+        "job_description",
+        "location",
+        "official_post_date",
+        "min_official_salary",
+        "max_official_salary",
+        "career_level",
+        "qualification",
+        "job_type",
+        "job_functions",
+        "industry",
+        F.lit(None).cast("int").alias("min_salary"),
+        F.lit(None).cast("int").alias("max_salary"),
+    )
+    n = out.count()
+    if n:
+        out.write.mode("append").parquet(parsed_path)
+    return n

@@ -72,3 +72,38 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
+
+    Called by every operator that executes Python on workers (mapInPandas /
+    pandas UDFs): cloudpickle serializes module-level functions by reference,
+    so workers must be able to ``import scraping_jobsdb_spark`` themselves —
+    true on a real cluster (spark-submit --py-files) and NOT guaranteed in
+    local mode when the driver's cwd is elsewhere. Idempotent per session;
+    pure-expression operators never need it.
+    """
+    if getattr(spark, "_sjs_package_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import scraping_jobsdb_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(scraping_jobsdb_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"scraping_jobsdb_spark-{scraping_jobsdb_spark.__version__}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.join(
+                            "scraping_jobsdb_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._sjs_package_shipped = True

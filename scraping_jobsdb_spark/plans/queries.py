@@ -947,6 +947,31 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_hourly_streaming",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: the SAME hourly aggregation executed through Structured
+    Streaming (file source → watermark → windowed agg → AvailableNow drain
+    to memory sink) — proving the engine's batch/streaming plan parity
+    against the batch SQL oracle. Checkpoint-based progress tracking is the
+    idiomatic replacement for the reference's hand-rolled anti-join
+    incrementality (SURVEY.md §2.7)."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        hourly_event_counts_stream,
+        run_stream_to_memory,
+    )
+
+    return run_stream_to_memory(hourly_event_counts_stream(spark, sf_dir), spark)
+
+
 # ---------------------------------------------------------------------------
 # Scalar function packs (§2.6, F1-F16)
 # ---------------------------------------------------------------------------

@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from scraping_jobsdb_spark.plans.queries import REGISTRY  # noqa: E402
 from scraping_jobsdb_spark.session import get_spark  # noqa: E402
 
-# Headline set: the flagship + one representative per operator family.
+# Headline set: the flagship + one representative per operator family,
+# including the LLM-pipeline extensions (dedup/similarity/text) and windows.
 BENCH_QUERIES = [
     "impute_interval_merge",
     "pricing_summary",
@@ -33,6 +34,12 @@ BENCH_QUERIES = [
     "join_left_outer_agg",
     "anti_join_not_in",
     "count_distinct_pagination",
+    "window_running_sum",
+    "topk_orders",
+    "doc_text_stats",
+    "minhash_neardup_pairs",
+    "embedding_topk",
+    "events_hourly_tumbling",
 ]
 
 

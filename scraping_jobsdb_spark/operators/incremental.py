@@ -27,7 +27,9 @@ __all__ = ["new_rows"]
 
 
 def new_rows(candidates: DataFrame, processed: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Rows of ``candidates`` whose key does not appear in ``processed``."""
-    return candidates.join(
-        processed.select(*key_cols).dropDuplicates(key_cols), on=key_cols, how="left_anti"
-    )
+    """Rows of ``candidates`` whose key does not appear in ``processed``.
+
+    The processed side is only column-pruned, NOT deduplicated: an anti-join
+    is insensitive to duplicate build-side keys, and a pre-dedup would cost a
+    full extra shuffle+aggregate of the processed set at scale."""
+    return candidates.join(processed.select(*key_cols), on=key_cols, how="left_anti")

@@ -54,12 +54,17 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
-    """k-permutation MinHash signature: sig[i] = min over shingles of
-    xxhash64(seed_i, shingle). Map-only, O(k·|shingles|) per row."""
+    """k-permutation MinHash signature over a shingle array.
+
+    Each variable-length shingle string is hashed ONCE (xxhash64); the k
+    permutations then re-hash the fixed 8-byte value (xxhash64(seed_i, h)) —
+    k× cheaper than re-hashing strings per permutation. sig[i] = min over
+    shingles of permutation i. Map-only, no shuffle."""
+    hashed = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+                F.transform(hashed, lambda h, i=i: F.xxhash64(F.lit(i), h))
             )
             for i in range(k)
         ]
@@ -83,8 +88,21 @@ def minhash_candidate_pairs(
     dropped to bound the quadratic pair expansion.
     """
     rows = k // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), k)
-    banded = df.select(F.col(id_col).alias("doc"), sig.alias("sig")).select(
+    # Materialize hashed shingles as a column: the k permutation transforms
+    # then reference it without re-hashing the shingle strings.
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "__sh"
+        ),
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(F.lit(i), h)))
+            for i in range(k)
+        ]
+    )
+    banded = hashed.select("doc", sig.alias("sig")).select(
         "doc",
         F.explode(
             F.array(

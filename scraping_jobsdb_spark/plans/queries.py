@@ -1065,4 +1065,160 @@ def q_scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Additional surface: latest-per-key, SQL API, subqueries, conditional aggs
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest wins' per key: the reference's repeated per-job catalog
+    overwrite (``scrape_url.py:301-303``) as a descending ranking window
+    (operators/windows.latest_per_key). event_id breaks ts ties."""
+    from scraping_jobsdb_spark.operators.windows import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return latest_per_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@_register(
+    "sql_surface_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_surface_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL API surface (S10/DDL family: temp-view registration +
+    spark.sql), running a TPC-H-Q5-shaped multi-join analytic — Catalyst
+    reorders the join chain and broadcasts the dimensions; revenue is
+    decimal-exact. Identical SQL text runs on both engines."""
+    for t in ("customer", "nation", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        """
+    )
+
+
+@_register(
+    "scalar_subquery_above_total_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(30,4)) * (SELECT COUNT(*) FROM orders)
+          > (SELECT SUM(CAST(o_totalprice AS DECIMAL(30,4))) FROM orders)
+    """,
+)
+def q_scalar_subquery_above_total_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The average is
+    compared cross-multiplied in decimal (price·N > ΣP) so no engine performs
+    a division — the predicate is exact at any aggregation order."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(30,4)) * (SELECT COUNT(*) FROM orders)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(30,4))) FROM orders)
+        """
+    )
+
+
+@_register(
+    "conditional_aggregates",
+    oracle=f"""
+    SELECT o_custkey,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%'
+                         THEN CAST(o_totalprice AS DECIMAL(30,4))
+                         ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS urgent_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot): per-status counts + filtered
+    decimal spend in one pass — the idiom that replaces N separate filtered
+    scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").startswith("1-"),
+                F.col("o_totalprice").cast("decimal(30,4)"),
+            ).otherwise(F.lit(0).cast("decimal(30,4)"))
+        )
+        .cast("double")
+        .alias("urgent_spend"),
+    )
+
+
+@_register(
+    "grouped_sorted_list",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(c_mktsegment)), ',') AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_grouped_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped list aggregation: collect_list is
+    order-nondeterministic in any parallel engine, so the engine's canonical
+    form sorts before joining — reproducible output at any partitioning."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias(
+            "segments"
+        )
+    )
+
+
+@_register("events_user_zscore", oracle=None)
+def q_events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 grouped Pandas transform (applyInPandas): per-user z-score of
+    event values. Float normalization order makes a cross-engine hash fragile
+    → rows-only check; numerical agreement with the window-function form is
+    asserted in tests/test_grouped.py."""
+    from scraping_jobsdb_spark.operators.grouped import group_zscore
+
+    return group_zscore(load_table(spark, sf_dir, "events"))
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -90,6 +90,45 @@ def write_partitioned(
     (df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path))
 
 
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel JDBC scan (S5 done right).
+
+    The reference's JDBC read pushes its filter into the query string but has
+    NO partitionColumn — a single-partition scan and the whole table through
+    one connection (``spark/ParseHtml.py:33-41``). This wrapper always
+    stripes the scan across ``num_partitions`` range predicates; Catalyst
+    additionally pushes filters/pruning via the JDBC dialect. (No database
+    ships in the test runtime; exercised only against live JDBC URLs.)
+    """
+    return spark.read.jdbc(
+        url,
+        table,
+        column=partition_column,
+        lowerBound=lower_bound,
+        upperBound=upper_bound,
+        numPartitions=num_partitions,
+        properties=properties or {},
+    )
+
+
+def write_jdbc_append(
+    df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None
+) -> None:
+    """JDBC append sink (S6, ``ParseHtml.py:74-80``) — one connection per
+    partition, so writer parallelism follows the frame's partitioning
+    (``df.repartition(n)`` upstream controls the fan-in)."""
+    df.write.mode("append").jdbc(url, table, properties=properties or {})
+
+
 def write_idempotent_append(
     df: DataFrame, path: str, key_cols: list[str], fmt: str = "parquet"
 ) -> int:

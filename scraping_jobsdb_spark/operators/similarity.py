@@ -38,6 +38,8 @@ __all__ = [
     "ngram_jaccard",
     "cosine",
     "brute_force_topk",
+    "brute_force_topk_np",
+    "embedding_neardup_pairs",
     "ivf_topk",
 ]
 
@@ -299,6 +301,90 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
+    threshold). The 5th member of the dedup family (exact, MinHash, SimHash,
+    Jaccard, embedding).
+
+    This form is the exact all-pairs computation — correct at corpus sizes
+    where |corpus|² is tolerable (and as the verification stage on candidate
+    pairs). At scale, generate candidates first (IVF cells via ivf_topk's
+    assignment, or sign-LSH banding) and apply this exact filter only within
+    buckets; the semantics are unchanged."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via numpy matmul inside mapInPandas — the
+    throughput path for wide embeddings: each Arrow batch of corpus vectors
+    becomes one (batch × dim) @ (dim × n_queries) GEMM instead of per-element
+    expression evaluation. Queries are closed over (broadcast-by-pickle:
+    fine for small query sets; use a join for big ones).
+
+    Same result set as brute_force_topk; float summation order differs in the
+    last bits, so rank ties at identical cosines may order differently —
+    callers needing bit-stable ranks use the expression form."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(corpus.sparkSession)
+    q_rows = query.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (c_mat / norms) @ q_mat.T  # (batch, n_queries)
+            out = {
+                "query_id": [],
+                id_col: [],
+                "cos": [],
+            }
+            for qi, qid in enumerate(q_ids):
+                out["query_id"].extend([qid] * len(pdf))
+                out[id_col].extend(pdf[id_col].tolist())
+                out["cos"].extend(sims[:, qi].tolist())
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"query_id bigint, {id_col} bigint, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
     )

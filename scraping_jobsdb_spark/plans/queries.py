@@ -862,6 +862,39 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.5) — the dedup
+    family's embedding member, exact all-pairs form (the scale path
+    candidate-generates via IVF/LSH first; docstring in similarity.py). The
+    0.5 threshold sits in a ≥0.01-wide gap of the sf0.01 pair distribution,
+    so engine-level float differences cannot flip membership."""
+    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), 0.5)
+
+
+@_register("embedding_topk_np", oracle=None)
+def q_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-GEMM brute-force top-k (mapInPandas batch matmul) — the
+    throughput variant of embedding_topk. Rank ties at float-identical
+    cosines may order differently than the expression form → rows-only;
+    set-equality with the exact form is asserted in tests."""
+    from scraping_jobsdb_spark.operators.similarity import brute_force_topk_np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return brute_force_topk_np(emb, query, k=10)
+
+
 @_register("embedding_ivf_topk", oracle=None)
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the 100 TB scale path: corpus
@@ -1062,6 +1095,102 @@ def q_scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = json_field("props", "$.k").cast("int")
     return ev.select(
         "event_id", k.alias("k_val"), pages_for(k).alias("k_pages")
+    )
+
+
+@_register(
+    "shipping_priority_top10",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 highest-revenue unshipped orders for one
+    market segment. Exercises selective multi-join + agg + decimal-exact
+    top-k (tie-broken on the unique key; revenue gaps >> representable
+    error because the sum itself is exact)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "returned_items_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_returned_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS lost_revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY n.n_name
+    """,
+)
+def q_returned_items_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: returned-item revenue loss per nation — a 4-table
+    join where the selective fact filter pushes to the scan and both
+    dimension sides broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_returned_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("lost_revenue"),
+        )
     )
 
 

@@ -64,6 +64,35 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.5, recall  # probing 3/10 cells of random embeddings
 
 
+def test_np_topk_matches_expression_topk(spark):
+    """GEMM path returns the same neighbor sets as the expression path."""
+    from scraping_jobsdb_spark.operators.similarity import brute_force_topk_np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    expr_set = {
+        (r.query_id, r.vec_id) for r in brute_force_topk(emb, query, k=10).collect()
+    }
+    np_set = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk_np(emb, query, k=10).collect()
+    }
+    assert expr_set == np_set
+
+
+def test_embedding_neardup_finds_injected_duplicates(spark):
+    """Exact-duplicate embeddings (cosine 1.0) are always found."""
+    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dupes = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_neardup_pairs(emb.unionByName(dupes), threshold=0.99)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(5)} <= found
+
+
 def test_exact_dedup_removes_all_duplicates(spark):
     from scraping_jobsdb_spark.operators.dedup import dedup_exact
 

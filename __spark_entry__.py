@@ -25,16 +25,32 @@ from scraping_jobsdb_spark.plans.queries import (  # noqa: E402
     queries as _queries,
 )
 
+# Pandas-UDF closures are cloudpickled *by reference* to their defining
+# module, so Python workers must be able to ``import scraping_jobsdb_spark``
+# themselves — ``sys.path.insert`` above only fixes the driver process.
+# ``ship_package`` addPyFiles a package zip, the standard cluster deploy
+# story (``spark-submit --py-files``), identical in local mode.
+from scraping_jobsdb_spark.session import ship_package as _ship_package  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (salary-imputation analog: A1 aggregate + J2 merge) on
     /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return _REGISTRY["impute_interval_merge"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _queries()
+
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _wrap(fn) for name, fn in _queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from scraping_jobsdb_spark.operators.dedup import dedup_exact, dedup_first
 from scraping_jobsdb_spark.operators.incremental import new_rows
 from scraping_jobsdb_spark.operators.merge import coalesce_merge
-from scraping_jobsdb_spark.sources.tables import load_table
+from scraping_jobsdb_spark.sources.tables import fan_out, load_table
 
 __all__ = ["Query", "REGISTRY", "queries", "oracle_sql"]
 
@@ -663,7 +663,7 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines."""
     from scraping_jobsdb_spark.operators.textops import token_count, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     t = tokens("text")
     stop = F.size(
         F.filter(
@@ -698,7 +698,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — the canonical near-layout dedup key (north-star text analysis)."""
     from scraping_jobsdb_spark.operators.textops import fingerprint
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
@@ -741,7 +741,7 @@ def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the north-star quality-filter pair, entirely built-in expressions."""
     from scraping_jobsdb_spark.operators.textops import lang_guess, quality_score
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "lang",
@@ -796,7 +796,7 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; pair quality is asserted in tests/test_similarity.py."""
     from scraping_jobsdb_spark.operators.similarity import minhash_candidate_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
@@ -813,7 +813,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality asserted in tests/test_similarity.py."""
     from scraping_jobsdb_spark.operators.similarity import simhash_candidate_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
@@ -855,7 +855,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank) triples, robust because neighbor gaps >> float error."""
     from scraping_jobsdb_spark.operators.similarity import brute_force_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id").isin(0, 100, 200))
     return brute_force_topk(emb, query, k=10).withColumn(
         "rank", F.col("rank").cast("bigint")
@@ -879,7 +879,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so engine-level float differences cannot flip membership."""
     from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), 0.5)
+    return embedding_neardup_pairs(fan_out(load_table(spark, sf_dir, "embeddings")), 0.5)
 
 
 @_register("embedding_topk_np", oracle=None)
@@ -890,7 +890,7 @@ def q_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-equality with the exact form is asserted in tests."""
     from scraping_jobsdb_spark.operators.similarity import brute_force_topk_np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id").isin(0, 100, 200))
     return brute_force_topk_np(emb, query, k=10)
 
@@ -902,7 +902,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; recall vs brute force asserted in tests."""
     from scraping_jobsdb_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     query = emb.filter(F.col("vec_id").isin(0, 100, 200))
     return ivf_topk(emb, query, n_centroids=10, n_probe=3, k=10)
 

@@ -92,18 +92,23 @@ def ship_package(spark: SparkSession) -> None:
     import scraping_jobsdb_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(scraping_jobsdb_spark.__file__))
+    # Always rebuild (cheap: ~100 KB of .py files) into a process-unique file,
+    # then atomically rename — a version-keyed cache went stale once when the
+    # package grew within a version, and a shared path could be read
+    # half-written by a concurrent Spark app.
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"scraping_jobsdb_spark-{scraping_jobsdb_spark.__version__}.zip"
+        tempfile.gettempdir(), f"scraping_jobsdb_spark-pyfiles-{os.getpid()}.zip"
     )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if fname.endswith(".py"):
-                        full = os.path.join(root, fname)
-                        rel = os.path.join(
-                            "scraping_jobsdb_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+    tmp_path = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "scraping_jobsdb_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._sjs_package_shipped = True

@@ -59,6 +59,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan so a CPU-heavy map stage uses every core.
+
+    Small parquet files (one row group) produce one input split regardless of
+    cluster size, serializing any expensive per-row computation (shingling,
+    hashing, UDF feature extraction) onto a single task. On a real cluster a
+    100 TB table has millions of splits and this is a no-op — the guard
+    checks the *actual* scan partitioning and only pays the (tiny: the raw
+    rows) round-robin shuffle when the scan is narrower than the session's
+    parallelism. Contrast with the reference's fixed single-partition JDBC
+    scan (``spark/ParseHtml.py:33-41``), which serializes the parse stage by
+    construction.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_csv_table(
     spark: SparkSession, path: str, schema: StructType, header: bool = True
 ) -> DataFrame:

@@ -1826,4 +1826,91 @@ def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_sliding_streaming",
+    oracle="""
+    WITH offs AS (SELECT UNNEST([0, 1]) AS off),
+    w AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + (CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - off * 300)
+                     * INTERVAL 1 SECOND AS win_start,
+               value
+        FROM events, offs
+        WHERE epoch(ts) >= CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - off * 300
+          AND epoch(ts) <  CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - off * 300 + 600
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM w GROUP BY win_start
+    """,
+)
+def q_events_sliding_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sliding windows executed through Structured Streaming
+    (readStream → window(10m,5m) → AvailableNow drain): same logical plan and
+    same DuckDB oracle as the batch events_sliding_windows — batch/stream
+    parity is the checked property."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        run_stream_to_memory,
+        sliding_value_totals_stream,
+    )
+
+    return run_stream_to_memory(sliding_value_totals_stream(spark, sf_dir), spark)
+
+
+@_register(
+    "events_session_streaming",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_events_session_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 session windows through Structured Streaming (state-store merged
+    sessions, update-mode AvailableNow drain): same oracle as the batch
+    events_session_window."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        run_stream_to_memory,
+        session_counts_stream,
+    )
+
+    return run_stream_to_memory(session_counts_stream(spark, sf_dir), spark)
+
+
+@_register(
+    "events_streaming_dedup",
+    oracle="""
+    SELECT event_id, MIN(user_id) AS user_id
+    FROM events GROUP BY event_id
+    """,
+)
+def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 streaming dedup: dropDuplicatesWithinWatermark on event_id over
+    the file stream — the bounded-state replacement for the reference's
+    batch anti-join idempotence. event_id is already unique in the corpus,
+    so the kept set equals per-key GROUP BY (no arbitrary-row ambiguity)."""
+    from scraping_jobsdb_spark.streaming.dedup import streaming_dedup
+    from scraping_jobsdb_spark.streaming.windows import (
+        events_file_stream,
+        run_stream_to_memory,
+    )
+
+    deduped = streaming_dedup(
+        events_file_stream(spark, sf_dir), ["event_id"], "ts", "10 minutes"
+    ).select("event_id", "user_id")
+    return run_stream_to_memory(deduped, spark, output_mode="append")
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

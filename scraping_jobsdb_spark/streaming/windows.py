@@ -22,27 +22,40 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["hourly_event_counts_stream", "run_stream_to_memory"]
+__all__ = [
+    "events_file_stream",
+    "hourly_event_counts_stream",
+    "sliding_value_totals_stream",
+    "session_counts_stream",
+    "run_stream_to_memory",
+]
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (the engine's standard
+    stream-ingest edge). The file source requires a directory; the read-only
+    table file is exposed through a symlink in a temp dir. At scale this is
+    a landing directory new files keep arriving into — the checkpoint tracks
+    which have been drained."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="sjs_stream_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(stream_dir, "events.parquet"),
+    )
+    return (
+        spark.readStream.schema(static.schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
 
 
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming plan: 1-hour tumbling windows per event_type over the events
     table consumed as a file stream. Identical logical aggregation to the
     batch q_events_hourly_tumbling."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # The file source requires a directory; expose the (read-only) table file
-    # through a symlink in a temp dir.
-    stream_dir = tempfile.mkdtemp(prefix="sjs_stream_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(stream_dir, "events.parquet"),
-    )
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_file_stream(spark, sf_dir)
     return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -61,16 +74,53 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_to_memory(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+def sliding_value_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming plan: 10-minute windows sliding every 5 minutes (each event
+    in exactly two windows) — identical logical aggregation to the batch
+    q_events_sliding_windows, so the same DuckDB oracle checks both."""
+    stream = events_file_stream(spark, sf_dir)
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming plan: per-user session windows (5-minute inactivity gap) —
+    the streaming form of q_events_session_window. Session state is merged
+    across micro-batches in the state store and finalized when the watermark
+    passes a session's end."""
+    stream = events_file_stream(spark, sf_dir)
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def run_stream_to_memory(
+    streaming_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a (finite) streaming aggregation with Trigger.AvailableNow into
     an in-memory table and return it as a batch DataFrame. Complete output
-    mode so every window is emitted regardless of final watermark position."""
+    mode (default) emits every window regardless of final watermark position
+    (append would drop windows the final watermark hasn't passed); plain
+    row-level streams (e.g. streaming dedup) aren't aggregations and use
+    ``"append"``."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="sjs_ckpt_")
     q = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -117,3 +117,58 @@ def test_multimodal_truncated_payload_isolated(spark):
     by_id = {r.media_id: r for r in feats.collect()}
     assert by_id[0].width is None  # truncated row isolated
     assert by_id[1].width is not None
+
+
+def test_stateful_sessionize_equals_builtin_session_window(spark):
+    """Explicit-state sessionizer == F.session_window on the same data."""
+    from scraping_jobsdb_spark.session import ship_package
+    from scraping_jobsdb_spark.streaming.stateful import sessionize
+    from scraping_jobsdb_spark.streaming.windows import (
+        events_file_stream,
+        run_stream_to_memory,
+    )
+
+    ship_package(spark)
+    streamed = run_stream_to_memory(
+        sessionize(events_file_stream(spark, SF_SMOKE)), spark, output_mode="update"
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    expect = sorted(map(tuple, batch.collect()))
+    assert got == expect
+
+
+def test_streaming_dedup_drops_in_watermark_duplicates(spark):
+    """Duplicated stream → dropDuplicatesWithinWatermark → batch distinct."""
+    import os
+    import tempfile
+
+    from scraping_jobsdb_spark.streaming.dedup import streaming_dedup
+    from scraping_jobsdb_spark.streaming.windows import run_stream_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # Build a source directory holding the SAME file twice -> every event
+    # arrives twice within the watermark horizon.
+    src = tempfile.mkdtemp(prefix="sjs_dup_src_")
+    for i in range(2):
+        os.symlink(
+            os.path.abspath(f"{SF_SMOKE}/events.parquet"),
+            os.path.join(src, f"copy{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = streaming_dedup(stream, ["event_id"], "ts", "10 minutes").select(
+        "event_id"
+    )
+    got = run_stream_to_memory(deduped, spark, output_mode="append")
+    n_distinct = load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    assert got.count() == n_distinct

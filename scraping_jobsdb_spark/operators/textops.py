@@ -27,6 +27,7 @@ __all__ = [
     "lang_guess",
     "fingerprint",
     "with_text_stats",
+    "bpe_ish_token_count",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -43,6 +44,33 @@ def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of trimmed text → array<string>."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token count via an Arrow-vectorized pandas_udf.
+
+    Counts pre-tokenizer units (letter runs | digit runs | single
+    non-alphanumeric) — the segmentation BPE vocabularies assume, so the
+    count tracks real tokenizer token counts far better than whitespace
+    splitting on code/punctuated text. Python is deliberate here (§2.8
+    surface): one regex pass per value over Arrow batches, no per-row pickle.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+    def _count(s):
+        return s.map(lambda t: len(pat.findall(t)) if t is not None else None)
+
+    # Real (non-string) annotations: ``from __future__ import annotations``
+    # would stringify inline hints, which pandas_udf can't resolve.
+    _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    counter = pandas_udf(_count, "bigint")
+    c = F.col(col) if isinstance(col, str) else col
+    return counter(c)
 
 
 def token_count(col: Column | str) -> Column:

@@ -1913,4 +1913,81 @@ def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(deduped, spark, output_mode="append")
 
 
+@_register(
+    "explode_token_positions",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT t.doc_id, t.toks[g.i] AS tok, CAST(g.i - 1 AS INT) AS pos
+    FROM t, generate_series(1, 5) AS g(i)
+    WHERE g.i <= len(t.toks)
+    """,
+)
+def q_explode_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDTF-analog fan-out: one document row → N (token, position)
+    rows via posexplode — the engine form of the reference's page → job-link
+    expansion (``scrape_url.py:169-181``). Generator runs inside codegen; no
+    Python. Limited to the first 5 positions to keep the oracle diff small."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", "tok", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+@_register(
+    "pandas_udf_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 Arrow-vectorized scalar pandas_udf: BPE-ish token counting
+    (letter runs | digit runs | single punctuation — the pre-tokenizer
+    shape real BPE vocabularies assume). The Python path is exercised
+    deliberately (north-star token counting); the regex is anchored to the
+    same semantics DuckDB's regexp_extract_all implements, so the oracle is
+    exact."""
+    from scraping_jobsdb_spark.operators.textops import bpe_ish_token_count
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+@_register(
+    "regexp_extract_all_pack",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '')
+               AS numbers,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+               AS n_capitalized
+    FROM documents
+    """,
+)
+def q_regexp_extract_all_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 multi-match regex extraction (F2/F3 generalized): all digit runs,
+    digit presence, capitalized-word count — JVM-side regexp_extract_all /
+    rlike."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.regexp_extract_all("text", F.lit("[0-9]+")), ",").alias(
+            "numbers"
+        ),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Z][a-z]+")))
+        .cast("bigint")
+        .alias("n_capitalized"),
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

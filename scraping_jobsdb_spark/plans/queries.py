@@ -227,8 +227,11 @@ def q_dedup_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: deterministic DISTINCT ON — one row per key under a total order.
     Reference: ``sql/scrape_url_dedupe_jobs.sql:3-8`` (Postgres DISTINCT ON
     picks an arbitrary row; the engine's row_number form is reproducible)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"
+        ),
+        cols=["l_orderkey"],
     )
     # (l_orderkey, l_linenumber) is NOT unique in the testdata; a total order
     # over all output columns makes the kept row well-defined.

@@ -59,7 +59,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
     """Widen a narrow scan so a CPU-heavy map stage uses every core.
 
     Small parquet files (one row group) produce one input split regardless of
@@ -71,10 +75,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     parallelism. Contrast with the reference's fixed single-partition JDBC
     scan (``spark/ParseHtml.py:33-41``), which serializes the parse stage by
     construction.
+
+    ``cols`` switches round-robin to hash partitioning on those columns: when
+    the next operator needs exactly that clustering (window partition key,
+    group-by key), the one exchange does double duty and Catalyst skips the
+    operator's own shuffle. Use round-robin (default) when downstream keys
+    are low-cardinality (skew) or the map work is keyless.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if cols:
+        return df.repartition(target, *cols)
     return df.repartition(target)
 
 

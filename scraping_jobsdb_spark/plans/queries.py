@@ -1993,4 +1993,40 @@ def q_regexp_extract_all_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "salted_groupby_skewed",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(user_id AS DECIMAL(30,0))) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_groupby_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune two-phase aggregation (operators/scale.py): event_type is
+    low-cardinality, the shape where one hot key stalls a reducer at scale.
+    Salting spreads each key over 16 partial groups; the combine is lossless
+    for algebraic aggregates, so the oracle is the plain GROUP BY."""
+    from scraping_jobsdb_spark.operators.scale import salted_groupby
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uid_dec", F.col("user_id").cast("decimal(30,0)")
+    )
+    out = salted_groupby(
+        ev,
+        ["event_type"],
+        [
+            ("n_events", "count", "event_id"),
+            ("min_value", "min", "value"),
+            ("max_value", "max", "value"),
+            ("sum_users", "sum", "uid_dec"),
+        ],
+        n_salts=16,
+        salt_source="event_id",
+    )
+    return out.withColumn("sum_users", F.col("sum_users").cast("bigint"))
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -1,0 +1,109 @@
+"""Skew/co-location operators: salted agg/join equivalence, bucketed
+exchange-free joins (operators/scale.py)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from scraping_jobsdb_spark.operators.scale import (
+    salted_groupby,
+    salted_join,
+    write_bucketed,
+)
+from scraping_jobsdb_spark.sources.tables import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_groupby_equals_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    # event_type is low-cardinality — the skewed-aggregation shape.
+    salted = salted_groupby(
+        ev,
+        ["event_type"],
+        [
+            ("n", "count", "event_id"),
+            ("max_v", "max", "value"),
+            ("min_v", "min", "value"),
+            ("sum_ids", "sum", "user_id"),
+        ],
+        n_salts=16,
+        salt_source="event_id",
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("max_v"),
+        F.min("value").alias("min_v"),
+        F.sum("user_id").alias("sum_ids"),
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_groupby_rejects_non_algebraic(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    try:
+        salted_groupby(ev, ["event_type"], [("a", "avg", "value")])
+    except ValueError as e:
+        assert "non-algebraic" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("avg must be rejected (not combinable as-is)")
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    salted = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], n_salts=8
+    )
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    assert _rows(salted.select("o_orderkey", "o_custkey", "c_nationkey")) == _rows(
+        plain.select("o_orderkey", "o_custkey", "c_nationkey")
+    )
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    tiny = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    salted = salted_join(o, tiny, ["o_custkey"], n_salts=4, how="left")
+    plain = o.join(tiny, "o_custkey", "left")
+    assert _rows(salted) == _rows(plain)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_cust = f"b_orders_{suffix}", f"b_cust_{suffix}"
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_nationkey")
+    write_bucketed(o, t_orders, ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"])
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        t_cust,
+        ["o_custkey"],
+        n_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        # Force a non-broadcast plan so co-location is what's being tested.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_orders).join(spark.table(t_cust), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        assert joined.count() == plain.count()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")

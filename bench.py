@@ -40,6 +40,13 @@ BENCH_QUERIES = [
     "minhash_neardup_pairs",
     "embedding_topk",
     "events_hourly_tumbling",
+    "large_order_customers",
+    "promo_revenue_ratio",
+    "window_distribution_pack",
+    "events_sliding_windows",
+    "pandas_udf_token_count",
+    "salted_groupby_skewed",
+    "customer_order_histogram",
 ]
 
 
@@ -60,6 +67,8 @@ def main() -> None:
         "minhash_neardup_pairs",
         "doc_text_stats",
         "embedding_topk",
+        "pandas_udf_token_count",
+        "events_sliding_windows",
     ):
         REGISTRY[warm].spark_fn(spark, warm_dir).write.format("noop").mode(
             "overwrite"

@@ -2029,4 +2029,218 @@ def q_salted_groupby_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_users", F.col("sum_users").cast("bigint"))
 
 
+# ---------------------------------------------------------------------------
+# Correlated-aggregate / decision-support shapes (TPC-H Q2/Q11/Q13/Q15/Q17/
+# Q20/Q22 analogs) — thresholds rewritten into decimal-exact cross products
+# so predicate membership can't flip on float rounding.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "argmin_supplier_per_part",
+    oracle="""
+    SELECT l_partkey, s_suppkey, s_acctbal
+    FROM (
+        SELECT l.l_partkey, s.s_suppkey, s.s_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.l_partkey ORDER BY s.s_acctbal, s.s_suppkey
+               ) AS rn
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ) WHERE rn = 1
+    """,
+)
+def q_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin join-back: per part, the supplying supplier
+    with the lowest account balance (suppkey tiebreak). Distinct
+    (part, supp) pairs first — one dedup shuffle — then a broadcast of the
+    supplier dim and a per-part ranking window."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    joined = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "s_suppkey", "s_acctbal")
+    )
+
+
+@_register(
+    "group_share_threshold",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(spend AS DOUBLE) AS spend
+    FROM per_cust
+    WHERE spend * 1000 > (SELECT SUM(CAST(o_totalprice AS DECIMAL(30,4))) FROM orders)
+    """,
+)
+def q_group_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped fraction-of-total HAVING: customers holding > 0.1%
+    of global spend. The global total is a scalar subquery (one extra
+    reduce, broadcast into the filter); the threshold compare is
+    decimal-exact (spend*1000 > total, no float division)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(30,4)")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(dec).alias("spend"))
+    total = o.agg(F.sum(dec).alias("total"))
+    return (
+        per_cust.join(F.broadcast(total))
+        .filter(F.col("spend") * 1000 > F.col("total"))
+        .select("o_custkey", F.col("spend").cast("double").alias("spend"))
+    )
+
+
+@_register(
+    "customer_order_histogram",
+    oracle="""
+    WITH counts AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM counts GROUP BY n_orders
+    """,
+)
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregate: orders per customer (left join
+    keeps zero-order customers; COUNT(col) skips their NULLs), then the
+    distribution of those counts. Two shuffles, the second on a tiny
+    domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return counts.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@_register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                   AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue
+    FROM rev WHERE revenue = (SELECT MAX(revenue) FROM rev)
+    """,
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped max-equality selection: supplier(s) with the maximum
+    revenue. Equality against a decimal-exact aggregate is sound (both
+    engines compute the identical decimal); with doubles this query would be
+    the canonical cross-engine flake."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+        ).alias("revenue")
+    )
+    top = rev.agg(F.max("revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("revenue") == F.col("max_rev"))
+        .select("l_suppkey", F.col("revenue").cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH stats AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(30,4))) AS qsum,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(30,4)) * 2 * s.n < s.qsum
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter: lineitems below half
+    their part's average quantity. The correlated subquery is de-correlated
+    into aggregate + self-join (what Catalyst/DuckDB both do); the
+    ``qty < avg/2`` compare is rewritten ``2·qty·n < sum`` so it stays in
+    exact decimal arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(30,4)")
+    stats = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(qdec).alias("qsum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.p_key)
+        .filter(qdec * 2 * F.col("n") < F.col("qsum"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "suppliers_with_heavy_shipments",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,4))) > 500
+    )
+    """,
+)
+def q_suppliers_with_heavy_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped IN over an aggregate-thresholded subquery: suppliers
+    whose shipped quantity exceeds a threshold. Semi-join against the
+    (small) qualifying-key set — broadcast."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("q"))
+        .filter(F.col("q") > 500)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+
+
+@_register(
+    "inactive_wealthy_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_inactive_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped NOT EXISTS: positive-balance customers who never
+    ordered — the anti-join form of the reference's new-rows idiom (J1)
+    applied to decision support."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_acctbal")
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

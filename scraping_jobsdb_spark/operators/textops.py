@@ -14,7 +14,7 @@ all whole-stage-codegen'd JVM expressions that scale linearly with no shuffle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "fingerprint",
     "with_text_stats",
     "bpe_ish_token_count",
+    "tfidf_top_terms",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -152,4 +153,37 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         lang_guess(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document, entirely in built-in expressions.
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    The DF table is one aggregate over (doc, term) distinct pairs and joins
+    back broadcast when small; ranking is a per-doc window with (score desc,
+    term) total order so ties break deterministically.
+
+    Scale: two shuffles (the (doc_id, term) count and the df aggregate); the
+    join-back broadcasts the df side while vocabularies fit (~10^6 terms),
+    else it's a plain shuffled join on term — both fine because every
+    expression is JVM-side.
+    """
+    n_docs = docs.count()  # tiny driver scalar, same role as a COUNT check
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+        "score",
+        F.col("tf")
+        * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("bigint").alias("rank"))
     )

@@ -2243,4 +2243,62 @@ def q_inactive_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_acctbal")
 
 
+@_register(
+    "term_document_frequency",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS term
+        FROM documents
+    )
+    SELECT term, COUNT(*) AS doc_freq
+    FROM toks GROUP BY term
+    HAVING COUNT(*) >= 50
+    """,
+)
+def q_term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency table (the IDF denominator and the stopword-mining
+    primitive): distinct terms per doc → explode → count per term, thresholded
+    to the common-term tail. One shuffle on term; at corpus scale the
+    distinct-per-doc step is map-side and the term key is zipf-skewed —
+    exactly the shape salted_groupby handles if a term goes hot."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+@_register("tfidf_top_terms", oracle=None)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (rows-only: ln() doubles may differ in
+    the last ulp across engines; the ranking property is asserted in
+    tests/test_similarity.py). Plan: token explode → per-(doc,term) TF →
+    term DF (broadcast) → score → per-doc ranking window."""
+    from scraping_jobsdb_spark.operators.textops import tfidf_top_terms
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return tfidf_top_terms(docs, k=3)
+
+
+@_register("approx_distinct_sketch", oracle=None)
+def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (the 100 TB cardinality path): HyperLogLog distinct
+    users + approximate value percentiles per event_type. Rows-only (sketch
+    estimates are engine-specific by design); relative-error bounds vs the
+    exact answers are asserted in tests/test_similarity.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("value_p50_p90"),
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

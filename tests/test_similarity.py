@@ -102,3 +102,53 @@ def test_exact_dedup_removes_all_duplicates(spark):
     assert deduped.count() == docs.count()
     # survivor is always the lowest id
     assert deduped.filter(F.col("doc_id") >= 10000).count() == 0
+
+
+def test_tfidf_ranking_properties(spark):
+    from scraping_jobsdb_spark.operators.textops import tfidf_top_terms
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    top = tfidf_top_terms(docs, k=3)
+    rows = top.collect()
+    n_docs = docs.count()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == n_docs
+    for doc_rows in by_doc.values():
+        assert 1 <= len(doc_rows) <= 3
+        ranked = sorted(doc_rows, key=lambda r: r.rank)
+        scores = [r.score for r in ranked]
+        assert scores == sorted(scores, reverse=True)
+    # a term present in every document can never outscore a unique term with
+    # the same tf (idf monotonicity sanity)
+    assert all(r.score > 0 for r in rows)
+
+
+def test_sketch_aggregates_error_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    approx = {
+        r.event_type: r for r in REGISTRY["approx_distinct_sketch"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
+        assert abs(a.value_p50_p90[0] - e.p50) <= max(1.0, 0.05 * abs(e.p50))

@@ -2301,4 +2301,55 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH evens AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), third AS (
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(e.o_orderkey, t.o_orderkey) AS o_orderkey,
+           e.o_totalprice, t.o_orderpriority
+    FROM evens e FULL OUTER JOIN third t ON e.o_orderkey = t.o_orderkey
+    """,
+)
+def q_join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (completes the join family beyond the reference's
+    J1–J4): reconcile two partial views of a key space, keeping rows unique
+    to either side. The reconcile shape backs table-diff/sync operators."""
+    o = load_table(spark, sf_dir, "orders")
+    evens = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    third = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("t_orderkey"), "o_orderpriority"
+    )
+    return (
+        evens.join(third, evens.o_orderkey == third.t_orderkey, "full_outer")
+        .select(
+            F.coalesce("o_orderkey", "t_orderkey").alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+
+
+@_register(
+    "cross_join_param_grid",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims — the parameter-grid generator (the
+    reference's 11 keywords × 8 salary bands fan-out, ``scrape_url.py:12-34``,
+    became a cross-joined parameter DataFrame in the ingest pipeline).
+    Broadcast-nested-loop; only ever used with bounded sides."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

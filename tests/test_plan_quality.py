@@ -1,0 +1,76 @@
+"""Physical-plan regression suite: the scale posture, machine-checked.
+
+Correctness says WHAT each query computes; these tests pin HOW Catalyst is
+allowed to execute it — filters reach the scan, dimensions broadcast, dedup
+uses the map-side WindowGroupLimit, top-k never global-sorts, and nothing
+cartesian sneaks in. A regression here is a 100 TB incident that sf0.01
+correctness would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+
+from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# (query, fragment that MUST appear) — each pins one physical property.
+REQUIRED = [
+    # Q6-shape: both predicates pushed into the parquet scan.
+    ("forecast_revenue_delta", "PushedFilters: [IsNotNull(l_discount)"),
+    # dim joins broadcast, never shuffle the fact for a tiny build side
+    ("promo_revenue_ratio", "BroadcastHashJoin"),
+    ("join_dims_broadcast", "BroadcastHashJoin"),
+    ("supplier_count_by_parttype", "BroadcastHashJoin"),
+    # deterministic dedup compiles to map-side top-1 before the shuffle
+    ("dedup_distinct_on", "WindowGroupLimit"),
+    # top-k is TakeOrderedAndProject, not a global sort + limit
+    ("topk_orders", "TakeOrderedAndProject"),
+    ("large_order_customers", "TakeOrderedAndProject"),
+    # anti-join idiom actually plans as an anti join
+    ("anti_join_not_in", "LeftAnti"),
+    ("inactive_wealthy_customers", "LeftAnti"),
+    # semi-join idiom
+    ("suppliers_with_heavy_shipments", "LeftSemi"),
+]
+
+FORBIDDEN = [
+    # nothing here may fall back to a cartesian/BNLJ product
+    ("join_dims_broadcast", "CartesianProduct"),
+    ("sql_surface_revenue_by_nation", "CartesianProduct"),
+    ("large_order_customers", "CartesianProduct"),
+    # the pricing scan must not read columns the agg never touches
+    ("pricing_summary", "l_orderkey"),
+]
+
+
+@pytest.mark.parametrize("name,fragment", REQUIRED, ids=[f"{n}~{f[:20]}" for n, f in REQUIRED])
+def test_plan_contains(spark, name, fragment):
+    assert fragment in _plan(spark, name), (
+        f"{name}: expected {fragment!r} in physical plan"
+    )
+
+
+@pytest.mark.parametrize("name,fragment", FORBIDDEN, ids=[f"{n}!~{f[:20]}" for n, f in FORBIDDEN])
+def test_plan_avoids(spark, name, fragment):
+    assert fragment not in _plan(spark, name), (
+        f"{name}: {fragment!r} must not appear in physical plan"
+    )
+
+
+def test_scan_prunes_columns(spark):
+    """pricing_summary reads exactly the 6 columns it uses (ReadSchema)."""
+    plan = _plan(spark, "pricing_summary")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # (the plan printer truncates the line; the leading columns are enough to
+    # prove pruning, plus the absence of the unused keys)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"):
+        assert col in read
+    assert "l_partkey" not in read and "l_orderkey" not in read

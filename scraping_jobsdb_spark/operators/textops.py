@@ -136,9 +136,14 @@ def lang_guess(col: Column | str) -> Column:
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
     The canonical key for exact near-layout dedup (same words, different
-    spacing/case collapse to one digest)."""
+    spacing/case collapse to one digest).
+
+    Collapse runs FIRST, trim second: Spark ``trim`` strips only spaces, so
+    trimming first would leave a trailing tab to survive as a collapsed
+    space and split the digest (found by hypothesis,
+    tests/test_properties.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -692,7 +692,7 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
     FROM documents
     """,
 )

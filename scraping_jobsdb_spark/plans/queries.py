@@ -2352,4 +2352,42 @@ def q_cross_join_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n)
 
 
+@_register(
+    "neardup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS id FROM edges
+    ), reach(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id, MIN(label) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the embedding near-dup
+    pair graph (component = min reachable id). Spark side is iterative
+    min-label propagation (operators/graph.py — Spark has no recursive SQL);
+    the oracle is DuckDB's WITH RECURSIVE transitive closure. The pairwise →
+    cluster step is what turns LSH candidates into an actionable keep/drop
+    list."""
+    from scraping_jobsdb_spark.operators.graph import connected_components
+    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        fan_out(load_table(spark, sf_dir, "embeddings")), 0.5
+    )
+    return connected_components(pairs)
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

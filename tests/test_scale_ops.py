@@ -139,3 +139,50 @@ def test_connected_components_nonconvergence_raises(spark):
         assert "converge" in str(e)
     else:  # pragma: no cover
         raise AssertionError("diameter-12 chain cannot converge in 2 rounds")
+
+
+def test_asof_join_edge_semantics(spark):
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    left = spark.createDataFrame(
+        [(1, t("10:00:00"), "a"), (1, t("10:05:00"), "b"), (2, t("09:00:00"), "c")],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t("10:00:00"), 100.0), (1, t("10:04:00"), 200.0), (2, t("09:30:00"), 5.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {
+        (r.user_id, r.tag): r.asof_value
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["value"]).collect()
+    }
+    assert out[(1, "a")] == 100.0  # exactly-simultaneous right row IS visible
+    assert out[(1, "b")] == 200.0  # latest preceding wins
+    assert out[(2, "c")] is None   # nothing at-or-before -> NULL
+
+
+def test_range_join_bounds_inclusive_exclusive(spark):
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.temporal import range_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    ev = spark.createDataFrame(
+        [(1, t("10:00:00")), (1, t("10:00:01")), (1, t("10:05:00")),
+         (1, t("10:05:01")), (2, t("10:00:00"))],
+        "user_id bigint, ts timestamp",
+    )
+    got = {
+        (r.left_ts.isoformat(), r.right_ts.isoformat())
+        for r in range_join(ev, ev, "user_id", "ts", "ts", 1, 300).collect()
+    }
+    # self-pair excluded (lower bound 1s), exactly +300s included,
+    # +301s excluded, cross-user never paired
+    assert ("2024-01-01T10:00:00", "2024-01-01T10:00:01") in got
+    assert ("2024-01-01T10:00:00", "2024-01-01T10:05:00") in got
+    assert ("2024-01-01T10:00:01", "2024-01-01T10:05:01") in got
+    assert ("2024-01-01T10:00:00", "2024-01-01T10:00:00") not in got
+    assert ("2024-01-01T10:00:00", "2024-01-01T10:05:01") not in got

@@ -2468,4 +2468,30 @@ def q_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join(ev, ev, "user_id", "ts", "ts", 1, 300)
 
 
+@_register(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 stream-stream inner join (clicks × following purchases within
+    10 min, both sides watermarked so join state is evictable) drained with
+    AvailableNow — same result set as the batch interval join the oracle
+    runs."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        click_purchase_stream_join,
+        run_stream_to_memory,
+    )
+
+    return run_stream_to_memory(
+        click_purchase_stream_join(spark, sf_dir), spark, output_mode="append"
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -27,6 +27,7 @@ __all__ = [
     "hourly_event_counts_stream",
     "sliding_value_totals_stream",
     "session_counts_stream",
+    "click_purchase_stream_join",
     "run_stream_to_memory",
 ]
 
@@ -103,6 +104,52 @@ def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "5 minutes").alias("sw"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+
+
+def click_purchase_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to same-user purchases that
+    happen within the following 10 minutes.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — that pair is what lets the state store evict: a buffered click
+    can only match purchases up to (click.ts + 10 min), so once the purchase
+    watermark passes that point the click's state is dropped. Without the
+    time bound the state would grow forever; this is THE stream-stream join
+    discipline at scale.
+    """
+    clicks = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        events_file_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.col("c_ts").alias("click_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+        "purchase_value",
     )
 
 

@@ -2494,4 +2494,133 @@ def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scd2_supplier_balances",
+    oracle="""
+    WITH current AS (
+        SELECT s_suppkey, s_acctbal, TIMESTAMP '2024-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM supplier
+    ), incoming AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100 ELSE s_acctbal END
+                   AS s_acctbal,
+               TIMESTAMP '2024-02-01' AS valid_from
+        FROM supplier
+    ),
+    closed AS (
+        SELECT c.s_suppkey, c.s_acctbal, c.valid_from,
+               CASE WHEN i.s_acctbal IS DISTINCT FROM c.s_acctbal
+                    THEN i.valid_from ELSE c.valid_to END AS valid_to,
+               CASE WHEN i.s_acctbal IS DISTINCT FROM c.s_acctbal
+                    THEN FALSE ELSE c.is_current END AS is_current
+        FROM current c LEFT JOIN incoming i ON i.s_suppkey = c.s_suppkey
+    ),
+    inserts AS (
+        SELECT i.s_suppkey, i.s_acctbal, i.valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM incoming i JOIN current c ON c.s_suppkey = i.s_suppkey
+        WHERE i.s_acctbal IS DISTINCT FROM c.s_acctbal
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM inserts
+    """,
+)
+def q_scd2_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/merge.py): a balance change closes the
+    open version at the incoming effective date and opens a new one;
+    unchanged keys produce no spurious versions. One join + one anti-join,
+    full-table rewrite — no row-level updates."""
+    from scraping_jobsdb_spark.operators.merge import scd2_merge
+
+    s = load_table(spark, sf_dir, "supplier")
+    current = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    incoming = s.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.col("s_acctbal") + 100)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+        F.lit("2024-02-01").cast("timestamp").alias("valid_from"),
+    )
+    return scd2_merge(
+        current, incoming, ["s_suppkey"], ["s_acctbal"], "valid_from"
+    )
+
+
+@_register(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id) AS first_click
+        FROM events
+    )
+    SELECT user_id,
+           MIN(first_click) AS first_click,
+           MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+               AS first_purchase_after
+    FROM seq GROUP BY user_id
+    HAVING MIN(first_click) IS NOT NULL
+    """,
+)
+def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / sequence detection: per user, the first click and the first
+    purchase strictly after it (NULL = never converted) — the two-step
+    funnel primitive, one window + one aggregate, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    seq = ev.withColumn(
+        "first_click",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.min("first_click").alias("first_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase_after"),
+        )
+        .filter(F.col("first_click").isNotNull())
+    )
+
+
+@_register(
+    "value_histogram_bins",
+    oracle="""
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 500 THEN 11
+                ELSE CAST(floor(value / 50) AS BIGINT) + 1 END AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS bin_total
+    FROM events GROUP BY bin
+    """,
+)
+def q_value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (10 bins over [0, 500)):
+    the one-pass distribution profile used by DQ dashboards and skew
+    detection — groups on the computed bin, decimal-exact totals."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10)))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "bin_total"
+            ),
+        )
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -186,3 +186,47 @@ def test_range_join_bounds_inclusive_exclusive(spark):
     assert ("2024-01-01T10:00:01", "2024-01-01T10:05:01") in got
     assert ("2024-01-01T10:00:00", "2024-01-01T10:00:00") not in got
     assert ("2024-01-01T10:00:00", "2024-01-01T10:05:01") not in got
+
+
+def test_scd2_merge_versions(spark):
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.merge import scd2_merge
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-0{s}")
+    current = spark.createDataFrame(
+        [
+            # key 1: one closed + one open version
+            (1, "a", t("1 00:00:00"), t("2 00:00:00"), False),
+            (1, "b", t("2 00:00:00"), None, True),
+            # key 2: open, value will NOT change
+            (2, "x", t("1 00:00:00"), None, True),
+            # key 3: open, value WILL change
+            (3, "p", t("1 00:00:00"), None, True),
+        ],
+        "k bigint, v string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (2, "x", t("5 00:00:00")),   # unchanged -> no new version
+            (3, "q", t("5 00:00:00")),   # changed -> close + insert
+            (4, "new", t("5 00:00:00")),  # new key -> insert
+        ],
+        "k bigint, v string, valid_from timestamp",
+    )
+    out = scd2_merge(
+        current, incoming, ["k"], ["v"], "valid_from"
+    )
+    rows = {(r.k, r.v, r.is_current): r for r in out.collect()}
+    assert len(rows) == 6  # 4 original + 1 close-replacement + ... wait: 4 kept + 2 inserts
+    # key 1 untouched (no incoming)
+    assert (1, "a", False) in rows and (1, "b", True) in rows
+    # key 2 unchanged: still one open row, no new version
+    assert (2, "x", True) in rows
+    assert sum(1 for (k, _, _) in rows if k == 2) == 1
+    # key 3: old version closed at the incoming effective ts, new open version
+    assert (3, "p", False) in rows
+    assert rows[(3, "p", False)].valid_to == t("5 00:00:00")
+    assert (3, "q", True) in rows
+    # key 4: fresh insert, open
+    assert (4, "new", True) in rows and rows[(4, "new", True)].valid_to is None

@@ -41,6 +41,8 @@ __all__ = [
     "brute_force_topk_np",
     "embedding_neardup_pairs",
     "ivf_topk",
+    "quantize_embeddings_int8",
+    "dequantize_embeddings_int8",
 ]
 
 
@@ -468,4 +470,41 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
+    )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float embedding column.
+
+    (scale, codes) per row with ``value ≈ code * scale``,
+    ``scale = max(|v|)/127``: 4× smaller vectors, the storage/IO lever for
+    billion-vector corpora (dot products on int8 codes + one final scale
+    multiply). Pure JVM expressions — a transform for the codes, one
+    array_max for the scale; dequantize is the inverse transform. Max
+    round-trip error per component is ``scale/2``, asserted in tests.
+    """
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_embeddings_int8(
+    q: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Inverse of quantize_embeddings_int8: codes * scale → float array."""
+    return q.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"), lambda c: (c * F.col("scale")).cast("float")
+        ).alias("embedding"),
     )

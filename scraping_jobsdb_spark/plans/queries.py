@@ -2623,4 +2623,94 @@ def q_value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "unpivot_quality_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_bal,
+               CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM m
+    UNION ALL
+    SELECT c_nationkey, 'total_bal', total_bal FROM m
+    UNION ALL
+    SELECT c_nationkey, 'max_bal', max_bal FROM m
+    """,
+)
+def q_unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of pivot_priority_by_status): wide
+    per-nation metrics → long (nation, metric, value) rows via
+    ``DataFrame.unpivot`` — one Expand node, no self-union of scans. The
+    long form is what metric stores and DQ dashboards ingest."""
+    c = load_table(spark, sf_dir, "customer")
+    m = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
+    return m.unpivot(
+        ["c_nationkey"],
+        ["n_customers", "total_bal", "max_bal"],
+        "metric",
+        "value",
+    )
+
+
+@_register(
+    "scalar_map_pack",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey,
+               MAP(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS props
+        FROM orders
+    )
+    SELECT o_orderkey,
+           props['status'][1] AS status_val,
+           array_to_string(map_keys(props), ',') AS key_list,
+           CAST(cardinality(props) AS INT) AS n_keys
+    FROM m
+    """,
+)
+def q_scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar operations (the typed form of the reference's JSON
+    props blob, F4): construct from arrays, point lookup, key enumeration,
+    cardinality — all JVM-side map expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    props = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        props.getItem("status").alias("status_val"),
+        F.array_join(F.map_keys(props), ",").alias("key_list"),
+        F.size(F.map_keys(props)).cast("int").alias("n_keys"),
+    )
+
+
+@_register("embedding_quantized_topk", oracle=None)
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized embeddings (quantize → dequantize →
+    exact search): the 4×-smaller storage path for billion-vector corpora.
+    Rows-only (quantization error is by design); recall vs the float-exact
+    top-k is asserted in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    deq = dequantize_embeddings_int8(quantize_embeddings_int8(emb))
+    query = deq.filter(F.col("vec_id").isin(0, 100, 200))
+    return brute_force_topk(deq, query, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

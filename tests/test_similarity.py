@@ -169,3 +169,50 @@ def test_dedup_pipeline_removes_injected_neardups(spark):
     # no injected id survives together with its original
     both = [i for i in range(0, n_docs, 10) if i in ids and (i + 10000) in ids]
     assert len(both) <= n_injected * 0.1
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    # codes fit int8 range
+    code_bounds = q.select(
+        F.array_max("codes").alias("hi"), F.array_min("codes").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).collect()[0]
+    assert -127 <= code_bounds.lo and code_bounds.hi <= 127
+    # per-component round-trip error <= scale/2
+    back = dequantize_embeddings_int8(q).withColumnRenamed("embedding", "emb_q")
+    joined = emb.join(back, "vec_id").join(q.select("vec_id", "scale"), "vec_id")
+    worst = joined.select(
+        (
+            F.array_max(
+                F.zip_with("embedding", "emb_q", lambda a, b: F.abs(a - b))
+            )
+            / F.col("scale")
+        ).alias("rel_err")
+    ).agg(F.max("rel_err").alias("m")).collect()[0].m
+    assert worst <= 0.5 + 1e-6
+
+
+def test_quantized_topk_recall(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    exact = REGISTRY["embedding_topk"].spark_fn(spark, SF_SMOKE).collect()
+    quant = REGISTRY["embedding_quantized_topk"].spark_fn(spark, SF_SMOKE).collect()
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+    e, q = sets(exact), sets(quant)
+    assert set(e) == set(q)
+    for qid in e:
+        recall = len(e[qid] & q[qid]) / len(e[qid])
+        assert recall >= 0.8, f"query {qid}: recall {recall}"

@@ -2713,4 +2713,38 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "scalar_misc_pack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS odd_key,
+           xor(o_orderkey, 21) AS xored,
+           CAST(o_orderkey * 8 AS BIGINT) AS shifted,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           LEAST(o_totalprice, 100000.0) AS capped,
+           GREATEST(o_totalprice, 1000.0) AS floored
+    FROM orders
+    """,
+)
+def q_scalar_misc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 closing pack: bitwise ops (bucket/shard math), NULLIF/COALESCE
+    normalization (the engine's empty-string→NULL fix generalized),
+    LEAST/GREATEST clamping — all codegen built-ins."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("odd_key"),
+        k.bitwiseXOR(F.lit(21)).alias("xored"),
+        F.shiftleft(k, 3).cast("bigint").alias("shifted"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.least("o_totalprice", F.lit(100000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored"),
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

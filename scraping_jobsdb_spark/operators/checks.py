@@ -15,7 +15,15 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CheckResult", "run_checks", "unique_check", "null_check", "bounds_check"]
+__all__ = [
+    "CheckResult",
+    "run_checks",
+    "unique_check",
+    "null_check",
+    "bounds_check",
+    "observed",
+    "ObservationHandle",
+]
 
 
 @dataclass(frozen=True)
@@ -65,3 +73,30 @@ def run_checks(
             + "; ".join(f"{r.name} (observed={r.observed!r})" for r in failed)
         )
     return results
+
+
+def observed(
+    df: DataFrame, name: str, metrics: dict[str, Column]
+) -> tuple[DataFrame, "ObservationHandle"]:
+    """Attach in-flight metrics to a DataFrame with ``df.observe``.
+
+    Unlike ``run_checks`` (a separate aggregation pass), observed metrics
+    ride the SAME job that materializes the frame — zero extra scans, the
+    right DQ shape for a 100 TB write where a second pass doubles the bill.
+    Returns (observed_df, handle); after ANY action on the observed frame,
+    ``handle.get()`` returns the metric row as a dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+    return out, ObservationHandle(obs)
+
+
+class ObservationHandle:
+    def __init__(self, observation) -> None:
+        self._observation = observation
+
+    def get(self) -> dict:
+        """Metric values (blocks until the observed frame ran an action)."""
+        return dict(self._observation.get)

@@ -74,3 +74,55 @@ def test_csv_export_roundtrip(spark, tmp_path):
     back = spark.read.option("header", True).csv(path)
     assert back.count() == o.count()
     assert back.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def test_observe_metrics_ride_the_write_job(spark, tmp_path):
+    """df.observe: DQ metrics from the SAME job as the write — no second scan."""
+    from scraping_jobsdb_spark.operators.checks import observed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    obs_df, handle = observed(
+        o,
+        "write_dq",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_cust": F.sum(F.col("o_custkey").isNull().cast("int")),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    obs_df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = handle.get()
+    assert got["n_rows"] == o.count()
+    assert got["n_null_cust"] == 0
+    assert got["max_price"] == o.agg(F.max("o_totalprice")).collect()[0][0]
+
+
+def test_custom_python_datasource_search_surface(spark):
+    """Spark 4 Python DataSource: search combos as InputPartitions."""
+    from scraping_jobsdb_spark.session import ship_package
+    from scraping_jobsdb_spark.sources.datasource import JobSearchDataSource
+    from scraping_jobsdb_spark.sources.fake_site import job_ids_for, total_jobs_for
+
+    ship_package(spark)
+    spark.dataSource.register(JobSearchDataSource)
+    df = (
+        spark.read.format("jobsdb_sim")
+        .option("keywords", "data-engineer,analyst")
+        .option("bands", "10000:20000,20000:30000")
+        .load()
+    )
+    rows = df.collect()
+    combos = [("data-engineer", 10000, 20000), ("data-engineer", 20000, 30000),
+              ("analyst", 10000, 20000), ("analyst", 20000, 30000)]
+    expected = sum(total_jobs_for(k, lo, hi) for k, lo, hi in combos)
+    assert len(rows) == expected
+    # ids per combo match the simulator's ground truth
+    for k, lo, hi in combos:
+        got = sorted(r.job_id for r in rows
+                     if (r.keyword, r.salary_min, r.salary_max) == (k, lo, hi))
+        assert got == sorted(job_ids_for(k, lo, hi))
+    # column pruning through the Python source still returns correct values
+    only = spark.read.format("jobsdb_sim").option(
+        "keywords", "data-engineer"
+    ).option("bands", "10000:20000").load().select("job_id")
+    assert only.count() == total_jobs_for("data-engineer", 10000, 20000)

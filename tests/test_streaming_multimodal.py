@@ -234,3 +234,35 @@ def test_multimodal_audio_features(spark):
         assert r.sample_rate in (8000, 12000, 16000, 20000)
         assert r.duration_ms == int(256 * 1000 / r.sample_rate)
         assert 0 <= r.rms <= 255
+
+
+def test_foreachbatch_idempotent_sink(spark, tmp_path):
+    """Stream -> foreachBatch anti-join append: pre-existing keys survive,
+    redelivery adds nothing."""
+    from scraping_jobsdb_spark.sources.tables import load_table as _lt
+    from scraping_jobsdb_spark.streaming.sinks import idempotent_stream_sink
+    from scraping_jobsdb_spark.streaming.windows import events_file_stream
+
+    out = str(tmp_path / "sink")
+    # Pre-seed the table with half the keys (as a batch writer would).
+    ev = _lt(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(out)
+    n_pre = spark.read.parquet(out).count()
+
+    stream = events_file_stream(spark, SF_SMOKE).select("event_id", "user_id")
+    q = idempotent_stream_sink(stream, out, ["event_id"])
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # odd keys added exactly once
+    assert got.select("event_id").distinct().count() == got.count()
+    assert got.count() > n_pre
+
+    # Re-run the whole stream from a FRESH checkpoint (full redelivery):
+    # the anti-join makes it a no-op.
+    q2 = idempotent_stream_sink(
+        events_file_stream(spark, SF_SMOKE).select("event_id", "user_id"),
+        out,
+        ["event_id"],
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == ev.count()

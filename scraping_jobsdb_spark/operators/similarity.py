@@ -43,6 +43,7 @@ __all__ = [
     "ivf_topk",
     "quantize_embeddings_int8",
     "dequantize_embeddings_int8",
+    "kmeans_fit",
 ]
 
 
@@ -507,4 +508,82 @@ def dequantize_embeddings_int8(
         F.transform(
             F.col("codes"), lambda c: (c * F.col("scale")).cast("float")
         ).alias("embedding"),
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, DataFrame-iterative.
+
+    The proper trainer for IVF cells (ivf_topk's deterministic id-stride
+    seeding is the zero-training baseline). Each round: broadcast the k
+    centroids, assign every vector to its nearest (map-only), recompute
+    means with one aggregate over (cell, component) via posexplode —
+    2 jobs/round, no Python in the loop. Deterministic: seeding is
+    id-ordered, ties in assignment break on lowest cell id. Centroids are
+    collected per round (k × dim scalars — driver-side by design, the same
+    tiny-scalar exception as checks).
+
+    Returns (cell, centroid array<double>). Convergence is fixed-iteration
+    (k-means always terminates on assignment stability; at 10 rounds drift
+    is far below assignment granularity for IVF purposes).
+    """
+    from pyspark.sql import Window as _W
+
+    seeded = (
+        corpus.withColumn("__rn", F.row_number().over(_W.orderBy(F.col(id_col))))
+        .filter(F.col("__rn") <= n_centroids)
+        .select(
+            (F.col("__rn") - 1).alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    cents = seeded.collect()
+
+    for _ in range(max_iter):
+        cent_df = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [(r.cell, r.centroid) for r in cents],
+                "cell int, centroid array<double>",
+            )
+        )
+        scored = corpus.crossJoin(cent_df).select(
+            id_col,
+            vec_col,
+            "cell",
+            cosine(F.col(vec_col), F.col("centroid")).alias("__cos"),
+        )
+        w = _W.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cell"))
+        assigned = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("cell", vec_col)
+        )
+        new_cents = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mean"))
+                ).alias("pm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s.mean).alias("centroid"),
+            )
+        )
+        cents = new_cents.collect()
+
+    return corpus.sparkSession.createDataFrame(
+        [(r.cell, [float(x) for x in r.centroid]) for r in cents],
+        "cell int, centroid array<double>",
     )

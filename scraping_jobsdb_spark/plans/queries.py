@@ -2747,4 +2747,65 @@ def q_scalar_misc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "window_moving_average",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS ma3,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING
+           ) AS next_or_self
+    FROM orders
+    """,
+)
+def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 bounded frames both directions: trailing 3-row moving average
+    (decimal-exact) and a following-frame last_value — the smoothing /
+    look-ahead window shapes. Total order (date, key) keeps frames
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ma = base.rowsBetween(-2, Window.currentRow)
+    nxt = base.rowsBetween(Window.currentRow, 1)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).over(ma).cast("double")
+            / F.count(F.lit(1)).over(ma)
+        ).alias("ma3"),
+        F.last("o_orderkey").over(nxt).alias("next_or_self"),
+    )
+
+
+@_register("embedding_kmeans_cells", oracle=None)
+def q_embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd's, 5 rounds) over the embedding corpus,
+    emitting per-cell sizes — the IVF centroid trainer (similarity.py).
+    Iterative float algorithm → rows-only; quantizer-improvement property
+    asserted in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.similarity import cosine, kmeans_fit
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_fit(emb, n_centroids=8, max_iter=5)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", cosine(F.col("embedding"), F.col("centroid")).alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

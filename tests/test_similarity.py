@@ -216,3 +216,35 @@ def test_quantized_topk_recall(spark):
     for qid in e:
         recall = len(e[qid] & q[qid]) / len(e[qid])
         assert recall >= 0.8, f"query {qid}: recall {recall}"
+
+
+def test_kmeans_fit_improves_over_seeding(spark):
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.similarity import cosine, kmeans_fit
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_fit(emb, n_centroids=8, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == 8
+    dim = len(emb.select("embedding").first().embedding)
+    assert all(len(r.centroid) == dim for r in rows)
+
+    def mean_best_cos(cent_df):
+        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", cosine(F.col("embedding"), F.col("centroid")).alias("c")
+        )
+        return (
+            scored.groupBy("vec_id").agg(F.max("c").alias("best"))
+            .agg(F.avg("best")).collect()[0][0]
+        )
+
+    trained = mean_best_cos(cents)
+    seeds = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    untrained = mean_best_cos(seeds)
+    # training must not make the quantizer worse, and typically improves it
+    assert trained >= untrained - 1e-9

@@ -401,23 +401,33 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: deterministic centroid seeding (every
     len/n_centroids-th vector by id), assign corpus rows to their nearest
     centroid (map-only vs broadcast centroids), probe the ``n_probe`` nearest
     centroid cells per query. At scale the corpus is written partitioned by
-    ``cell`` so a probe prunes to n_probe/n_centroids of the data."""
+    ``cell`` so a probe prunes to n_probe/n_centroids of the data.
+
+    ``centroids`` (cell int, centroid array) — e.g. from ``kmeans_fit`` —
+    replaces the id-stride seeding with trained cells (better-balanced
+    buckets → better recall at the same n_probe)."""
     from pyspark.sql import Window
 
-    cents = (
-        corpus.withColumn(
-            "__rn",
-            F.row_number().over(Window.orderBy(F.col(id_col))),
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cell").alias("cent_id"), F.col("centroid").alias("cent_vec")
         )
-        .filter((F.col("__rn") % F.lit(max(1, 500 // n_centroids))) == 1)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    else:
+        cents = (
+            corpus.withColumn(
+                "__rn",
+                F.row_number().over(Window.orderBy(F.col(id_col))),
+            )
+            .filter((F.col("__rn") % F.lit(max(1, 500 // n_centroids))) == 1)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        )
     # assign: nearest centroid per corpus vector (argmax cosine)
     assigned = (
         corpus.crossJoin(F.broadcast(cents))

@@ -248,3 +248,32 @@ def test_kmeans_fit_improves_over_seeding(spark):
     untrained = mean_best_cos(seeds)
     # training must not make the quantizer worse, and typically improves it
     assert trained >= untrained - 1e-9
+
+
+def test_ivf_with_trained_centroids(spark):
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 50, 150))
+    cents = kmeans_fit(emb, n_centroids=8, max_iter=4)
+    approx = ivf_topk(emb, query, n_probe=3, k=10, centroids=cents)
+    exact = brute_force_topk(emb, query, k=10)
+
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    a, e = sets(approx.collect()), sets(exact.collect())
+    assert set(a) == set(e)
+    for qid in e:
+        recall = len(a[qid] & e[qid]) / len(e[qid])
+        assert recall >= 0.5, f"query {qid}: recall {recall}"

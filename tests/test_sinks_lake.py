@@ -126,3 +126,68 @@ def test_custom_python_datasource_search_surface(spark):
         "keywords", "data-engineer"
     ).option("bands", "10000:20000").load().select("job_id")
     assert only.count() == total_jobs_for("data-engineer", 10000, 20000)
+
+
+def test_datasource_equals_fetch_extract_path(spark):
+    """The DataSource surface and the pipeline's fetch+regex path discover
+    the same (keyword, band, job_id) memberships."""
+    from scraping_jobsdb_spark.pipelines.ingest import build_param_grid, fetch_html
+    from scraping_jobsdb_spark.session import ship_package
+    from scraping_jobsdb_spark.sources.datasource import JobSearchDataSource
+    from scraping_jobsdb_spark.sources.fake_site import fake_transport
+
+    ship_package(spark)
+    kws, bands = ["data_engineer", "analyst"], [(11000, 20000), (20000, 30000)]
+
+    spark.dataSource.register(JobSearchDataSource)
+    via_source = (
+        spark.read.format("jobsdb_sim")
+        .option("keywords", ",".join(kws))
+        .option("bands", ",".join(f"{lo}:{hi}" for lo, hi in bands))
+        .load()
+        .select("keyword", "salary_min", "salary_max", "job_id")
+    )
+
+    grid = build_param_grid(spark, kws, bands)
+    p1 = grid.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://example.test/search?kw="), "keyword",
+            F.lit("&lo="), "lo", F.lit("&hi="), "hi", F.lit("&page=1"),
+        ),
+    )
+    meta = fetch_html(p1, fake_transport).withColumn(
+        "total",
+        F.get_json_object(
+            F.regexp_extract("html", r"data-meta='([^']*)'", 1), "$.totalJobCount"
+        ).cast("int"),
+    ).withColumn("n_pages", F.ceil(F.coalesce(F.col("total"), F.lit(0)) / 30.0))
+    pages = meta.filter(F.col("n_pages") > 0).select(
+        "keyword", "lo", "hi",
+        F.explode(F.sequence(F.lit(1), F.col("n_pages"))).alias("page"),
+    )
+    page_urls = pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://example.test/search?kw="), "keyword",
+            F.lit("&lo="), "lo", F.lit("&hi="), "hi", F.lit("&page="), "page",
+        ),
+    )
+    via_fetch = (
+        fetch_html(page_urls, fake_transport)
+        .select(
+            "keyword", "lo", "hi",
+            F.explode(
+                F.regexp_extract_all("html", F.lit(r'href="/hk/en/job/[^"]*-(\d+)"'), 1)
+            ).alias("job_id"),
+        )
+        .select(
+            "keyword",
+            F.col("lo").alias("salary_min"),
+            F.col("hi").alias("salary_max"),
+            "job_id",
+        )
+    )
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, via_fetch.collect())
+    )

@@ -2808,4 +2808,54 @@ def q_embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
+@_register(
+    "sorted_page_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def q_sorted_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 keyset pagination: page 3 of a 50-row listing under a total
+    order (price desc, key tiebreak) via offset+limit. Spark still plans a
+    single TakeOrderedAndProject of offset+limit rows — no global sort
+    materialization. (At scale prefer keyset predicates over deep offsets;
+    this declares the operator, the docstring declares the caveat.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+@_register(
+    "try_cast_error_safe_pack",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS status_num,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM orders
+    """,
+)
+def q_try_cast_error_safe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 error-safe casts: TRY_CAST yields NULL instead of failing on
+    malformed input — the principled form of the reference's empty-string
+    sentinel + post-cast cleanup (``ParseHtml.py:65-71``, ``utils.py:44-47``).
+    'N-priority' strings fail to int (NULL); their leading digit succeeds."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_rank"),
+        F.col("o_orderstatus").try_cast("double").alias("status_num"),
+        F.col("o_orderkey").cast("string").try_cast("bigint").alias("key_roundtrip"),
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

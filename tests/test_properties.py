@@ -105,3 +105,85 @@ def test_fingerprint_whitespace_case_invariance(spark, texts):
     a = {r.id: r.fp for r in df.select("id", fingerprint("text").alias("fp")).collect()}
     b = {r.id: r.fp for r in messy.select("id", fingerprint("text").alias("fp")).collect()}
     assert a == b
+
+
+_temporal_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=3600), # ts offset seconds
+        st.integers(min_value=-50, max_value=50), # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ts_df(spark, rows, schema_prefix):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k int, off int, v int")
+    return df.select(
+        F.col("k"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off"))).alias("ts"),
+        F.col("v").alias(schema_prefix + "_v"),
+        F.col("off").alias(schema_prefix + "_off"),
+    )
+
+
+@given(lrows=_temporal_rows, rrows=_temporal_rows)
+@settings(**_SETTINGS)
+def test_asof_join_equals_naive_reference(spark, lrows, rrows):
+    """Union-sort as-of == naive join → filter → max-ts pick."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    # dedupe right rows per (key, ts): an as-of pick at equal ts is
+    # ambiguous; the operator contract assumes unique (key, ts) on the right
+    seen = set()
+    rdedup = []
+    for k, off, v in rrows:
+        if (k, off) not in seen:
+            seen.add((k, off))
+            rdedup.append((k, off, v))
+    left = _ts_df(spark, lrows, "l")
+    right = _ts_df(spark, rdedup, "r").select("k", "ts", "r_v")
+    got = asof_join(left, right, "k", "ts", "ts", ["r_v"]).collect()
+
+    rmap = {}
+    for k, off, v in rdedup:
+        rmap.setdefault(k, []).append((off, v))
+    expect = []
+    for k, off, v in lrows:
+        cands = [(ro, rv) for ro, rv in rmap.get(k, []) if ro <= off]
+        best = max(cands)[1] if cands else None
+        expect.append((k, off, v, best))
+    got_t = sorted((r.k, r.l_off, r.l_v, r.asof_r_v) for r in got)
+    assert got_t == sorted(expect)
+
+
+@given(lrows=_temporal_rows)
+@settings(**_SETTINGS)
+def test_range_join_equals_naive_theta(spark, lrows):
+    """Bucket-banded range join == brute-force theta self-join."""
+    from scraping_jobsdb_spark.operators.temporal import range_join
+
+    df = _ts_df(spark, lrows, "l").select("k", "ts")
+    got = {
+        (r.k, r.left_ts.isoformat(), r.right_ts.isoformat())
+        for r in range_join(df, df, "k", "ts", "ts", 1, 300).collect()
+    }
+    rows = [(k, off) for k, off, _ in lrows]
+    expect = set()
+    from datetime import datetime, timedelta
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    for k1, o1 in rows:
+        for k2, o2 in rows:
+            if k1 == k2 and o1 + 1 <= o2 <= o1 + 300:
+                expect.add(
+                    (k1, (base + timedelta(seconds=o1)).isoformat(),
+                     (base + timedelta(seconds=o2)).isoformat())
+                )
+    assert got == expect

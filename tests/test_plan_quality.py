@@ -48,6 +48,14 @@ FORBIDDEN = [
     ("large_order_customers", "CartesianProduct"),
     # the pricing scan must not read columns the agg never touches
     ("pricing_summary", "l_orderkey"),
+    # as-of join is union+window — no join node at all, certainly no product
+    ("asof_join_latest_state", "CartesianProduct"),
+    ("asof_join_latest_state", "BroadcastNestedLoopJoin"),
+    # banded range join must plan as an equi hash/merge join on (key, bucket)
+    ("range_join_followups", "CartesianProduct"),
+    ("range_join_followups", "BroadcastNestedLoopJoin"),
+    # funnel is window + aggregate, never a self-join
+    ("funnel_click_to_purchase", "Join"),
 ]
 
 

@@ -2858,4 +2858,42 @@ def q_try_cast_error_safe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "deterministic_sample_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0a'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def q_deterministic_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split (~4%/4%/92% via md5-prefix bands):
+    the reproducible sampling a training pipeline needs — membership is a
+    pure function of the id, so re-runs, engines, and partitionings all
+    agree, and adding documents never reshuffles existing splits (unlike
+    seeded ``df.sample``, whose membership depends on partition layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = docs.select(
+        "doc_id",
+        F.when(pfx < "0a", "test").when(pfx < "14", "val").otherwise("train").alias(
+            "split"
+        ),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

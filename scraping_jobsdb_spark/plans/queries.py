@@ -2896,4 +2896,41 @@ def q_deterministic_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "decontamination_exact_overlap",
+    oracle="""
+    WITH bench AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 100 = 0
+    ), train AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 100 <> 0
+    )
+    SELECT t.doc_id
+    FROM train t
+    WHERE t.fp IN (SELECT fp FROM bench)
+    """,
+)
+def q_decontamination_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (exact tier): training docs whose
+    whitespace/case-normalized fingerprint collides with the held-out
+    benchmark set (every 100th doc plays the benchmark) — the semi-join that
+    runs before every training corpus ships. The benchmark side is tiny →
+    broadcast; at scale the near-dup tier (MinHash pairs restricted to
+    train×bench) layers on the same shape."""
+    from scraping_jobsdb_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    return train.join(F.broadcast(bench), "fp", "left_semi").select("doc_id")
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -2933,4 +2933,72 @@ def q_decontamination_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     return train.join(F.broadcast(bench), "fp", "left_semi").select("doc_id")
 
 
+@_register(
+    "explode_outer_null_preserving",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               CASE WHEN o_custkey % 7 = 0 THEN []
+                    ELSE [o_custkey % 3, o_custkey % 5] END AS tags
+        FROM (SELECT DISTINCT o_custkey FROM orders)
+    )
+    SELECT g.o_custkey, u.tag
+    FROM g LEFT JOIN (
+        SELECT o_custkey, UNNEST(tags) AS tag FROM g
+    ) u USING (o_custkey)
+    """,
+)
+def q_explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 null-preserving fan-out: explode_outer keeps parents with empty
+    arrays as a NULL-element row (plain explode silently drops them — the
+    classic lost-rows bug in link-extraction pipelines). Every 7th customer
+    gets an empty tag set."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    g = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_custkey") % 7 == 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.array(F.col("o_custkey") % 3, F.col("o_custkey") % 5)
+        ).alias("tags"),
+    )
+    return g.select("o_custkey", F.explode_outer("tags").alias("tag"))
+
+
+@_register(
+    "array_set_ops_pack",
+    oracle="""
+    WITH g AS (
+        SELECT l_orderkey,
+               list_sort(list_distinct(list(l_partkey % 10))) AS a,
+               list_sort(list_distinct(list(l_suppkey % 10))) AS b
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+               AS common,
+           COALESCE(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+               AS a_only,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS unioned
+    FROM g
+    """,
+)
+def q_array_set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / union) over per-order bucket
+    sets — the token-set operations behind Jaccard and vocabulary diffing,
+    emitted sorted+joined so the comparison is representation-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list(F.col("l_partkey") % 10))).alias("a"),
+        F.array_sort(F.array_distinct(F.collect_list(F.col("l_suppkey") % 10))).alias("b"),
+    )
+    j = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+    return g.select(
+        "l_orderkey",
+        j(F.array_sort(F.array_intersect("a", "b"))).alias("common"),
+        j(F.array_sort(F.array_except("a", "b"))).alias("a_only"),
+        j(F.array_sort(F.array_union("a", "b"))).alias("unioned"),
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

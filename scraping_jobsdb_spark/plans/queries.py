@@ -3001,4 +3001,36 @@ def q_array_set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "robust_stats_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, QUANTILE_CONT(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MIN(med.m) AS median_value,
+           QUANTILE_CONT(abs(e.value - med.m), 0.5) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: median absolute deviation per event type — the
+    outlier-detection primitive that survives the heavy tails mean/stddev
+    DQ checks choke on. Two aggregates; the per-group median broadcasts back
+    into the deviation pass. Double interpolation is identical arithmetic in
+    both engines (same operands → same doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("m").alias("median_value"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), 0.5).alias("mad"),
+        )
+    )
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

@@ -3033,4 +3033,37 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gaps_and_islands",
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey FROM orders
+    ), tagged AS (
+        SELECT o_orderkey,
+               o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey) AS island
+        FROM keys
+    )
+    SELECT MIN(o_orderkey) AS island_start,
+           MAX(o_orderkey) AS island_end,
+           COUNT(*) AS island_size
+    FROM tagged GROUP BY island
+    """,
+)
+def q_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive keys via the
+    value-minus-row_number identity — the streak/contiguity primitive behind
+    retention streaks, missing-id audits, and compaction planning. One sort
+    + one aggregate."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    w = Window.orderBy("o_orderkey")
+    tagged = o.withColumn(
+        "island", F.col("o_orderkey") - F.row_number().over(w)
+    )
+    return tagged.groupBy("island").agg(
+        F.min("o_orderkey").alias("island_start"),
+        F.max("o_orderkey").alias("island_end"),
+        F.count(F.lit(1)).alias("island_size"),
+    ).drop("island")
+
+
 REGISTRY_DOC = {name: q.doc for name, q in REGISTRY.items()}

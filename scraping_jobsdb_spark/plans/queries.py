@@ -270,9 +270,10 @@ def q_upsert_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
-           CAST(MIN(o_orderdate) AS DATE) AS min_date,
-           CAST(MAX(o_orderdate) AS DATE) AS max_date,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkeys
+           strftime(CAST(MIN(o_orderdate) AS DATE), '%Y-%m-%d') AS min_date,
+           strftime(CAST(MAX(o_orderdate) AS DATE), '%Y-%m-%d') AS max_date,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkeys
     FROM orders
     """,
 )
@@ -284,9 +285,13 @@ def q_dq_aggregate_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
-        F.min("o_orderdate").cast("date").alias("min_date"),
-        F.max("o_orderdate").cast("date").alias("max_date"),
-        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_custkeys"),
+        # dates emitted as ISO strings: the cross-engine lowest common
+        # denominator (DuckDB DATE surfaces as datetime64 in pandas)
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).cast("bigint").alias(
+            "null_custkeys"
+        ),
     )
 
 
@@ -1293,9 +1298,9 @@ def q_scalar_subquery_above_total_avg(spark: SparkSession, sf_dir: str) -> DataF
     "conditional_aggregates",
     oracle=f"""
     SELECT o_custkey,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
            CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%'
                          THEN CAST(o_totalprice AS DECIMAL(30,4))
                          ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE) AS urgent_spend

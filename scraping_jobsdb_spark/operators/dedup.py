@@ -39,15 +39,34 @@ def dedup_first(
     )
 
 
+#: Digest preimage encoding: fields joined on U+001F (unit separator, a
+#: control char the engine's text domains never contain), NULL encoded as
+#: U+0000 — distinct from the empty string. concat_ws alone would SKIP null
+#: fields, colliding ("a", NULL, "b") with ("a", "b", NULL).
+_FIELD_SEP = "\x1f"
+_NULL_SENTINEL = "\x00"
+
+
 def dedup_exact(df: DataFrame, content_cols: list[str], keep_order_col: str) -> DataFrame:
     """Exact-duplicate removal by content digest.
 
-    Hashes the concatenated content columns (md5 over a unit-separator join —
-    JVM-side, no UDF) and keeps the row with the smallest ``keep_order_col``
-    per digest. This is the map-side-cheap baseline of the dedup family: one
-    shuffle on the 128-bit digest, uniform by construction (no skew).
+    Hashes the content columns (md5 over a unit-separator join with a NULL
+    sentinel — JVM-side, no UDF) and keeps the row with the smallest
+    ``keep_order_col`` per digest. Distinct contents never share a digest:
+    the separator delimits column boundaries and NULL encodes differently
+    from the empty string. This is the map-side-cheap baseline of the dedup
+    family: one shuffle on the 128-bit digest, uniform by construction
+    (no skew).
     """
-    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    digest = F.md5(
+        F.concat_ws(
+            _FIELD_SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+                for c in content_cols
+            ],
+        )
+    )
     return dedup_first(
         df.withColumn("__digest", digest), ["__digest"], [keep_order_col]
     ).drop("__digest")

@@ -79,26 +79,45 @@ def salted_groupby(
     )
 
 
+#: Join types whose semantics survive small-side replication: each big row
+#: carries exactly one salt, so it meets each matching small row exactly once
+#: (inner/left) or tests membership against the full small set (semi/anti).
+#: right/full would emit every UNMATCHED small row once per replica — broken.
+_SALTABLE_JOINS = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     on: list[str],
     n_salts: int = 8,
     how: str = "inner",
-    salt_source: str | None = None,
+    salt_source: Column | None = None,
 ) -> DataFrame:
     """Equi-join that spreads hot keys over ``n_salts`` tasks.
 
     The big side gets a deterministic salt in [0, n_salts); the small side is
     replicated once per salt value (explode of a literal sequence), and the
     join key becomes (on + salt). Row-for-row identical to ``big.join(small,
-    on, how)`` — every big row still meets every matching small row exactly
-    once. Replication multiplies the small side's shuffle volume by
-    ``n_salts``: use broadcast when it fits, this when it doesn't.
+    on, how)`` for the supported join types — every big row still meets every
+    matching small row exactly once. Replication multiplies the small side's
+    shuffle volume by ``n_salts``: use broadcast when it fits, this when it
+    doesn't.
+
+    The salt must vary WITHIN a key for the skew spreading to happen, so it
+    is derived from every big-side column (``salt_source`` overrides — pass a
+    row-varying expression, never the join key alone). ``how`` is restricted
+    to inner/left/semi/anti: right/full outer would emit unmatched small-side
+    rows once per replica.
     """
-    src = salt_source or on[0]
+    if how not in _SALTABLE_JOINS:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: "
+            "replicating the small side would duplicate its unmatched rows"
+        )
+    src = salt_source if salt_source is not None else F.xxhash64(*[F.col(c) for c in big.columns])
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(src), F.lit(n_salts))
     )
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -393,6 +393,29 @@ def brute_force_topk_np(
     )
 
 
+def _seed_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic centroid seeding without a global sort: a hash-stride
+    filter thins the corpus to ~4×n_centroids candidate rows (spread over the
+    whole id domain — xxhash64 is uniform), then an ``orderBy(id).limit``
+    picks the first ``n_centroids`` of them. The limit compiles to
+    TakeOrderedAndProject — per-partition top-k merged on the driver — so no
+    single task ever sees more than its own partition's candidates (the
+    global-window form this replaces pulled the entire corpus through one
+    task). One count() job for the stride (driver scalar, same exception as
+    checks).
+    """
+    n = corpus.count()
+    stride = max(1, n // max(1, n_centroids * 4))
+    return (
+        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,
@@ -403,14 +426,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: deterministic centroid seeding (every
-    len/n_centroids-th vector by id), assign corpus rows to their nearest
-    centroid (map-only vs broadcast centroids), probe the ``n_probe`` nearest
-    centroid cells per query. At scale the corpus is written partitioned by
-    ``cell`` so a probe prunes to n_probe/n_centroids of the data.
+    """IVF-style approximate top-k: deterministic hash-stride centroid
+    seeding, assign corpus rows to their nearest centroid (map-only vs
+    broadcast centroids), probe the ``n_probe`` nearest centroid cells per
+    query. At scale the corpus is written partitioned by ``cell`` so a probe
+    prunes to n_probe/n_centroids of the data.
 
     ``centroids`` (cell int, centroid array) — e.g. from ``kmeans_fit`` —
-    replaces the id-stride seeding with trained cells (better-balanced
+    replaces the hash-stride seeding with trained cells (better-balanced
     buckets → better recall at the same n_probe)."""
     from pyspark.sql import Window
 
@@ -419,14 +442,8 @@ def ivf_topk(
             F.col("cell").alias("cent_id"), F.col("centroid").alias("cent_vec")
         )
     else:
-        cents = (
-            corpus.withColumn(
-                "__rn",
-                F.row_number().over(Window.orderBy(F.col(id_col))),
-            )
-            .filter((F.col("__rn") % F.lit(max(1, 500 // n_centroids))) == 1)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        cents = _seed_centroids(corpus, n_centroids, id_col, vec_col).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
         )
     # assign: nearest centroid per corpus vector (argmax cosine)
     assigned = (
@@ -530,35 +547,35 @@ def kmeans_fit(
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, DataFrame-iterative.
 
-    The proper trainer for IVF cells (ivf_topk's deterministic id-stride
+    The proper trainer for IVF cells (ivf_topk's deterministic hash-stride
     seeding is the zero-training baseline). Each round: broadcast the k
     centroids, assign every vector to its nearest (map-only), recompute
     means with one aggregate over (cell, component) via posexplode —
-    2 jobs/round, no Python in the loop. Deterministic: seeding is
-    id-ordered, ties in assignment break on lowest cell id. Centroids are
-    collected per round (k × dim scalars — driver-side by design, the same
-    tiny-scalar exception as checks).
+    2 jobs/round, no Python in the loop. Deterministic: seeding is the
+    hash-stride pick of ``_seed_centroids`` (TakeOrderedAndProject, never a
+    global window), ties in assignment break on lowest cell id. Centroids
+    are collected per round (k × dim scalars — driver-side by design, the
+    same tiny-scalar exception as checks).
 
-    Returns (cell, centroid array<double>). Convergence is fixed-iteration
-    (k-means always terminates on assignment stability; at 10 rounds drift
-    is far below assignment granularity for IVF purposes).
+    Returns exactly ``n_centroids`` rows (cell, centroid array<double>):
+    a cell that receives zero assignments in a round carries its previous
+    centroid forward instead of silently disappearing. Convergence is
+    fixed-iteration (k-means always terminates on assignment stability; at
+    10 rounds drift is far below assignment granularity for IVF purposes).
     """
     from pyspark.sql import Window as _W
 
-    seeded = (
-        corpus.withColumn("__rn", F.row_number().over(_W.orderBy(F.col(id_col))))
-        .filter(F.col("__rn") <= n_centroids)
-        .select(
-            (F.col("__rn") - 1).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("centroid"),
-        )
+    seeded = _seed_centroids(corpus, n_centroids, id_col, vec_col).select(
+        F.col(vec_col).cast("array<double>").alias("centroid")
     )
-    cents = seeded.collect()
+    cents = [
+        (i, list(r.centroid)) for i, r in enumerate(seeded.collect())
+    ]
 
     for _ in range(max_iter):
         cent_df = F.broadcast(
             corpus.sparkSession.createDataFrame(
-                [(r.cell, r.centroid) for r in cents],
+                cents,
                 "cell int, centroid array<double>",
             )
         )
@@ -591,9 +608,13 @@ def kmeans_fit(
                 F.transform(F.col("pm"), lambda s: s.mean).alias("centroid"),
             )
         )
-        cents = new_cents.collect()
+        # A cell with zero assignments vanishes from the groupBy output —
+        # carry its previous centroid forward so the result always has
+        # exactly n_centroids cells.
+        updated = {r.cell: [float(x) for x in r.centroid] for r in new_cents.collect()}
+        cents = [(c, updated.get(c, prev)) for c, prev in cents]
 
     return corpus.sparkSession.createDataFrame(
-        [(r.cell, [float(x) for x in r.centroid]) for r in cents],
+        cents,
         "cell int, centroid array<double>",
     )

@@ -38,22 +38,42 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right values at-or-before its
     timestamp (NULLs where no right row precedes it).
 
     Plan: union(tagged left, tagged right) → one hash shuffle on ``key`` →
-    per-key sort by (ts, side) with right rows ordered BEFORE left rows at
-    equal timestamps (an exactly-simultaneous right row is visible) →
+    per-key sort by (ts, side, tiebreak) with right rows ordered BEFORE left
+    rows at equal timestamps (an exactly-simultaneous right row is visible) →
     ``last(value, ignorenulls)`` over rows unbounded preceding → keep left
     rows. State per task is one row of carried values — O(1) memory beyond
     the sort, linear scan, no candidate explosion.
+
+    Determinism: multiple right rows with equal (key, ts) resolve to the one
+    with the GREATEST ``tiebreak_cols`` tuple (default: the value columns
+    themselves) — the sort places it last, so ``last()`` carries it. Pass an
+    explicit unique right-side column when value columns can tie.
     """
     lcols = left.columns
+    tb_cols = tiebreak_cols if tiebreak_cols is not None else value_cols
+    # The tiebreak struct exists on both sides of the union (typed NULLs on
+    # the left) so the window can order by it; only right-right ties at equal
+    # ts are affected — __side already orders right before left.
+    tb_right = F.struct(
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(tb_cols)]
+    )
+    tb_left = F.struct(
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"t{i}")
+            for i, c in enumerate(tb_cols)
+        ]
+    )
     tagged_left = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        tb_left.alias("__tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
     )
@@ -61,13 +81,14 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        tb_right.alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

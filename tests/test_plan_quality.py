@@ -82,3 +82,20 @@ def test_scan_prunes_columns(spark):
     for col in ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"):
         assert col in read
     assert "l_partkey" not in read and "l_orderkey" not in read
+
+
+def test_seeding_never_single_partition_window(spark):
+    """IVF/k-means centroid seeding must not pull the corpus through one task:
+    no `Exchange SinglePartition` feeding a Window — the hash-stride pick
+    compiles to TakeOrderedAndProject (per-partition top-k, driver merge)."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    seeded = _seed_centroids(emb, 10, "vec_id", "embedding")
+    plan = seeded._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan

@@ -230,3 +230,86 @@ def test_scd2_merge_versions(spark):
     assert (3, "q", True) in rows
     # key 4: fresh insert, open
     assert (4, "new", True) in rows and rows[(4, "new", True)].valid_to is None
+
+
+def test_dedup_exact_no_boundary_or_null_collisions(spark):
+    from scraping_jobsdb_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab", "c"),     # boundary-shift pair: must NOT collide
+            (2, "a", "bc"),
+            (3, "a", None),     # NULL vs empty: must NOT collide
+            (4, "a", ""),
+            (5, None, "a"),     # NULL position matters
+            (6, "a", None),     # true duplicate of 3 -> dropped
+        ],
+        "id bigint, x string, y string",
+    )
+    kept = {r.id for r in dedup_exact(df, ["x", "y"], "id").collect()}
+    assert kept == {1, 2, 3, 4, 5}
+
+
+def test_salted_join_rejects_outer(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    for how in ("right", "full", "outer"):
+        try:
+            salted_join(o, c, ["o_custkey"], how=how)
+        except ValueError as e:
+            assert "salted_join" in str(e)
+        else:  # pragma: no cover
+            raise AssertionError(f"{how} join must be rejected")
+
+
+def test_salted_join_semi_anti_equal_plain(spark):
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    tiny = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    for how in ("semi", "anti"):
+        salted = salted_join(o, tiny, ["o_custkey"], n_salts=4, how=how)
+        plain = o.join(tiny, "o_custkey", how)
+        assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_default_salt_spreads_hot_key(spark):
+    # One hot key repeated 400x: the default (row-varying) salt must spread
+    # it over >1 salt value — the regression was a per-key-constant salt.
+    hot = spark.range(400).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(7, "x")], "k bigint, v string")
+    joined = salted_join(hot, dim, ["k"], n_salts=8)
+    assert joined.count() == 400
+    n_salts_used = (
+        hot.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.xxhash64(*[F.col(c) for c in hot.columns])), F.lit(8)),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts_used > 1
+
+
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    t = datetime.fromisoformat("2024-01-01 10:00:00")
+    left = spark.createDataFrame([(1, t, "a")], "k bigint, ts timestamp, tag string")
+    # three right rows at the SAME (key, ts): greatest tiebreak wins
+    right = spark.createDataFrame(
+        [(1, t, 30.0), (1, t, 10.0), (1, t, 20.0)],
+        "k bigint, ts timestamp, value double",
+    )
+    for _ in range(3):
+        out = asof_join(left, right, "k", "ts", "ts", ["value"]).collect()
+        assert len(out) == 1 and out[0].asof_value == 30.0

@@ -277,3 +277,17 @@ def test_ivf_with_trained_centroids(spark):
     for qid in e:
         recall = len(a[qid] & e[qid]) / len(e[qid])
         assert recall >= 0.5, f"query {qid}: recall {recall}"
+
+
+def test_kmeans_empty_cells_carried_forward(spark):
+    from scraping_jobsdb_spark.operators.similarity import kmeans_fit
+
+    # 40 near-identical vectors: most cells receive zero assignments after
+    # round 1, yet the result must still have exactly n_centroids cells.
+    rows = [(i, [1.0, 0.0, 0.0, float(i % 2) * 1e-6]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_fit(corpus, n_centroids=8, max_iter=3)
+    got = cents.collect()
+    assert len(got) == 8
+    assert sorted(r.cell for r in got) == list(range(8))
+    assert all(len(r.centroid) == 4 for r in got)

@@ -881,13 +881,19 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.5) — the dedup
-    family's embedding member, exact all-pairs form (the scale path
-    candidate-generates via IVF/LSH first; docstring in similarity.py). The
-    0.5 threshold sits in a ≥0.01-wide gap of the sf0.01 pair distribution,
-    so engine-level float differences cannot flip membership."""
-    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs
+    family's embedding member, in its bucketed form: sign-LSH band
+    candidates via an equi-join on (band, signature), exact cosine filter
+    deciding membership (banding only prunes, never admits). The oracle is
+    the all-pairs SQL — candidate recall against it is verified at every SF
+    in tests (fixed planes ⇒ deterministic). No BNLJ/cartesian in the plan
+    (asserted in test_plan_quality). The 0.5 threshold sits in a ≥0.01-wide
+    gap of the sf0.01 pair distribution, so engine-level float differences
+    cannot flip membership."""
+    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs_lsh
 
-    return embedding_neardup_pairs(fan_out(load_table(spark, sf_dir, "embeddings")), 0.5)
+    return embedding_neardup_pairs_lsh(
+        fan_out(load_table(spark, sf_dir, "embeddings")), 0.5
+    )
 
 
 @_register("embedding_topk_np", oracle=None)

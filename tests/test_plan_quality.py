@@ -56,6 +56,10 @@ FORBIDDEN = [
     ("range_join_followups", "BroadcastNestedLoopJoin"),
     # funnel is window + aggregate, never a self-join
     ("funnel_click_to_purchase", "Join"),
+    # embedding near-dup is LSH-banded: an equi-join on (band, signature),
+    # never the O(n^2) nested-loop form
+    ("embedding_neardup_pairs", "BroadcastNestedLoopJoin"),
+    ("embedding_neardup_pairs", "CartesianProduct"),
 ]
 
 

@@ -291,3 +291,35 @@ def test_kmeans_empty_cells_carried_forward(spark):
     assert len(got) == 8
     assert sorted(r.cell for r in got) == list(range(8))
     assert all(len(r.centroid) == 4 for r in got)
+
+
+def test_lsh_neardup_pairs_equal_all_pairs(spark):
+    """The banded form must return EXACTLY the all-pairs result on the gate
+    datasets (fixed planes -> deterministic; verified here, stays verified)."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+    from tests.conftest import SF_CORRECT
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        emb = load_table(spark, sf, "embeddings")
+        exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, 0.5).collect()}
+        banded = {
+            (r.id_a, r.id_b) for r in embedding_neardup_pairs_lsh(emb, 0.5).collect()
+        }
+        assert banded == exact, (sf, banded ^ exact)
+
+
+def test_lsh_neardup_high_threshold_finds_injected(spark):
+    """At real near-dup thresholds the banding is sparse AND complete:
+    injected exact duplicates (cos 1.0) are always candidates."""
+    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs_lsh
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dupes = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_neardup_pairs_lsh(emb.unionByName(dupes), threshold=0.99)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(5)} <= found

@@ -11,12 +11,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.sources.tables import write_csv_export
+from scraping_jobsdb_spark.sources.txn import read_table_any
 
 __all__ = ["export"]
 
 
 def export(spark: SparkSession, parsed_path: str, csv_path: str, single_file: bool = True) -> int:
-    df = spark.read.parquet(parsed_path)
+    df = read_table_any(spark, parsed_path)
     # CSV cannot carry arrays: serialize job_functions with the reference's
     # semicolon convention (utils.py:97) at the edge only.
     out = df.withColumn("job_functions", F.array_join("job_functions", ";"))

@@ -4,22 +4,24 @@ Reference: two Postgres statements — CTAS ``GROUP BY job_id,
 min(salary_min), max(salary_max)`` over the search-band memberships
 (``sql/impute_salary_create_salary_table.sql:3-9``), then ``UPDATE ... FROM``
 filling only NULL salary columns
-(``sql/impute_salary_update_parsed_jobs_table.sql:1-7``).
+(``sql/impute_salary_update_parsed_jobs_table.sql:1-7``) — both transactional
+because Postgres is.
 
-Engine: A1 aggregate + J2 coalesce-merge + atomic overwrite of the parsed
-table. The aggregate output (one row per job) broadcasts into the merge when
-small; the overwrite goes through a temp path + rename-style two-step because
-Spark cannot read and overwrite the same parquet path in one job.
+Engine: A1 aggregate + a transactional MERGE on the parsed table
+(sources/txn.py). The merge is UPDATE-only (``when_not_matched_insert=False``
+— exactly the reference's UPDATE…FROM), fills only NULL salary columns via
+coalesce, and commits as one atomic snapshot swap: a crash mid-write leaves
+the previous snapshot intact, unlike the old read-tmp-overwrite double-write
+this replaces. A plain-Parquet parsed table is adopted in place
+(metadata-only) on first touch.
 """
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scraping_jobsdb_spark.operators.merge import coalesce_merge
+from scraping_jobsdb_spark.sources.txn import TxnTable, read_table_any
 
 __all__ = ["impute_salary_table", "impute"]
 
@@ -34,18 +36,20 @@ def impute_salary_table(memberships: DataFrame) -> DataFrame:
 
 def impute(spark: SparkSession, raw_path: str, parsed_path: str) -> int:
     """Fill NULL min/max_salary in the parsed table from the imputed
-    aggregate; rewrites the parsed table. Returns its row count."""
-    memberships = spark.read.parquet(raw_path)
-    parsed = spark.read.parquet(parsed_path)
+    aggregate via one transactional MERGE. Returns the table's row count."""
+    memberships = read_table_any(spark, raw_path)
     imputed = impute_salary_table(memberships)
-    merged = coalesce_merge(
-        parsed, imputed, ["job_id"], {"min_salary": "imp_min", "max_salary": "imp_max"}
+    parsed = TxnTable.ensure(spark, parsed_path)
+    return parsed.merge(
+        imputed,
+        on=["job_id"],
+        when_matched_update={
+            "min_salary": F.coalesce(
+                F.col("t.min_salary"), F.col("s.imp_min").cast("int")
+            ),
+            "max_salary": F.coalesce(
+                F.col("t.max_salary"), F.col("s.imp_max").cast("int")
+            ),
+        },
+        when_not_matched_insert=False,
     )
-    # Break the read-write cycle: materialize, then overwrite atomically.
-    tmp = parsed_path.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(parsed_path)
-    n = spark.read.parquet(parsed_path).count()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return n

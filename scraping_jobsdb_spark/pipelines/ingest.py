@@ -119,8 +119,15 @@ def ingest(
     delay_s: float = 0.0,
 ) -> dict[str, int]:
     """Run the full ingestion for ``run_date``. Returns row counts per stage
-    (the numbers the reference's sanity task would check)."""
-    from scraping_jobsdb_spark.sources.tables import write_idempotent_append
+    (the numbers the reference's sanity task would check).
+
+    The raw-membership and catalog tables are transactional (sources/txn.py):
+    appends are exactly-once on their uniqueness keys even under concurrent
+    runs — the reference leaned on Postgres ON CONFLICT for the same
+    guarantee. The lake itself stays plain date-partitioned Parquet (raw
+    immutable files; the catalog anti-join upstream already gates what lands
+    there)."""
+    from scraping_jobsdb_spark.sources.txn import TxnTable
 
     grid = build_param_grid(spark, keywords, bands)
 
@@ -173,10 +180,14 @@ def ingest(
         F.concat(F.lit(base_url), "job_path").alias("url"),
     )
 
-    # --- idempotent append on the composite uniqueness key (A3)
-    n_new_memberships = write_idempotent_append(
+    # --- exactly-once append on the composite uniqueness key (A3)
+    raw_table = (
+        TxnTable(spark, raw_path)
+        if TxnTable.exists(spark, raw_path)
+        else TxnTable.create(spark, raw_path, schema=memberships.schema)
+    )
+    n_new_memberships = raw_table.idempotent_append(
         memberships,
-        raw_path,
         ["keyword", "job_id", "salary_min", "salary_max", "scrape_date"],
     )
 
@@ -184,10 +195,12 @@ def ingest(
     unique_jobs = dedup_first(
         memberships.select("job_id", "url"), ["job_id"], ["url"]
     )
-    try:
-        catalog = spark.read.parquet(catalog_path).select("job_id")
-        todo = new_rows(unique_jobs, catalog, ["job_id"])
-    except Exception:  # first run: everything is new
+    catalog_table = (
+        TxnTable(spark, catalog_path) if TxnTable.exists(spark, catalog_path) else None
+    )
+    if catalog_table is not None:
+        todo = new_rows(unique_jobs, catalog_table.read().select("job_id"), ["job_id"])
+    else:  # first run: everything is new
         todo = unique_jobs
 
     # --- fetch details, land in the date-partitioned lake (S2 + S8)
@@ -201,15 +214,17 @@ def ingest(
     )
     lake_rows.write.mode("append").partitionBy("year", "month", "day").parquet(lake_path)
 
-    # --- catalog update (A6 batch form: append the newly-scraped keys)
+    # --- catalog update (A6 batch form: exactly-once append of new keys)
     new_catalog = lake_rows.select(
         "job_id", "url", "scraped_date",
         F.when(F.col("html").isNotNull(), F.lit("y")).alias("html_present"),
     )
-    new_catalog.write.mode("append").parquet(catalog_path)
+    if catalog_table is None:
+        catalog_table = TxnTable.create(spark, catalog_path, schema=new_catalog.schema)
+    catalog_table.idempotent_append(new_catalog, ["job_id"])
 
     # --- fail-loud DQ checks (A5): catalog keys unique, no missing html
-    catalog_now = spark.read.parquet(catalog_path)
+    catalog_now = catalog_table.read()
     run_checks(catalog_now, [unique_check("job_id"), null_check("html_present")])
 
     return {

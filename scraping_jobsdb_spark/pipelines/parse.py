@@ -8,8 +8,12 @@ each call re-opening the HTML file from inside the UDF (``ParseHtml.py:48``,
 
 Engine flow: splittable parquet scan of the lake (partition-pruned to the
 requested date range) → left-anti vs already-parsed keys (J3) → ONE
-Arrow-batched struct-returning pandas UDF (operators/extract.py) → parquet
-append. Idempotent by construction: re-running cannot duplicate job_ids.
+Arrow-batched struct-returning pandas UDF (operators/extract.py) → a
+transactional idempotent append (sources/txn.py). EXACTLY-once by
+construction: the cheap pre-filter anti-join skips re-extracting known
+job_ids, and the txn append re-anti-joins inside its commit retry loop, so
+even concurrent parse runs cannot duplicate a job_id (the reference's
+ON CONFLICT guarantee, ``sql/scrape_url_insert_data.sql:4``).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.operators.extract import extract_jobs
 from scraping_jobsdb_spark.operators.incremental import new_rows
+from scraping_jobsdb_spark.sources.txn import TxnTable
 
 __all__ = ["parse"]
 
@@ -42,10 +47,10 @@ def parse(
             lake = lake.filter(F.col(col) == val)
     lake = lake.filter(F.col("html").isNotNull())
 
-    try:
-        parsed_keys = spark.read.parquet(parsed_path)
-        todo = new_rows(lake, parsed_keys, ["job_id"])
-    except Exception:  # first run
+    table = TxnTable(spark, parsed_path) if TxnTable.exists(spark, parsed_path) else None
+    if table is not None:
+        todo = new_rows(lake, table.read().select("job_id"), ["job_id"])
+    else:  # first run
         todo = lake
 
     extracted: DataFrame = extract_jobs(
@@ -68,7 +73,6 @@ def parse(
         F.lit(None).cast("int").alias("min_salary"),
         F.lit(None).cast("int").alias("max_salary"),
     )
-    n = out.count()
-    if n:
-        out.write.mode("append").parquet(parsed_path)
-    return n
+    if table is None:
+        table = TxnTable.create(spark, parsed_path, schema=out.schema)
+    return table.idempotent_append(out, ["job_id"])

@@ -172,6 +172,12 @@ def write_idempotent_append(
     Returns the number of rows actually appended. At scale the existing side
     is only scanned on the key columns (column pruning) and the incoming batch
     is typically the small side → AQE broadcasts it.
+
+    NB: with a SINGLE writer this is exactly-once; under concurrent writers
+    the check and the append do not serialize, so it degrades to
+    at-least-once. ``sources.txn.TxnTable.idempotent_append`` runs the same
+    anti-join inside an optimistic-commit retry loop and is exactly-once —
+    the pipelines use that; this stays for plain-Parquet edges.
     """
     spark = df.sparkSession
     try:

@@ -1,0 +1,371 @@
+"""Transactional Parquet tables: manifest + snapshot reads + MERGE.
+
+The reference got transactionality for free from Postgres — every DML ran in
+a transaction and idempotence came from ``ON CONFLICT DO NOTHING`` on a
+UNIQUE constraint (``sql/scrape_url_insert_data.sql:4``,
+``sql/scrape_url_create_raw_table.sql:11``). Plain-Parquet Spark has neither:
+``mode("append")`` is visible file-by-file, and overwrite is destructive
+mid-write. This module supplies the missing layer, Delta-style but
+self-contained:
+
+- **Commit log**: ``<table>/_txn/v{N}.json`` manifests, each the COMPLETE
+  list of data files in snapshot N plus the schema and operation metadata.
+  A reader lists manifests, takes the max version, and reads exactly those
+  files — writers never mutate or delete a committed snapshot's files, so
+  reads are repeatable and time travel is ``read(version=K)``.
+- **Atomic commit**: the manifest is written to a scratch name and published
+  with ``os.link`` (hard link), which is atomic and fails with EEXIST if the
+  version already exists. That single primitive gives optimistic concurrency:
+  a writer that loses the race re-reads the new snapshot and retries its
+  whole operation against it. (On object stores swap the link for the
+  store's conditional-put / put-if-absent — same protocol, which is exactly
+  Delta's pluggable LogStore contract.)
+- **Crash safety**: data files are written BEFORE the manifest; a crash
+  between the two leaves orphaned files invisible to every reader (the old
+  snapshot still reads), cleaned opportunistically by ``vacuum()``.
+- **MERGE**: copy-on-write upsert/delete expressed as one full-outer join —
+  matched rows update (or delete), unmatched source rows insert — then a
+  whole-snapshot commit. One shuffle on the merge key; at scale AQE
+  broadcasts the small side.
+- **Exactly-once idempotent append**: anti-join against the CURRENT snapshot
+  inside the OCC retry loop, so two concurrent writers appending overlapping
+  keys serialize — the loser re-anti-joins against the winner's commit and
+  appends only genuinely-new keys (the Postgres ON CONFLICT guarantee).
+
+Scale posture: manifests hold file paths + row counts only (KBs per commit);
+data files are immutable splittable Parquet, so snapshot reads keep predicate
+pushdown/column pruning. The metadata operations are driver-side by design —
+the same division of labor as Delta/Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = ["TxnTable", "TxnConflict", "read_table_any"]
+
+_TXN_DIR = "_txn"
+_DATA_DIR = "data"
+
+
+def read_table_any(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``path`` as a txn-table snapshot when it is one, else as plain
+    Parquet — the pipelines' reader while tables migrate formats."""
+    if TxnTable.exists(spark, path):
+        return TxnTable(spark, path).read()
+    return spark.read.parquet(path)
+
+
+class TxnConflict(RuntimeError):
+    """Raised when an operation exhausts its OCC retries."""
+
+
+def _manifest_name(version: int) -> str:
+    return f"v{version:010d}.json"
+
+
+class TxnTable:
+    """A versioned Parquet table rooted at ``path`` (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._log = os.path.join(self.path, _TXN_DIR)
+
+    # ------------------------------------------------------------------ log
+
+    @classmethod
+    def exists(cls, spark: SparkSession, path: str) -> bool:
+        log = os.path.join(os.path.abspath(path), _TXN_DIR)
+        return os.path.isdir(log) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(log)
+        )
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame | None = None,
+        schema: StructType | None = None,
+    ) -> "TxnTable":
+        """Create version 1 from ``df`` (or empty with ``schema``)."""
+        t = cls(spark, path)
+        if cls.exists(spark, path):
+            raise FileExistsError(f"txn table already exists at {path}")
+        os.makedirs(t._log, exist_ok=True)
+        if df is not None:
+            files, n = t._write_data(df)
+            committed = t._commit(0, files, df.schema, op="create", n_rows=n)
+        elif schema is not None:
+            committed = t._commit(0, [], schema, op="create", n_rows=0)
+        else:
+            raise ValueError("create() needs df or schema")
+        if not committed:
+            raise FileExistsError(f"concurrent create at {path}")
+        return t
+
+    @classmethod
+    def ensure(cls, spark: SparkSession, path: str) -> "TxnTable":
+        """Open a txn table; a plain-Parquet directory is adopted in place
+        (metadata-only migration: version 1 references the existing files
+        where they lie — nothing is rewritten)."""
+        if cls.exists(spark, path):
+            return cls(spark, path)
+        t = cls(spark, path)
+        existing = t._list_parquet(t.path)
+        if not existing:
+            raise FileNotFoundError(
+                f"{path}: neither a txn table nor a parquet directory; "
+                "use create()"
+            )
+        schema = spark.read.parquet(*existing).schema
+        os.makedirs(t._log, exist_ok=True)
+        t._commit(0, existing, schema, op="adopt", n_rows=None)
+        return t
+
+    def version(self) -> int:
+        if not os.path.isdir(self._log):
+            return 0
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self._log)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = version if version is not None else self.version()
+        if v == 0:
+            raise FileNotFoundError(f"{self.path}: no committed snapshot")
+        with open(os.path.join(self._log, _manifest_name(v))) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict[str, Any]]:
+        return [self._manifest(v) for v in range(1, self.version() + 1)]
+
+    # ----------------------------------------------------------------- data
+
+    @staticmethod
+    def _list_parquet(directory: str) -> list[str]:
+        out = []
+        for root, dirs, files in os.walk(directory):
+            dirs[:] = [d for d in dirs if d != _TXN_DIR]
+            out.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+        return sorted(out)
+
+    def _write_data(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write a commit's data files under a fresh directory; the files are
+        invisible until a manifest referencing them is published."""
+        token = uuid.uuid4().hex
+        out_dir = os.path.join(self.path, _DATA_DIR, token)
+        df.write.mode("error").parquet(out_dir)
+        files = self._list_parquet(out_dir)
+        n = self.spark.read.parquet(*files).count() if files else 0
+        return files, n
+
+    def _commit(
+        self,
+        base_version: int,
+        files: list[str],
+        schema: StructType,
+        op: str,
+        n_rows: int | None,
+    ) -> bool:
+        """Publish ``base_version + 1``. Returns False on a lost race (a
+        manifest for that version already exists); the caller retries against
+        the new snapshot. os.link is atomic: readers see a complete manifest
+        or none."""
+        os.makedirs(self._log, exist_ok=True)
+        manifest = {
+            "version": base_version + 1,
+            "files": [os.path.relpath(f, self.path) for f in files],
+            "schema": schema.json(),
+            "op": op,
+            "n_rows": n_rows,
+        }
+        scratch = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
+        with open(scratch, "w") as fh:
+            json.dump(manifest, fh)
+        target = os.path.join(self._log, _manifest_name(base_version + 1))
+        try:
+            os.link(scratch, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(scratch)
+
+    # ---------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The snapshot as of ``version`` (default: latest). Immutable: the
+        returned frame keeps reading the same files regardless of later
+        commits."""
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        files = [os.path.join(self.path, f) for f in m["files"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # --------------------------------------------------------------- writes
+
+    _MAX_RETRIES = 10
+
+    def _occ_loop(self, attempt_fn) -> Any:
+        """Run ``attempt_fn(base_version, snapshot_files)`` until its commit
+        lands. attempt_fn returns (files, schema, op, n_rows, result) or None
+        to abort with no commit (no-op)."""
+        for _ in range(self._MAX_RETRIES):
+            base = self.version()
+            prepared = attempt_fn(base)
+            if prepared is None:
+                return None
+            files, schema, op, n_rows, result = prepared
+            if self._commit(base, files, schema, op, n_rows):
+                return result
+            # lost the race: leave the orphaned data files to vacuum() and
+            # recompute against the winner's snapshot
+        raise TxnConflict(f"{self.path}: commit contention, gave up")
+
+    def append(self, df: DataFrame) -> int:
+        """Transactional append: all-or-nothing visibility."""
+
+        def attempt(base):
+            new_files, n = self._write_data(df)
+            m = self._manifest(base)
+            all_files = [os.path.join(self.path, f) for f in m["files"]] + new_files
+            return all_files, df.schema, "append", n, n
+
+        return self._occ_loop(attempt)
+
+    def idempotent_append(self, df: DataFrame, key_cols: list[str]) -> int:
+        """Exactly-once insert-if-absent (Postgres ON CONFLICT DO NOTHING):
+        anti-join against the snapshot INSIDE the retry loop, so a concurrent
+        winner's rows are excluded on retry. Returns rows appended."""
+
+        def attempt(base):
+            existing = self.read(base).select(*key_cols)
+            fresh = df.join(existing, on=key_cols, how="left_anti")
+            new_files, n = self._write_data(fresh)
+            if n == 0:
+                return None
+            m = self._manifest(base)
+            all_files = [os.path.join(self.path, f) for f in m["files"]] + new_files
+            return all_files, df.schema, "idempotent_append", n, n
+
+        return self._occ_loop(attempt) or 0
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Atomic whole-table replace: readers see the old snapshot until the
+        one manifest link, never a half-written table (the fix for the
+        read-tmp-overwrite dance this replaces)."""
+
+        def attempt(base):
+            new_files, n = self._write_data(df)
+            return new_files, df.schema, "overwrite", n, n
+
+        return self._occ_loop(attempt)
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: Column | None = None,
+        when_not_matched_insert: bool = True,
+    ) -> int:
+        """Copy-on-write MERGE (SQL MERGE INTO semantics):
+
+        - matched + ``when_matched_delete`` (a Column over ``t``/``s``
+          aliases) → row removed;
+        - matched → target columns replaced per ``when_matched_update``
+          ({target_col: source_col_name | Column expression over the ``t``/
+          ``s`` aliases}), others carried;
+        - source-only + ``when_not_matched_insert`` → inserted, taking each
+          target column from the same mapping (falling back to the
+          same-named source column, else null).
+
+        One full-outer join on the key; the whole new snapshot commits
+        atomically. Returns the new row count."""
+        upd = when_matched_update or {}
+
+        def attempt(base):
+            target = self.read(base)
+            t = target.withColumn("__t", F.lit(1)).alias("t")
+            s = source.withColumn("__s", F.lit(1)).alias("s")
+            joined = t.join(s, on=on, how="full_outer")
+            matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+            if when_matched_delete is not None:
+                joined = joined.filter(
+                    ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
+                )
+            cols = []
+            for f in target.schema.fields:
+                c = f.name
+                if c in on:
+                    # join key: identical on both sides where matched
+                    cols.append(F.col(c).alias(c))
+                    continue
+                if c in upd:
+                    mapped = upd[c]
+                    upd_col = (
+                        mapped if isinstance(mapped, Column) else F.col(f"s.{mapped}")
+                    )
+                    ins_col = upd_col
+                elif c in source.columns:
+                    upd_col = F.col(f"t.{c}")
+                    ins_col = F.col(f"s.{c}")
+                else:
+                    upd_col = F.col(f"t.{c}")
+                    ins_col = F.lit(None).cast(f.dataType)
+                cols.append(
+                    F.when(matched, upd_col)
+                    .when(F.col("__t").isNotNull(), F.col(f"t.{c}"))
+                    .otherwise(ins_col)
+                    .cast(f.dataType)
+                    .alias(c)
+                )
+            result = joined
+            if not when_not_matched_insert:
+                result = result.filter(F.col("__t").isNotNull())
+            result = result.select(*cols)
+            new_files, n = self._write_data(result)
+            return new_files, target.schema, "merge", n, n
+
+        return self._occ_loop(attempt)
+
+    # ------------------------------------------------------------- cleanup
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by ANY manifest (crash/race
+        orphans). Returns the number of files removed. Referenced-by-old-
+        snapshot files are kept — time travel stays valid."""
+        referenced = set()
+        for v in range(1, self.version() + 1):
+            referenced.update(self._manifest(v)["files"])
+        removed = 0
+        for f in self._list_parquet(self.path):
+            rel = os.path.relpath(f, self.path)
+            if rel not in referenced:
+                os.unlink(f)
+                removed += 1
+        # prune empty commit directories
+        data_root = os.path.join(self.path, _DATA_DIR)
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if os.path.isdir(full) and not self._list_parquet(full):
+                    shutil.rmtree(full, ignore_errors=True)
+        return removed

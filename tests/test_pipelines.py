@@ -10,6 +10,7 @@ from datetime import date
 import pytest
 from pyspark.sql import functions as F
 
+from scraping_jobsdb_spark.sources.txn import read_table_any
 from scraping_jobsdb_spark.operators.extract import parse_job_page
 from scraping_jobsdb_spark.pipelines.export import export
 from scraping_jobsdb_spark.pipelines.impute import impute
@@ -117,7 +118,7 @@ def test_full_pipeline(spark, pipeline_dirs):
     # parse: every scraped doc extracted once, golden-checked sample
     n_parsed = parse(spark, pipeline_dirs["lake"], pipeline_dirs["parsed"])
     assert n_parsed == len(expected_ids)
-    parsed = spark.read.parquet(pipeline_dirs["parsed"])
+    parsed = read_table_any(spark, pipeline_dirs["parsed"])
     assert parsed.filter(F.col("job_title").isNull()).count() == 0
     some_id = sorted(expected_ids)[0]
     got = parsed.filter(F.col("job_id") == some_id).collect()[0]
@@ -132,11 +133,11 @@ def test_full_pipeline(spark, pipeline_dirs):
     before_nulls = parsed.filter(F.col("min_salary").isNull()).count()
     assert before_nulls == parsed.count()
     impute(spark, pipeline_dirs["raw"], pipeline_dirs["parsed"])
-    after = spark.read.parquet(pipeline_dirs["parsed"])
+    after = read_table_any(spark, pipeline_dirs["parsed"])
     assert after.count() == len(expected_ids)
     assert after.filter(F.col("min_salary").isNotNull()).count() > 0
     # imputed interval == min/max of the bands the job appeared in
-    raw = spark.read.parquet(pipeline_dirs["raw"])
+    raw = read_table_any(spark, pipeline_dirs["raw"])
     expect_min = {
         r.job_id: r.mn
         for r in raw.groupBy("job_id").agg(F.min("salary_min").alias("mn")).collect()

@@ -1,0 +1,190 @@
+"""Transactional table layer (sources/txn.py): snapshot isolation, atomic
+commit, crash safety, OCC under concurrent writers, MERGE semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.sources.txn import TxnTable
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _df(spark, rows, schema="k bigint, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_create_read_roundtrip(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    assert t.version() == 1
+
+
+def test_append_and_time_travel(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    assert t.append(_df(spark, [(2, "b")])) == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # version 1 still reads exactly the old snapshot
+    assert _rows(t.read(version=1)) == [(1, "a")]
+
+
+def test_overwrite_is_atomic_snapshot_swap(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    old = t.read()  # bound to v1's files
+    t.overwrite(_df(spark, [(9, "z")]))
+    assert _rows(t.read()) == [(9, "z")]
+    # the pre-overwrite frame still reads v1 (files never mutated)
+    assert _rows(old) == [(1, "a")]
+
+
+def test_crash_between_data_write_and_commit_is_invisible(spark, tdir):
+    """Kill the writer after its data files land but before the manifest
+    link: every reader still sees the old snapshot; vacuum removes the
+    orphans; a later append is unaffected."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    # simulate the crash: data written, no commit
+    orphan_files, n = t._write_data(_df(spark, [(2, "b"), (3, "c")]))
+    assert n == 2 and all(os.path.exists(f) for f in orphan_files)
+    assert _rows(t.read()) == [(1, "a")]  # invisible
+    assert t.version() == 1
+    removed = t.vacuum()
+    assert removed >= len(orphan_files)
+    assert _rows(t.read()) == [(1, "a")]
+    t.append(_df(spark, [(4, "d")]))
+    assert _rows(t.read()) == [(1, "a"), (4, "d")]
+
+
+def test_lost_race_retries_against_new_snapshot(spark, tdir):
+    """Interleave two writers deterministically: B commits between A's base
+    read and A's commit. A's link fails, A retries on B's snapshot, and both
+    appends land exactly once."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    real_commit = t._commit
+    interposed = {"done": False}
+
+    def racing_commit(base, files, schema, op, n_rows):
+        if not interposed["done"]:
+            interposed["done"] = True
+            other = TxnTable(spark, t.path)
+            assert other.append(_df(spark, [(100, "race")])) == 1
+        return real_commit(base, files, schema, op, n_rows)
+
+    t._commit = racing_commit
+    assert t.append(_df(spark, [(2, "b")])) == 1
+    t._commit = real_commit
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (100, "race")]
+
+
+def test_idempotent_append_exactly_once_under_contention(spark, tdir):
+    """Two writers idempotent-append OVERLAPPING keys concurrently: the
+    overlap must land exactly once (the ON CONFLICT DO NOTHING guarantee)."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(0, "seed")]))
+    batches = [
+        _df(spark, [(1, "x"), (2, "x"), (3, "x")]),
+        _df(spark, [(2, "y"), (3, "y"), (4, "y")]),
+    ]
+    results = [None, None]
+    errs = []
+
+    def run(i):
+        try:
+            results[i] = TxnTable(spark, t.path).idempotent_append(
+                batches[i], ["k"]
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    final = t.read()
+    assert final.count() == 5  # seed + keys 1..4, overlap exactly once
+    assert final.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    assert sum(results) == 4  # 3 + 1 or 1 + 3 depending on who won
+
+
+def test_idempotent_append_rerun_is_noop(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    batch = _df(spark, [(1, "a"), (2, "b")])
+    assert t.idempotent_append(batch, ["k"]) == 1
+    assert t.idempotent_append(batch, ["k"]) == 0
+    assert t.read().count() == 2
+
+
+def test_merge_update_insert_delete(spark, tdir):
+    t = TxnTable.create(
+        spark,
+        tdir,
+        _df(spark, [(1, "keep"), (2, "update-me"), (3, "delete-me")]),
+    )
+    source = _df(
+        spark,
+        [(2, "updated"), (3, "whatever"), (4, "inserted")],
+        "k bigint, nv string",
+    )
+    n = t.merge(
+        source,
+        on=["k"],
+        when_matched_update={"v": "nv"},
+        when_matched_delete=F.col("s.nv") == "whatever",
+    )
+    assert n == 3
+    assert _rows(t.read()) == [(1, "keep"), (2, "updated"), (4, "inserted")]
+    # and the pre-merge snapshot is intact (time travel)
+    assert _rows(t.read(version=1)) == [
+        (1, "keep"),
+        (2, "update-me"),
+        (3, "delete-me"),
+    ]
+
+
+def test_merge_without_insert(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    source = _df(spark, [(2, "B"), (9, "ignored")], "k bigint, nv string")
+    t.merge(source, on=["k"], when_matched_update={"v": "nv"}, when_not_matched_insert=False)
+    assert _rows(t.read()) == [(1, "a"), (2, "B")]
+
+
+def test_merge_null_fills_missing_insert_columns(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    source = _df(spark, [(5,)], "k bigint")  # no v column
+    t.merge(source, on=["k"])
+    assert _rows(t.read()) == [(1, "a"), (5, None)]
+
+
+def test_adopt_plain_parquet_directory(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(plain)
+    t = TxnTable.ensure(spark, plain)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # adopted metadata-only; subsequent writes are transactional
+    t.append(_df(spark, [(3, "c")]))
+    assert t.read().count() == 3
+    assert json.load(
+        open(os.path.join(t._log, "v0000000001.json"))
+    )["op"] == "adopt"
+
+
+def test_empty_table_create_with_schema(spark, tdir):
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("k bigint, v string")
+    t = TxnTable.create(spark, tdir, schema=schema)
+    assert t.read().count() == 0
+    assert t.idempotent_append(_df(spark, [(1, "a")]), ["k"]) == 1

@@ -25,6 +25,11 @@ from scraping_jobsdb_spark.session import get_spark  # noqa: E402
 
 # Headline set: the flagship + one representative per operator family,
 # including the LLM-pipeline extensions (dedup/similarity/text) and windows.
+# ORDER IS APPEND-ONLY: positions stay stable across rounds so per-query
+# times in BENCH_r{N}.json are directly comparable; new headline queries go
+# at the end (round 2 added the bucketed embedding near-dup, the
+# transactional MERGE write path, the observe-based DQ rollup, and the
+# temporal/SCD2/funnel/dedup-pipeline analytics).
 BENCH_QUERIES = [
     "impute_interval_merge",
     "pricing_summary",
@@ -47,6 +52,15 @@ BENCH_QUERIES = [
     "pandas_udf_token_count",
     "salted_groupby_skewed",
     "customer_order_histogram",
+    # --- round 2 additions (keep appending, never reorder) ---
+    "embedding_neardup_pairs",
+    "merge_upsert_txn",
+    "dq_bounds_observed",
+    "asof_join_latest_state",
+    "range_join_followups",
+    "scd2_supplier_balances",
+    "funnel_click_to_purchase",
+    "dedup_pipeline_end_to_end",
 ]
 
 

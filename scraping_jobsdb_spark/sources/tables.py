@@ -83,6 +83,14 @@ def fan_out(
     are low-cardinality (skew) or the map work is keyless.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Width probe: file count first (pure metadata — no second physical
+    # planning pass, which is what the df.rdd fallback costs). A scan over
+    # >= target files always has enough splits; fewer files than target can
+    # still mean enough row groups, so the fallback asks the RDD translation
+    # for the real split count before paying a shuffle.
+    n_files = len(df.inputFiles())
+    if n_files >= target:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     if cols:

@@ -181,6 +181,7 @@ class TxnTable:
         schema: StructType,
         op: str,
         n_rows: int | None,
+        extra: dict[str, Any] | None = None,
     ) -> bool:
         """Publish ``base_version + 1``. Returns False on a lost race (a
         manifest for that version already exists); the caller retries against
@@ -193,6 +194,7 @@ class TxnTable:
             "schema": schema.json(),
             "op": op,
             "n_rows": n_rows,
+            **(extra or {}),
         }
         scratch = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(scratch, "w") as fh:
@@ -266,6 +268,71 @@ class TxnTable:
             return all_files, df.schema, "idempotent_append", n, n
 
         return self._occ_loop(attempt) or 0
+
+    def committed_epoch(self, app_id: str) -> int:
+        """Highest epoch committed by ``app_id`` (-1 if none) — the replay
+        ledger for streaming writers."""
+        best = -1
+        for v in range(1, self.version() + 1):
+            m = self._manifest(v)
+            if m.get("app_id") == app_id:
+                best = max(best, int(m.get("epoch", -1)))
+        return best
+
+    def stream_epoch_append(
+        self,
+        df: DataFrame,
+        app_id: str,
+        epoch_id: int,
+        key_cols: list[str] | None = None,
+    ) -> int:
+        """Exactly-once micro-batch append for foreachBatch sinks.
+
+        Each commit records (app_id, epoch): a replayed batch (failure
+        recovery re-delivers the same epoch_id) finds its epoch already in
+        the log and becomes a no-op — Delta's txnAppId/txnVersion idempotent-
+        write contract, here per-manifest. ``key_cols`` optionally layers the
+        anti-join on top for cross-writer key dedup. Returns rows appended
+        (0 for a recognized replay)."""
+
+        def attempt(base):
+            if self.committed_epoch(app_id) >= epoch_id:
+                return None  # replayed batch: already committed
+            data = df
+            if key_cols:
+                existing = self.read(base).select(*key_cols)
+                data = df.join(existing, on=key_cols, how="left_anti")
+            new_files, n = self._write_data(data)
+            m = self._manifest(base)
+            all_files = [os.path.join(self.path, f) for f in m["files"]] + new_files
+            return (
+                all_files,
+                df.schema,
+                "stream_epoch_append",
+                n,
+                n,
+            )
+
+        def attempt_with_meta(base):
+            prepared = attempt(base)
+            if prepared is None:
+                return None
+            files, schema, op, n_rows, result = prepared
+            if self._commit(
+                base, files, schema, op, n_rows,
+                extra={"app_id": app_id, "epoch": int(epoch_id)},
+            ):
+                return ("committed", result)
+            return ("retry", None)
+
+        for _ in range(self._MAX_RETRIES):
+            out = attempt_with_meta(self.version())
+            if out is None:
+                return 0
+            state, n = out
+            if state == "committed":
+                return n
+        raise TxnConflict(f"{self.path}: commit contention, gave up")
 
     def overwrite(self, df: DataFrame) -> int:
         """Atomic whole-table replace: readers see the old snapshot until the

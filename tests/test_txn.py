@@ -188,3 +188,62 @@ def test_empty_table_create_with_schema(spark, tdir):
     t = TxnTable.create(spark, tdir, schema=schema)
     assert t.read().count() == 0
     assert t.idempotent_append(_df(spark, [(1, "a")]), ["k"]) == 1
+
+
+def test_stream_epoch_append_replay_is_noop(spark, tdir):
+    """A checkpoint-replayed micro-batch (same app_id + epoch) must not
+    double-append — the Delta txnAppId/txnVersion contract."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(0, "seed")]))
+    batch = _df(spark, [(1, "a"), (2, "b")])
+    assert t.stream_epoch_append(batch, app_id="q1", epoch_id=0) == 2
+    # replay of epoch 0: recognized, skipped
+    assert t.stream_epoch_append(batch, app_id="q1", epoch_id=0) == 0
+    # a DIFFERENT app at the same epoch is independent
+    assert t.stream_epoch_append(_df(spark, [(3, "c")]), app_id="q2", epoch_id=0) == 1
+    assert t.read().count() == 4
+    assert t.committed_epoch("q1") == 0 and t.committed_epoch("q2") == 0
+
+
+def test_txn_stream_sink_multi_epoch_exactly_once(spark, tmp_path):
+    """Drive the foreachBatch txn sink over a 3-file stream (1 file per
+    trigger = 3 epochs); restart from the same checkpoint re-delivers
+    nothing, and a forced replay of an old epoch is a no-op."""
+    from scraping_jobsdb_spark.streaming.sinks import txn_stream_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _df(spark, [(i * 10 + j, f"e{i}") for j in range(4)]).coalesce(1).write.parquet(
+            str(src / f"batch{i}")
+        )
+    table_path = str(tmp_path / "sink_table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _df(spark, [(0, "x")]).schema
+    TxnTable.create(spark, table_path, schema=schema)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = txn_stream_sink(stream, table_path, app_id="sink_test", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    t = TxnTable(spark, table_path)
+    assert t.read().count() == 12
+    assert t.committed_epoch("sink_test") >= 1  # multiple epochs committed
+
+    # restart from the same checkpoint: nothing new to deliver, no dups
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q2 = txn_stream_sink(stream2, table_path, app_id="sink_test", checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    assert t.read().count() == 12
+    # forced replay of an already-committed epoch: no-op by the ledger
+    assert (
+        t.stream_epoch_append(_df(spark, [(99, "dup")]), "sink_test", epoch_id=0) == 0
+    )

@@ -1,0 +1,263 @@
+"""Product quantization (PQ) for embedding search at memory scale.
+
+The third rung of the engine's ANN ladder (brute force → IVF cells → PQ
+codes): split each dim-D vector into ``m`` subvectors, k-means each subspace
+into ``k`` centroids (the codebook), and store each vector as ``m`` small
+codes — 8 bytes/vector at m=8 instead of 256 for float32×64, the difference
+between a corpus that fits executor memory and one that doesn't. Query-time
+scoring is asymmetric distance computation (ADC): the query precomputes a
+(m × k) table of subspace dot products, and each corpus row's approximate
+score is ``m`` table lookups — no float vector ever re-read.
+
+Everything is JVM DataFrame logic: training iterates broadcast-join
+assignments + posexplode mean recomputation (the ``kmeans_fit`` pattern, one
+extra ``subspace`` key); encoding is a map-only argmin over the broadcast
+codebook; search scores via a literal lookup-table expression. Codebooks are
+m×k×(D/m) doubles — driver-side by design, the same tiny-scalar exception as
+checks. Reference: Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011) — public method, original implementation.
+
+The subquantizer metric is L2 (the classic choice); with L2-normalized
+inputs the ADC dot-product score ranks like cosine. Exact re-ranking of the
+top ``refine_factor × k`` PQ candidates recovers near-exact recall while
+still scanning only codes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.similarity import cosine
+
+__all__ = ["pq_train", "pq_encode", "pq_topk"]
+
+
+def _subvectors(df: DataFrame, vec_col: str, m: int, dim: int) -> DataFrame:
+    """Explode (id, vec) → m rows (id, subspace, subvec). Map-only."""
+    width = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice(F.col(vec_col), j * width + 1, width)
+                .cast("array<double>")
+                .alias("subvec"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select("*", F.explode(subs).alias("__sv")).select(
+        *df.columns, F.col("__sv.subspace").alias("subspace"), F.col("__sv.subvec").alias("subvec")
+    )
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train the codebook: independent k-means per subspace, all subspaces in
+    the SAME Spark jobs (the subspace id is just another grouping key, so m
+    trainings cost one training's shuffles). Returns
+    ``codebook[subspace][cell] = centroid`` (m × k × dim/m floats).
+
+    Seeding is the hash-stride pick per subspace (deterministic, no global
+    window); empty cells carry their previous centroid forward."""
+    from pyspark.sql import Window
+
+    width = dim // m
+    subs = _subvectors(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, m, dim
+    ).select(F.col(id_col).alias("vid"), "subspace", "subvec")
+
+    n = corpus.count()
+    stride = max(1, n // max(1, k * 4))
+    seeded = (
+        subs.filter(F.pmod(F.xxhash64(F.col("vid")), F.lit(stride)) == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("subspace").orderBy(F.col("vid"))
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select("subspace", (F.col("__rn") - 1).alias("cell"), "subvec")
+    )
+    codebook: dict[tuple[int, int], list[float]] = {
+        (r.subspace, r.cell): [float(x) for x in r.subvec] for r in seeded.collect()
+    }
+    # degenerate tiny corpora: pad missing cells with the subspace's first
+    # centroid so the codebook is always m × k
+    for j in range(m):
+        first = codebook.get((j, 0), [0.0] * width)
+        for c in range(k):
+            codebook.setdefault((j, c), first)
+
+    spark = corpus.sparkSession
+    for _ in range(max_iter):
+        cb_df = F.broadcast(
+            spark.createDataFrame(
+                [(j, c, v) for (j, c), v in sorted(codebook.items())],
+                "subspace int, cell int, centroid array<double>",
+            )
+        )
+        w = Window.partitionBy("vid", "subspace").orderBy(
+            F.col("__d").asc(), F.col("cell").asc()
+        )
+        assigned = (
+            subs.join(cb_df, "subspace")
+            .withColumn("__d", _l2sq(F.col("subvec"), F.col("centroid")))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("subspace", "cell", "subvec")
+        )
+        means = (
+            assigned.select("subspace", "cell", F.posexplode("subvec").alias("pos", "val"))
+            .groupBy("subspace", "cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("subspace", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "subspace",
+                "cell",
+                F.transform("pm", lambda s: s.mean).alias("centroid"),
+            )
+        )
+        updated = {
+            (r.subspace, r.cell): [float(x) for x in r.centroid]
+            for r in means.collect()
+        }
+        codebook = {key: updated.get(key, prev) for key, prev in codebook.items()}
+
+    return [
+        [codebook[(j, c)] for c in range(k)] for j in range(m)
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): map-only argmin against the literal codebook —
+    no join, no shuffle; the codebook rides the plan as constants."""
+    m, k = len(codebook), len(codebook[0])
+    width = len(codebook[0][0])
+
+    def best_cell(j: int):
+        # argmin as array_min over (distance, cell) structs: lexicographic
+        # struct comparison picks the smallest distance, ties to the lowest
+        # cell. Linear expression size — a chained when/otherwise here would
+        # duplicate the accumulator per step and explode exponentially.
+        sub = F.slice(F.col(vec_col), j * width + 1, width).cast("array<double>")
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _l2sq(sub, F.array(*[F.lit(x) for x in codebook[j][c]])).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        )["c"]
+
+    return corpus.select(
+        F.col(id_col), F.array(*[best_cell(j) for j in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    query: DataFrame,
+    k: int = 10,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate dot-product top-k over PQ codes (ADC).
+
+    Query vectors are collected (tiny by contract, same as brute_force_topk's
+    broadcast) and each becomes a literal m×k lookup table; a corpus row's
+    score is m ``element_at`` lookups on its codes — the scan never touches
+    float vectors. With ``refine_with`` (the raw corpus), the top
+    ``refine_factor × k`` PQ candidates per query are re-ranked by exact
+    cosine — candidates join back by id, so the full-precision read is
+    |candidates|, not |corpus|. Returns (query_id, vec_id, rank)."""
+    from pyspark.sql import Window
+
+    m = len(codebook)
+    q_rows = query.select(id_col, vec_col).collect()
+    width = len(codebook[0][0])
+
+    scored = None
+    for qid, qvec in ((r[0], r[1]) for r in q_rows):
+        # T[j][c] = dot(q_j, centroid_jc) as literal arrays
+        tables = [
+            F.array(
+                *[
+                    F.lit(
+                        sum(
+                            float(qvec[j * width + i]) * codebook[j][c][i]
+                            for i in range(width)
+                        )
+                    )
+                    for c in range(len(codebook[0]))
+                ]
+            )
+            for j in range(m)
+        ]
+        score = None
+        for j in range(m):
+            term = F.element_at(tables[j], F.col("codes").getItem(j) + 1)
+            score = term if score is None else score + term
+        part = codes.select(
+            F.lit(qid).alias("query_id"), F.col(id_col), score.alias("pq_score")
+        ).filter(F.col(id_col) != qid)
+        scored = part if scored is None else scored.unionByName(part)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col(id_col).asc()
+    )
+    n_keep = k * refine_factor if refine_with is not None else k
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_keep)
+    )
+    if refine_with is None:
+        return top.select("query_id", id_col, "rank")
+
+    qv = query.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cv = refine_with.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    rescored = (
+        top.select("query_id", id_col)
+        .join(cv, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", id_col, cosine(F.col("cvec"), F.col("qvec")).alias("cos")
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )

@@ -3186,6 +3186,23 @@ def q_dq_bounds_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register("embedding_pq_topk", oracle=None)
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train an m=8, k=16
+    codebook, encode the corpus to 8-byte code arrays, ADC-score via literal
+    lookup tables, exact-cosine re-rank of the top 4k candidates. The
+    memory-scale rung of the ANN ladder (codes are 32x smaller than float32
+    vectors). Approximate → rows-only; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    codes = pq_encode(emb, codebook)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return pq_topk(codes, codebook, query, k=10, refine_with=emb, refine_factor=4)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

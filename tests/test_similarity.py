@@ -323,3 +323,44 @@ def test_lsh_neardup_high_threshold_finds_injected(spark):
     pairs = embedding_neardup_pairs_lsh(emb.unionByName(dupes), threshold=0.99)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(i, i + 10000) for i in range(5)} <= found
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """Product quantization: codebook shape, code range, and ADC+refine
+    recall vs brute force on the real embeddings table."""
+    from scraping_jobsdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    assert len(codebook) == 8 and all(len(cb) == 16 for cb in codebook)
+    assert all(len(c) == 8 for cb in codebook for c in cb)
+
+    codes = pq_encode(emb, codebook)
+    stats = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(F.min("m"), F.max("m"), F.min("lo"), F.max("hi")).collect()[0]
+    assert stats[0] == 8 == stats[1]
+    assert stats[2] >= 0 and stats[3] <= 15
+
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_topk(emb, query, k=10).collect()
+    }
+    refined = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(
+            codes, codebook, query, k=10, refine_with=emb, refine_factor=4
+        ).collect()
+    }
+    recall = len(exact & refined) / len(exact)
+    assert recall >= 0.6, recall  # 8-byte codes + 4x refine on random vectors
+    # deterministic: a second run returns the identical set
+    refined2 = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(
+            codes, codebook, query, k=10, refine_with=emb, refine_factor=4
+        ).collect()
+    }
+    assert refined == refined2

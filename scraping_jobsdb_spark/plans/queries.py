@@ -3186,6 +3186,52 @@ def q_dq_bounds_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS sha16
+    FROM documents
+    """,
+)
+def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end to end: a binary content
+    column (utf-8 bytes of the document text standing in for an opaque
+    payload) crosses into Python as Arrow batches via mapInPandas — the
+    exact decode-stage shape of operators/multimodal.py (pruned projection,
+    per-row failure isolation) — and the Python side's computed features
+    (byte length, sha256 prefix) are verified against DuckDB computing the
+    same from the text. Proves the binary-column round trip through Arrow
+    byte-for-byte, not just rows-only."""
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "sha16": []}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                out["doc_id"].append(did)
+                try:
+                    b = bytes(content)
+                    out["n_bytes"].append(len(b))
+                    out["sha16"].append(hashlib.sha256(b).hexdigest()[:16])
+                except Exception:  # per-row isolation, as in multimodal.py
+                    out["n_bytes"].append(None)
+                    out["sha16"].append(None)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, "doc_id bigint, n_bytes bigint, sha16 string")
+
+
 @_register("embedding_pq_topk", oracle=None)
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train an m=8, k=16
@@ -3212,10 +3258,11 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver row (plus queries whose implementation changed) come first, queries
 # verified in a previous round move behind the window. Round 2 window = the
 # two round-1 hash-fixes, the re-shaped embedding near-dup, the new txn/DQ
-# queries, and the 45 highest-value round-1-unchecked entries (the remaining
-# six — window_moving_average, sorted_page_offset, small_quantity_revenue,
-# top_revenue_suppliers, customer_order_histogram, group_share_threshold —
-# rotate in next round; their operator families all have green rows already).
+# queries, and the highest-value round-1-unchecked entries (the remaining
+# seven — window_moving_average, sorted_page_offset, small_quantity_revenue,
+# top_revenue_suppliers, customer_order_histogram, group_share_threshold,
+# cross_join_param_grid — rotate in next round; their operator families all
+# have green rows already).
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
@@ -3248,7 +3295,7 @@ _GATE_PRIORITY = [
     "tfidf_top_terms",
     "approx_distinct_sketch",
     "join_full_outer_reconcile",
-    "cross_join_param_grid",
+    "multimodal_binary_features",
     "neardup_components",
     "dedup_pipeline_end_to_end",
     "asof_join_latest_state",

@@ -37,6 +37,15 @@ def impute_salary_table(memberships: DataFrame) -> DataFrame:
 def impute(spark: SparkSession, raw_path: str, parsed_path: str) -> int:
     """Fill NULL min/max_salary in the parsed table from the imputed
     aggregate via one transactional MERGE. Returns the table's row count."""
+    from scraping_jobsdb_spark.observability import get_logger, job_log
+
+    with job_log(get_logger(), "impute", raw=raw_path, parsed=parsed_path) as rec:
+        n = _impute(spark, raw_path, parsed_path)
+        rec["table_rows"] = n
+        return n
+
+
+def _impute(spark: SparkSession, raw_path: str, parsed_path: str) -> int:
     memberships = read_table_any(spark, raw_path)
     imputed = impute_salary_table(memberships)
     parsed = TxnTable.ensure(spark, parsed_path)

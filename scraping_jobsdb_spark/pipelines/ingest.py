@@ -227,8 +227,14 @@ def ingest(
     catalog_now = catalog_table.read()
     run_checks(catalog_now, [unique_check("job_id"), null_check("html_present")])
 
-    return {
+    from scraping_jobsdb_spark.observability import get_logger
+
+    stats = {
         "new_memberships": n_new_memberships,
         "jobs_scraped": lake_rows.count(),
         "catalog_size": catalog_now.count(),
     }
+    get_logger().info(
+        "ingest finished", extra={"ctx": {"job": "ingest", "run_date": str(run_date), **stats}}
+    )
+    return stats

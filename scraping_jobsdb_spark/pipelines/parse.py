@@ -41,6 +41,22 @@ def parse(
     Passing year/month/day prunes the lake scan to those partitions (the
     reference never exploited its own date layout — SURVEY.md §4 'partition
     pruning')."""
+    from scraping_jobsdb_spark.observability import get_logger, job_log
+
+    with job_log(get_logger(), "parse", lake=lake_path, parsed=parsed_path) as rec:
+        n = _parse(spark, lake_path, parsed_path, year, month, day)
+        rec["rows_added"] = n
+        return n
+
+
+def _parse(
+    spark: SparkSession,
+    lake_path: str,
+    parsed_path: str,
+    year: int | None = None,
+    month: int | None = None,
+    day: int | None = None,
+) -> int:
     lake = spark.read.parquet(lake_path)
     for col, val in (("year", year), ("month", month), ("day", day)):
         if val is not None:

@@ -39,6 +39,11 @@ REQUIRED = [
     ("inactive_wealthy_customers", "LeftAnti"),
     # semi-join idiom
     ("suppliers_with_heavy_shipments", "LeftSemi"),
+    # multimodal binary stage: ONE Arrow-batched Python crossing, and the
+    # scan pruned to exactly the columns the stage consumes
+    ("multimodal_binary_features", "MapInPandas"),
+    # zero-extra-pass DQ: metrics ride the job as a CollectMetrics node
+    ("dq_bounds_observed", "CollectMetrics"),
 ]
 
 FORBIDDEN = [

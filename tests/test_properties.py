@@ -187,3 +187,76 @@ def test_range_join_equals_naive_theta(spark, lrows):
                      (base + timedelta(seconds=o2)).isoformat())
                 )
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Transactional table model check: a random sequence of append / idempotent-
+# append / overwrite / merge must leave the table equal to a plain Python
+# dict model applying the same semantics, and every intermediate version
+# must remain time-travel readable.
+# --------------------------------------------------------------------------
+
+txn_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "idem", "overwrite", "merge"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),   # key (few → conflicts)
+                st.text(alphabet="xyz", min_size=1, max_size=3),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=txn_ops)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_txn_table_matches_multiset_model(spark, tmp_path_factory, ops):
+    import uuid as _uuid
+    from collections import Counter
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    path = str(tmp_path_factory.mktemp("txn") / f"t_{_uuid.uuid4().hex[:8]}")
+
+    def df_of(batch):
+        return spark.createDataFrame(sorted(batch.items()), "k bigint, v string")
+
+    model = Counter({(0, "seed"): 1})
+    t = TxnTable.create(spark, path, df_of({0: "seed"}))
+
+    for op, rows in ops:
+        batch = dict(rows)  # one row per key within a batch (last wins)
+        if op == "append":
+            t.append(df_of(batch))
+            model.update((k, v) for k, v in batch.items())
+        elif op == "idem":
+            t.idempotent_append(df_of(batch), ["k"])
+            present = {k for k, _ in model}
+            model.update((k, v) for k, v in batch.items() if k not in present)
+        elif op == "overwrite":
+            t.overwrite(df_of(batch))
+            model = Counter((k, v) for k, v in batch.items())
+        elif op == "merge":
+            src = df_of(batch).withColumnRenamed("v", "nv")
+            t.merge(src, on=["k"], when_matched_update={"v": "nv"})
+            present = {k for k, _ in model}
+            updated = Counter()
+            for (k, v), n in model.items():
+                updated[(k, batch.get(k, v))] += n
+            updated.update(
+                (k, v) for k, v in batch.items() if k not in present
+            )
+            model = updated
+
+    got = Counter((r.k, r.v) for r in t.read().collect())
+    assert got == model, (got - model, model - got)
+
+    # every committed version still reads (time travel never breaks)
+    for ver in range(1, t.version() + 1):
+        assert t.read(version=ver).count() >= 0

@@ -1631,9 +1631,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_priority_by_status",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_orders,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_orders,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_orders
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_orders
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -1752,7 +1752,7 @@ def q_array_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_string_distance_pack",
     oracle="""
     SELECT p_partkey,
-           levenshtein(p_brand, p_type) AS brand_type_dist,
+           CAST(levenshtein(p_brand, p_type) AS INTEGER) AS brand_type_dist,
            lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
            reverse(p_brand) AS rev_brand,
            repeat(p_brand, 2) AS double_brand,
@@ -1779,9 +1779,9 @@ def q_scalar_string_distance_pack(spark: SparkSession, sf_dir: str) -> DataFrame
     "scalar_date_arith_pack",
     oracle="""
     SELECT o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS review_date,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS review_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
            datediff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS days_to_y2k1,
            CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow
     FROM orders
@@ -1794,12 +1794,17 @@ def q_scalar_date_arith_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing (``utils.py:56``)."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
+    # date outputs as ISO strings: DATE surfaces as datetime64 from DuckDB
+    # but as date objects from Spark — value-repr differs, so the gate's
+    # pandas hash would mismatch on type alone (same fix as dq checks).
     return o.select(
         "o_orderkey",
-        F.date_add(d, 30).alias("due_date"),
-        F.add_months(d, 3).alias("review_date"),
-        F.last_day(d).alias("month_end"),
-        F.datediff(F.lit("2001-01-01").cast("date"), d).alias("days_to_y2k1"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("review_date"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2001-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_y2k1"),
         # DuckDB dayofweek: 0=Sunday..6=Saturday; Spark weekday: 0=Monday.
         ((F.weekday(d) + 1) % 7).cast("int").alias("dow"),
     )

@@ -365,8 +365,26 @@ class TxnTable:
           same-named source column, else null).
 
         One full-outer join on the key; the whole new snapshot commits
-        atomically. Returns the new row count."""
+        atomically. Returns the new row count.
+
+        Like SQL MERGE, multiple source rows hitting the same key are
+        rejected (the full-outer join would silently fan the target row out
+        once per match) — pre-aggregate the source to one row per key. The
+        check is one small aggregate over the source keys."""
         upd = when_matched_update or {}
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in on}
+            raise ValueError(
+                f"merge source has multiple rows for key {key}; MERGE "
+                "requires one source row per key — aggregate the source first"
+            )
 
         def attempt(base):
             target = self.read(base)

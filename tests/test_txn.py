@@ -247,3 +247,14 @@ def test_txn_stream_sink_multi_epoch_exactly_once(spark, tmp_path):
     assert (
         t.stream_epoch_append(_df(spark, [(99, "dup")]), "sink_test", epoch_id=0) == 0
     )
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tdir):
+    """SQL MERGE semantics: two source rows for one key must error, not
+    silently fan out the matched target row."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    dup_source = _df(spark, [(1, "x"), (1, "y")], "k bigint, nv string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.merge(dup_source, on=["k"], when_matched_update={"v": "nv"})
+    # table untouched
+    assert _rows(t.read()) == [(1, "a")] and t.version() == 1

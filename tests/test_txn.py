@@ -258,3 +258,16 @@ def test_merge_rejects_duplicate_source_keys(spark, tdir):
         t.merge(dup_source, on=["k"], when_matched_update={"v": "nv"})
     # table untouched
     assert _rows(t.read()) == [(1, "a")] and t.version() == 1
+
+
+def test_append_with_added_column_evolves_schema(spark, tdir):
+    """Additive schema evolution: an append carrying a new column updates the
+    snapshot schema; rows from older files read NULL for it (parquet scans
+    under an explicit wider schema null-fill missing columns)."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    wider = spark.createDataFrame(
+        [(2, "b", 9.5)], "k bigint, v string, score double"
+    )
+    t.append(wider)
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}

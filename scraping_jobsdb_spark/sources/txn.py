@@ -431,6 +431,55 @@ class TxnTable:
 
         return self._occ_loop(attempt)
 
+    def read_appends_since(self, version: int) -> DataFrame:
+        """Rows added by append-family commits AFTER ``version`` (the
+        incremental-consumption edge: checkpoint a version, poll for news).
+        Append-only CDC — precise because appended files are exactly the
+        manifest delta; an overwrite/merge/compact in the range raises, since
+        its file delta does not represent row-level changes."""
+        current = self.version()
+        if version >= current:
+            m = self._manifest(current)
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        new_files: list[str] = []
+        for v in range(version + 1, current + 1):
+            m = self._manifest(v)
+            if m["op"] in ("overwrite", "merge", "compact"):
+                raise ValueError(
+                    f"version {v} is a {m['op']}: the file delta is not an "
+                    "append stream; re-read the snapshot instead"
+                )
+            prev = set(self._manifest(v - 1)["files"]) if v > 1 else set()
+            new_files.extend(f for f in m["files"] if f not in prev)
+        schema = StructType.fromJson(json.loads(self._manifest(current)["schema"]))
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, f) for f in new_files]
+        )
+
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Rewrite the current snapshot into ``target_partitions`` files
+        (default: the session's shuffle parallelism) — the OPTIMIZE answer to
+        the small-file problem that per-commit appends accumulate: scans over
+        many tiny files pay per-file open/footer costs and defeat row-group
+        parallelism. Old versions keep reading their original files; vacuum
+        reclaims them once history is no longer needed. Returns the new file
+        count."""
+
+        def attempt(base):
+            snapshot = self.read(base)
+            n_parts = target_partitions or max(
+                1, self.spark.sparkContext.defaultParallelism
+            )
+            compacted = snapshot.repartition(n_parts)
+            new_files, n = self._write_data(compacted)
+            return new_files, snapshot.schema, "compact", n, len(new_files)
+
+        return self._occ_loop(attempt)
+
     # ------------------------------------------------------------- cleanup
 
     def vacuum(self) -> int:

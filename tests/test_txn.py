@@ -271,3 +271,34 @@ def test_append_with_added_column_evolves_schema(spark, tdir):
     t.append(wider)
     got = {r.k: (r.v, r.score) for r in t.read().collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_read_appends_since_incremental_consumption(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    v0 = t.version()
+    t.append(_df(spark, [(2, "b")]))
+    t.idempotent_append(_df(spark, [(2, "b"), (3, "c")]), ["k"])
+    assert _rows(t.read_appends_since(v0)) == [(2, "b"), (3, "c")]
+    # fully caught up -> empty frame, same schema
+    v_now = t.version()
+    assert t.read_appends_since(v_now).count() == 0
+    # an overwrite breaks the append-stream contract loudly
+    t.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_appends_since(v0)
+
+
+def test_compact_reduces_files_preserves_data_and_history(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(0, "seed")]))
+    for i in range(1, 6):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    before_files = len(t._manifest()["files"])
+    v_before = t.version()
+    before_rows = _rows(t.read())
+    n_files = t.compact(target_partitions=2)
+    assert n_files <= 2 < before_files
+    assert _rows(t.read()) == before_rows
+    # pre-compaction snapshot still reads (history intact), vacuum keeps it
+    assert _rows(t.read(version=v_before)) == before_rows
+    t.vacuum()
+    assert _rows(t.read(version=v_before)) == before_rows

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "scd2_supplier_balances",
     "funnel_click_to_purchase",
     "dedup_pipeline_end_to_end",
+    "llm_corpus_prep",
 ]
 
 

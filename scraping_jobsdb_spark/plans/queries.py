@@ -3254,6 +3254,92 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, codebook, query, k=10, refine_with=emb, refine_factor=4)
 
 
+@_register(
+    "llm_corpus_prep",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), quality AS (
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM corpus
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+          AND length(text) >= 20
+    ), deduped AS (
+        SELECT doc_id, text, n_tokens FROM (
+            SELECT doc_id, text, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), bench AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 100 = 0
+    ), clean AS (
+        SELECT d.doc_id, d.n_tokens
+        FROM deduped d
+        WHERE d.doc_id % 100 <> 0
+          AND md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+              NOT IN (SELECT fp FROM bench)
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0a' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM clean GROUP BY 1
+    """,
+)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data pipeline end to end, fully oracle-checked:
+    ingest (with injected duplicates) → quality filter (token/char floors) →
+    exact content dedup (keep lowest id) → decontamination against the
+    benchmark fingerprint set → content-hash train/val/test split →
+    per-split corpus stats. Composes dedup_exact, the textops token counter,
+    the decontamination anti-join, and the md5-band split — each stage
+    individually gate-green, the composition verified here as one plan.
+    Scale shape: two hash shuffles (dedup digest, final split agg) and one
+    broadcast semi-join (the tiny benchmark fingerprint set); everything
+    else is map-side."""
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    quality = corpus.withColumn(
+        "n_tokens", token_count("text").cast("bigint")
+    ).filter((F.col("n_tokens") >= 5) & (F.length("text") >= 20))
+    deduped = dedup_first(
+        quality.withColumn("__digest", F.md5("text")), ["__digest"], ["doc_id"]
+    ).drop("__digest")
+    norm_fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    bench = (
+        docs.filter(F.col("doc_id") % 100 == 0).select(norm_fp.alias("fp")).distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 100 != 0)
+        .withColumn("fp", norm_fp)
+        .join(F.broadcast(bench), on="fp", how="left_anti")
+    )
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = clean.select(
+        "doc_id",
+        "n_tokens",
+        F.when(pfx < "0a", "test").when(pfx < "14", "val").otherwise("train").alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #

@@ -460,6 +460,22 @@ class TxnTable:
             *[os.path.join(self.path, f) for f in new_files]
         )
 
+    def read_row_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots, computed from the
+        snapshots themselves: deletes = rows in FROM but not TO, inserts =
+        rows in TO but not FROM (multiset exceptAll, so duplicate rows count
+        correctly); an update surfaces as its delete+insert pair. Works for
+        EVERY operation (append/merge/overwrite/compact) with zero write-path
+        cost — the compute-on-read tradeoff vs Delta's stored change files:
+        two snapshot scans per call, the right default while changes are
+        consumed rarely; store change files only when CDC becomes the hot
+        path. Returns the table schema + ``_change_type`` string column."""
+        old = self.read(from_version)
+        new = self.read(to_version)
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        return deletes.unionByName(inserts)
+
     def compact(self, target_partitions: int | None = None) -> int:
         """Rewrite the current snapshot into ``target_partitions`` files
         (default: the session's shuffle parallelism) — the OPTIMIZE answer to

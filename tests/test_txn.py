@@ -302,3 +302,35 @@ def test_compact_reduces_files_preserves_data_and_history(spark, tdir):
     assert _rows(t.read(version=v_before)) == before_rows
     t.vacuum()
     assert _rows(t.read(version=v_before)) == before_rows
+
+
+def test_read_row_changes_across_ops(spark, tdir):
+    """Row-level CDC from snapshot diffs: updates appear as delete+insert
+    pairs, appends as inserts, overwrites as full replacement."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.version()
+    t.merge(
+        _df(spark, [(2, "B"), (3, "c")], "k bigint, nv string"),
+        on=["k"],
+        when_matched_update={"v": "nv"},
+    )
+    changes = {
+        (r.k, r.v, r._change_type)
+        for r in t.read_row_changes(v1).collect()
+    }
+    assert changes == {
+        (2, "b", "delete"),
+        (2, "B", "insert"),
+        (3, "c", "insert"),
+    }
+    v2 = t.version()
+    t.overwrite(_df(spark, [(9, "z")]))
+    ow = {(r.k, r._change_type) for r in t.read_row_changes(v2).collect()}
+    assert ow == {(1, "delete"), (2, "delete"), (3, "delete"), (9, "insert")}
+    # full range: from v1 to latest collapses intermediate states
+    full = {(r.k, r.v, r._change_type) for r in t.read_row_changes(v1).collect()}
+    assert full == {
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+        (9, "z", "insert"),
+    }

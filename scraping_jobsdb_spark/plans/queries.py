@@ -3350,10 +3350,10 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified in a previous round move behind the window. Round 2 window = the
 # two round-1 hash-fixes, the re-shaped embedding near-dup, the new txn/DQ
 # queries, and the highest-value round-1-unchecked entries (the remaining
-# seven — window_moving_average, sorted_page_offset, small_quantity_revenue,
+# eight — window_moving_average, sorted_page_offset, small_quantity_revenue,
 # top_revenue_suppliers, customer_order_histogram, group_share_threshold,
-# cross_join_param_grid — rotate in next round; their operator families all
-# have green rows already).
+# cross_join_param_grid, scalar_misc_pack — rotate in next round; their
+# operator families all have green rows already).
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
@@ -3398,7 +3398,7 @@ _GATE_PRIORITY = [
     "unpivot_quality_metrics",
     "scalar_map_pack",
     "embedding_quantized_topk",
-    "scalar_misc_pack",
+    "llm_corpus_prep",
     "embedding_kmeans_cells",
     "try_cast_error_safe_pack",
     "deterministic_sample_split",

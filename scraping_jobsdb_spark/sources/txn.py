@@ -56,6 +56,16 @@ _TXN_DIR = "_txn"
 _DATA_DIR = "data"
 
 
+def _jsonable(v):
+    """Stat values as JSON-comparable scalars: numbers pass through, dates/
+    timestamps become ISO strings (ISO order == chronological order)."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
 def read_table_any(spark: SparkSession, path: str) -> DataFrame:
     """Read ``path`` as a txn-table snapshot when it is one, else as plain
     Parquet — the pipelines' reader while tables migrate formats."""
@@ -96,22 +106,49 @@ class TxnTable:
         path: str,
         df: DataFrame | None = None,
         schema: StructType | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "TxnTable":
-        """Create version 1 from ``df`` (or empty with ``schema``)."""
+        """Create version 1 from ``df`` (or empty with ``schema``).
+
+        ``stats_cols`` declares the file-skipping index: every commit records
+        per-file min/max for these columns in its manifest, and
+        ``read_pruned`` skips files whose range cannot match — the
+        Iceberg-style driver-side pruning that matters when a snapshot is
+        thousands of files."""
         t = cls(spark, path)
         if cls.exists(spark, path):
             raise FileExistsError(f"txn table already exists at {path}")
         os.makedirs(t._log, exist_ok=True)
+        extra: dict[str, Any] = {}
+        if stats_cols:
+            extra["stats_cols"] = list(stats_cols)
         if df is not None:
             files, n = t._write_data(df)
-            committed = t._commit(0, files, df.schema, op="create", n_rows=n)
+            if stats_cols:
+                extra["file_stats"] = t._collect_file_stats(files, stats_cols)
+            committed = t._commit(0, files, df.schema, op="create", n_rows=n, extra=extra)
         elif schema is not None:
-            committed = t._commit(0, [], schema, op="create", n_rows=0)
+            committed = t._commit(0, [], schema, op="create", n_rows=0, extra=extra)
         else:
             raise ValueError("create() needs df or schema")
         if not committed:
             raise FileExistsError(f"concurrent create at {path}")
         return t
+
+    def _stats_extra(
+        self, base: int, new_files: list[str], keep_base: bool = True
+    ) -> dict[str, Any]:
+        """Stats metadata for the next commit: base stats carried for files
+        that survive (appends), dropped for whole-snapshot rewrites."""
+        if base == 0:
+            return {}
+        m = self._manifest(base)
+        cols = m.get("stats_cols") or []
+        if not cols:
+            return {}
+        file_stats: dict[str, Any] = dict(m.get("file_stats") or {}) if keep_base else {}
+        file_stats.update(self._collect_file_stats(new_files, cols))
+        return {"stats_cols": cols, "file_stats": file_stats}
 
     @classmethod
     def ensure(cls, spark: SparkSession, path: str) -> "TxnTable":
@@ -174,6 +211,40 @@ class TxnTable:
         n = self.spark.read.parquet(*files).count() if files else 0
         return files, n
 
+    def _collect_file_stats(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max for the stats columns, in ONE Spark job (group by
+        input_file_name over the just-written files). JSON-serializable
+        values only (numeric/string/date-as-iso) — the manifest is the
+        file-skipping index, Iceberg-style."""
+        if not files or not stats_cols:
+            return {}
+        df = self.spark.read.parquet(*files)
+        present = [c for c in stats_cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+        )
+        # Seed every file with [null, null] (the stats of an empty file —
+        # zero-row part files emit no groupBy row, yet must still prune).
+        out: dict[str, dict[str, list]] = {
+            os.path.relpath(f, self.path): {c: [None, None] for c in present}
+            for f in files
+        }
+        for r in rows:
+            rel = os.path.relpath(r["__f"].replace("file://", ""), self.path)
+            out[rel] = {
+                c: [_jsonable(r[f"__lo_{c}"]), _jsonable(r[f"__hi_{c}"])]
+                for c in present
+            }
+        return out
+
     def _commit(
         self,
         base_version: int,
@@ -188,13 +259,20 @@ class TxnTable:
         the new snapshot. os.link is atomic: readers see a complete manifest
         or none."""
         os.makedirs(self._log, exist_ok=True)
+        rel_files = [os.path.relpath(f, self.path) for f in files]
+        extra = dict(extra or {})
+        if "file_stats" in extra:
+            present = set(rel_files)
+            extra["file_stats"] = {
+                f: s for f, s in extra["file_stats"].items() if f in present
+            }
         manifest = {
             "version": base_version + 1,
-            "files": [os.path.relpath(f, self.path) for f in files],
+            "files": rel_files,
             "schema": schema.json(),
             "op": op,
             "n_rows": n_rows,
-            **(extra or {}),
+            **extra,
         }
         scratch = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(scratch, "w") as fh:
@@ -221,21 +299,72 @@ class TxnTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str]:
+        """Snapshot files that can contain rows with ``lo <= col <= hi``,
+        decided from manifest min/max stats (files without stats for ``col``
+        are always kept — pruning is only ever an optimization). A file whose
+        stats are [null, null] (all-null column) is skipped: a range
+        predicate never matches NULL."""
+        m = self._manifest(version)
+        stats = m.get("file_stats") or {}
+        kept = []
+        for f in m["files"]:
+            rng = stats.get(f, {}).get(col)
+            if rng is None:
+                kept.append(f)
+                continue
+            f_lo, f_hi = rng
+            if f_lo is None and f_hi is None and (lo is not None or hi is not None):
+                continue  # all-null/empty file: a range predicate never matches
+            if lo is not None and f_hi is not None and f_hi < _jsonable(lo):
+                continue
+            if hi is not None and f_lo is not None and f_lo > _jsonable(hi):
+                continue
+            kept.append(f)
+        return kept
+
+    def read_pruned(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot filtered to ``lo <= col <= hi``, scanning only the files
+        whose manifest stats intersect the range (driver-side file skipping,
+        before Spark's own footer/row-group pruning). Exactly equivalent to
+        ``read().filter(...)`` — the predicate is still applied, pruning
+        never changes results."""
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        files = self.pruned_files(col, lo, hi, version)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
+
     # --------------------------------------------------------------- writes
 
     _MAX_RETRIES = 10
 
     def _occ_loop(self, attempt_fn) -> Any:
-        """Run ``attempt_fn(base_version, snapshot_files)`` until its commit
-        lands. attempt_fn returns (files, schema, op, n_rows, result) or None
-        to abort with no commit (no-op)."""
+        """Run ``attempt_fn(base_version)`` until its commit lands.
+        attempt_fn returns (files, schema, op, n_rows, result) with an
+        optional sixth ``extra`` manifest-metadata element, or None to abort
+        with no commit (no-op)."""
         for _ in range(self._MAX_RETRIES):
             base = self.version()
             prepared = attempt_fn(base)
             if prepared is None:
                 return None
-            files, schema, op, n_rows, result = prepared
-            if self._commit(base, files, schema, op, n_rows):
+            files, schema, op, n_rows, result, *rest = prepared
+            extra = rest[0] if rest else None
+            if self._commit(base, files, schema, op, n_rows, extra=extra):
                 return result
             # lost the race: leave the orphaned data files to vacuum() and
             # recompute against the winner's snapshot
@@ -248,7 +377,7 @@ class TxnTable:
             new_files, n = self._write_data(df)
             m = self._manifest(base)
             all_files = [os.path.join(self.path, f) for f in m["files"]] + new_files
-            return all_files, df.schema, "append", n, n
+            return all_files, df.schema, "append", n, n, self._stats_extra(base, new_files)
 
         return self._occ_loop(attempt)
 
@@ -265,7 +394,10 @@ class TxnTable:
                 return None
             m = self._manifest(base)
             all_files = [os.path.join(self.path, f) for f in m["files"]] + new_files
-            return all_files, df.schema, "idempotent_append", n, n
+            return (
+                all_files, df.schema, "idempotent_append", n, n,
+                self._stats_extra(base, new_files),
+            )
 
         return self._occ_loop(attempt) or 0
 
@@ -311,16 +443,17 @@ class TxnTable:
                 "stream_epoch_append",
                 n,
                 n,
+                self._stats_extra(base, new_files),
             )
 
         def attempt_with_meta(base):
             prepared = attempt(base)
             if prepared is None:
                 return None
-            files, schema, op, n_rows, result = prepared
+            files, schema, op, n_rows, result, extra = prepared
             if self._commit(
                 base, files, schema, op, n_rows,
-                extra={"app_id": app_id, "epoch": int(epoch_id)},
+                extra={**extra, "app_id": app_id, "epoch": int(epoch_id)},
             ):
                 return ("committed", result)
             return ("retry", None)
@@ -341,7 +474,10 @@ class TxnTable:
 
         def attempt(base):
             new_files, n = self._write_data(df)
-            return new_files, df.schema, "overwrite", n, n
+            return (
+                new_files, df.schema, "overwrite", n, n,
+                self._stats_extra(base, new_files, keep_base=False),
+            )
 
         return self._occ_loop(attempt)
 
@@ -427,7 +563,10 @@ class TxnTable:
                 result = result.filter(F.col("__t").isNotNull())
             result = result.select(*cols)
             new_files, n = self._write_data(result)
-            return new_files, target.schema, "merge", n, n
+            return (
+                new_files, target.schema, "merge", n, n,
+                self._stats_extra(base, new_files, keep_base=False),
+            )
 
         return self._occ_loop(attempt)
 
@@ -492,7 +631,10 @@ class TxnTable:
             )
             compacted = snapshot.repartition(n_parts)
             new_files, n = self._write_data(compacted)
-            return new_files, snapshot.schema, "compact", n, len(new_files)
+            return (
+                new_files, snapshot.schema, "compact", n, len(new_files),
+                self._stats_extra(base, new_files, keep_base=False),
+            )
 
         return self._occ_loop(attempt)
 

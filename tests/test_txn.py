@@ -75,12 +75,12 @@ def test_lost_race_retries_against_new_snapshot(spark, tdir):
     real_commit = t._commit
     interposed = {"done": False}
 
-    def racing_commit(base, files, schema, op, n_rows):
+    def racing_commit(base, files, schema, op, n_rows, extra=None):
         if not interposed["done"]:
             interposed["done"] = True
             other = TxnTable(spark, t.path)
             assert other.append(_df(spark, [(100, "race")])) == 1
-        return real_commit(base, files, schema, op, n_rows)
+        return real_commit(base, files, schema, op, n_rows, extra=extra)
 
     t._commit = racing_commit
     assert t.append(_df(spark, [(2, "b")])) == 1
@@ -334,3 +334,50 @@ def test_read_row_changes_across_ops(spark, tdir):
         (2, "b", "delete"),
         (9, "z", "insert"),
     }
+
+
+def test_file_stats_pruning_skips_files(spark, tdir):
+    """Manifest min/max stats prune non-matching files driver-side; results
+    always equal the unpruned filter."""
+    t = TxnTable.create(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]), stats_cols=["k"]
+    )
+    t.append(_df(spark, [(100, "x"), (110, "y")]))
+    t.append(_df(spark, [(200, "p"), (210, "q")]))
+    all_files = t._manifest()["files"]
+    assert len(all_files) >= 3
+    # a range inside the second batch keeps ~1 commit's files
+    kept = t.pruned_files("k", 100, 120)
+    assert 0 < len(kept) < len(all_files)
+    assert _rows(t.read_pruned("k", 100, 120)) == [(100, "x"), (110, "y")]
+    # equivalence with the unpruned form on a boundary-straddling range
+    want = _rows(t.read().filter((F.col("k") >= 2) & (F.col("k") <= 200)))
+    assert _rows(t.read_pruned("k", 2, 200)) == want
+    # disjoint range: zero files scanned, empty result, schema intact
+    assert t.pruned_files("k", 10000, 20000) == []
+    assert t.read_pruned("k", 10000, 20000).count() == 0
+
+
+def test_file_stats_survive_merge_and_compact(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a"), (500, "z")]), stats_cols=["k"])
+    t.merge(
+        _df(spark, [(1, "A"), (900, "new")], "k bigint, nv string"),
+        on=["k"],
+        when_matched_update={"v": "nv"},
+    )
+    m = t._manifest()
+    assert m["stats_cols"] == ["k"]
+    assert set(m["file_stats"]) == set(m["files"])  # rewrite: fresh stats only
+    t.compact(target_partitions=1)
+    m2 = t._manifest()
+    assert set(m2["file_stats"]) == set(m2["files"])
+    assert _rows(t.read_pruned("k", 900, 999)) == [(900, "new")]
+
+
+def test_stats_cols_absent_means_no_pruning_no_stats(spark, tdir):
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    m = t._manifest()
+    assert "file_stats" not in m
+    # pruning degrades to keep-everything
+    assert t.pruned_files("k", 0, 100) == m["files"]

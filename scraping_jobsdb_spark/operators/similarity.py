@@ -40,6 +40,7 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_np",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_blocked",
     "ivf_topk",
     "quantize_embeddings_int8",
     "dequantize_embeddings_int8",
@@ -458,6 +459,92 @@ def embedding_neardup_pairs_lsh(
         .join(vb, "id_b")
         .filter(dot >= F.lit(threshold) * F.col("na") * F.col("nb"))
         .select("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 1024,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact embedding-cosine pairs (id_a < id_b, cos ≥ threshold) by blocked
+    matrix multiply — the physical strategy for thresholds where sign-LSH
+    provably cannot prune (t ≤ ~0.75 on weakly-clustered data: the per-pair
+    collision probability of a random pair, (1/2)^r per band, is too close to
+    the boundary probability (1−acos(t)/π)^r for any banding to separate
+    them, so candidates ≈ all pairs and the per-pair expression-fold verify
+    IS the cost).
+
+    Shape: hash ids into B = ceil(n / block_rows) blocks; every unordered
+    block pair (lo ≤ hi) is one group, reached by exploding each vector to
+    its B pairs (an equi-partitioned shuffle of n×B rows — the unavoidable
+    O(n²/block) data movement of an exact all-pairs computation, NOT a
+    cartesian join: the plan is explode → hash shuffle → grouped-map).
+    Each group runs one (≤block × dim) @ (dim × ≤block) normalized GEMM in
+    Arrow/numpy and emits only passing pairs. Parallelism = B(B+1)/2 uniform
+    groups (hash blocks ⇒ no skew); per-task memory is two blocks of
+    vectors + one block² score tile, tuned by ``block_rows``.
+
+    At 100 TB-scale corpora exact all-pairs is infeasible no matter the
+    kernel — use ``embedding_neardup_pairs_lsh`` (t high enough to prune) or
+    IVF-cell candidates, both of which keep this operator as their in-bucket
+    verify. Pass ``n_rows`` when known to skip the count job."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(corpus.sparkSession)
+    n = n_rows if n_rows is not None else corpus.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+
+    src = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+    )
+    pair_targets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda p: F.struct(
+            F.least(F.col("__blk"), p).alias("lo"),
+            F.greatest(F.col("__blk"), p).alias("hi"),
+        ),
+    )
+    exploded = src.select(
+        "__id", "__vec", "__blk", F.explode(F.array_distinct(pair_targets)).alias("__bp")
+    ).select("__id", "__vec", "__blk", F.col("__bp.lo").alias("__lo"), F.col("__bp.hi").alias("__hi"))
+
+    thr = float(threshold)
+
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        mat = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = np.inf  # zero vector: cosine 0 with everything
+        mat /= norms[:, None]
+        lo, hi = int(pdf["__lo"].iloc[0]), int(pdf["__hi"].iloc[0])
+        if lo == hi:
+            scores = mat @ mat.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = scores[ia, ib] >= thr
+            left, right = ids[ia[mask]], ids[ib[mask]]
+        else:
+            a_side = pdf["__blk"].to_numpy() == lo
+            scores = mat[a_side] @ mat[~a_side].T
+            ia, ib = np.nonzero(scores >= thr)
+            left, right = ids[a_side][ia], ids[~a_side][ib]
+        return pd.DataFrame(
+            {"id_a": np.minimum(left, right), "id_b": np.maximum(left, right)}
+        )
+
+    return (
+        exploded.groupBy("__lo", "__hi")
+        .applyInPandas(_block_pairs, schema="id_a bigint, id_b bigint")
     )
 
 

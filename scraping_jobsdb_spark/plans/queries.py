@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.operators.dedup import dedup_exact, dedup_first
@@ -881,18 +881,25 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.5) — the dedup
-    family's embedding member, in its bucketed form: sign-LSH band
-    candidates via an equi-join on (band, signature), exact cosine filter
-    deciding membership (banding only prunes, never admits). The oracle is
-    the all-pairs SQL — candidate recall against it is verified at every SF
-    in tests (fixed planes ⇒ deterministic). No BNLJ/cartesian in the plan
-    (asserted in test_plan_quality). The 0.5 threshold sits in a ≥0.01-wide
-    gap of the sf0.01 pair distribution, so engine-level float differences
-    cannot flip membership."""
-    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs_lsh
+    family's embedding member. Physical strategy is threshold-driven: at
+    0.5, sign-LSH provably cannot prune (a random pair's per-band collision
+    probability is too close to the boundary pair's), so candidates ≈ all
+    pairs and the only lever left is the verify kernel — here the blocked
+    normalized-GEMM form (explode → hash shuffle → one numpy matmul per
+    block pair), which computes the same exact answer at BLAS speed instead
+    of per-pair expression folds. At pruning-friendly thresholds the LSH
+    banded form (``embedding_neardup_pairs_lsh``, candidate recall verified
+    at every SF in tests) is the scale path and uses this as its in-bucket
+    verify. No BNLJ/cartesian in the plan (asserted in test_plan_quality).
+    The 0.5 threshold sits in a ≥0.01-wide gap of the sf0.01 pair
+    distribution, so engine-level float differences cannot flip
+    membership."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+    )
 
-    return embedding_neardup_pairs_lsh(
-        fan_out(load_table(spark, sf_dir, "embeddings")), 0.5
+    return embedding_neardup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), 0.5
     )
 
 
@@ -2398,10 +2405,12 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster step is what turns LSH candidates into an actionable keep/drop
     list."""
     from scraping_jobsdb_spark.operators.graph import connected_components
-    from scraping_jobsdb_spark.operators.similarity import embedding_neardup_pairs
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+    )
 
-    pairs = embedding_neardup_pairs(
-        fan_out(load_table(spark, sf_dir, "embeddings")), 0.5
+    pairs = embedding_neardup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), 0.5
     )
     return connected_components(pairs)
 
@@ -3237,6 +3246,114 @@ def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, "doc_id bigint, n_bytes bigint, sha16 string")
 
 
+@_register(
+    "multimodal_resize_stage",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS blen
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT doc_id AS media_id,
+           4 AS width,
+           4 AS height,
+           CAST(
+               8 + least(
+                   greatest(1, (blen * 16) // ((2 + doc_id % 7) * (3 + doc_id % 5))),
+                   blen
+               ) AS BIGINT
+           ) AS n_bytes
+    FROM d
+    """,
+)
+def q_multimodal_resize_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-resize stage (operators/multimodal.py:resize_images) run
+    end to end against an oracle: media payloads are built JVM-side from the
+    documents table — a big-endian (w,h) header via unhex(lpad(hex(.)))
+    packing plus the utf-8 text bytes as the 'pixel' body — and the real
+    mapInPandas resize stage (pruned projection, per-row failure isolation)
+    applies the deterministic stand-in resizer. DuckDB mirrors the resizer's
+    arithmetic (area-proportional byte keep, floor division) on the same
+    source, so the header construction, the Arrow binary crossing, and the
+    Python resize arithmetic are all value-hash verified. The real-codec
+    hook stays injectable; only the codec itself is faked (none ships in
+    this runtime)."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        fake_image_resizer,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def be32(c: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    w = (F.lit(2) + F.col("doc_id") % 7).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(be32(w), be32(h), F.encode("text", "utf-8")).alias("content"),
+    )
+    resized = resize_images(media, 4, 4, resizer=fake_image_resizer)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           sha256(text || ':' || CAST(f AS VARCHAR)) AS frame_hex
+    FROM documents, generate_series(0, 3, 2) AS g(f)
+    WHERE text IS NOT NULL
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sampling stage (operators/multimodal.py:
+    sample_video_frames) run end to end against an oracle: each document
+    becomes a fake 4-frame video — header (n_frames, frame_len) + four
+    32-byte frames, where frame f is the sha256 digest of 'text:f', all
+    constructed JVM-side (sha2 → unhex → concat) — then the real
+    mapInPandas generator-UDTF stage splits the payload per its header and
+    keeps every 2nd frame. Emitting hex(frame) lets DuckDB state the
+    expected frame bytes as the sha256 hex it can compute directly, so the
+    binary fan-out (one video row → kept-frame rows) is verified
+    byte-for-byte without blob slicing in the oracle."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        fake_frame_splitter,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def be32(v: int) -> Column:
+        return F.unhex(F.lit(f"{v:08x}"))
+
+    def frame(f: int) -> Column:
+        return F.unhex(
+            F.sha2(F.concat(F.col("text"), F.lit(f":{f}")), 256)
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            be32(4), be32(32), frame(0), frame(1), frame(2), frame(3)
+        ).alias("content"),
+    )
+    frames = sample_video_frames(media, every_n=2, splitter=fake_frame_splitter)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 @_register("embedding_pq_topk", oracle=None)
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): train an m=8, k=16
@@ -3353,7 +3470,11 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eight — window_moving_average, sorted_page_offset, small_quantity_revenue,
 # top_revenue_suppliers, customer_order_histogram, group_share_threshold,
 # cross_join_param_grid, scalar_misc_pack — rotate in next round; their
-# operator families all have green rows already).
+# operator families all have green rows already). embedding_quantized_topk
+# and embedding_kmeans_cells (both rows-only by design) ceded their window
+# slots to the two fully-oracled multimodal stage queries; their families
+# keep hash evidence via embedding_topk/embedding_neardup_pairs and recall
+# tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
 _GATE_PRIORITY = [
@@ -3397,9 +3518,9 @@ _GATE_PRIORITY = [
     "value_histogram_bins",
     "unpivot_quality_metrics",
     "scalar_map_pack",
-    "embedding_quantized_topk",
+    "multimodal_resize_stage",
     "llm_corpus_prep",
-    "embedding_kmeans_cells",
+    "multimodal_frame_sample",
     "try_cast_error_safe_pack",
     "deterministic_sample_split",
     "decontamination_exact_overlap",

@@ -311,6 +311,46 @@ def test_lsh_neardup_pairs_equal_all_pairs(spark):
         assert banded == exact, (sf, banded ^ exact)
 
 
+def test_blocked_neardup_pairs_equal_all_pairs(spark):
+    """The blocked-GEMM form must return EXACTLY the all-pairs result, both
+    single-block and multi-block (small block_rows forces cross-block and
+    same-block group paths)."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blocked,
+    )
+    from tests.conftest import SF_CORRECT
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        emb = load_table(spark, sf, "embeddings")
+        exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, 0.5).collect()}
+        for block_rows in (100, 10**6):
+            got = {
+                (r.id_a, r.id_b)
+                for r in embedding_neardup_pairs_blocked(
+                    emb, 0.5, block_rows=block_rows
+                ).collect()
+            }
+            assert got == exact, (sf, block_rows, got ^ exact)
+
+
+def test_blocked_neardup_finds_injected_duplicates(spark):
+    """Injected exact duplicates (cos 1.0) always surface, across blocks."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dupes = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_neardup_pairs_blocked(
+        emb.unionByName(dupes), threshold=0.99, block_rows=64
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(5)} <= found
+
+
 def test_lsh_neardup_high_threshold_finds_injected(spark):
     """At real near-dup thresholds the banding is sparse AND complete:
     injected exact duplicates (cos 1.0) are always candidates."""

@@ -38,20 +38,39 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP regardless of how the
+    parquet file encodes it.
+
+    The driver's testdata has shipped ``ts`` two ways: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader only loads as BIGINT via the legacy
+    nanos-as-long conf) and plain ``timestamp[us]`` (loaded as
+    TIMESTAMP_NTZ). Branch on the *loaded* dtype rather than assuming one
+    encoding — a hardcoded nanos conversion is an AnalysisException the day
+    the files change, and vice versa. NTZ is cast to session-time TIMESTAMP
+    (session tz is pinned UTC) so downstream watermarks/windows/oracle
+    comparisons see identical instants on both paths.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # legacy TIMESTAMP(NANOS) read as long
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table: splittable parquet scan, columns pruned lazily.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; it is read via the legacy nanos-as-long path and
-    the ``ts`` column converted to a microsecond timestamp (matching what
-    DuckDB's reader produces by truncation).
+    ``events.parquet``'s ``ts`` encoding has changed across driver versions;
+    ``normalize_event_ts`` adapts whatever dtype the scan yields to TIMESTAMP.
+    The nanos-as-long conf is harmless for non-nanos files (it only affects
+    TIMESTAMP(NANOS) columns) and required for the legacy ones.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
@@ -83,19 +102,56 @@ def fan_out(
     are low-cardinality (skew) or the map work is keyless.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Width probe: file count first (pure metadata — no second physical
-    # planning pass, which is what the df.rdd fallback costs). A scan over
-    # >= target files always has enough splits; fewer files than target can
-    # still mean enough row groups, so the fallback asks the RDD translation
-    # for the real split count before paying a shuffle.
-    n_files = len(df.inputFiles())
-    if n_files >= target:
-        return df
-    if df.rdd.getNumPartitions() >= target:
+    # Width probe: pure file metadata, never df.rdd — the RDD translation
+    # forces a second physical planning pass for every fan_out call, which
+    # on a wide plan costs more than the question is worth. A scan over
+    # >= target files always has enough splits; fewer files can still mean
+    # enough byte-range splits (Spark splits parquet by maxPartitionBytes),
+    # estimated from file sizes alone.
+    if _estimated_scan_splits(df) >= target:
         return df
     if cols:
         return df.repartition(target, *cols)
     return df.repartition(target)
+
+
+def _parse_byte_size(s: str) -> int:
+    """Parse Spark size strings like '128MB', '134217728b', '1g'."""
+    s = s.strip().lower().removesuffix("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            return int(float(s[:-1]) * mult)
+    return int(s)
+
+
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate how many input splits a file scan produces, metadata-only.
+
+    Spark carves parquet scans into byte ranges of maxPartitionBytes, so
+    splits ~= sum(ceil(size / maxPartitionBytes)). Files whose size can't be
+    stat'ed (remote URIs without a mounted fs) count as one split each —
+    conservative: worst case fan_out pays an unneeded (cheap, raw-row)
+    shuffle rather than silently under-parallelizing. Non-file scans (in-
+    memory frames, post-shuffle results) report 0 ⇒ caller repartitions,
+    which is the safe default for a frame of unknown width.
+    """
+    files = df.inputFiles()
+    if not files:
+        return 0
+    spark = df.sparkSession
+    max_bytes = _parse_byte_size(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    )
+    splits = 0
+    for uri in files:
+        path = uri.removeprefix("file:")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            splits += 1
+            continue
+        splits += max(1, -(-size // max_bytes))
+    return splits
 
 
 def read_csv_table(

@@ -22,6 +22,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import normalize_event_ts
+
 __all__ = [
     "events_file_stream",
     "hourly_event_counts_stream",
@@ -45,11 +47,11 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.abspath(f"{sf_dir}/events.parquet"),
         os.path.join(stream_dir, "events.parquet"),
     )
-    return (
-        spark.readStream.schema(static.schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    # Same dtype-adaptive ts normalization as the batch reader, so batch and
+    # streaming plans see an identical TIMESTAMP column whichever encoding
+    # the testdata files carry.
+    return normalize_event_ts(stream)
 
 
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

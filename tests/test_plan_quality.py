@@ -17,7 +17,16 @@ from scraping_jobsdb_spark.plans.queries import REGISTRY
 
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].spark_fn(spark, SF_CORRECT)
+    # Build the query in its own try so a broken query reads as "query threw
+    # during construction", not as a plan-quality regression — in round 2 the
+    # events reader bug made 5 plan tests report bogus plan failures.
+    try:
+        df = REGISTRY[name].spark_fn(spark, SF_CORRECT)
+    except Exception as e:  # noqa: BLE001
+        pytest.fail(
+            f"{name}: query construction failed BEFORE plan inspection "
+            f"(not a plan-quality issue): {type(e).__name__}: {e}"
+        )
     return df._jdf.queryExecution().executedPlan().toString()
 
 

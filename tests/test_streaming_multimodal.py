@@ -161,10 +161,10 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark):
             os.path.abspath(f"{SF_SMOKE}/events.parquet"),
             os.path.join(src, f"copy{i}.parquet"),
         )
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from scraping_jobsdb_spark.sources.tables import normalize_event_ts
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(static.schema).parquet(src)
     )
     deduped = streaming_dedup(stream, ["event_id"], "ts", "10 minutes").select(
         "event_id"

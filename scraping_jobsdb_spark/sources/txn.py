@@ -107,6 +107,8 @@ class TxnTable:
         df: DataFrame | None = None,
         schema: StructType | None = None,
         stats_cols: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 8,
     ) -> "TxnTable":
         """Create version 1 from ``df`` (or empty with ``schema``).
 
@@ -114,7 +116,19 @@ class TxnTable:
         per-file min/max for these columns in its manifest, and
         ``read_pruned`` skips files whose range cannot match — the
         Iceberg-style driver-side pruning that matters when a snapshot is
-        thousands of files."""
+        thousands of files.
+
+        ``bucket_by`` declares a write distribution: every snapshot is
+        written hash-bucketed (and per-bucket sorted) on these columns, and
+        reads register the snapshot as a bucketed catalog table — so a join
+        or MERGE on the bucket columns needs NO exchange on the table side.
+        For a table that is repeatedly MERGEd on the same key this converts
+        the per-merge full-outer join from two shuffles to one (source side
+        only) — the dominant cost of a keyed-upsert workload at scale.
+        Bucketed tables are whole-snapshot-commit only (create / overwrite /
+        merge / compact): the append family would emit files without bucket
+        assignment and silently break the co-partitioning contract, so it
+        raises instead."""
         t = cls(spark, path)
         if cls.exists(spark, path):
             raise FileExistsError(f"txn table already exists at {path}")
@@ -122,18 +136,40 @@ class TxnTable:
         extra: dict[str, Any] = {}
         if stats_cols:
             extra["stats_cols"] = list(stats_cols)
+        bucket = None
+        if bucket_by:
+            bucket = {"cols": list(bucket_by), "n": int(n_buckets)}
         if df is not None:
-            files, n = t._write_data(df)
+            files, n = t._write_data(df, bucket=bucket)
             if stats_cols:
                 extra["file_stats"] = t._collect_file_stats(files, stats_cols)
+            if bucket:
+                extra["bucket"] = t._bucket_with_dir(bucket, files)
             committed = t._commit(0, files, df.schema, op="create", n_rows=n, extra=extra)
         elif schema is not None:
+            if bucket:
+                raise ValueError("bucketed create needs df (an empty bucketed "
+                                 "snapshot has no files to carry the layout)")
             committed = t._commit(0, [], schema, op="create", n_rows=0, extra=extra)
         else:
             raise ValueError("create() needs df or schema")
         if not committed:
             raise FileExistsError(f"concurrent create at {path}")
         return t
+
+    def _bucket_with_dir(self, bucket: dict[str, Any], files: list[str]) -> dict[str, Any]:
+        """The manifest bucket entry: spec + the snapshot's (single) data
+        directory, which the bucketed catalog read points LOCATION at."""
+        dirs = {os.path.dirname(os.path.relpath(f, self.path)) for f in files}
+        if len(dirs) != 1:
+            raise ValueError(f"bucketed snapshot must be one directory, got {dirs}")
+        return {**bucket, "dir": dirs.pop()}
+
+    def bucket_spec(self, version: int | None = None) -> dict[str, Any] | None:
+        """The table's bucket layout ({cols, n, dir}) or None."""
+        if self.version() == 0:
+            return None
+        return self._manifest(version).get("bucket")
 
     def _stats_extra(
         self, base: int, new_files: list[str], keep_base: bool = True
@@ -201,12 +237,36 @@ class TxnTable:
             )
         return sorted(out)
 
-    def _write_data(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_data(
+        self, df: DataFrame, bucket: dict[str, Any] | None = None
+    ) -> tuple[list[str], int]:
         """Write a commit's data files under a fresh directory; the files are
-        invisible until a manifest referencing them is published."""
+        invisible until a manifest referencing them is published.
+
+        With ``bucket``, the snapshot is written through ``bucketBy`` +
+        ``sortBy`` (via a transient catalog name — Spark's bucketed layout is
+        only writable through the table API). The frame is pre-repartitioned
+        onto the bucket hash so each bucket lands in exactly ONE file —
+        that's what lets the bucketed read publish a per-bucket sort order
+        and the downstream sort-merge join skip both its exchange AND its
+        sort on the table side."""
         token = uuid.uuid4().hex
         out_dir = os.path.join(self.path, _DATA_DIR, token)
-        df.write.mode("error").parquet(out_dir)
+        if bucket:
+            cols, n_buckets = bucket["cols"], bucket["n"]
+            tmp_name = f"sjs_bucket_write_{token[:12]}"
+            (
+                df.repartition(n_buckets, *cols)
+                .write.mode("error")
+                .format("parquet")
+                .bucketBy(n_buckets, *cols)
+                .sortBy(*cols)
+                .option("path", out_dir)
+                .saveAsTable(tmp_name)
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        else:
+            df.write.mode("error").parquet(out_dir)
         files = self._list_parquet(out_dir)
         n = self.spark.read.parquet(*files).count() if files else 0
         return files, n
@@ -291,13 +351,42 @@ class TxnTable:
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot as of ``version`` (default: latest). Immutable: the
         returned frame keeps reading the same files regardless of later
-        commits."""
+        commits. Bucketed snapshots read through a catalog registration so
+        the scan carries the bucket distribution into the planner."""
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
         files = [os.path.join(self.path, f) for f in m["files"]]
         if not files:
             return self.spark.createDataFrame([], schema)
+        bucket = m.get("bucket")
+        if bucket:
+            return self._read_bucketed(m, schema, bucket)
         return self.spark.read.schema(schema).parquet(*files)
+
+    def _read_bucketed(
+        self, m: dict[str, Any], schema: StructType, bucket: dict[str, Any]
+    ) -> DataFrame:
+        """Register (once per session) an external bucketed table over the
+        snapshot's data directory and read through it. Only a catalog table
+        can carry a bucket spec in Spark, so this is the one place the
+        engine touches the catalog; the name is deterministic per
+        (table path, version) and the registration is metadata-only."""
+        import hashlib
+
+        loc = os.path.join(self.path, bucket["dir"])
+        tag = hashlib.md5(f"{self.path}@{m['version']}".encode()).hexdigest()[:12]
+        name = f"sjs_txn_snap_{tag}"
+        if not self.spark.catalog.tableExists(name):
+            ddl_cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in bucket["cols"])
+            self.spark.sql(
+                f"CREATE TABLE {name} ({ddl_cols}) USING parquet "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                f"INTO {bucket['n']} BUCKETS LOCATION '{loc}'"
+            )
+        return self.spark.table(name)
 
     def pruned_files(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -370,8 +459,33 @@ class TxnTable:
             # recompute against the winner's snapshot
         raise TxnConflict(f"{self.path}: commit contention, gave up")
 
+    def _require_unbucketed(self, op: str) -> None:
+        if self.bucket_spec() is not None:
+            raise ValueError(
+                f"{op} on a bucketed txn table would emit files outside the "
+                "bucket layout and break co-partitioned reads; use merge()/"
+                "overwrite(), or create the table unbucketed for append "
+                "workloads"
+            )
+
+    def _snapshot_extra(
+        self, base: int, new_files: list[str], bucket: dict[str, Any] | None
+    ) -> dict[str, Any]:
+        """Manifest extras for a whole-snapshot rewrite: fresh file stats,
+        plus the bucket spec re-pointed at the new data directory."""
+        extra = self._stats_extra(base, new_files, keep_base=False)
+        if bucket:
+            extra = {
+                **extra,
+                "bucket": self._bucket_with_dir(
+                    {"cols": bucket["cols"], "n": bucket["n"]}, new_files
+                ),
+            }
+        return extra
+
     def append(self, df: DataFrame) -> int:
         """Transactional append: all-or-nothing visibility."""
+        self._require_unbucketed("append")
 
         def attempt(base):
             new_files, n = self._write_data(df)
@@ -385,6 +499,7 @@ class TxnTable:
         """Exactly-once insert-if-absent (Postgres ON CONFLICT DO NOTHING):
         anti-join against the snapshot INSIDE the retry loop, so a concurrent
         winner's rows are excluded on retry. Returns rows appended."""
+        self._require_unbucketed("idempotent_append")
 
         def attempt(base):
             existing = self.read(base).select(*key_cols)
@@ -426,6 +541,7 @@ class TxnTable:
         write contract, here per-manifest. ``key_cols`` optionally layers the
         anti-join on top for cross-writer key dedup. Returns rows appended
         (0 for a recognized replay)."""
+        self._require_unbucketed("stream_epoch_append")
 
         def attempt(base):
             if self.committed_epoch(app_id) >= epoch_id:
@@ -473,10 +589,11 @@ class TxnTable:
         read-tmp-overwrite dance this replaces)."""
 
         def attempt(base):
-            new_files, n = self._write_data(df)
+            bucket = self.bucket_spec(base) if base else None
+            new_files, n = self._write_data(df, bucket=bucket)
             return (
                 new_files, df.schema, "overwrite", n, n,
-                self._stats_extra(base, new_files, keep_base=False),
+                self._snapshot_extra(base, new_files, bucket),
             )
 
         return self._occ_loop(attempt)
@@ -562,10 +679,11 @@ class TxnTable:
             if not when_not_matched_insert:
                 result = result.filter(F.col("__t").isNotNull())
             result = result.select(*cols)
-            new_files, n = self._write_data(result)
+            bucket = self.bucket_spec(base)
+            new_files, n = self._write_data(result, bucket=bucket)
             return (
                 new_files, target.schema, "merge", n, n,
-                self._stats_extra(base, new_files, keep_base=False),
+                self._snapshot_extra(base, new_files, bucket),
             )
 
         return self._occ_loop(attempt)
@@ -626,14 +744,20 @@ class TxnTable:
 
         def attempt(base):
             snapshot = self.read(base)
-            n_parts = target_partitions or max(
-                1, self.spark.sparkContext.defaultParallelism
-            )
-            compacted = snapshot.repartition(n_parts)
-            new_files, n = self._write_data(compacted)
+            bucket = self.bucket_spec(base)
+            if bucket:
+                # a bucketed snapshot is already one file per bucket —
+                # compaction is its write path by construction
+                compacted = snapshot
+            else:
+                n_parts = target_partitions or max(
+                    1, self.spark.sparkContext.defaultParallelism
+                )
+                compacted = snapshot.repartition(n_parts)
+            new_files, n = self._write_data(compacted, bucket=bucket)
             return (
                 new_files, snapshot.schema, "compact", n, len(new_files),
-                self._stats_extra(base, new_files, keep_base=False),
+                self._snapshot_extra(base, new_files, bucket),
             )
 
         return self._occ_loop(attempt)

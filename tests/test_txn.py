@@ -381,3 +381,78 @@ def test_stats_cols_absent_means_no_pruning_no_stats(spark, tdir):
     assert "file_stats" not in m
     # pruning degrades to keep-everything
     assert t.pruned_files("k", 0, 100) == m["files"]
+
+
+# ---------------------------------------------------------------- bucketing
+
+
+def test_bucketed_create_merge_equals_unbucketed(spark, tmp_path):
+    """Bucketing is a physical layout, never a semantic change: the same
+    MERGE on a bucketed and an unbucketed table yields identical rows, and
+    the bucket spec (re-pointed at each commit's data dir) survives merges."""
+    rows = [(i, f"v{i}") for i in range(100)]
+    src = _df(spark, [(i, f"new{i}") for i in range(50, 150)], "k bigint, nv string")
+    tb = TxnTable.create(
+        spark, str(tmp_path / "b"), _df(spark, rows), bucket_by=["k"], n_buckets=4
+    )
+    tu = TxnTable.create(spark, str(tmp_path / "u"), _df(spark, rows))
+    for t in (tb, tu):
+        t.merge(src, on=["k"], when_matched_update={"v": "nv"})
+    assert sorted(_rows(tb.read())) == sorted(_rows(tu.read()))
+    spec = tb.bucket_spec()
+    assert spec["cols"] == ["k"] and spec["n"] == 4
+    # one file per bucket: the write pre-repartitions onto the bucket hash
+    assert len(tb._manifest()["files"]) == 4
+    # time travel still works across the bucketed rewrite
+    assert sorted(_rows(tb.read(1))) == sorted(rows)
+
+
+def test_bucketed_merge_join_exchanges_only_source(spark, tmp_path):
+    """THE point of bucketing: the MERGE-shaped full-outer join over a
+    bucketed target plans with exactly one Exchange (source side) — the
+    bucketed scan feeds the join pre-distributed. Unbucketed, the same join
+    needs two."""
+    rows = [(i, f"v{i}") for i in range(100)]
+    src = _df(spark, [(i, f"n{i}") for i in range(80, 120)], "k bigint, v string")
+    tb = TxnTable.create(
+        spark, str(tmp_path / "b"), _df(spark, rows), bucket_by=["k"], n_buckets=4
+    )
+    plan = (
+        tb.read().join(src, on=["k"], how="full_outer")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Bucketed: true" in plan, plan
+    tu = TxnTable.create(spark, str(tmp_path / "u"), _df(spark, rows))
+    plan_u = (
+        tu.read().join(src, on=["k"], how="full_outer")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan_u.count("Exchange") == 2, plan_u
+
+
+def test_bucketed_rejects_append_family(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "b"), _df(spark, [(1, "a")]), bucket_by=["k"], n_buckets=2
+    )
+    for op in (
+        lambda: t.append(_df(spark, [(2, "b")])),
+        lambda: t.idempotent_append(_df(spark, [(2, "b")]), ["k"]),
+        lambda: t.stream_epoch_append(_df(spark, [(2, "b")]), "app", 0),
+    ):
+        with pytest.raises(ValueError, match="bucketed"):
+            op()
+
+
+def test_bucketed_overwrite_and_compact_keep_layout(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "b"), _df(spark, [(1, "a"), (2, "b")]),
+        bucket_by=["k"], n_buckets=2,
+    )
+    t.overwrite(_df(spark, [(3, "c"), (4, "d")]))
+    assert t.bucket_spec()["n"] == 2
+    assert sorted(_rows(t.read())) == [(3, "c"), (4, "d")]
+    t.compact()
+    assert t.bucket_spec()["n"] == 2
+    assert len(t._manifest()["files"]) == 2
+    assert sorted(_rows(t.read())) == [(3, "c"), (4, "d")]

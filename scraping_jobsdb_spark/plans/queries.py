@@ -903,12 +903,37 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_topk_np", oracle=None)
+@_register(
+    "embedding_topk_np",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id IN (0, 100, 200)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, rank
+    FROM (
+        SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id
+        ) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
 def q_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy-GEMM brute-force top-k (mapInPandas batch matmul) — the
-    throughput variant of embedding_topk. Rank ties at float-identical
-    cosines may order differently than the expression form → rows-only;
-    set-equality with the exact form is asserted in tests."""
+    throughput variant of embedding_topk. The result carries only
+    (query_id, vec_id, rank): the floats stay internal, and with float64
+    accumulation on both sides plus a (cos desc, vec_id) total order the
+    ranking is cross-engine deterministic, so the query is fully
+    hash-checkable against DuckDB's list_cosine_similarity. Set-equality
+    with the expression form is additionally asserted in tests."""
     from scraping_jobsdb_spark.operators.similarity import brute_force_topk_np
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -1360,15 +1385,28 @@ def q_grouped_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("events_user_zscore", oracle=None)
+@_register(
+    "events_user_zscore",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ROUND(CASE WHEN stddev_pop(value) OVER w > 0
+                      THEN (value - avg(value) OVER w) / stddev_pop(value) OVER w
+                      ELSE 0.0 END, 6) + 0.0 AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
 def q_events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 grouped Pandas transform (applyInPandas): per-user z-score of
-    event values. Float normalization order makes a cross-engine hash fragile
-    → rows-only check; numerical agreement with the window-function form is
-    asserted in tests/test_grouped.py."""
+    event values. The gate form rounds to 6 decimals (+0.0 normalizes any
+    IEEE -0.0) so the fsum-exact Arrow path and the oracle's window
+    stddev_pop hash identically — raw doubles differ in the last ulps by
+    summation order; full-precision agreement with the window-function form
+    is asserted in tests/test_sources_grouped.py."""
     from scraping_jobsdb_spark.operators.grouped import group_zscore
 
-    return group_zscore(load_table(spark, sf_dir, "events"))
+    z = group_zscore(load_table(spark, sf_dir, "events"))
+    return z.withColumn("zscore", F.round("zscore", 6) + F.lit(0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -2299,16 +2337,45 @@ def q_term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("tfidf_top_terms", oracle=None)
+@_register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dftbl AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln(((SELECT COUNT(*) + 1 FROM documents))::DOUBLE
+                           / (dftbl.df + 1)) + 1.0) AS raw_score
+        FROM tf JOIN dftbl USING (term)
+    )
+    SELECT doc_id, term, ROUND(raw_score, 6) AS score, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY raw_score DESC, term
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document (rows-only: ln() doubles may differ in
-    the last ulp across engines; the ranking property is asserted in
-    tests/test_similarity.py). Plan: token explode → per-(doc,term) TF →
-    term DF (broadcast) → score → per-doc ranking window."""
+    """TF-IDF top-3 terms per document. The ranking itself is cross-engine
+    stable: scores are tf * (ln((N+1)/(df+1)) + 1) over integer (tf, df),
+    so equal scores come from equal (tf, df) pairs and the (score desc,
+    term) window breaks them identically everywhere; the reported score is
+    rounded to 6 decimals so last-ulp ln() differences can't break the
+    value hash. Plan: token explode → per-(doc,term) TF → term DF
+    (broadcast) → score → per-doc ranking window."""
     from scraping_jobsdb_spark.operators.textops import tfidf_top_terms
 
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    return tfidf_top_terms(docs, k=3)
+    return tfidf_top_terms(docs, k=3).withColumn("score", F.round("score", 6))
 
 
 @_register("approx_distinct_sketch", oracle=None)

@@ -29,6 +29,7 @@ __all__ = [
     "with_text_stats",
     "bpe_ish_token_count",
     "tfidf_top_terms",
+    "winnowing_fingerprints",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -191,4 +192,78 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------- winnowing
+
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_000_007
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document winnowing-style fingerprint summary from k-gram rolling
+    hashes — the scalable document-fingerprinting primitive (near-dup
+    screening, plagiarism-style containment, shard-local sketches).
+
+    Rolling hash: h(i) = (sum_j code(s[i+j]) * B^(k-1-j)) mod M over the
+    whitespace-normalized lowercased text, B=257, M=1e9+7 — pure 64-bit
+    integer arithmetic (every intermediate < 255 * M << 2^63), bit-identical
+    in any engine that follows the formula (the DuckDB oracle recomputes it
+    independently), built entirely from JVM expressions (transform +
+    ascii/substr): no UDF in the hashing path.
+
+    Selection rule (deterministic, engine-portable): position i is selected
+    iff h(i) equals the minimum hash of the trailing window
+    [i-w+1 .. i] — every w-window's entering minimum, the right-anchored
+    variant of Schleimer/Wilkerson/Aiken winnowing (guarantees at least one
+    selection per w consecutive grams; integer-only, so no float
+    tie-breaking ambiguity). Output per doc: fingerprint count and the sum
+    of the distinct selected hashes (a compact integer sketch that any
+    engine reproduces bit-exactly).
+
+    Scale: gram hashing + window-min are per-doc map/window work after ONE
+    shuffle on doc_id (the window partition); output is one row per doc.
+    For 100 TB the doc_id partition count follows the scan, and no stage
+    materializes more than the exploded gram stream.
+    """
+    powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    terms = " + ".join(
+        f"ascii(substr(__winnow_s, i + {j + 1}, 1)) * cast({powers[j]} as bigint)"
+        for j in range(k)
+    )
+    grams = (
+        f"case when length(__winnow_s) < {k} then array() "
+        f"else transform(sequence(0, length(__winnow_s) - {k}), "
+        f"i -> ({terms}) % {WINNOW_MOD}) end"
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        docs.select(
+            id_col,
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+                "__winnow_s"
+            ),
+        )
+        .select(id_col, F.expr(grams).alias("__hashes"))
+        .select(id_col, F.posexplode("__hashes").alias("pos", "h"))
+        .withColumn("__wmin", F.min("h").over(win))
+        .filter(F.col("h") == F.col("__wmin"))
+        .select(id_col, "h")
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("h").alias("fp_sum"),
+        )
     )

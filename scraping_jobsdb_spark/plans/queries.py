@@ -2378,6 +2378,54 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).withColumn("score", F.round("score", 6))
 
 
+@_register(
+    "doc_winnowing_fingerprints",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM documents
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), sel AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints, CAST(SUM(h) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): per-doc count and
+    integer checksum of the selected k-gram hashes (k=8, window w=4). The
+    polynomial hash is exact 64-bit integer arithmetic, so the oracle
+    recomputes the identical fingerprint set from the formula — a full
+    value-hash check of a sketching operator, which float-based sketches
+    (HLL, simhash-over-xxhash) can't offer. Operator: operators/textops.py
+    winnowing_fingerprints — JVM transform/ascii hashing, one doc_id
+    shuffle for the window-min, one row per doc out."""
+    from scraping_jobsdb_spark.operators.textops import winnowing_fingerprints
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return winnowing_fingerprints(docs, k=8, w=4)
+
+
 @_register("approx_distinct_sketch", oracle=None)
 def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (the 100 TB cardinality path): HyperLogLog distinct
@@ -3695,6 +3743,7 @@ _GATE_PRIORITY = [
     # (d) new this round
     "cdc_row_changes_txn",
     "cdc_appends_since_txn",
+    "doc_winnowing_fingerprints",
     # (e) r1-green events readers — green rows predate the encoding change
     "count_distinct_pagination",
     "events_hourly_tumbling",
@@ -3714,7 +3763,6 @@ _GATE_PRIORITY = [
     "multimodal_binary_features",
     "deterministic_sample_split",
     "scd2_supplier_balances",
-    "gaps_and_islands",
 ]
 
 

@@ -313,3 +313,44 @@ def test_asof_join_equal_ts_tiebreak_deterministic(spark):
     for _ in range(3):
         out = asof_join(left, right, "k", "ts", "ts", ["value"]).collect()
         assert len(out) == 1 and out[0].asof_value == 30.0
+
+
+def test_connected_components_deep_path_converges_logarithmically(spark):
+    """A 400-node path (diameter 399) far exceeds a 25-round one-hop budget;
+    pointer jumping must close it in O(log d) rounds. Also cross-checks the
+    labels against a driver-side union-find on a random graph."""
+    import random
+
+    from scraping_jobsdb_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "id_a bigint, id_b bigint"
+    )
+    cc = {r.id: r.component for r in connected_components(chain).collect()}
+    assert set(cc.values()) == {0} and len(cc) == 400
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        ).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want

@@ -456,3 +456,32 @@ def test_bucketed_overwrite_and_compact_keep_layout(spark, tmp_path):
     assert t.bucket_spec()["n"] == 2
     assert len(t._manifest()["files"]) == 2
     assert sorted(_rows(t.read())) == [(3, "c"), (4, "d")]
+
+
+def test_cobucketed_join_needs_no_exchange_at_all(spark, tmp_path):
+    """Two txn tables bucketed identically on the join key: the join plans
+    with ZERO exchanges — the co-located-join contract that bucketing buys
+    for repeated fact-to-fact joins at scale."""
+    a = TxnTable.create(
+        spark, str(tmp_path / "a"),
+        _df(spark, [(i, f"a{i}") for i in range(100)]),
+        bucket_by=["k"], n_buckets=4,
+    )
+    b = TxnTable.create(
+        spark, str(tmp_path / "b"),
+        _df(spark, [(i, f"b{i}") for i in range(50, 150)]),
+        bucket_by=["k"], n_buckets=4,
+    )
+    # tiny test frames would auto-broadcast (also exchange-free on the
+    # bucketed side, but then the plan proves nothing about co-location);
+    # force the shuffle-join path a 100 TB fact-to-fact join would take
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.read().join(b.read().withColumnRenamed("v", "v2"), on=["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -1,0 +1,66 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Seeded ``df.sample`` is NOT reproducible across engines, partitionings, or
+even re-runs with a different file split — membership depends on the
+per-partition RNG stream. Every sampler here instead derives membership
+from a content hash of the row's key, so the same row makes the same
+decision everywhere: re-runs agree, Spark and the SQL oracle agree, and
+growing the table never reshuffles prior decisions. This is the
+training-data-curation contract (stable splits, stable subsets, auditable
+lineage) that `q_deterministic_sample_split` established for fractions,
+extended to exact-count and per-stratum forms.
+
+Scale posture: hash-rank sampling is one window per stratum (single shuffle
+on the stratum key); fraction sampling is a pure map. Neither materializes
+anything driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_fraction_sample", "stratified_exact_sample"]
+
+
+def _hash_rank(key: Column) -> Column:
+    """Deterministic pseudo-random total order: md5 of the stringified key.
+    Hex md5 compares identically as a string in every engine."""
+    return F.md5(key.cast("string"))
+
+
+def hash_fraction_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """~``fraction`` of rows, chosen by md5-prefix band of the key — the
+    fraction analogue of the split query: membership is a pure function of
+    the key. Uses the first 8 hex chars as a uniform 32-bit draw."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    draw = F.conv(F.substring(_hash_rank(F.col(key_col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return df.filter(draw < F.lit(int(fraction * 2**32)))
+
+
+def stratified_exact_sample(
+    df: DataFrame, stratum_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rank rows within each stratum by (md5(key), key) and keep the first k.
+
+    The hash makes the pick pseudo-random w.r.t. any meaningful column
+    while staying a pure function of the data; the key tiebreak makes it a
+    total order, so the selected set is unique and engine-independent
+    (oracle-checkable by value hash, unlike any RNG sampler). One shuffle
+    on the stratum key; the per-stratum sort is the window's local sort.
+    Balanced per-class subsets, eval slices, and per-language caps in a
+    corpus pipeline are all this operator."""
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        _hash_rank(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

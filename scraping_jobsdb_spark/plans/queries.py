@@ -3037,6 +3037,37 @@ def q_deterministic_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stratified_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 20
+    """,
+)
+def q_stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): exactly 20
+    documents per language, ranked by (md5(doc_id), doc_id) within each
+    stratum — the balanced per-class subset / per-language cap primitive of
+    a corpus pipeline. Unlike seeded df.sample, membership is a pure
+    function of the data (engine- and partitioning-independent), which is
+    what makes it value-hash-checkable at all. One shuffle on the stratum
+    key."""
+    from scraping_jobsdb_spark.operators.sampling import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return stratified_exact_sample(docs, ["lang"], "doc_id", 20)
+
+
+@_register(
     "decontamination_exact_overlap",
     oracle="""
     WITH bench AS (
@@ -3744,6 +3775,7 @@ _GATE_PRIORITY = [
     "cdc_row_changes_txn",
     "cdc_appends_since_txn",
     "doc_winnowing_fingerprints",
+    "stratified_sample_per_lang",
     # (e) r1-green events readers — green rows predate the encoding change
     "count_distinct_pagination",
     "events_hourly_tumbling",
@@ -3762,7 +3794,6 @@ _GATE_PRIORITY = [
     "neardup_components",
     "multimodal_binary_features",
     "deterministic_sample_split",
-    "scd2_supplier_balances",
 ]
 
 

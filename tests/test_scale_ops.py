@@ -354,3 +354,40 @@ def test_connected_components_deep_path_converges_logarithmically(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_stratified_exact_sample_counts_and_determinism(spark):
+    from scraping_jobsdb_spark.operators.sampling import stratified_exact_sample
+
+    rows = [(i, "ab"[i % 2], i * 10) for i in range(100)] + [(1000, "c", 5)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, x bigint")
+    got = stratified_exact_sample(df, ["grp"], "id", 7)
+    by_grp = {
+        r.grp: r.n for r in got.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # exactly k per stratum, capped at stratum size
+    assert by_grp == {"a": 7, "b": 7, "c": 1}
+    # deterministic: same selection on re-run and under different partitioning
+    a = sorted(r.id for r in got.collect())
+    b = sorted(
+        r.id
+        for r in stratified_exact_sample(df.repartition(13), ["grp"], "id", 7).collect()
+    )
+    assert a == b
+
+
+def test_hash_fraction_sample_is_stable_membership(spark):
+    from scraping_jobsdb_spark.operators.sampling import hash_fraction_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    picked = sorted(r.id for r in hash_fraction_sample(df, "id", 0.25).collect())
+    # roughly the asked fraction (hash-uniform; generous bounds)
+    assert 0.18 * 2000 < len(picked) < 0.32 * 2000
+    # growing the table never changes prior membership
+    bigger = spark.createDataFrame([(i,) for i in range(3000)], "id bigint")
+    picked2 = {r.id for r in hash_fraction_sample(bigger, "id", 0.25).collect()}
+    assert set(picked) == {i for i in picked2 if i < 2000}
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_fraction_sample(df, "id", 1.5)

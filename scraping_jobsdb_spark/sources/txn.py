@@ -78,6 +78,52 @@ class TxnConflict(RuntimeError):
     """Raised when an operation exhausts its OCC retries."""
 
 
+_Z_BITS = 16
+
+
+def _zorder_value(df: DataFrame, cols: list[str]) -> Column:
+    """BIGINT Morton code over ``cols``: each column min/max-normalized to
+    16 bits (bounds from one small aggregate), bits interleaved with
+    shiftleft/or — a flat JVM expression, no UDF. Dates/timestamps go
+    through an epoch cast; an all-constant column contributes zeros."""
+    numeric = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt in ("date",):
+            col = F.datediff(col, F.lit("1970-01-01"))
+        elif dt.startswith("timestamp"):
+            col = F.unix_timestamp(col)
+        numeric.append(col.cast("double"))
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(numeric)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(numeric)],
+    ).collect()[0]
+    scaled = []
+    for i, c in enumerate(numeric):
+        lo, hi = bounds[f"lo{i}"], bounds[f"hi{i}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        unit = (c - F.lit(float(lo))) / F.lit(float(hi - lo))
+        scaled.append(
+            F.least(
+                F.lit((1 << _Z_BITS) - 1),
+                F.floor(unit * ((1 << _Z_BITS) - 1)).cast("bigint"),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    k = len(scaled)
+    for bit in range(_Z_BITS):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, bit).bitwiseAND(F.lit(1)), bit * k + i
+                )
+            )
+    return z
+
+
 def _manifest_name(version: int) -> str:
     return f"v{version:010d}.json"
 
@@ -703,7 +749,7 @@ class TxnTable:
         new_files: list[str] = []
         for v in range(version + 1, current + 1):
             m = self._manifest(v)
-            if m["op"] in ("overwrite", "merge", "compact"):
+            if m["op"] in ("overwrite", "merge", "compact", "zorder"):
                 raise ValueError(
                     f"version {v} is a {m['op']}: the file delta is not an "
                     "append stream; re-read the snapshot instead"
@@ -759,6 +805,53 @@ class TxnTable:
                 new_files, snapshot.schema, "compact", n, len(new_files),
                 self._snapshot_extra(base, new_files, bucket),
             )
+
+        return self._occ_loop(attempt)
+
+    def zorder_by(
+        self, cols: list[str], target_partitions: int | None = None
+    ) -> int:
+        """Whole-snapshot rewrite clustered along the Z-order (Morton) curve
+        of ``cols`` — multi-column file skipping for the manifest stats
+        index.
+
+        A linear sort makes per-file min/max tight on the leading column
+        only; interleaving the columns' bits makes every file a small
+        hyper-rectangle in the cluster space, so ``read_pruned`` on ANY of
+        the cluster columns skips most files (the Delta/Iceberg OPTIMIZE
+        ZORDER answer to multi-dimension point/range lookups). Each column
+        is min/max-normalized to a 16-bit integer (one tiny agg for the
+        bounds — numeric/date/timestamp columns only), bits are interleaved
+        JVM-side (shiftleft/or expressions), and the snapshot is range-
+        partitioned + sorted on the z-value. The cluster columns join the
+        manifest's stats_cols so the new layout is immediately prunable.
+        Returns the new file count. Conflicts with bucketing (two layouts
+        can't both own the write distribution) — bucketed tables raise.
+        """
+        self._require_unbucketed("zorder_by")
+        if not cols:
+            raise ValueError("zorder_by needs at least one column")
+
+        def attempt(base):
+            snap = self.read(base)
+            zval = _zorder_value(snap, cols)
+            n_parts = target_partitions or max(
+                1, self.spark.sparkContext.defaultParallelism
+            )
+            clustered = (
+                snap.withColumn("__z", zval)
+                .repartitionByRange(n_parts, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            new_files, n = self._write_data(clustered)
+            m = self._manifest(base)
+            stats_cols = sorted(set(m.get("stats_cols") or []) | set(cols))
+            extra = {
+                "stats_cols": stats_cols,
+                "file_stats": self._collect_file_stats(new_files, stats_cols),
+            }
+            return new_files, snap.schema, "zorder", n, len(new_files), extra
 
         return self._occ_loop(attempt)
 

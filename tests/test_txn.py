@@ -485,3 +485,43 @@ def test_cobucketed_join_needs_no_exchange_at_all(spark, tmp_path):
         assert joined.count() == 50
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ------------------------------------------------------------------ z-order
+
+
+def test_zorder_prunes_on_every_cluster_column(spark, tmp_path):
+    """After zorder_by([x, y]), a narrow range on EITHER column prunes most
+    files via manifest stats — the multi-dimension layout a linear sort
+    cannot give (sorted by x, a y-range keeps everything)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(10000), rng.randrange(10000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint").repartition(16)
+    t = TxnTable.create(spark, str(tmp_path / "z"), df, stats_cols=["x", "y"])
+    n_files = len(t._manifest()["files"])
+    # round-robin layout: every file spans ~the full range of both columns
+    assert len(t.pruned_files("x", 0, 500)) == n_files
+    t.zorder_by(["x", "y"], target_partitions=16)
+    m = t._manifest()
+    assert m["op"] == "zorder" and sorted(m["stats_cols"]) == ["x", "y"]
+    nf = len(m["files"])
+    kept_x = len(t.pruned_files("x", 0, 500))
+    kept_y = len(t.pruned_files("y", 0, 500))
+    assert kept_x < nf / 2, (kept_x, nf)
+    assert kept_y < nf / 2, (kept_y, nf)
+    # pruned read still returns exactly the predicate's rows
+    want = sorted((r[0]) for r in rows if 0 <= r[1] <= 500)
+    got = sorted(r.id for r in t.read_pruned("x", 0, 500).collect())
+    assert got == want
+    # history intact: version 1 still reads the original snapshot
+    assert t.read(1).count() == 20000
+
+
+def test_zorder_rejected_on_bucketed_table(spark, tmp_path):
+    t = TxnTable.create(
+        spark, str(tmp_path / "b"), _df(spark, [(1, "a")]), bucket_by=["k"], n_buckets=2
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        t.zorder_by(["k"])

@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "funnel_click_to_purchase",
     "dedup_pipeline_end_to_end",
     "llm_corpus_prep",
+    # --- round 3 additions (keep appending, never reorder) ---
+    "doc_winnowing_fingerprints",
+    "stratified_sample_per_lang",
+    "cdc_row_changes_txn",
+    "tfidf_top_terms",
+    "embedding_topk_np",
 ]
 
 

@@ -53,6 +53,9 @@ REQUIRED = [
     ("multimodal_binary_features", "MapInPandas"),
     # zero-extra-pass DQ: metrics ride the job as a CollectMetrics node
     ("dq_bounds_observed", "CollectMetrics"),
+    # stratified exact-k compiles to map-side per-stratum top-k before the
+    # shuffle, not a full sort of every stratum
+    ("stratified_sample_per_lang", "WindowGroupLimit"),
 ]
 
 FORBIDDEN = [
@@ -74,6 +77,9 @@ FORBIDDEN = [
     # never the O(n^2) nested-loop form
     ("embedding_neardup_pairs", "BroadcastNestedLoopJoin"),
     ("embedding_neardup_pairs", "CartesianProduct"),
+    # winnowing's window-min partitions by doc_id — never a global window
+    ("doc_winnowing_fingerprints", "SinglePartition"),
+    ("doc_winnowing_fingerprints", "CartesianProduct"),
 ]
 
 

@@ -3037,6 +3037,77 @@ def q_deterministic_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_corpus_prep",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, source, text,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), deduped AS (
+        -- sha256 over the text == sha256 over its utf-8 bytes (what the
+        -- engine digests); this DuckDB build's sha256 binds VARCHAR only
+        SELECT doc_id, source, n_bytes FROM (
+            SELECT doc_id, source, n_bytes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sha256(text) ORDER BY doc_id
+                   ) AS rn
+            FROM media
+        ) WHERE rn = 1
+    ), quality AS (
+        SELECT * FROM deduped WHERE n_bytes BETWEEN 50 AND 5000
+    ), capped AS (
+        SELECT doc_id, source, n_bytes FROM (
+            SELECT doc_id, source, n_bytes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM quality
+        ) WHERE rk <= 50
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM capped GROUP BY source
+    """,
+)
+def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal corpus prep over opaque binary payloads (the
+    utf-8 bytes of each document standing in for image/audio content, as in
+    the other multimodal stages): content-digest exact dedup (first doc_id
+    per sha256 wins), size-window quality gate, deterministic per-source
+    cap (operators/sampling.py stratified_exact_sample), per-source rollup.
+    The binary-pipeline composition story — every stage the digest/decode/
+    sample operators provide, chained and value-hash-verified. Two window
+    shuffles + one aggregate; the payloads never leave the JVM (digest and
+    length are built-ins), which is exactly how a 100 TB media crawl should
+    run its metadata passes."""
+    from scraping_jobsdb_spark.operators.sampling import stratified_exact_sample
+
+    media = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.encode("text", "utf-8").alias("content"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    w = Window.partitionBy(F.sha2("content", 256)).orderBy("doc_id")
+    deduped = (
+        media.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_bytes")
+    )
+    quality = deduped.filter(F.col("n_bytes").between(50, 5000))
+    capped = stratified_exact_sample(quality, ["source"], "doc_id", 50)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@_register(
     "stratified_sample_per_lang",
     oracle="""
     SELECT doc_id, lang, n_chars
@@ -3776,6 +3847,7 @@ _GATE_PRIORITY = [
     "cdc_appends_since_txn",
     "doc_winnowing_fingerprints",
     "stratified_sample_per_lang",
+    "multimodal_corpus_prep",
     # (e) r1-green events readers — green rows predate the encoding change
     "count_distinct_pagination",
     "events_hourly_tumbling",
@@ -3791,7 +3863,6 @@ _GATE_PRIORITY = [
     "large_order_customers",
     "impute_interval_merge",
     "doc_exact_dedup",
-    "neardup_components",
     "multimodal_binary_features",
     "deterministic_sample_split",
 ]

@@ -216,8 +216,7 @@ def winnowing_fingerprints(
     whitespace-normalized lowercased text, B=257, M=1e9+7 — pure 64-bit
     integer arithmetic (every intermediate < 255 * M << 2^63), bit-identical
     in any engine that follows the formula (the DuckDB oracle recomputes it
-    independently), built entirely from JVM expressions (transform +
-    ascii/substr): no UDF in the hashing path.
+    independently), built entirely from JVM expressions: no UDF anywhere.
 
     Selection rule (deterministic, engine-portable): position i is selected
     iff h(i) equals the minimum hash of the trailing window
@@ -228,35 +227,42 @@ def winnowing_fingerprints(
     of the distinct selected hashes (a compact integer sketch that any
     engine reproduces bit-exactly).
 
-    Scale: gram hashing + window-min are per-doc map/window work after ONE
-    shuffle on doc_id (the window partition); output is one row per doc.
-    For 100 TB the doc_id partition count follows the scan, and no stage
-    materializes more than the exploded gram stream.
+    Physical shape — learned the hard way (both measured at sf0.1):
+    per-position ``substr(s, i, 1)`` is O(i) on byte-addressed UTF8 strings
+    (the whole doc goes quadratic: 251 s), and staging a char-code array in
+    a separate projection gets CollapseProject-inlined into every
+    element_at, recomputing the array per position (worse). The stable form
+    explodes the text to one row per character and computes each gram hash
+    from ``lead(code, j)`` columns: the k leads, the winnowing min, and the
+    selection all share ONE window partitioning (doc_id, ordered by pos) —
+    a single shuffle, O(len·k) work, nothing quadratic anywhere.
+
+    Scale: for 100 TB the doc_id partition count follows the scan and no
+    stage materializes more than the exploded character stream.
     """
     powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
-    terms = " + ".join(
-        f"ascii(substr(__winnow_s, i + {j + 1}, 1)) * cast({powers[j]} as bigint)"
-        for j in range(k)
+    order = Window.partitionBy(id_col).orderBy("pos")
+    code = F.ascii("ch").cast("bigint")
+    gram_hash = (
+        sum(
+            (F.lead(code, j).over(order) if j else code) * F.lit(powers[j])
+            for j in range(k)
+        )
+        % WINNOW_MOD
     )
-    grams = (
-        f"case when length(__winnow_s) < {k} then array() "
-        f"else transform(sequence(0, length(__winnow_s) - {k}), "
-        f"i -> ({terms}) % {WINNOW_MOD}) end"
-    )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(-(w - 1), Window.currentRow)
-    )
+    win = order.rowsBetween(-(w - 1), Window.currentRow)
     return (
         docs.select(
             id_col,
-            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
-                "__winnow_s"
-            ),
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+                    "",
+                )
+            ).alias("pos", "ch"),
         )
-        .select(id_col, F.expr(grams).alias("__hashes"))
-        .select(id_col, F.posexplode("__hashes").alias("pos", "h"))
+        .withColumn("h", gram_hash)
+        .filter(F.col("h").isNotNull())  # tail positions with < k chars left
         .withColumn("__wmin", F.min("h").over(win))
         .filter(F.col("h") == F.col("__wmin"))
         .select(id_col, "h")

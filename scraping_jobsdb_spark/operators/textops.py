@@ -30,6 +30,8 @@ __all__ = [
     "bpe_ish_token_count",
     "tfidf_top_terms",
     "winnowing_fingerprints",
+    "winnowing_fingerprint_set",
+    "fingerprint_containment_pairs",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -240,6 +242,26 @@ def winnowing_fingerprints(
     Scale: for 100 TB the doc_id partition count follows the scan and no
     stage materializes more than the exploded character stream.
     """
+    return (
+        winnowing_fingerprint_set(docs, k, w, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum("h").alias("fp_sum"),
+        )
+    )
+
+
+def winnowing_fingerprint_set(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The distinct selected fingerprint hashes per document — (id, h) rows,
+    the winnowing selection itself (see ``winnowing_fingerprints`` for the
+    hash formula, selection rule, and the physical-shape rationale)."""
     powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
     order = Window.partitionBy(id_col).orderBy("pos")
     code = F.ascii("ch").cast("bigint")
@@ -267,9 +289,62 @@ def winnowing_fingerprints(
         .filter(F.col("h") == F.col("__wmin"))
         .select(id_col, "h")
         .distinct()
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.sum("h").alias("fp_sum"),
+    )
+
+
+def fingerprint_containment_pairs(
+    docs: DataFrame,
+    threshold_milli: int = 800,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs whose winnowing-fingerprint overlap covers at least
+    ``threshold_milli``/1000 of the SMALLER document's fingerprint set —
+    the containment (near-dup / plagiarism-style) join over the sketch.
+
+    All-integer: shared counts and set sizes are ints and the threshold is
+    applied by cross-multiplication (shared * 1000 >= t * min(|A|, |B|)),
+    so the result is engine-exact — a fully oracle-able near-dup operator,
+    unlike seeded-hash LSH candidates.
+
+    Scale shape: one equi-join on the fingerprint hash — the LSH-banding
+    economics (only docs sharing a selected gram ever meet). Stop-gram
+    guard: hashes selected by more than ``max_df`` documents are dropped
+    before the join (boilerplate grams shared by half the corpus would
+    otherwise quadratically expand the pair stream; identical to the
+    max_bucket guard on MinHash bands). Containment is measured over the
+    PRUNED sets — sizes and shared counts from the same universe —
+    otherwise growing the corpus (which turns ever more grams into
+    stop-grams) silently deflates every ratio toward zero. Deterministic
+    given (k, w, max_df)."""
+    fps = winnowing_fingerprint_set(docs, k, w, text_col, id_col)
+    rare = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    pruned = fps.join(rare, "h")
+    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = pruned.select(F.col(id_col).alias("id_a"), "h")
+    b = pruned.select(F.col(id_col).alias("id_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("fp_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("shared_fp") * 1000
+            >= F.lit(threshold_milli) * F.least("fp_a", "fp_b")
         )
+        .select("id_a", "id_b", "shared_fp", "fp_a", "fp_b")
     )

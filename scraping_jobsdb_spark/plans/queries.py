@@ -2426,6 +2426,82 @@ def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, w=4)
 
 
+@_register(
+    "winnowing_containment_pairs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.shared_fp,
+           sa.n_fp AS fp_a, sb.n_fp AS fp_b
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    """,
+)
+def q_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join over winnowing fingerprints: pairs whose shared
+    selected-gram count covers ≥80% of the smaller document's fingerprint
+    set, over the corpus with deterministically-injected near-dups (every
+    10th doc re-appended minus its last word — the same injection as the
+    MinHash query, here with a FULLY value-hash-checkable answer because
+    the sketch is integer-exact and the threshold is applied by
+    cross-multiplication). One equi-join on the fingerprint hash with a
+    stop-gram df guard — LSH-banding economics, deterministic result."""
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return fingerprint_containment_pairs(
+        docs.unionByName(near), threshold_milli=800, k=8, w=4, max_df=50
+    )
+
+
 @_register("approx_distinct_sketch", oracle=None)
 def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (the 100 TB cardinality path): HyperLogLog distinct
@@ -3848,6 +3924,7 @@ _GATE_PRIORITY = [
     "doc_winnowing_fingerprints",
     "stratified_sample_per_lang",
     "multimodal_corpus_prep",
+    "winnowing_containment_pairs",
     # (e) r1-green events readers — green rows predate the encoding change
     "count_distinct_pagination",
     "events_hourly_tumbling",
@@ -3862,7 +3939,6 @@ _GATE_PRIORITY = [
     "promo_revenue_ratio",
     "large_order_customers",
     "impute_interval_merge",
-    "doc_exact_dedup",
     "multimodal_binary_features",
     "deterministic_sample_split",
 ]

@@ -439,3 +439,32 @@ def test_winnowing_fingerprints_properties(spark):
     # is exercised end-to-end by the oracle-checked gate query)
     assert out[1] != out[4]
     assert out[1] != out[3]
+
+
+def test_fingerprint_containment_finds_injected_near_dups(spark):
+    """A doc truncated by one word must pair with its original at >= 80%
+    containment of the (pruned) smaller fingerprint set; unrelated docs
+    must not pair."""
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly in the plain and the band played on"
+    )
+    rows = [
+        (1, base),
+        (2, base.rsplit(" ", 1)[0]),  # near-dup: last word dropped
+        (3, "entirely unrelated content about database query optimizers "
+            "and the cost models they use for join ordering decisions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in fingerprint_containment_pairs(
+            docs, threshold_milli=800, max_df=50
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

@@ -651,6 +651,7 @@ class TxnTable:
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: Column | None = None,
         when_not_matched_insert: bool = True,
+        evolve_schema: bool = False,
     ) -> int:
         """Copy-on-write MERGE (SQL MERGE INTO semantics):
 
@@ -665,6 +666,12 @@ class TxnTable:
 
         One full-outer join on the key; the whole new snapshot commits
         atomically. Returns the new row count.
+
+        ``evolve_schema=True`` additionally appends source-only columns to
+        the table schema (the additive evolution append already supports):
+        matched and inserted rows take the source value, target-only rows
+        get null — Delta's mergeSchema contract. Off by default so a typo'd
+        source column is an error, not a silent new column.
 
         Like SQL MERGE, multiple source rows hitting the same key are
         rejected (the full-outer join would silently fan the target row out
@@ -721,6 +728,19 @@ class TxnTable:
                     .cast(f.dataType)
                     .alias(c)
                 )
+            if evolve_schema:
+                target_names = {f.name for f in target.schema.fields}
+                for f in source.schema.fields:
+                    c = f.name
+                    if c in target_names or c == "__s":
+                        continue
+                    # new column: source value where a source row exists,
+                    # null for carried target-only rows
+                    cols.append(
+                        F.when(F.col("__s").isNotNull(), F.col(f"s.{c}"))
+                        .otherwise(F.lit(None).cast(f.dataType))
+                        .alias(c)
+                    )
             result = joined
             if not when_not_matched_insert:
                 result = result.filter(F.col("__t").isNotNull())
@@ -728,7 +748,7 @@ class TxnTable:
             bucket = self.bucket_spec(base)
             new_files, n = self._write_data(result, bucket=bucket)
             return (
-                new_files, target.schema, "merge", n, n,
+                new_files, result.schema, "merge", n, n,
                 self._snapshot_extra(base, new_files, bucket),
             )
 

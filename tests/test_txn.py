@@ -525,3 +525,21 @@ def test_zorder_rejected_on_bucketed_table(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed"):
         t.zorder_by(["k"])
+
+
+def test_merge_schema_evolution_adds_source_columns(spark, tdir):
+    """evolve_schema=True: source-only columns join the table schema --
+    source rows carry their value, pre-existing rows read null. Off by
+    default: unknown source columns are silently ignored (documented)."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    source = _df(
+        spark, [(2, "B", 20), (3, "c", 30)], "k bigint, v string, score bigint"
+    )
+    t.merge(source, on=["k"], when_matched_update={"v": "v"}, evolve_schema=True)
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 20), 3: ("c", 30)}
+    # next merge sees score as a regular (carried) column
+    t.merge(_df(spark, [(4, "d", 40)], "k bigint, v string, score bigint"), on=["k"])
+    assert {r.k: r.score for r in t.read().collect()}[4] == 40
+    # time travel reads v1 with its original two-column schema
+    assert t.read(1).columns == ["k", "v"]

@@ -339,3 +339,53 @@ def test_rate_source_continuous_trigger_into_txn_sink(spark, tmp_path):
     distinct = t.read().select("k").distinct().count()
     assert n == distinct  # exactly-once: no value delivered twice
     assert t.committed_epoch("rate_smoke") >= 0
+
+
+def test_txn_appends_stream_exactly_once_across_restarts(spark, tmp_path):
+    """The manifest log as an offset log: a checkpointed stream over txn
+    appends delivers each committed row exactly once across restarts, and
+    a non-append commit in the offset range fails the batch loudly."""
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+    from scraping_jobsdb_spark.streaming.txn_source import (
+        TxnAppendsStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnAppendsStreamDataSource)
+    d = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable.create(
+        spark, d, spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    )
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+
+    def drain():
+        q = (
+            spark.readStream.format("txn_appends").option("path", d).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    assert drain() == [(1, "a"), (2, "b"), (3, "c")]
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, v string"))
+    assert drain() == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert drain() == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]  # no news, no dupes
+
+    # a rewrite poisons the stream: the next batch must fail, not lie
+    t.merge(
+        spark.createDataFrame([(1, "A")], "k bigint, nv string"),
+        on=["k"],
+        when_matched_update={"v": "nv"},
+    )
+    t.append(spark.createDataFrame([(9, "z")], "k bigint, v string"))
+    import pyspark.errors
+
+    try:
+        drain()
+    except pyspark.errors.exceptions.captured.StreamingQueryException as e:
+        assert "append stream" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("merge in offset range must fail the stream")

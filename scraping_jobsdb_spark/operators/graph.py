@@ -57,6 +57,17 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Convergence witness: labels only ever DECREASE under min-propagation,
+    # so the label sum strictly decreases iff any label changed — one
+    # aggregate per round instead of a join-and-compare against the
+    # previous round's table (an extra shuffle at billion-node scale).
+    # decimal(38,0): exact, and immune to bigint overflow on huge graphs.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # 1-hop propagation: min over neighbors' current labels
         neighbor_min = (
@@ -64,13 +75,19 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        propagated = labels.join(
-            neighbor_min, labels.id == neighbor_min.u, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
+        # checkpointed: the pointer-jump self-join below references this plan
+        # twice, so without materialization the propagation join+aggregate
+        # would run once per side — doubling exactly the per-round work the
+        # jump is meant to save.
+        propagated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
         # pointer jump: label(u) := label(label(u)). Labels are node ids, so
         # the lookup is a self-join against the same label table; each jump
@@ -93,16 +110,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             return labels.select("id", F.col("label").alias("component"))
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "this should be unreachable with pointer jumping; check the input "

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # allow join children partitioned on a SUBSET of the join keys to
+        # co-partition (bucketed tables joined on bucket-cols-plus-more, e.g.
+        # the co-bucketed CDC diff) instead of forcing a full-key reshuffle
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

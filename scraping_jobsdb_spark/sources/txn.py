@@ -50,10 +50,28 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["TxnTable", "TxnConflict", "read_table_any"]
+__all__ = [
+    "TxnTable",
+    "TxnConflict",
+    "read_table_any",
+    "APPEND_OPS",
+    "read_manifest",
+    "current_version",
+    "append_delta_files",
+]
 
 _TXN_DIR = "_txn"
 _DATA_DIR = "data"
+
+# Commit ops whose file delta IS a row delta (pure additions). Everything
+# else (overwrite/merge/compact/zorder) rewrites files, so its delta cannot
+# be tailed as an append stream. Single source of truth for BOTH the batch
+# CDC path (read_appends_since) and the streaming source
+# (streaming/txn_source.py) — an allowlist, so a future op defaults to
+# "not streamable" instead of silently leaking rewritten files downstream.
+APPEND_OPS = frozenset(
+    {"create", "append", "idempotent_append", "stream_epoch_append", "adopt"}
+)
 
 
 def _jsonable(v):
@@ -74,6 +92,115 @@ def read_table_any(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# --------------------------------------------------------------------------
+# Manifest-log primitives. Pure Python (no SparkSession), so the streaming
+# source — which runs where no session exists — shares the exact same code
+# as TxnTable instead of re-implementing the log layout.
+# --------------------------------------------------------------------------
+
+
+# Append commits between checkpoints write DELTA manifests ("adds" only);
+# every _CHECKPOINT_INTERVAL-th version — and every whole-snapshot rewrite —
+# writes the complete file list. Keeps per-commit manifest size O(delta)
+# instead of O(table files) on long append histories, while resolution cost
+# stays bounded at O(interval) raw reads (Delta's checkpoint design).
+_CHECKPOINT_INTERVAL = 10
+
+
+def _read_raw_manifest(table_path: str, version: int) -> dict[str, Any]:
+    """The manifest EXACTLY as stored: either a checkpoint (complete
+    "files" list) or an append delta ("adds" + "delta_base")."""
+    if version <= 0:
+        raise FileNotFoundError(f"{table_path}: no committed snapshot")
+    with open(
+        os.path.join(table_path, _TXN_DIR, _manifest_name(version))
+    ) as fh:
+        return json.load(fh)
+
+
+def read_manifest(table_path: str, version: int) -> dict[str, Any]:
+    """Manifest ``version`` with "files" (and merged "file_stats") always
+    materialized: delta manifests are resolved by walking back to the
+    nearest checkpoint — at most ``_CHECKPOINT_INTERVAL`` raw reads —
+    and replaying the adds in commit order. Consumers never see the
+    delta encoding."""
+    m = _read_raw_manifest(table_path, version)
+    if "files" in m:
+        return m
+    deltas = [m]
+    v = version - 1
+    while True:
+        base = _read_raw_manifest(table_path, v)
+        if "files" in base:
+            break
+        deltas.append(base)
+        v -= 1
+    files = list(base["files"])
+    stats = dict(base.get("file_stats") or {})
+    for d in reversed(deltas):
+        files.extend(d["adds"])
+        stats.update(d.get("file_stats") or {})
+    out = dict(m)
+    out["files"] = files
+    if m.get("stats_cols") or base.get("stats_cols"):
+        out.setdefault("stats_cols", base.get("stats_cols"))
+        out["file_stats"] = stats
+    return out
+
+
+def current_version(table_path: str) -> int:
+    """Highest committed version (0 = no commits yet)."""
+    log = os.path.join(table_path, _TXN_DIR)
+    if not os.path.isdir(log):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def append_delta_files(
+    table_path: str, from_version: int, to_version: int
+) -> list[str]:
+    """Relative paths of data files added in versions
+    ``(from_version, to_version]``, in commit order.
+
+    Raises if any version in the range is a non-append op (its file delta
+    is not a row delta — see ``APPEND_OPS``). Delta manifests hand over
+    their "adds" directly; checkpoint manifests diff against the carried
+    previous file set — so a range of n commits costs n raw manifest
+    reads plus one resolution of ``from_version``. This is the
+    incremental-offset path both ``read_appends_since`` and the streaming
+    source resolve batches with."""
+    prev: set[str] | None = None  # resolved lazily: delta-only ranges skip it
+    out: list[str] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_raw_manifest(table_path, v)
+        if m["op"] not in APPEND_OPS:
+            raise ValueError(
+                f"version {v} is a {m['op']}: the file delta is not an "
+                "append stream; re-read the snapshot instead"
+            )
+        if "adds" in m:
+            out.extend(m["adds"])
+            if prev is not None:
+                prev.update(m["adds"])
+        else:
+            if prev is None:
+                prev = (
+                    set(read_manifest(table_path, from_version)["files"])
+                    if from_version >= 1
+                    else set()
+                )
+                prev.update(out)
+            files = m["files"]
+            out.extend(f for f in files if f not in prev)
+            prev = set(files)
+    return out
+
+
 class TxnConflict(RuntimeError):
     """Raised when an operation exhausts its OCC retries."""
 
@@ -83,9 +210,19 @@ _Z_BITS = 16
 
 def _zorder_value(df: DataFrame, cols: list[str]) -> Column:
     """BIGINT Morton code over ``cols``: each column min/max-normalized to
-    16 bits (bounds from one small aggregate), bits interleaved with
+    up to 16 bits (bounds from one small aggregate), bits interleaved with
     shiftleft/or — a flat JVM expression, no UDF. Dates/timestamps go
-    through an epoch cast; an all-constant column contributes zeros."""
+    through an epoch cast; an all-constant column contributes zeros.
+
+    Bits per column are capped at ``63 // len(cols)`` so the interleaved
+    code never touches bit 63 (the BIGINT sign bit — rows landing there
+    would sort before everything) and no shiftleft amount reaches 64
+    (JVM shifts wrap mod 64, which would fold high bits onto low
+    positions and silently scramble the clustering).
+    """
+    if not cols:
+        raise ValueError("zorder requires at least one column")
+    bits = min(_Z_BITS, 63 // len(cols))
     numeric = []
     for c in cols:
         dt = dict(df.dtypes)[c]
@@ -108,13 +245,13 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> Column:
         unit = (c - F.lit(float(lo))) / F.lit(float(hi - lo))
         scaled.append(
             F.least(
-                F.lit((1 << _Z_BITS) - 1),
-                F.floor(unit * ((1 << _Z_BITS) - 1)).cast("bigint"),
+                F.lit((1 << bits) - 1),
+                F.floor(unit * ((1 << bits) - 1)).cast("bigint"),
             )
         )
     z = F.lit(0).cast("bigint")
     k = len(scaled)
-    for bit in range(_Z_BITS):
+    for bit in range(bits):
         for i, s in enumerate(scaled):
             z = z.bitwiseOR(
                 F.shiftleft(
@@ -252,21 +389,11 @@ class TxnTable:
         return t
 
     def version(self) -> int:
-        if not os.path.isdir(self._log):
-            return 0
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(self._log)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions, default=0)
+        return current_version(self.path)
 
     def _manifest(self, version: int | None = None) -> dict[str, Any]:
         v = version if version is not None else self.version()
-        if v == 0:
-            raise FileNotFoundError(f"{self.path}: no committed snapshot")
-        with open(os.path.join(self._log, _manifest_name(v))) as fh:
-            return json.load(fh)
+        return read_manifest(self.path, v)
 
     def history(self) -> list[dict[str, Any]]:
         return [self._manifest(v) for v in range(1, self.version() + 1)]
@@ -301,16 +428,20 @@ class TxnTable:
         if bucket:
             cols, n_buckets = bucket["cols"], bucket["n"]
             tmp_name = f"sjs_bucket_write_{token[:12]}"
-            (
-                df.repartition(n_buckets, *cols)
-                .write.mode("error")
-                .format("parquet")
-                .bucketBy(n_buckets, *cols)
-                .sortBy(*cols)
-                .option("path", out_dir)
-                .saveAsTable(tmp_name)
-            )
-            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+            try:
+                (
+                    df.repartition(n_buckets, *cols)
+                    .write.mode("error")
+                    .format("parquet")
+                    .bucketBy(n_buckets, *cols)
+                    .sortBy(*cols)
+                    .option("path", out_dir)
+                    .saveAsTable(tmp_name)
+                )
+            finally:
+                # the transient name must not outlive the write, even when
+                # saveAsTable fails after partially registering it
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
         else:
             df.write.mode("error").parquet(out_dir)
         files = self._list_parquet(out_dir)
@@ -363,7 +494,12 @@ class TxnTable:
         """Publish ``base_version + 1``. Returns False on a lost race (a
         manifest for that version already exists); the caller retries against
         the new snapshot. os.link is atomic: readers see a complete manifest
-        or none."""
+        or none.
+
+        Append-family commits between checkpoints store only their file
+        DELTA ("adds"); every ``_CHECKPOINT_INTERVAL``-th version and every
+        whole-snapshot rewrite stores the complete list, bounding both
+        per-commit manifest size and read-side resolution depth."""
         os.makedirs(self._log, exist_ok=True)
         rel_files = [os.path.relpath(f, self.path) for f in files]
         extra = dict(extra or {})
@@ -380,6 +516,32 @@ class TxnTable:
             "n_rows": n_rows,
             **extra,
         }
+        if (
+            op in APPEND_OPS
+            and base_version >= 1
+            and (base_version + 1) % _CHECKPOINT_INTERVAL != 0
+        ):
+            base_files = read_manifest(self.path, base_version)["files"]
+            # appends only ever extend the base list in place; anything else
+            # (defensive) keeps the full-manifest form
+            if rel_files[: len(base_files)] == base_files:
+                adds = rel_files[len(base_files):]
+                manifest = {
+                    "version": base_version + 1,
+                    "adds": adds,
+                    "delta_base": base_version,
+                    "schema": schema.json(),
+                    "op": op,
+                    "n_rows": n_rows,
+                    **extra,
+                }
+                if "file_stats" in extra:
+                    add_set = set(adds)
+                    manifest["file_stats"] = {
+                        f: s
+                        for f, s in extra["file_stats"].items()
+                        if f in add_set
+                    }
         scratch = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(scratch, "w") as fh:
             json.dump(manifest, fh)
@@ -422,16 +584,18 @@ class TxnTable:
         loc = os.path.join(self.path, bucket["dir"])
         tag = hashlib.md5(f"{self.path}@{m['version']}".encode()).hexdigest()[:12]
         name = f"sjs_txn_snap_{tag}"
-        if not self.spark.catalog.tableExists(name):
-            ddl_cols = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-            )
-            bcols = ", ".join(f"`{c}`" for c in bucket["cols"])
-            self.spark.sql(
-                f"CREATE TABLE {name} ({ddl_cols}) USING parquet "
-                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
-                f"INTO {bucket['n']} BUCKETS LOCATION '{loc}'"
-            )
+        # IF NOT EXISTS: the name is deterministic per (path, version) and the
+        # definition is a pure function of the manifest, so concurrent readers
+        # racing past a tableExists() check must not throw TableAlreadyExists.
+        ddl_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        bcols = ", ".join(f"`{c}`" for c in bucket["cols"])
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl_cols}) USING parquet "
+            f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+            f"INTO {bucket['n']} BUCKETS LOCATION '{loc}'"
+        )
         return self.spark.table(name)
 
     def pruned_files(
@@ -766,16 +930,7 @@ class TxnTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m["schema"]))
             )
-        new_files: list[str] = []
-        for v in range(version + 1, current + 1):
-            m = self._manifest(v)
-            if m["op"] in ("overwrite", "merge", "compact", "zorder"):
-                raise ValueError(
-                    f"version {v} is a {m['op']}: the file delta is not an "
-                    "append stream; re-read the snapshot instead"
-                )
-            prev = set(self._manifest(v - 1)["files"]) if v > 1 else set()
-            new_files.extend(f for f in m["files"] if f not in prev)
+        new_files = append_delta_files(self.path, version, current)
         schema = StructType.fromJson(json.loads(self._manifest(current)["schema"]))
         if not new_files:
             return self.spark.createDataFrame([], schema)
@@ -786,17 +941,97 @@ class TxnTable:
     def read_row_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed between two snapshots, computed from the
         snapshots themselves: deletes = rows in FROM but not TO, inserts =
-        rows in TO but not FROM (multiset exceptAll, so duplicate rows count
+        rows in TO but not FROM (multiset semantics, so duplicate rows count
         correctly); an update surfaces as its delete+insert pair. Works for
         EVERY operation (append/merge/overwrite/compact) with zero write-path
-        cost — the compute-on-read tradeoff vs Delta's stored change files:
-        two snapshot scans per call, the right default while changes are
-        consumed rarely; store change files only when CDC becomes the hot
-        path. Returns the table schema + ``_change_type`` string column."""
+        cost — the compute-on-read tradeoff vs Delta's stored change files;
+        store change files only when CDC becomes the hot path. Returns the
+        table schema + ``_change_type`` string column.
+
+        Physical strategy: when BOTH snapshots carry the same bucket spec
+        (and schema), the diff runs per-bucket with ZERO global exchange —
+        each side aggregates row multiplicities within its bucket (the
+        bucket cols are a subset of the grouping cols, so the bucketed
+        scan's hash distribution already satisfies the aggregate), and the
+        two counted sides full-outer join co-partitioned. Unbucketed
+        snapshots fall back to the two-scan ``exceptAll`` form, which
+        shuffles both snapshots on all columns."""
         old = self.read(from_version)
         new = self.read(to_version)
+        bf = self.bucket_spec(from_version)
+        bt = self.bucket_spec(to_version)
+        if (
+            bf is not None
+            and bt is not None
+            and bf["cols"] == bt["cols"]
+            and bf["n"] == bt["n"]
+            and old.columns == new.columns
+        ):
+            return self._row_changes_cobucketed(old, new, bf["cols"])
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        return deletes.unionByName(inserts)
+
+    @staticmethod
+    def _row_changes_cobucketed(
+        old: DataFrame, new: DataFrame, bucket_cols: list[str]
+    ) -> DataFrame:
+        """exceptAll-both-ways as one co-partitioned plan: per-side
+        multiplicity counts (no exchange — bucket cols ⊆ grouping cols),
+        full-outer join on every column (no exchange — both sides share
+        the bucket distribution), then each row re-emitted |count delta|
+        times via sequence+explode. Identical multiset semantics to the
+        fallback, without shuffling either snapshot.
+
+        Join-key nullability: bucket columns join by PLAIN equality — the
+        null-safe form would be rewritten to coalesce/isnull keys, which
+        no longer match the scan's hash distribution and would force the
+        exchange back in. Bucket cols are the table's merge keys, and the
+        merge join itself never matches null keys, so a null there is
+        already outside the table's key discipline; the only effect would
+        be an unchanged null-keyed row surfacing as a delete+insert pair
+        (a no-op for any CDC applier). All other columns join null-safe.
+
+        Requires ``spark.sql.requireAllClusterKeysForCoPartition=false``
+        (set here and in the engine's session defaults): the join keys are
+        a superset of the bucket columns, and with the default ``true``
+        Spark refuses subset-based co-partition reuse and reshuffles both
+        sides on the full key list. The knob is purely physical — with it
+        left at ``true`` the result is identical, just with two exchanges."""
+        from functools import reduce
+
+        old.sparkSession.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false"
+        )
+
+        cols = old.columns
+        oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_old"))
+        nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_new"))
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                (oc[c] == nc[c]) if c in bucket_cols else oc[c].eqNullSafe(nc[c])
+                for c in cols
+            ],
+        )
+        j = oc.join(nc, cond, "full_outer").select(
+            *[F.coalesce(oc[c], nc[c]).alias(c) for c in cols],
+            F.coalesce(oc["__n_old"], F.lit(0)).alias("__n_old"),
+            F.coalesce(nc["__n_new"], F.lit(0)).alias("__n_new"),
+        )
+        delta = F.col("__n_old") - F.col("__n_new")
+        deletes = (
+            j.filter(delta > 0)
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), delta)))
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        inserts = (
+            j.filter(delta < 0)
+            .withColumn("__i", F.explode(F.sequence(F.lit(1), -delta)))
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
         return deletes.unionByName(inserts)
 
     def compact(self, target_partitions: int | None = None) -> int:
@@ -883,7 +1118,10 @@ class TxnTable:
         snapshot files are kept — time travel stays valid."""
         referenced = set()
         for v in range(1, self.version() + 1):
-            referenced.update(self._manifest(v)["files"])
+            # raw manifests suffice: a delta's "adds" plus every checkpoint's
+            # "files" covers the union without re-resolving each version
+            raw = _read_raw_manifest(self.path, v)
+            referenced.update(raw["files"] if "files" in raw else raw["adds"])
         removed = 0
         for f in self._list_parquet(self.path):
             rel = os.path.relpath(f, self.path)
@@ -897,4 +1135,16 @@ class TxnTable:
                 full = os.path.join(data_root, d)
                 if os.path.isdir(full) and not self._list_parquet(full):
                     shutil.rmtree(full, ignore_errors=True)
+        self._drop_snapshot_registrations()
         return removed
+
+    def _drop_snapshot_registrations(self) -> None:
+        """Drop this table's per-(path, version) bucketed-snapshot catalog
+        entries (see _read_bucketed). They are metadata-only and
+        deterministic, so dropping is always safe — the next read simply
+        re-registers."""
+        import hashlib
+
+        for v in range(1, self.version() + 1):
+            tag = hashlib.md5(f"{self.path}@{v}".encode()).hexdigest()[:12]
+            self.spark.sql(f"DROP TABLE IF EXISTS sjs_txn_snap_{tag}")

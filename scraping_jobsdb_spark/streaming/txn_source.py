@@ -24,6 +24,14 @@ follows the commit's file count. Rows cross through Python (pyarrow) —
 the cost of a pure-Python source; the JVM-side alternative is a file-
 source stream on a landing directory, which this complements by adding
 transactional visibility (orphans from crashed writers are never read).
+
+Manifest mechanics (layout, version listing, the append-op allowlist, the
+per-batch file-delta resolution) are NOT re-implemented here: the source
+calls the same module-level helpers TxnTable itself uses
+(``sources.txn.append_delta_files`` / ``current_version`` /
+``read_manifest``), so the batch and streaming CDC paths cannot drift.
+The imports are deferred into the methods to keep the pickled reader
+object itself dependency-light.
 """
 
 from __future__ import annotations
@@ -41,30 +49,10 @@ from pyspark.sql.types import StructType
 
 __all__ = ["TxnAppendsStreamDataSource"]
 
-_APPEND_OPS = ("create", "append", "idempotent_append", "stream_epoch_append", "adopt")
-
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
-
-
-def _read_manifest(table_path: str, version: int) -> dict:
-    name = f"v{version:010d}.json"
-    with open(os.path.join(table_path, "_txn", name)) as fh:
-        return json.load(fh)
-
-
-def _current_version(table_path: str) -> int:
-    log = os.path.join(table_path, "_txn")
-    if not os.path.isdir(log):
-        return 0
-    versions = [
-        int(f[1:-5])
-        for f in os.listdir(log)
-        if f.startswith("v") and f.endswith(".json")
-    ]
-    return max(versions, default=0)
 
 
 class _TxnAppendsStreamReader(DataSourceStreamReader):
@@ -77,25 +65,15 @@ class _TxnAppendsStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version(self._table_path)}
+        from scraping_jobsdb_spark.sources.txn import current_version
+
+        return {"version": current_version(self._table_path)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from scraping_jobsdb_spark.sources.txn import append_delta_files
+
         lo, hi = int(start["version"]), int(end["version"])
-        new_files: list[str] = []
-        for v in range(lo + 1, hi + 1):
-            m = _read_manifest(self._table_path, v)
-            if m["op"] not in _APPEND_OPS:
-                raise ValueError(
-                    f"version {v} is a {m['op']}: its file delta is not an "
-                    "append stream — streaming consumers need an append-only "
-                    "table (re-read the snapshot instead)"
-                )
-            prev = (
-                set(_read_manifest(self._table_path, v - 1)["files"])
-                if v > 1
-                else set()
-            )
-            new_files.extend(f for f in m["files"] if f not in prev)
+        new_files = append_delta_files(self._table_path, lo, hi)
         if not new_files:
             # Spark requires >= 1 partition per (non-empty) batch; an empty
             # offset range yields one empty partition.
@@ -130,8 +108,13 @@ class TxnAppendsStreamDataSource(DataSource):
         return "txn_appends"
 
     def schema(self) -> StructType:
+        from scraping_jobsdb_spark.sources.txn import (
+            current_version,
+            read_manifest,
+        )
+
         path = os.path.abspath(self.options["path"])
-        m = _read_manifest(path, _current_version(path))
+        m = read_manifest(path, current_version(path))
         return StructType.fromJson(json.loads(m["schema"]))
 
     def streamReader(self, schema: StructType) -> _TxnAppendsStreamReader:

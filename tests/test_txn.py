@@ -41,6 +41,55 @@ def test_append_and_time_travel(spark, tdir):
     assert _rows(t.read(version=1)) == [(1, "a")]
 
 
+def test_delta_manifests_checkpoint_cadence(spark, tdir):
+    """Long append histories write O(delta)-sized manifests: between
+    checkpoints an append stores only its "adds"; every
+    _CHECKPOINT_INTERVAL-th version (and any rewrite) stores the complete
+    file list. Resolution walks back at most one interval, every read API
+    stays exact, and CDC/stats/time-travel all see through the encoding."""
+    from scraping_jobsdb_spark.sources.txn import (
+        _CHECKPOINT_INTERVAL,
+        _read_raw_manifest,
+        append_delta_files,
+    )
+
+    t = TxnTable.create(
+        spark, tdir, _df(spark, [(0, "v0")]), stats_cols=["k"]
+    )
+    n_commits = 2 * _CHECKPOINT_INTERVAL + 3
+    for i in range(1, n_commits + 1):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    top = t.version()
+    assert top == n_commits + 1
+    raw_kinds = {
+        v: ("files" in _read_raw_manifest(t.path, v))
+        for v in range(1, top + 1)
+    }
+    # checkpoints exactly at v1 (create) and every interval-th version
+    assert all(
+        full == (v == 1 or v % _CHECKPOINT_INTERVAL == 0)
+        for v, full in raw_kinds.items()
+    ), raw_kinds
+    # a delta manifest stores only its own files, not the whole table
+    some_delta = _read_raw_manifest(t.path, top if top % _CHECKPOINT_INTERVAL else top - 1)
+    assert "files" not in some_delta and len(some_delta["adds"]) >= 1
+    # resolved view is complete and ordered: reads, time travel, CDC agree
+    assert t.read().count() == n_commits + 1
+    mid = _CHECKPOINT_INTERVAL + 2
+    assert t.read(mid).count() == mid
+    assert sorted(r.k for r in t.read_appends_since(mid).collect()) == list(
+        range(mid, n_commits + 1)
+    )
+    assert len(append_delta_files(t.path, 0, top)) == len(
+        t._manifest()["files"]
+    )
+    # file stats survive delta encoding: pruning still exact
+    assert [r.k for r in t.read_pruned("k", n_commits, n_commits).collect()] == [n_commits]
+    # vacuum sees every referenced file through raw manifests
+    assert t.vacuum() == 0
+    assert t.read().count() == n_commits + 1
+
+
 def test_overwrite_is_atomic_snapshot_swap(spark, tdir):
     t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
     old = t.read()  # bound to v1's files
@@ -431,6 +480,34 @@ def test_bucketed_merge_join_exchanges_only_source(spark, tmp_path):
     assert plan_u.count("Exchange") == 2, plan_u
 
 
+def test_bucketed_row_changes_no_exchange_and_matches_fallback(spark, tmp_path):
+    """Co-bucketed CDC: read_row_changes between two same-spec bucketed
+    snapshots diffs per-bucket — ZERO Exchange in the plan — and its
+    multiset result matches the unbucketed exceptAll form exactly
+    (duplicate rows included)."""
+    rows = [(i, f"v{i}") for i in range(100)] + [(7, "v7")]  # dup row
+    src = _df(spark, [(i, f"n{i}") for i in range(90, 110)], "k bigint, nv string")
+    tb = TxnTable.create(
+        spark, str(tmp_path / "b"), _df(spark, rows), bucket_by=["k"], n_buckets=4
+    )
+    tb.merge(src, on=["k"], when_matched_update={"v": "nv"})
+    tu = TxnTable.create(spark, str(tmp_path / "u"), _df(spark, rows))
+    tu.merge(src, on=["k"], when_matched_update={"v": "nv"})
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ch = tb.read_row_changes(1, 2)
+        plan = ch._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
+        want = sorted(
+            (r.k, r.v, r._change_type) for r in tu.read_row_changes(1, 2).collect()
+        )
+        assert got and got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
 def test_bucketed_rejects_append_family(spark, tmp_path):
     t = TxnTable.create(
         spark, str(tmp_path / "b"), _df(spark, [(1, "a")]), bucket_by=["k"], n_buckets=2
@@ -517,6 +594,24 @@ def test_zorder_prunes_on_every_cluster_column(spark, tmp_path):
     assert got == want
     # history intact: version 1 still reads the original snapshot
     assert t.read(1).count() == 20000
+
+
+def test_zorder_value_never_touches_sign_bit(spark):
+    """With >=4 cluster columns, naive 16-bit interleave would place bits at
+    position 63+ (sign bit, then mod-64 shift wraparound) — bits per column
+    must scale down so every code stays non-negative and below 2^63."""
+    from scraping_jobsdb_spark.sources.txn import _zorder_value
+
+    rows = [(i, i * 3 % 997, i * 7 % 991, i * 11 % 983, i * 13 % 977) for i in range(2000)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint, c bigint, d bigint, e bigint")
+    for ncols in (4, 5):
+        cols = ["a", "b", "c", "d", "e"][:ncols]
+        z = df.select(_zorder_value(df, cols).alias("z"))
+        lo, hi = z.agg(F.min("z"), F.max("z")).first()
+        assert lo >= 0, (ncols, lo)
+        assert hi < 1 << 63, (ncols, hi)
+        # extremes in every column map to distinct codes (no folded bits)
+        assert z.distinct().count() > 1000
 
 
 def test_zorder_rejected_on_bucketed_table(spark, tmp_path):

@@ -561,9 +561,13 @@ def brute_force_topk_np(
     expression evaluation. Queries are closed over (broadcast-by-pickle:
     fine for small query sets; use a join for big ones).
 
-    Same result set as brute_force_topk; float summation order differs in the
-    last bits, so rank ties at identical cosines may order differently —
-    callers needing bit-stable ranks use the expression form."""
+    Same result set as brute_force_topk. Raw GEMM summation order differs
+    from expression-tree evaluation in the last ulps, so the cosine is
+    QUANTIZED (rounded to 9 decimals) before the ranking window and ties
+    broken by id — two near-equal cosines then rank identically across
+    engines (numpy, Spark expressions, DuckDB), making the (id, rank)
+    output cross-engine deterministic. Oracles comparing against this
+    operator must apply the same ROUND(cos, 9) before their ORDER BY."""
     import numpy as np
 
     from pyspark.sql import Window
@@ -598,7 +602,8 @@ def brute_force_topk_np(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, f"query_id bigint, {id_col} bigint, cos double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    qcos = F.round(F.col("cos"), 9)
+    w = Window.partitionBy("query_id").orderBy(qcos.desc(), F.col(id_col))
     return (
         scored.filter(F.col(id_col) != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))

@@ -32,6 +32,9 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_fingerprint_set",
     "fingerprint_containment_pairs",
+    "redact_pii",
+    "repetition_stats",
+    "top_ngrams",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -194,6 +197,125 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# ------------------------------------------------------------ PII scrubbing
+
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB and
+# most data tooling) evaluate identically: no lookaround, no backreferences.
+# Redaction order matters and is part of the contract: emails first (their
+# local part can contain digit runs a later pass would misread), then IPs
+# (dotted digit runs), then phone-shaped digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{2,4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII scrub — the compliance pass every training-data
+    pipeline runs before anything else sees the text. Output: the id, the
+    redacted text, and one match-count column per PII class
+    (``n_email``/``n_ip``/``n_phone``).
+
+    Pure JVM expressions (``regexp_count`` + chained ``regexp_replace``),
+    so the pass is map-only: no shuffle, linear scan, whole-stage codegen.
+    The patterns avoid lookaround/backreferences on purpose — they mean
+    the same thing to Java regex and RE2, so an external auditor (or the
+    DuckDB oracle) reproduces the redaction byte-for-byte.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col(text_col)
+    for _name, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        id_col, redacted.alias("text_redacted"), *counts
+    )
+
+
+# ----------------------------------------------------------- repetition / ngrams
+
+
+def _word_ngrams(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram) rows: whitespace word-level n-grams via posexplode +
+    lead() — same single-window physical shape as the winnowing k-grams
+    (one shuffle on the doc id, nothing quadratic; see
+    ``winnowing_fingerprints`` for why per-position indexing is banned)."""
+    order = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(order) for j in range(1, n)]
+    return (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("pos", "w"),
+        )
+        # both window expressions share one partitioning: a single Window
+        # exec produces the gram and its completeness witness together
+        .select(
+            id_col,
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "gram")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition profile: per doc, total word n-grams vs
+    distinct word n-grams — the Gopher-style quality signal (a high
+    duplicate-gram fraction flags boilerplate/spam/generated loops).
+    Output keeps both counts as integers (engine-exact, fully oracle-able);
+    the ratio is one division away for the consumer who wants it."""
+    return (
+        _word_ngrams(docs, n, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct_grams"),
+        )
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the boilerplate detector
+    (headers, footers, license blurbs) whose output feeds stop-gram lists
+    for the fingerprinting joins. One partial-aggregated shuffle on the
+    gram, then a global top-k with a (count desc, gram) total order so the
+    cut is deterministic. At 100 TB the gram counts combine map-side, and
+    the final top-k reduces a already-aggregated stream."""
+    counts = (
+        _word_ngrams(docs, n, text_col, id_col)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — parallel partial top-k per
+    # partition, no global sort), then rank within the ≤k survivors; a
+    # global row_number over every distinct gram would funnel the whole
+    # vocabulary through one partition
+    topk = counts.orderBy(F.col("n_occurrences").desc(), F.col("gram")).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("gram", "n_occurrences", F.col("rank").cast("bigint").alias("rank"))
     )
 
 

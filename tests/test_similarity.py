@@ -151,7 +151,7 @@ def test_sketch_aggregates_error_bounds(spark):
     for et, a in approx.items():
         e = exact[et]
         assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
-        assert abs(a.value_p50_p90[0] - e.p50) <= max(1.0, 0.05 * abs(e.p50))
+        assert abs(a.value_p50 - e.p50) <= max(1.0, 0.05 * abs(e.p50))
 
 
 def test_dedup_pipeline_removes_injected_neardups(spark):
@@ -468,3 +468,61 @@ def test_fingerprint_containment_finds_injected_near_dups(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    """Each PII class is replaced by its token and counted; clean text
+    passes through untouched with zero counts."""
+    from scraping_jobsdb_spark.operators.textops import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org or admin@site.io, host 10.0.3.7 up"),
+        (2, "call +44 123 4567 89 twice: +1 555 0123 45"),
+        (3, "no pii here, just 1.2 ratios and version 10.4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].n_email == 2 and out[1].n_ip == 1 and out[1].n_phone == 0
+    assert out[1].text_redacted == "mail <EMAIL> or <EMAIL>, host <IP> up"
+    assert out[2].n_phone == 2
+    assert out[2].text_redacted == "call <PHONE> twice: <PHONE>"
+    assert (out[3].n_email, out[3].n_ip, out[3].n_phone) == (0, 0, 0)
+    assert out[3].text_redacted == rows[2][1]
+
+
+def test_repetition_stats_counts_duplicate_trigrams(spark):
+    """A doc that repeats a phrase shows n_grams > n_distinct_grams; a
+    doc with no repeated trigram shows equality; docs shorter than n
+    produce no row."""
+    from scraping_jobsdb_spark.operators.textops import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),           # 4 grams, 1 distinct
+        (2, "one two three four five"),                 # 3 grams, 3 distinct
+        (3, "too short"),                               # no complete trigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_grams, r.n_distinct_grams)
+           for r in repetition_stats(docs, n=3).collect()}
+    assert out[1] == (4, 1)
+    assert out[2] == (3, 3)
+    assert 3 not in out
+
+
+def test_top_ngrams_rank_and_tiebreak(spark):
+    """Counts aggregate across docs; ties rank lexicographically; the cut
+    keeps exactly k rows."""
+    from scraping_jobsdb_spark.operators.textops import top_ngrams
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "zeta eta theta iota"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = [(r.gram, r.n_occurrences, r.rank)
+           for r in top_ngrams(docs, n=3, k=3).collect()]
+    assert out[0] == ("alpha beta gamma", 2, 1)
+    assert len(out) == 3 and [r[2] for r in out] == [1, 2, 3]
+    # ties (count=1) order lexicographically
+    assert out[1][0] < out[2][0]

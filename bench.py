@@ -68,6 +68,14 @@ BENCH_QUERIES = [
     "cdc_row_changes_txn",
     "tfidf_top_terms",
     "embedding_topk_np",
+    # --- round 4 additions (keep appending, never reorder) ---
+    "winnowing_containment_pairs",
+    "cdc_appends_since_txn",
+    "cdc_row_changes_bucketed_txn",
+    "dedup_pipeline_winnowing",
+    "doc_pii_redaction",
+    "doc_repetition_stats",
+    "doc_top_ngrams",
 ]
 
 

@@ -123,3 +123,20 @@ def test_seeding_never_single_partition_window(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_coverage_doc_matches_registry():
+    """COVERAGE.md is the document the correctness gate is audited against;
+    it must be regenerated in the same commit as any registry change."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_coverage", repo / "scripts" / "gen_coverage.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert (repo / "COVERAGE.md").read_text() == mod.render(), (
+        "COVERAGE.md is stale — run scripts/gen_coverage.py"
+    )

@@ -292,8 +292,16 @@ class TxnTable:
         stats_cols: list[str] | None = None,
         bucket_by: list[str] | None = None,
         n_buckets: int = 8,
+        checkpoint_interval: int | None = None,
     ) -> "TxnTable":
         """Create version 1 from ``df`` (or empty with ``schema``).
+
+        ``checkpoint_interval`` overrides the default manifest checkpoint
+        cadence (every Nth version stores the complete file list; versions
+        between store only their append delta). Recorded in the v1
+        manifest so every writer of the table agrees on the cadence: lower
+        it for tables read by many cold readers (shallower resolution
+        walks), raise it for append-heavy ingest tables (smaller log).
 
         ``stats_cols`` declares the file-skipping index: every commit records
         per-file min/max for these columns in its manifest, and
@@ -319,6 +327,10 @@ class TxnTable:
         extra: dict[str, Any] = {}
         if stats_cols:
             extra["stats_cols"] = list(stats_cols)
+        if checkpoint_interval is not None:
+            if checkpoint_interval < 1:
+                raise ValueError("checkpoint_interval must be >= 1")
+            extra["checkpoint_interval"] = int(checkpoint_interval)
         bucket = None
         if bucket_by:
             bucket = {"cols": list(bucket_by), "n": int(n_buckets)}
@@ -390,6 +402,20 @@ class TxnTable:
 
     def version(self) -> int:
         return current_version(self.path)
+
+    def _checkpoint_interval(self) -> int:
+        """The table's manifest checkpoint cadence: the v1 override when
+        recorded, else the module default. Cached per instance (the v1
+        manifest is immutable)."""
+        if not hasattr(self, "_ckpt_int"):
+            try:
+                m = _read_raw_manifest(self.path, 1)
+            except FileNotFoundError:
+                return _CHECKPOINT_INTERVAL
+            self._ckpt_int = int(
+                m.get("checkpoint_interval", _CHECKPOINT_INTERVAL)
+            )
+        return self._ckpt_int
 
     def _manifest(self, version: int | None = None) -> dict[str, Any]:
         v = version if version is not None else self.version()
@@ -519,7 +545,7 @@ class TxnTable:
         if (
             op in APPEND_OPS
             and base_version >= 1
-            and (base_version + 1) % _CHECKPOINT_INTERVAL != 0
+            and (base_version + 1) % self._checkpoint_interval() != 0
         ):
             base_files = read_manifest(self.path, base_version)["files"]
             # appends only ever extend the base list in place; anything else
@@ -632,19 +658,36 @@ class TxnTable:
         before Spark's own footer/row-group pruning). Exactly equivalent to
         ``read().filter(...)`` — the predicate is still applied, pruning
         never changes results."""
+        return self.read_pruned_all({col: (lo, hi)}, version)
+
+    def read_pruned_all(
+        self, predicates: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Conjunctive multi-column range scan: keep only files whose stats
+        intersect EVERY ``col: (lo, hi)`` range — kept sets intersect, so
+        each additional predicate only prunes further. This is what makes
+        Z-ordered layouts pay off on compound lookups: each z-clustered
+        column's stats are tight per file, and the intersection of two
+        narrow ranges keeps near-no files where either alone keeps some.
+        Exactly equivalent to ``read().filter(AND ...)``; the predicates
+        are still applied after the scan."""
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
-        files = self.pruned_files(col, lo, hi, version)
+        kept = set(m["files"])
+        for col, (lo, hi) in predicates.items():
+            kept &= set(self.pruned_files(col, lo, hi, version))
+        files = [f for f in m["files"] if f in kept]
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self.path, f) for f in files]
             )
-        if lo is not None:
-            df = df.filter(F.col(col) >= lo)
-        if hi is not None:
-            df = df.filter(F.col(col) <= hi)
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
         return df
 
     # --------------------------------------------------------------- writes

@@ -638,3 +638,45 @@ def test_merge_schema_evolution_adds_source_columns(spark, tdir):
     assert {r.k: r.score for r in t.read().collect()}[4] == 40
     # time travel reads v1 with its original two-column schema
     assert t.read(1).columns == ["k", "v"]
+
+
+def test_checkpoint_interval_override(spark, tdir):
+    """A per-table checkpoint cadence recorded at create() governs which
+    versions store full file lists vs append deltas."""
+    from scraping_jobsdb_spark.sources.txn import _read_raw_manifest
+
+    t = TxnTable.create(
+        spark, tdir, _df(spark, [(0, "a")]), checkpoint_interval=3
+    )
+    for i in range(1, 7):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    kinds = {
+        v: ("files" in _read_raw_manifest(t.path, v)) for v in range(1, 8)
+    }
+    assert kinds == {1: True, 2: False, 3: True, 4: False, 5: False,
+                     6: True, 7: False}
+    assert t.read().count() == 7
+    assert sorted(r.k for r in t.read_appends_since(2).collect()) == [2, 3, 4, 5, 6]
+
+
+def test_read_pruned_all_compound_zorder(spark, tmp_path):
+    """Compound range pruning on a z-ordered table: the (x AND y) file set
+    is the intersection of the per-column keeps — strictly fewer files
+    than either column alone — and the rows are exactly the filter's."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(10000), rng.randrange(10000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint").repartition(16)
+    t = TxnTable.create(spark, str(tmp_path / "z"), df, stats_cols=["x", "y"])
+    t.zorder_by(["x", "y"], target_partitions=16)
+    kept_x = set(t.pruned_files("x", 0, 1000))
+    kept_y = set(t.pruned_files("y", 0, 1000))
+    got = t.read_pruned_all({"x": (0, 1000), "y": (0, 1000)})
+    n_files_scanned = len(kept_x & kept_y)
+    assert n_files_scanned < min(len(kept_x), len(kept_y)), (
+        n_files_scanned, len(kept_x), len(kept_y))
+    want = sorted(
+        r[0] for r in rows if 0 <= r[1] <= 1000 and 0 <= r[2] <= 1000
+    )
+    assert sorted(r.id for r in got.collect()) == want

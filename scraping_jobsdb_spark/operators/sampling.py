@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction_sample", "stratified_exact_sample"]
+__all__ = [
+    "hash_fraction_sample",
+    "stratified_exact_sample",
+    "token_budget_sample",
+]
 
 
 def _hash_rank(key: Column) -> Column:
@@ -63,4 +67,36 @@ def stratified_exact_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-stratum sampling up to a WEIGHT budget (token budget): walk each
+    stratum in deterministic hash order and keep rows while the running
+    weight stays within ``budget`` — the corpus-mixing primitive ("N
+    tokens per language/source/domain") behind every pretraining data
+    recipe.
+
+    The running sum is a window over (md5(key), key) within the stratum —
+    same single-shuffle shape as ``stratified_exact_sample``, same
+    engine-portable determinism: the kept set is a pure function of the
+    data, so the oracle reproduces it exactly and re-runs never reshuffle
+    prior decisions. A row is kept iff its own weight still fits
+    (running <= budget); one over-budget row never sneaks in, and a row
+    heavier than the whole budget can never be selected."""
+    w = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy(_hash_rank(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__running", F.sum(F.col(weight_col)).over(w))
+        .filter(F.col("__running") <= budget)
+        .drop("__running")
     )

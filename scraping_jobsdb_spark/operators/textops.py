@@ -35,6 +35,7 @@ __all__ = [
     "redact_pii",
     "repetition_stats",
     "top_ngrams",
+    "chunk_documents",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -237,6 +238,49 @@ def redact_pii(
         redacted = F.regexp_replace(redacted, pat, token)
     return df.select(
         id_col, redacted.alias("text_redacted"), *counts
+    )
+
+
+# ----------------------------------------------------------------- chunking
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the context-
+    window prep step every training/RAG pipeline runs on long documents.
+    Output: (id, chunk_id, n_words, chunk_text); chunk k starts at word
+    ``k * (chunk_size - overlap)``, the last chunk may be short, and a doc
+    shorter than one chunk yields itself as chunk 0.
+
+    Map-only: split → sequence of starts → posexplode → slice+concat, all
+    JVM expressions with no shuffle and no UDF — chunking 100 TB costs
+    exactly one pass over the scan. Deterministic given (chunk_size,
+    overlap), so the whole operator is value-hash oracle-able."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__w") - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        docs.select(id_col, words.alias("__w"))
+        .select(id_col, F.posexplode(starts).alias("chunk_id", "__start"), "__w")
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.least(
+                F.size("__w") - F.col("__start"), F.lit(chunk_size)
+            ).cast("bigint").alias("n_words"),
+            F.concat_ws(
+                " ", F.slice("__w", F.col("__start") + 1, F.lit(chunk_size))
+            ).alias("chunk_text"),
+        )
     )
 
 

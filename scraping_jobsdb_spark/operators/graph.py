@@ -35,39 +35,55 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node of the undirected pair graph, where
     ``component`` is the minimum node id reachable from ``id`` — a canonical,
     deterministic cluster key.
 
-    Converges in O(log diameter) rounds (pointer jumping; a 25-round budget
-    covers diameters beyond any physical graph). Raises if ``max_iter``
-    rounds don't converge — with jumping that no longer signals a deep
-    graph, only a logic regression, so the guard is purely defensive.
+    Adaptive strategy, the same small-side escape hatch AQE applies to
+    joins: once the (deduplicated, symmetrized) edge list is materialized
+    its size is known exactly, and at or under ``small_graph_threshold``
+    edges the components are solved with driver-side union-find — a few
+    megabytes collected, zero iterative jobs. Near-dup pair graphs are
+    almost always in this regime (pairs are the OUTPUT of an aggressive
+    candidate filter). Above the threshold the distributed
+    propagate-and-pointer-jump loop runs: converges in O(log diameter)
+    rounds, two checkpointed jobs per round, convergence sums riding the
+    checkpoint jobs as observed metrics. Both paths produce bit-identical
+    results. Raises if ``max_iter`` rounds don't converge — with jumping
+    that no longer signals a deep graph, only a logic regression, so the
+    guard is purely defensive.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().localCheckpoint()
 
+    # the checkpoint above already paid for an exact size; the count is a
+    # metadata-cheap action over materialized partitions
+    if sym.count() <= small_graph_threshold:
+        return _components_driver_side(sym)
+
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
 
     # Convergence witness: labels only ever DECREASE under min-propagation,
-    # so the label sum strictly decreases iff any label changed — one
-    # aggregate per round instead of a join-and-compare against the
-    # previous round's table (an extra shuffle at billion-node scale).
-    # decimal(38,0): exact, and immune to bigint overflow on huge graphs.
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    # so the label sum strictly decreases iff any label changed — and the
+    # sums ride the checkpoint jobs as observed metrics (CollectMetrics),
+    # so a round costs exactly TWO jobs (propagate+checkpoint,
+    # jump+checkpoint) with no separate convergence action. decimal(38,0):
+    # exact, and immune to bigint overflow on huge graphs.
+    from pyspark.sql import Observation
 
-    prev_sum = _label_sum(labels)
+    _dsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    init_obs = Observation()
+    labels = labels.observe(init_obs, _dsum).localCheckpoint()
+    prev_sum = init_obs.get["s"]
+
     for _ in range(max_iter):
         # 1-hop propagation: min over neighbors' current labels
         neighbor_min = (
@@ -79,6 +95,7 @@ def connected_components(
         # twice, so without materialization the propagation join+aggregate
         # would run once per side — doubling exactly the per-round work the
         # jump is meant to save.
+        prop_obs = Observation()
         propagated = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
@@ -87,11 +104,19 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(prop_obs, _dsum)
             .localCheckpoint()
         )
+        # A propagation fixpoint IS full convergence (every label already
+        # equals the component minimum), so an unchanged sum here ends the
+        # loop before paying the jump join at all.
+        prop_sum = prop_obs.get["s"]
+        if prop_sum == prev_sum:
+            return propagated.select("id", F.col("label").alias("component"))
         # pointer jump: label(u) := label(label(u)). Labels are node ids, so
         # the lookup is a self-join against the same label table; each jump
         # halves the remaining pointer-chain depth.
+        jump_obs = Observation()
         new_labels = (
             propagated.alias("p")
             .join(
@@ -108,18 +133,50 @@ def connected_components(
                     F.coalesce(F.col("l_label"), F.col("p.label")),
                 ).alias("label"),
             )
+            .observe(jump_obs, _dsum)
             .localCheckpoint()
         )
         labels = new_labels
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
-            return labels.select("id", F.col("label").alias("component"))
-        prev_sum = new_sum
+        prev_sum = jump_obs.get["s"]
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "this should be unreachable with pointer jumping; check the input "
         "for label-domain anomalies"
     )
+
+
+def _components_driver_side(sym: DataFrame) -> DataFrame:
+    """Union-find over a collected small edge list (both directions
+    present; direction is irrelevant to union). Path-halving find keeps
+    the scan near-linear; the component key is the MINIMUM member id,
+    assigned in a final pass so the result matches the distributed
+    min-label loop bit-for-bit regardless of union order."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in sym.collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    out = []
+    for group in members.values():
+        comp = min(group)
+        out.extend((node, comp) for node in group)
+    id_type = sym.schema[0].dataType.simpleString()
+    schema = f"id {id_type}, component {id_type}"
+    return sym.sparkSession.createDataFrame(out, schema)
 
 
 def dedup_keep_list(

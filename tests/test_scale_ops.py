@@ -121,8 +121,16 @@ def test_connected_components_chain_and_clusters(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
         "id_a bigint, id_b bigint",
     )
-    cc = {r.id: r.component for r in connected_components(edges).collect()}
-    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # both strategies must agree bit-for-bit on the same graph
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    for thr in (1_000_000, 0):  # driver-side union-find / distributed loop
+        cc = {
+            r.id: r.component
+            for r in connected_components(
+                edges, small_graph_threshold=thr
+            ).collect()
+        }
+        assert cc == want, thr
     keep = {r.id: r.keep for r in dedup_keep_list(edges).collect()}
     assert {i for i, k in keep.items() if k} == {1, 10, 20}
 
@@ -134,7 +142,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
     )
     try:
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, small_graph_threshold=0)
     except RuntimeError as e:
         assert "converge" in str(e)
     else:  # pragma: no cover
@@ -326,7 +334,10 @@ def test_connected_components_deep_path_converges_logarithmically(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(399)], "id_a bigint, id_b bigint"
     )
-    cc = {r.id: r.component for r in connected_components(chain).collect()}
+    cc = {
+        r.id: r.component
+        for r in connected_components(chain, small_graph_threshold=0).collect()
+    }
     assert set(cc.values()) == {0} and len(cc) == 400
 
     rng = random.Random(7)
@@ -335,7 +346,8 @@ def test_connected_components_deep_path_converges_logarithmically(spark):
     got = {
         r.id: r.component
         for r in connected_components(
-            spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+            spark.createDataFrame(edges, "id_a bigint, id_b bigint"),
+            small_graph_threshold=0,
         ).collect()
     }
 
@@ -391,3 +403,39 @@ def test_hash_fraction_sample_is_stable_membership(spark):
 
     with pytest.raises(ValueError):
         hash_fraction_sample(df, "id", 1.5)
+
+
+def test_token_budget_sample_respects_budget_and_order(spark):
+    """Per stratum: kept weights sum <= budget; the kept set is the prefix
+    of the deterministic md5 order (no cherry-picking); repeat runs agree;
+    a row heavier than the budget is never selected."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "en" if i % 2 else "de", 10 + (i * 7) % 50) for i in range(200)]
+    rows.append((999, "en", 10_000))  # heavier than any budget we use
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w bigint")
+    out = token_budget_sample(df, ["lang"], "doc_id", "w", budget=300)
+    got = out.groupBy("lang").agg(F.sum("w").alias("s")).collect()
+    assert got and all(r.s <= 300 for r in got)
+    assert out.filter(F.col("doc_id") == 999).count() == 0
+    # prefix property: every kept row's running position precedes every
+    # dropped row's within the same stratum order
+    kept = {(r.lang, r.doc_id) for r in out.collect()}
+    ordered = df.select(
+        "lang", "doc_id", "w",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).collect()
+    by_lang = {}
+    for r in sorted(ordered, key=lambda r: (r.lang, r.h, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        running = 0
+        for r in rs:
+            running += r.w
+            assert ((lang, r.doc_id) in kept) == (running <= 300), (lang, r.doc_id)
+    # determinism across invocations
+    again = {(r.lang, r.doc_id) for r in
+             token_budget_sample(df, ["lang"], "doc_id", "w", 300).collect()}
+    assert again == kept

@@ -526,3 +526,31 @@ def test_top_ngrams_rank_and_tiebreak(spark):
     assert len(out) == 3 and [r[2] for r in out] == [1, 2, 3]
     # ties (count=1) order lexicographically
     assert out[1][0] < out[2][0]
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunk starts advance by chunk_size-overlap; consecutive chunks share
+    exactly `overlap` words; short docs yield themselves as chunk 0; the
+    last chunk may be short but never empty."""
+    import pytest as _pytest
+
+    from scraping_jobsdb_spark.operators.textops import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    rows = [(1, text), (2, "tiny doc"), (3, "one")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {}
+    for r in chunk_documents(docs, chunk_size=4, overlap=2).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_id, r.n_words, r.chunk_text))
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks, last has 2 words
+    chunks = sorted(out[1])
+    assert [c[0] for c in chunks] == [0, 1, 2, 3, 4]
+    assert chunks[0][2] == "w0 w1 w2 w3" and chunks[1][2] == "w2 w3 w4 w5"
+    assert chunks[-1] == (4, 2, "w8 w9")
+    # every consecutive pair overlaps by exactly 2 words
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[2].split()[-2:] == b[2].split()[:2]
+    assert out[2] == [(0, 2, "tiny doc")]
+    assert out[3] == [(0, 1, "one")]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=4, overlap=4)

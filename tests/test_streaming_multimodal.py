@@ -389,3 +389,40 @@ def test_txn_appends_stream_exactly_once_across_restarts(spark, tmp_path):
         assert "append stream" in str(e)
     else:  # pragma: no cover
         raise AssertionError("merge in offset range must fail the stream")
+
+
+def test_corpus_prep_text_ops_compose_with_streaming(spark, tmp_path):
+    """The corpus-prep map operators (PII redaction, chunking) are
+    stateless projections, so the SAME operator code runs unchanged under
+    Structured Streaming — stream-drained output equals the batch result
+    row-for-row. This is the ingest-side shape: scrub + chunk documents
+    as they land, before anything stateful sees them."""
+    import shutil
+
+    from scraping_jobsdb_spark.operators.textops import (
+        chunk_documents,
+        redact_pii,
+    )
+
+    src = str(tmp_path / "src")
+    shutil.copytree("/root/testdata/sf0.001", src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src)
+    static = spark.read.parquet(src)
+
+    def prep(df):
+        scrubbed = redact_pii(df).withColumnRenamed("text_redacted", "text")
+        return chunk_documents(scrubbed, chunk_size=16, overlap=4)
+
+    out = str(tmp_path / "out")
+    q = (
+        prep(spark.readStream.schema(static.schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, prep(static).collect()))
+    assert got == want and len(got) > 0

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "doc_pii_redaction",
     "doc_repetition_stats",
     "doc_top_ngrams",
+    "doc_chunking",
+    "token_budget_sample_per_lang",
 ]
 
 

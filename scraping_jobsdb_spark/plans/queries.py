@@ -2558,6 +2558,76 @@ def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_budget_sample_per_lang",
+    oracle=r"""
+    WITH weighted AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), running AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running
+        FROM weighted
+    )
+    SELECT doc_id, lang, n_tokens FROM running WHERE running <= 5000
+    """,
+)
+def q_token_budget_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.py
+    token_budget_sample): per language, keep documents in deterministic
+    md5 order until a 5000-token budget is exhausted — the "N tokens per
+    language" pretraining-recipe primitive. One shuffle on the stratum
+    key; the kept set is a pure function of the data (hash order + integer
+    running sum), so the oracle reproduces it row-for-row."""
+    from scraping_jobsdb_spark.operators.sampling import token_budget_sample
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs, ["lang"], "doc_id", "n_tokens", budget=5000
+    )
+
+
+@_register(
+    "doc_chunking",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents
+    ), st AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0) + 1, 24)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           start // 24 AS chunk_id,
+           CAST(least(len(ws) - start, 32) AS BIGINT) AS n_words,
+           array_to_string(list_slice(ws, start + 1, start + 32), ' ')
+               AS chunk_text
+    FROM st
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (operators/textops.py
+    chunk_documents, 32-word chunks, 8-word overlap): the context-window
+    prep pass for long documents. Map-only — split, start sequence,
+    posexplode, slice — one scan pass, no shuffle, no UDF; the oracle
+    rebuilds every chunk from the same split array and the value hash
+    covers the chunk text byte-for-byte."""
+    from scraping_jobsdb_spark.operators.textops import chunk_documents
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+@_register(
     "winnowing_containment_pairs",
     oracle=r"""
     WITH corpus AS (
@@ -4171,7 +4241,7 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-4 window (registry 119, window 50). Evidence ages going in:
+# Round-4 window (registry 121, window 50). Evidence ages going in:
 # 49 queries green in r3, 31 in r2, 33 still r1 (their last green rows are
 # three rounds old by r4's gate), 1 never evidenced (approx_distinct_sketch,
 # output shape fixed this round), 5 new this round. Priorities:
@@ -4184,8 +4254,8 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (VERDICT-requested re-verification);
 # (c) every r1-stale query (33) so no green row is ever older than two
 #     rounds;
-# (d) remaining slots to the oldest r2 rows (multimodal stages, DQ, SCD2).
-# The 27 r2-green queries left outside are exactly two rounds old at the r4
+# (d) remaining slots to the oldest r2 rows (the multimodal stages).
+# The 29 r2-green queries left outside are exactly two rounds old at the r4
 # audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
@@ -4195,6 +4265,8 @@ _GATE_PRIORITY = [
     "doc_pii_redaction",
     "doc_repetition_stats",
     "doc_top_ngrams",
+    "doc_chunking",
+    "token_budget_sample_per_lang",
     # (b) changed code paths + requested re-verification
     "embedding_topk_np",
     "cdc_row_changes_txn",
@@ -4240,8 +4312,6 @@ _GATE_PRIORITY = [
     # (d) oldest r2 rows
     "multimodal_resize_stage",
     "multimodal_frame_sample",
-    "dq_aggregate_checks",
-    "scd2_supplier_balances",
 ]
 
 

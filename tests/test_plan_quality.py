@@ -56,6 +56,8 @@ REQUIRED = [
     # stratified exact-k compiles to map-side per-stratum top-k before the
     # shuffle, not a full sort of every stratum
     ("stratified_sample_per_lang", "WindowGroupLimit"),
+    # corpus-wide top-k grams cut with per-partition top-k, no global sort
+    ("doc_top_ngrams", "TakeOrderedAndProject"),
 ]
 
 FORBIDDEN = [
@@ -80,6 +82,17 @@ FORBIDDEN = [
     # winnowing's window-min partitions by doc_id — never a global window
     ("doc_winnowing_fingerprints", "SinglePartition"),
     ("doc_winnowing_fingerprints", "CartesianProduct"),
+    # PII scrub is a map-only regex pass: no join, no window, no agg
+    ("doc_pii_redaction", "Join"),
+    ("doc_pii_redaction", "Window"),
+    ("doc_pii_redaction", "HashAggregate"),
+    # repetition grams window by doc_id — never a global window; the gram
+    # build is posexplode+lead, never a per-position self-product
+    ("doc_repetition_stats", "SinglePartition"),
+    ("doc_repetition_stats", "CartesianProduct"),
+    # the oracled dedup pipeline: containment equi-join + CC, no products
+    ("dedup_pipeline_winnowing", "CartesianProduct"),
+    ("dedup_pipeline_winnowing", "BroadcastNestedLoopJoin"),
 ]
 
 

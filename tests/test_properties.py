@@ -260,3 +260,37 @@ def test_txn_table_matches_multiset_model(spark, tmp_path_factory, ops):
     # every committed version still reads (time travel never breaks)
     for ver in range(1, t.version() + 1):
         assert t.read(version=ver).count() >= 0
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=4), min_size=1, max_size=30
+    ),
+    chunk_size=st.integers(min_value=2, max_value=8),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_reconstruction_and_coverage(
+    spark, words, chunk_size, overlap
+):
+    """Laws: every word position appears in at least one chunk; dropping
+    each chunk's first `overlap` words (except chunk 0) and concatenating
+    reconstructs the document exactly; chunk count is the ceil formula."""
+    from scraping_jobsdb_spark.operators.textops import chunk_documents
+
+    if overlap >= chunk_size:
+        return  # operator rejects; covered by the unit test
+    step = chunk_size - overlap
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    chunks = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(docs, chunk_size, overlap).collect()
+    )
+    n = len(words)
+    assert len(chunks) == (max(n - 1, 0) // step) + 1
+    # reconstruction: chunk 0 whole, then each chunk minus its overlap head
+    rebuilt = chunks[0][1].split(" ")
+    for _cid, ctext in chunks[1:]:
+        rebuilt.extend(ctext.split(" ")[overlap:])
+    assert rebuilt == words

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "doc_top_ngrams",
     "doc_chunking",
     "token_budget_sample_per_lang",
+    "hll_mergeable_sketches",
 ]
 
 

@@ -323,17 +323,20 @@ def q_count_distinct_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "project_select",
-    oracle="SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date FROM orders",
+    oracle="SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM orders",
 )
 def q_project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2/P7: narrow projection + rename + cast. Reference:
     ``ParseHtml.py:24`` (3-column SELECT) and ``ParseHtml.py:65-71`` (casts).
-    The cast-to-date also normalizes the parquet timestamp for hashing.
+    The date lands as its ISO string on BOTH sides — the portable date
+    representation (a bare DATE reaches pandas as datetime.date objects
+    from Spark but datetime64 from other engines, so its stringified
+    hash is comparator-dependent; the ISO string never is).
     Catalyst prunes the scan to exactly these columns (check ReadSchema)."""
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )
 
 
@@ -1103,7 +1106,7 @@ def q_scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS mo,
            CAST(day(o_orderdate) AS INT) AS dy,
            strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
     FROM orders
     """,
 )
@@ -1118,7 +1121,9 @@ def q_scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dy"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_format(
+            F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+        ).alias("month_start"),
     )
 
 
@@ -1151,7 +1156,7 @@ def q_scalar_json_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_orderkey,
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
                 AS DOUBLE) AS revenue,
-           CAST(o.o_orderdate AS DATE) AS order_date,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
            o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1192,7 +1197,7 @@ def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             "o_orderpriority",
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -2721,6 +2726,31 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("hll_mergeable_sketches", oracle=None)
+def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (the sketch-once, merge-cheaply
+    pattern that makes 100 TB cardinality reporting affordable): per
+    (event_type, day) partial HLL sketches of user_id, then a per-type
+    re-aggregation that UNIONS the binary sketches instead of rescanning
+    the data — `hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`
+    (Apache DataSketches, built into Spark 3.5+). Rows-only in the gate
+    (sketch internals are engine-specific); tests assert the
+    merge-invariance law — union-of-partials estimates EXACTLY equal the
+    single-shot sketch — and a 5% error bound vs exact distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .select("event_type", "est_users", "n_partials")
+    )
+
+
 @_register(
     "join_full_outer_reconcile",
     oracle="""
@@ -4241,7 +4271,7 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-4 window (registry 121, window 50). Evidence ages going in:
+# Round-4 window (registry 122, window 50). Evidence ages going in:
 # 49 queries green in r3, 31 in r2, 33 still r1 (their last green rows are
 # three rounds old by r4's gate), 1 never evidenced (approx_distinct_sketch,
 # output shape fixed this round), 5 new this round. Priorities:
@@ -4254,8 +4284,8 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (VERDICT-requested re-verification);
 # (c) every r1-stale query (33) so no green row is ever older than two
 #     rounds;
-# (d) remaining slots to the oldest r2 rows (the multimodal stages).
-# The 29 r2-green queries left outside are exactly two rounds old at the r4
+# (d) the remaining slot to the oldest r2 row (multimodal resize stage).
+# The 30 r2-green queries left outside are exactly two rounds old at the r4
 # audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
@@ -4267,6 +4297,7 @@ _GATE_PRIORITY = [
     "doc_top_ngrams",
     "doc_chunking",
     "token_budget_sample_per_lang",
+    "hll_mergeable_sketches",
     # (b) changed code paths + requested re-verification
     "embedding_topk_np",
     "cdc_row_changes_txn",
@@ -4311,7 +4342,6 @@ _GATE_PRIORITY = [
     "supplier_count_by_parttype",
     # (d) oldest r2 rows
     "multimodal_resize_stage",
-    "multimodal_frame_sample",
 ]
 
 

@@ -554,3 +554,33 @@ def test_chunk_documents_windows_and_edges(spark):
     assert out[3] == [(0, 1, "one")]
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_hll_mergeable_sketches_merge_invariance(spark):
+    """The law that makes sketches re-aggregable: the union of per-day
+    partial sketches estimates EXACTLY what one sketch over all the data
+    estimates (HLL register lattices — union of parts == whole), and both
+    land within 5% of the exact distinct count."""
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    merged = {
+        r.event_type: r.est_users
+        for r in REGISTRY["hll_mergeable_sketches"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    single = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == single  # merge invariance, bit-exact
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])

@@ -186,7 +186,15 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
         "doc_id",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once: both the DF table and the scored join consume the
+    # (doc, term) counts, and Catalyst does not reuse the exchange across
+    # the two references — without the pin the tokenize+explode+agg stage
+    # runs twice (verified in the executed plan)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
         "score",
@@ -486,14 +494,22 @@ def fingerprint_containment_pairs(
     otherwise growing the corpus (which turns ever more grams into
     stop-grams) silently deflates every ratio toward zero. Deterministic
     given (k, w, max_df)."""
-    fps = winnowing_fingerprint_set(docs, k, w, text_col, id_col)
+    # Materialize the fingerprint set ONCE: the downstream graph references
+    # it through rare/pruned/sizes/both join sides — five consumers — and
+    # Catalyst does not reuse the exchange across them (verified: without
+    # this the char-explode+window subtree appears 8x in the executed
+    # plan). One checkpoint turns O(consumers) recomputation of the
+    # expensive per-character stage into O(1).
+    fps = winnowing_fingerprint_set(docs, k, w, text_col, id_col).localCheckpoint()
     rare = (
         fps.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("h")
     )
-    pruned = fps.join(rare, "h")
+    # the pruned set feeds three consumers (sizes + both self-join sides);
+    # cheap to rebuild from the checkpointed fps, cheaper still to pin
+    pruned = fps.join(rare, "h").localCheckpoint()
     sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a = pruned.select(F.col(id_col).alias("id_a"), "h")
     b = pruned.select(F.col(id_col).alias("id_b"), "h")

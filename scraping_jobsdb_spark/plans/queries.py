@@ -3917,6 +3917,61 @@ def q_cdc_row_changes_bucketed_txn(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "cdc_apply_changes_txn",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS new_price
+        FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT t.o_orderkey, t.o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM v1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_custkey % 11 = 0)
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.new_price
+    FROM src s LEFT JOIN v1 t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def q_cdc_apply_changes_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full replication loop, value-hash checked end to end: table A
+    takes a MERGE (update/delete/insert), its v1→v2 row-change feed is
+    READ (``read_row_changes``) and APPLIED (``apply_changes``) to an
+    independent copy B created from v1 — and B must now equal A@v2, which
+    the oracle recomputes directly in SQL. Ship the delta, not the table:
+    the downstream-sync shape that replaces the reference's full-CSV
+    re-exports at any scale where re-shipping the table is unthinkable."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 500.0).alias("new_price"),
+    )
+    a = TxnTable.create(spark, tempfile.mkdtemp(prefix="sjs_cdc_a_"), v1)
+    b = TxnTable.create(spark, tempfile.mkdtemp(prefix="sjs_cdc_b_"), v1)
+    from_version = a.version()
+    a.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "new_price"},
+        when_matched_delete=F.col("s.o_custkey") % 11 == 0,
+    )
+    b.apply_changes(a.read_row_changes(from_version))
+    return b.read()
+
+
+@_register(
     "cdc_appends_since_txn",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
@@ -4271,7 +4326,7 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-4 window (registry 122, window 50). Evidence ages going in:
+# Round-4 window (registry 123, window 50). Evidence ages going in:
 # 49 queries green in r3, 31 in r2, 33 still r1 (their last green rows are
 # three rounds old by r4's gate), 1 never evidenced (approx_distinct_sketch,
 # output shape fixed this round), 5 new this round. Priorities:
@@ -4284,9 +4339,8 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (VERDICT-requested re-verification);
 # (c) every r1-stale query (33) so no green row is ever older than two
 #     rounds;
-# (d) the remaining slot to the oldest r2 row (multimodal resize stage).
-# The 30 r2-green queries left outside are exactly two rounds old at the r4
-# audit — they lead the r5 window.
+# The 31 r2-green queries left outside are exactly two rounds old at the
+# r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
     "approx_distinct_sketch",
@@ -4298,6 +4352,7 @@ _GATE_PRIORITY = [
     "doc_chunking",
     "token_budget_sample_per_lang",
     "hll_mergeable_sketches",
+    "cdc_apply_changes_txn",
     # (b) changed code paths + requested re-verification
     "embedding_topk_np",
     "cdc_row_changes_txn",
@@ -4340,8 +4395,6 @@ _GATE_PRIORITY = [
     "exists_order_priority_count",
     "forecast_revenue_delta",
     "supplier_count_by_parttype",
-    # (d) oldest r2 rows
-    "multimodal_resize_stage",
 ]
 
 

@@ -534,12 +534,16 @@ class TxnTable:
             extra["file_stats"] = {
                 f: s for f, s in extra["file_stats"].items() if f in present
             }
+        import time
+
+        committed_at = time.time()
         manifest = {
             "version": base_version + 1,
             "files": rel_files,
             "schema": schema.json(),
             "op": op,
             "n_rows": n_rows,
+            "committed_at": committed_at,
             **extra,
         }
         if (
@@ -559,6 +563,7 @@ class TxnTable:
                     "schema": schema.json(),
                     "op": op,
                     "n_rows": n_rows,
+                    "committed_at": committed_at,
                     **extra,
                 }
                 if "file_stats" in extra:
@@ -846,6 +851,80 @@ class TxnTable:
             new_files, n = self._write_data(df, bucket=bucket)
             return (
                 new_files, df.schema, "overwrite", n, n,
+                self._snapshot_extra(base, new_files, bucket),
+            )
+
+        return self._occ_loop(attempt)
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to snapshot ``version`` as a NEW commit —
+        metadata-only (data files are immutable, so the restore manifest
+        simply references the old snapshot's files; nothing is rewritten
+        and the botched history stays readable for forensics). This is the
+        recover-from-bad-write primitive Delta ships as RESTORE. Returns
+        the new current version."""
+        src = self._manifest(version)  # raises if the version doesn't exist
+
+        def attempt(base):
+            extra: dict[str, Any] = {"restored_from": version}
+            for key in ("stats_cols", "file_stats", "bucket"):
+                if key in src:
+                    extra[key] = src[key]
+            files = [os.path.join(self.path, f) for f in src["files"]]
+            schema = StructType.fromJson(json.loads(src["schema"]))
+            return (
+                files, schema, "restore", src.get("n_rows"),
+                base + 1, extra,
+            )
+
+        return self._occ_loop(attempt)
+
+    def version_asof(self, ts: float) -> int:
+        """Highest version whose commit landed at or before epoch ``ts``
+        (every manifest records ``committed_at``). Raises if the table has
+        no commit that old."""
+        best = 0
+        for v in range(1, self.version() + 1):
+            m = _read_raw_manifest(self.path, v)
+            at = m.get("committed_at")
+            if at is not None and at <= ts:
+                best = v
+        if best == 0:
+            raise FileNotFoundError(
+                f"{self.path}: no snapshot committed at or before {ts}"
+            )
+        return best
+
+    def read_asof(self, ts: float) -> DataFrame:
+        """Time travel by wall-clock: the snapshot current at epoch ``ts``
+        (``read(version_asof(ts))``) — the audit/debug form of time travel
+        when the caller knows WHEN, not which version."""
+        return self.read(self.version_asof(ts))
+
+    def apply_changes(self, changes: DataFrame) -> int:
+        """Apply a ``read_row_changes`` feed (table schema +
+        ``_change_type`` in {'delete','insert'}) to THIS table — the
+        replication/downstream-sync consumer: ship the delta, not the
+        table. Deletes are removed with multiset semantics (each delete
+        row removes exactly one matching copy, exceptAll), inserts are
+        appended; applying table A's v1→v2 feed to a copy of A@v1 yields
+        exactly A@v2. The new snapshot is one whole-table commit, so the
+        apply is atomic and OCC-retried like every other write."""
+        deletes = changes.filter(F.col("_change_type") == "delete").drop(
+            "_change_type"
+        )
+        inserts = changes.filter(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+
+        def attempt(base):
+            bucket = self.bucket_spec(base) if base else None
+            result = (
+                self.read(base).exceptAll(deletes).unionByName(inserts)
+            )
+            new_files, n = self._write_data(result, bucket=bucket)
+            return (
+                new_files, result.schema, "apply_changes", n, n,
                 self._snapshot_extra(base, new_files, bucket),
             )
 

@@ -680,3 +680,62 @@ def test_read_pruned_all_compound_zorder(spark, tmp_path):
         r[0] for r in rows if 0 <= r[1] <= 1000 and 0 <= r[2] <= 1000
     )
     assert sorted(r.id for r in got.collect()) == want
+
+
+def test_restore_rolls_back_metadata_only(spark, tdir):
+    """restore(v) re-publishes snapshot v's files as a new commit: data
+    matches v exactly, nothing is rewritten (same file list), the botched
+    history stays readable, and vacuum keeps every referenced file."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.overwrite(_df(spark, [(9, "bad")]))
+    v_bad = t.version()
+    new_v = t.restore(2)
+    assert new_v == v_bad + 1 and t.version() == new_v
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    m = t._manifest()
+    assert m["op"] == "restore" and m["restored_from"] == 2
+    assert m["files"] == t._manifest(2)["files"]  # metadata-only
+    assert _rows(t.read(v_bad)) == [(9, "bad")]  # forensics intact
+    t.vacuum()
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    t.append(_df(spark, [(4, "d")]))
+    assert t.read().count() == 4
+
+
+def test_read_asof_timestamp_time_travel(spark, tdir):
+    """Every commit records committed_at; read_asof(ts) reads the snapshot
+    current at that wall-clock instant."""
+    import time as _time
+
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    t1 = t._manifest(1)["committed_at"]
+    _time.sleep(0.05)
+    t.append(_df(spark, [(2, "b")]))
+    t2 = t._manifest(2)["committed_at"]
+    assert t1 < t2
+    assert _rows(t.read_asof((t1 + t2) / 2)) == [(1, "a")]
+    assert _rows(t.read_asof(t2)) == [(1, "a"), (2, "b")]
+    with pytest.raises(FileNotFoundError):
+        t.version_asof(t1 - 10)
+
+
+def test_apply_changes_replicates_table(spark, tmp_path):
+    """Downstream sync: applying A's v1->v2 change feed to a copy of A@v1
+    reproduces A@v2 exactly — including an update (delete+insert pair)
+    and multiset semantics on duplicate rows."""
+    rows = [(1, "a"), (2, "b"), (2, "b"), (3, "c")]  # dup row
+    a = TxnTable.create(spark, str(tmp_path / "a"), _df(spark, rows))
+    b = TxnTable.create(spark, str(tmp_path / "b"), _df(spark, rows))
+    a.merge(
+        _df(spark, [(2, "B"), (4, "d")], "k bigint, nv string"),
+        on=["k"],
+        when_matched_update={"v": "nv"},
+    )
+    changes = a.read_row_changes(1)
+    b.apply_changes(changes)
+    assert _rows(b.read()) == _rows(a.read())
+    assert b._manifest()["op"] == "apply_changes"
+    # applying an empty feed is a no-op commit with identical rows
+    b.apply_changes(a.read_row_changes(a.version()))
+    assert _rows(b.read()) == _rows(a.read())

@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "doc_chunking",
     "token_budget_sample_per_lang",
     "hll_mergeable_sketches",
+    "bm25_doc_ranking",
+    "incremental_mv_refresh",
 ]
 
 

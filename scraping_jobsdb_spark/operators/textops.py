@@ -36,6 +36,7 @@ __all__ = [
     "repetition_stats",
     "top_ngrams",
     "chunk_documents",
+    "bm25_rank",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -368,6 +369,80 @@ def top_ngrams(
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("gram", "n_occurrences", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+# -------------------------------------------------------------------- BM25
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a small bag of query terms —
+    the retrieval scorer RAG/eval pipelines run over a corpus (TF-IDF's
+    ranking-grade sibling; ``tfidf_top_terms`` profiles documents, this
+    answers queries).
+
+    Shape, chosen for the 100 TB case: per-term tf and the doc length are
+    map-only array expressions over the scan (no tokenize-explode shuffle —
+    the query vocabulary is tiny and known, so each tf is one
+    ``size(filter(tokens))``); the corpus statistics (N, Σdl, per-term df)
+    are ONE global aggregate whose single row is broadcast back via a
+    cross join; scoring is again map-only and the top-k is a
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    Net cost: one pass over the corpus plus a 1-row exchange.
+
+    idf uses the non-negative smoothed form ln(1 + (N - df + .5)/(df + .5)).
+    The score is rounded to 9 decimals BEFORE ranking so double summation-
+    order / libm last-ulp differences can't flip a rank vs an external
+    re-implementation (same contract as ``brute_force_topk_np``); ties at
+    the rounded value break on the id. Output: (id, dl, bm25).
+    """
+    toks = tokens(text_col)
+
+    # 1-arg closure per term: a `lambda x, t=t:` default would make F.filter
+    # pass the element INDEX as the second argument (see lang_guess note)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        id_col,
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"__tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("dl").alias("__sum_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("bigint")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    n_docs = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_docs
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df_t = F.col(f"__df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    return (
+        scored.select(
+            id_col, F.col("dl").cast("bigint").alias("dl"), F.round(score, 9).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
     )
 
 

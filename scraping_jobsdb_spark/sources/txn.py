@@ -293,6 +293,7 @@ class TxnTable:
         bucket_by: list[str] | None = None,
         n_buckets: int = 8,
         checkpoint_interval: int | None = None,
+        meta: dict[str, Any] | None = None,
     ) -> "TxnTable":
         """Create version 1 from ``df`` (or empty with ``schema``).
 
@@ -324,7 +325,10 @@ class TxnTable:
         if cls.exists(spark, path):
             raise FileExistsError(f"txn table already exists at {path}")
         os.makedirs(t._log, exist_ok=True)
-        extra: dict[str, Any] = {}
+        # caller metadata rides the v1 manifest (JSON-able values only;
+        # keys must not collide with manifest fields) — the application-
+        # level commit annotation MV watermarks use
+        extra: dict[str, Any] = dict(meta or {})
         if stats_cols:
             extra["stats_cols"] = list(stats_cols)
         if checkpoint_interval is not None:
@@ -841,17 +845,19 @@ class TxnTable:
                 return n
         raise TxnConflict(f"{self.path}: commit contention, gave up")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, meta: dict[str, Any] | None = None) -> int:
         """Atomic whole-table replace: readers see the old snapshot until the
         one manifest link, never a half-written table (the fix for the
-        read-tmp-overwrite dance this replaces)."""
+        read-tmp-overwrite dance this replaces). ``meta`` rides the commit
+        manifest (JSON-able, non-colliding keys) — e.g. the source-version
+        watermark an incrementally-maintained view records per refresh."""
 
         def attempt(base):
             bucket = self.bucket_spec(base) if base else None
             new_files, n = self._write_data(df, bucket=bucket)
             return (
                 new_files, df.schema, "overwrite", n, n,
-                self._snapshot_extra(base, new_files, bucket),
+                {**self._snapshot_extra(base, new_files, bucket), **(meta or {})},
             )
 
         return self._occ_loop(attempt)

@@ -58,6 +58,8 @@ REQUIRED = [
     ("stratified_sample_per_lang", "WindowGroupLimit"),
     # corpus-wide top-k grams cut with per-partition top-k, no global sort
     ("doc_top_ngrams", "TakeOrderedAndProject"),
+    # BM25 top-k: per-partition partial top-k, never a global sort
+    ("bm25_doc_ranking", "TakeOrderedAndProject"),
 ]
 
 FORBIDDEN = [
@@ -93,6 +95,11 @@ FORBIDDEN = [
     # the oracled dedup pipeline: containment equi-join + CC, no products
     ("dedup_pipeline_winnowing", "CartesianProduct"),
     ("dedup_pipeline_winnowing", "BroadcastNestedLoopJoin"),
+    # BM25 never shuffles the corpus: tf/dl are map-only, the only exchange
+    # is the 1-row global stats aggregate broadcast back (no hash exchange,
+    # no window) — one pass over the scan end to end
+    ("bm25_doc_ranking", "Exchange hashpartitioning"),
+    ("bm25_doc_ranking", "Window"),
 ]
 
 

@@ -739,3 +739,84 @@ def test_apply_changes_replicates_table(spark, tmp_path):
     # applying an empty feed is a no-op commit with identical rows
     b.apply_changes(a.read_row_changes(a.version()))
     assert _rows(b.read()) == _rows(a.read())
+
+
+# ------------------------------------------------------- incremental MV
+
+
+def _mv(spark, src, view):
+    from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+
+    return IncrementalAggView(
+        spark,
+        src,
+        view,
+        group_cols=["k"],
+        measures={
+            "n": ("count", None),
+            "total": ("dsum", "x"),
+            "lo": ("min", "x"),
+            "hi": ("max", "x"),
+        },
+    )
+
+
+def _mv_df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, x double")
+
+
+def test_mv_incremental_equals_full_recompute(spark, tmp_path):
+    """The MV invariant: folding append deltas file-by-file produces exactly
+    the aggregate a one-shot recompute over the final snapshot produces."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    t = TxnTable.create(spark, src, _mv_df(spark, [(1, 10.5), (2, 1.25)]))
+    mv = _mv(spark, src, view)
+    assert mv.refresh() == 1
+    t.append(_mv_df(spark, [(1, 2.25), (3, 7.0)]))
+    t.append(_mv_df(spark, [(2, -1.25), (1, 0.5)]))
+    assert mv.refresh() == 3
+    got = _rows(mv.read().select("k", "n", F.col("total").cast("double"), "lo", "hi"))
+    want = _rows(
+        t.read()
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(30,4)")).cast("double").alias("total"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+    )
+    assert got == want
+
+
+def test_mv_refresh_is_idempotent_and_tracks_watermark(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    t = TxnTable.create(spark, src, _mv_df(spark, [(1, 1.0)]))
+    mv = _mv(spark, src, view)
+    assert mv.applied_source_version() == -1
+    mv.refresh()
+    assert mv.applied_source_version() == 1
+    v_before = TxnTable(spark, view).version()
+    # already current: no commit, watermark unchanged
+    assert mv.refresh() == 1
+    assert TxnTable(spark, view).version() == v_before
+    t.append(_mv_df(spark, [(1, 2.0)]))
+    assert mv.refresh() == 2
+    assert mv.applied_source_version() == 2
+
+
+def test_mv_falls_back_to_full_recompute_after_rewrite(spark, tmp_path):
+    """A non-append commit (overwrite/merge/compact) voids the delta
+    algebra; refresh must detect it and recompute from the snapshot —
+    and the NEXT refresh is incremental again."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    t = TxnTable.create(spark, src, _mv_df(spark, [(1, 1.0), (2, 2.0)]))
+    mv = _mv(spark, src, view)
+    mv.refresh()
+    t.overwrite(_mv_df(spark, [(1, 5.0), (3, 3.0)]))
+    assert mv.refresh() == 2
+    assert _rows(mv.read().select("k", "n")) == [(1, 1), (3, 1)]
+    t.append(_mv_df(spark, [(3, 4.0)]))
+    assert mv.refresh() == 3
+    got = _rows(mv.read().select("k", "n", F.col("total").cast("double")))
+    assert got == [(1, 1, 5.0), (3, 2, 7.0)]

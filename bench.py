@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "hll_mergeable_sketches",
     "bm25_doc_ranking",
     "incremental_mv_refresh",
+    "decontamination_ngram_overlap",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "top_ngrams",
     "chunk_documents",
     "bm25_rank",
+    "decontaminate_ngram_overlap",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -369,6 +370,42 @@ def top_ngrams(
     return (
         topk.withColumn("rank", F.row_number().over(w))
         .select("gram", "n_occurrences", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def decontaminate_ngram_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram overlap — the GPT-3-style
+    sweep that flags training documents sharing verbatim passages with an
+    evaluation set (exact-fingerprint dedup misses a benchmark question
+    quoted INSIDE a larger page; shared n-grams catch it). Output: one row
+    per contaminated train doc — (id, n_hit_grams = distinct n-grams it
+    shares with ANY test doc, ≥ ``min_overlap``); anti-join the ids to
+    scrub.
+
+    Scale shape: both sides reduce to distinct gram sets (posexplode +
+    lead() per-doc windows — the linear winnowing gram build, nothing
+    quadratic); the benchmark side collapses to a bare gram set that is
+    orders of magnitude smaller than the corpus and BROADCASTS into the
+    probe join, so the corpus is never shuffled on gram — one pass + one
+    per-doc aggregate. At a benchmark too large to broadcast this becomes
+    a plain shuffled equi-join on gram with the same semantics.
+    """
+    train_grams = _word_ngrams(train, n, text_col, id_col).distinct()
+    test_grams = (
+        _word_ngrams(test, n, text_col, id_col).select("gram").distinct()
+    )
+    return (
+        train_grams.join(F.broadcast(test_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .filter(F.col("n_hit_grams") >= min_overlap)
     )
 
 

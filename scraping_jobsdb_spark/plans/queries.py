@@ -4307,6 +4307,42 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontamination_ngram_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        FROM tok, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), test_g AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    ), train_g AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_grams
+    FROM train_g JOIN test_g USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination (operators/textops.py:
+    decontaminate_ngram_overlap): train docs (doc_id % 10 != 0) sharing any
+    verbatim 8-word passage with the benchmark slice (doc_id % 10 == 0) —
+    the passage-level contamination sweep the exact-fingerprint form
+    (decontamination_exact_overlap) can't see. Benchmark gram set
+    broadcasts; the corpus is never shuffled on gram."""
+    from scraping_jobsdb_spark.operators.textops import decontaminate_ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return decontaminate_ngram_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=8,
+    )
+
+
+@_register(
     "incremental_mv_refresh",
     oracle="""
     SELECT o_orderstatus,
@@ -4459,6 +4495,7 @@ _GATE_PRIORITY = [
     # (a) never evidenced / new this round
     "incremental_mv_refresh",
     "bm25_doc_ranking",
+    "decontamination_ngram_overlap",
     "approx_distinct_sketch",
     "dedup_pipeline_winnowing",
     "cdc_row_changes_bucketed_txn",
@@ -4508,11 +4545,11 @@ _GATE_PRIORITY = [
     "sql_surface_revenue_by_nation",
     "scalar_subquery_above_total_avg",
     "grouped_sorted_list",
-    "exists_order_priority_count",
-    # forecast_revenue_delta and supplier_count_by_parttype rotated out to
-    # make room for the two round-4 additions above (window = 50); both are
-    # untouched r1-green, re-verified locally by scripts/driver_check.py
-    # this round, and lead the r5 window with the r2-green cohort
+    # exists_order_priority_count, forecast_revenue_delta and
+    # supplier_count_by_parttype rotated out to make room for the three
+    # late-round-4 additions above (window = 50); all three are untouched
+    # r1-green, re-verified locally by scripts/driver_check.py this round,
+    # and lead the r5 window with the r2-green cohort
 ]
 
 

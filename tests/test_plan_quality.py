@@ -60,6 +60,9 @@ REQUIRED = [
     ("doc_top_ngrams", "TakeOrderedAndProject"),
     # BM25 top-k: per-partition partial top-k, never a global sort
     ("bm25_doc_ranking", "TakeOrderedAndProject"),
+    # decontamination probes the corpus against a BROADCAST benchmark gram
+    # set — the corpus is never shuffled on gram
+    ("decontamination_ngram_overlap", "BroadcastHashJoin"),
 ]
 
 FORBIDDEN = [
@@ -100,6 +103,10 @@ FORBIDDEN = [
     # no window) — one pass over the scan end to end
     ("bm25_doc_ranking", "Exchange hashpartitioning"),
     ("bm25_doc_ranking", "Window"),
+    # gram build is posexplode+lead per doc — never a global window, never
+    # a per-position product
+    ("decontamination_ngram_overlap", "SinglePartition"),
+    ("decontamination_ngram_overlap", "CartesianProduct"),
 ]
 
 

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "bm25_doc_ranking",
     "incremental_mv_refresh",
     "decontamination_ngram_overlap",
+    "cms_term_frequencies",
 ]
 
 

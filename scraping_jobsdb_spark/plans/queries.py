@@ -4307,6 +4307,60 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cms_term_frequencies",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ), seeds AS (
+        SELECT unnest(generate_series(0, 3)) AS seed
+    ), cells AS (
+        SELECT seed,
+               CAST(('0x' || substr(md5(term || ':' || seed), 1, 15)) AS BIGINT)
+                   % 256 AS bucket,
+               COUNT(*) AS n
+        FROM toks, seeds
+        GROUP BY 1, 2
+    ), probes(term) AS (
+        VALUES ('the'), ('data'), ('table'), ('spark'), ('merge'),
+               ('window'), ('batch'), ('scan'), ('agg'), ('zzz-absent')
+    ), probe_cells AS (
+        SELECT p.term, s.seed,
+               CAST(('0x' || substr(md5(p.term || ':' || s.seed), 1, 15)) AS BIGINT)
+                   % 256 AS bucket
+        FROM probes p, seeds s
+    )
+    SELECT pc.term, MIN(COALESCE(c.n, 0)) AS est_n
+    FROM probe_cells pc LEFT JOIN cells c USING (seed, bucket)
+    GROUP BY pc.term
+    """,
+)
+def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py): build a 4×256 counter
+    table over every corpus term in one aggregate, then answer ten
+    point-frequency probes (including a never-seen term) from the sketch
+    alone. The frequency-sketch sibling of hll_mergeable_sketches — and
+    unlike binary-blob sketches, the DataFrame representation with an
+    md5-derived hash makes the ENTIRE sketch engine-portable, so the gate
+    verifies the estimates hash-exactly against DuckDB re-deriving the
+    same sketch. Estimates are upper bounds by construction (asserted as
+    a property in tests/test_scale_ops.py)."""
+    from scraping_jobsdb_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    sketch = cms_build(terms, "term", width=256, depth=4)
+    probes = spark.createDataFrame(
+        [(t,) for t in ("the", "data", "table", "spark", "merge",
+                        "window", "batch", "scan", "agg", "zzz-absent")],
+        "term string",
+    )
+    return cms_estimate(sketch, probes, "term", width=256, depth=4)
+
+
+@_register(
     "decontamination_ngram_overlap",
     oracle="""
     WITH tok AS (
@@ -4496,6 +4550,7 @@ _GATE_PRIORITY = [
     "incremental_mv_refresh",
     "bm25_doc_ranking",
     "decontamination_ngram_overlap",
+    "cms_term_frequencies",
     "approx_distinct_sketch",
     "dedup_pipeline_winnowing",
     "cdc_row_changes_bucketed_txn",
@@ -4544,12 +4599,12 @@ _GATE_PRIORITY = [
     "returned_items_by_nation",
     "sql_surface_revenue_by_nation",
     "scalar_subquery_above_total_avg",
-    "grouped_sorted_list",
-    # exists_order_priority_count, forecast_revenue_delta and
-    # supplier_count_by_parttype rotated out to make room for the three
-    # late-round-4 additions above (window = 50); all three are untouched
-    # r1-green, re-verified locally by scripts/driver_check.py this round,
-    # and lead the r5 window with the r2-green cohort
+    # grouped_sorted_list, exists_order_priority_count,
+    # forecast_revenue_delta and supplier_count_by_parttype rotated out to
+    # make room for the four late-round-4 additions above (window = 50);
+    # all four are untouched r1-green, re-verified locally by
+    # scripts/driver_check.py this round, and lead the r5 window with the
+    # r2-green cohort
 ]
 
 

@@ -24,6 +24,7 @@ full recompute at the captured snapshot, then resumes incremental.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,8 +170,6 @@ class IncrementalAggView:
         if not files:
             self._view().overwrite(self.read(), meta=meta)
             return target
-        import os
-
         schema = source.read(target).schema
         delta = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.source_path, f) for f in files]

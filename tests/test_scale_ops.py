@@ -439,3 +439,60 @@ def test_token_budget_sample_respects_budget_and_order(spark):
     again = {(r.lang, r.doc_id) for r in
              token_budget_sample(df, ["lang"], "doc_id", "w", 300).collect()}
     assert again == kept
+
+
+# ----------------------------------------------------- count-min sketches
+
+
+def test_cms_never_underestimates(spark):
+    """The CMS contract: every point estimate >= the true count (collisions
+    only ADD). Probed for every distinct term in the corpus."""
+    from scraping_jobsdb_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    exact = {r["term"]: r["n"] for r in
+             terms.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = cms_build(terms, "term", width=64, depth=3)
+    probes = terms.select("term").distinct()
+    est = {r["term"]: r["est_n"] for r in
+           cms_estimate(sketch, probes, "term", width=64, depth=3).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact), {
+        t: (est[t], exact[t]) for t in exact if est[t] < exact[t]
+    }
+
+
+def test_cms_merge_equals_single_shot(spark):
+    """Counters are linear: the merge of per-shard sketches is CELL-IDENTICAL
+    to the sketch of the union — the roll-up law that lets per-day sketches
+    aggregate without rescanning data."""
+    from scraping_jobsdb_spark.operators.sketches import cms_build, cms_merge
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    whole = cms_build(terms, "term", width=64, depth=3)
+    merged = cms_merge(
+        cms_build(terms.filter(F.col("doc_id") % 2 == 0), "term", width=64, depth=3),
+        cms_build(terms.filter(F.col("doc_id") % 2 == 1), "term", width=64, depth=3),
+    )
+    assert _rows(whole) == _rows(merged)
+
+
+def test_cms_weighted_build_equals_row_level(spark):
+    """Building from (value, weight) pre-aggregates must equal building from
+    raw rows — the two ingestion shapes a pipeline actually has."""
+    from scraping_jobsdb_spark.operators.sketches import cms_build
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    raw = cms_build(terms, "term", width=64, depth=3)
+    pre = terms.groupBy("term").agg(F.count(F.lit(1)).alias("w"))
+    weighted = cms_build(pre, "term", width=64, depth=3, weight_col="w")
+    assert _rows(raw) == _rows(weighted)

@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "incremental_mv_refresh",
     "decontamination_ngram_overlap",
     "cms_term_frequencies",
+    "weighted_sample_by_length",
+    "events_time_weighted_value",
+    "stats_regression_pack",
 ]
 
 

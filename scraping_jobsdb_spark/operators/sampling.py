@@ -24,6 +24,7 @@ __all__ = [
     "hash_fraction_sample",
     "stratified_exact_sample",
     "token_budget_sample",
+    "weighted_priority_sample",
 ]
 
 
@@ -99,4 +100,36 @@ def token_budget_sample(
         df.withColumn("__running", F.sum(F.col(weight_col)).over(w))
         .filter(F.col("__running") <= budget)
         .drop("__running")
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the uniform draw derived from the
+    key's content hash instead of an RNG. Each row gets priority
+    ln(u)/w where u ∈ (0,1) is its md5-uniform and w its weight; the k
+    LARGEST priorities are the sample — inclusion probability ∝ weight,
+    heavier rows win systematically more often, and the pick is a pure
+    function of the data (re-runs, engines, and partitionings all agree —
+    the quality-weighted corpus-subset primitive: "sample 10k documents
+    proportional to quality/length").
+
+    Scale: priority is a pure map; the cut is a TakeOrderedAndProject
+    (per-partition partial top-k, no global sort). The priority is rounded
+    to 9 dp before ranking so libm ln() last-ulp differences can't flip a
+    rank across engines (the embedding_topk_np contract); ties break on
+    the key. Rows with weight <= 0 can never be sampled (filtered)."""
+    draw = F.conv(F.substring(_hash_rank(F.col(key_col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    # u in (0,1): (draw+1) / (2^32+1) — never 0 (ln undefined), never 1
+    u = (draw + 1).cast("double") / F.lit(float(2**32 + 1))
+    priority = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", priority)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "time_weighted_mean"]
 
 
 def asof_join(
@@ -152,4 +152,44 @@ def range_join(
         .filter((rts >= lts + lower_seconds) & (rts <= lts + upper_seconds))
         .select(F.col("__lk").alias(key), "left_ts", "right_ts")
         .distinct()
+    )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Time-weighted average of a piecewise-constant signal per key — the
+    state-duration statistic (mean price while held, mean queue depth,
+    mean sensor reading) where a plain AVG over-weights bursts of events.
+    Each observation holds until the key's NEXT observation; the last one
+    carries no duration and drops out (standard left-closed convention).
+    Output: key cols, ``twa_value``, ``observed_seconds``.
+
+    One window per key (lead = next ts) sharing a single (key, ts)
+    partitioning with nothing global, then one aggregate. Determinism:
+    durations are exact integer seconds, value×duration is summed through
+    DECIMAL(30,6) (order-independent), and the final division is one
+    IEEE-exact double op — so the result is reproducible bit-for-bit at
+    any partitioning and by any engine (fully oracle-able, unlike a
+    float-summed weighted mean). ``order_tiebreak`` must make (ts, tiebreak)
+    unique per key or the lead order is ambiguous."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_tiebreak)
+    dur = (
+        F.unix_timestamp(F.lead(ts_col).over(w))
+        - F.unix_timestamp(F.col(ts_col))
+    ).alias("__dur")
+    with_dur = df.select(*key_cols, F.col(value_col).alias("__v"), dur).filter(
+        F.col("__dur").isNotNull()
+    )
+    return with_dur.groupBy(*key_cols).agg(
+        (
+            F.sum(F.col("__v").cast("decimal(30,6)") * F.col("__dur"))
+            .cast("double")
+            / F.sum("__dur")
+        ).alias("twa_value"),
+        F.sum("__dur").alias("observed_seconds"),
     )

@@ -4307,6 +4307,137 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stats_regression_pack",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(xd AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yd AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xd * xd AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(yd * yd AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(xd * yd AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n AS DOUBLE), 9) AS intercept,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr
+    FROM s
+    """,
+)
+def q_stats_regression_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept and Pearson correlation per return flag —
+    computed from EXACT sufficient statistics instead of Spark's
+    order-dependent corr()/regr_*() aggregates: inputs snap to
+    DECIMAL(12,2) (exact — quantity is integral, price has 2 decimals),
+    the products and six sums stay in the decimal domain
+    (order-independent; never a double→decimal cast of an inexact product,
+    which rounds engine-dependently — the bug this query's first draft
+    had), and the derivation is a fixed tree of IEEE exactly-rounded ops
+    (+,-,*,/,sqrt). The statistics are partition-order-independent by
+    construction; outputs round to 9 dp because a DECIMAL sum whose scaled
+    integer exceeds 2^53 double-rounds through some engines'
+    decimal→double cast (observed in DuckDB: int128→double then /10^scale
+    — two roundings, last-ulp drift). The one-pass sufficient-stats shape
+    is also the scale answer: one aggregate, no second scan, mergeable
+    across shards."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,6)"
+    xd = F.col("l_quantity").cast("decimal(12,2)")
+    yd = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd.cast(dec)).cast("double").alias("sx"),
+        F.sum(yd.cast(dec)).cast("double").alias("sy"),
+        F.sum((xd * xd).cast(dec)).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast(dec)).cast("double").alias("syy"),
+        F.sum((xd * yd).cast(dec)).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 9).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 9).alias("corr"),
+    )
+
+
+@_register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)) * (nt - t)) AS DOUBLE)
+               / CAST(SUM(nt - t) AS DOUBLE) AS twa_value,
+           CAST(SUM(nt - t) AS BIGINT) AS observed_seconds
+    FROM w WHERE nt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(nt - t) > 0
+    """,
+)
+def q_events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean (operators/temporal.py:time_weighted_mean): per
+    user, the average of ``value`` weighted by how long each observation
+    was the user's latest — the piecewise-constant-signal statistic a
+    plain AVG gets wrong whenever events arrive in bursts. One (user, ts)
+    window + one aggregate; value x duration sums through DECIMAL so the
+    mean is engine-exact."""
+    from scraping_jobsdb_spark.operators.temporal import time_weighted_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_weighted_mean(
+        ev, ["user_id"], "ts", "value", order_tiebreak="event_id"
+    )
+    return out.filter(F.col("observed_seconds") > 0)
+
+
+@_register(
+    "weighted_sample_by_length",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 1) / 4294967297.0) / n_chars, 9) AS priority
+    FROM documents WHERE n_chars > 0
+    ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py:
+    weighted_priority_sample): 50 documents with inclusion probability
+    proportional to length — Efraimidis–Spirakis priorities from an
+    md5-uniform draw, so the weighted pick is a pure function of the data
+    (engine-reproducible, unlike every RNG sampler). Map-only priorities +
+    TakeOrderedAndProject; priorities rounded to 9 dp before ranking on
+    both sides."""
+    from scraping_jobsdb_spark.operators.sampling import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_priority_sample(docs, "doc_id", "n_chars", k=50)
+
+
+@_register(
     "cms_term_frequencies",
     oracle="""
     WITH toks AS (
@@ -4551,6 +4682,9 @@ _GATE_PRIORITY = [
     "bm25_doc_ranking",
     "decontamination_ngram_overlap",
     "cms_term_frequencies",
+    "weighted_sample_by_length",
+    "events_time_weighted_value",
+    "stats_regression_pack",
     "approx_distinct_sketch",
     "dedup_pipeline_winnowing",
     "cdc_row_changes_bucketed_txn",
@@ -4596,15 +4730,13 @@ _GATE_PRIORITY = [
     "scalar_string_pack",
     "scalar_date_pack",
     "shipping_priority_top10",
-    "returned_items_by_nation",
-    "sql_surface_revenue_by_nation",
-    "scalar_subquery_above_total_avg",
-    # grouped_sorted_list, exists_order_priority_count,
-    # forecast_revenue_delta and supplier_count_by_parttype rotated out to
-    # make room for the four late-round-4 additions above (window = 50);
-    # all four are untouched r1-green, re-verified locally by
-    # scripts/driver_check.py this round, and lead the r5 window with the
-    # r2-green cohort
+    # returned_items_by_nation, sql_surface_revenue_by_nation,
+    # scalar_subquery_above_total_avg, grouped_sorted_list,
+    # exists_order_priority_count, forecast_revenue_delta and
+    # supplier_count_by_parttype rotated out to make room for the seven
+    # late-round-4 additions above (window = 50); all seven are untouched
+    # r1-green, re-verified locally by scripts/driver_check.py this round,
+    # and lead the r5 window with the r2-green cohort
 ]
 
 

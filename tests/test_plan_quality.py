@@ -63,6 +63,8 @@ REQUIRED = [
     # decontamination probes the corpus against a BROADCAST benchmark gram
     # set — the corpus is never shuffled on gram
     ("decontamination_ngram_overlap", "BroadcastHashJoin"),
+    # weighted sampling: map-only priorities + per-partition partial top-k
+    ("weighted_sample_by_length", "TakeOrderedAndProject"),
 ]
 
 FORBIDDEN = [
@@ -107,6 +109,11 @@ FORBIDDEN = [
     # a per-position product
     ("decontamination_ngram_overlap", "SinglePartition"),
     ("decontamination_ngram_overlap", "CartesianProduct"),
+    # the TWAP lead() window partitions by user — never a global window
+    ("events_time_weighted_value", "SinglePartition"),
+    # sufficient stats = ONE aggregate pass: no join, no window
+    ("stats_regression_pack", "Join"),
+    ("stats_regression_pack", "Window"),
 ]
 
 

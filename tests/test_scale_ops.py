@@ -496,3 +496,20 @@ def test_cms_weighted_build_equals_row_level(spark):
     pre = terms.groupBy("term").agg(F.count(F.lit(1)).alias("w"))
     weighted = cms_build(pre, "term", width=64, depth=3, weight_col="w")
     assert _rows(raw) == _rows(weighted)
+
+
+def test_weighted_priority_sample_biases_toward_weight(spark):
+    """A-ES correctness signal: the length-weighted sample's mean length
+    must exceed the corpus mean (heavier rows win more often), the sample
+    is exactly k, and a re-run picks the identical set."""
+    from scraping_jobsdb_spark.operators.sampling import weighted_priority_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    s1 = weighted_priority_sample(docs, "doc_id", "n_chars", k=50)
+    rows = s1.collect()
+    assert len(rows) == 50
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+    s2 = weighted_priority_sample(docs, "doc_id", "n_chars", k=50)
+    assert _rows(s1) == _rows(s2)

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "weighted_sample_by_length",
     "events_time_weighted_value",
     "stats_regression_pack",
+    "bloom_point_lookup_txn",
 ]
 
 

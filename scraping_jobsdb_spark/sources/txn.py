@@ -119,11 +119,11 @@ def _read_raw_manifest(table_path: str, version: int) -> dict[str, Any]:
 
 
 def read_manifest(table_path: str, version: int) -> dict[str, Any]:
-    """Manifest ``version`` with "files" (and merged "file_stats") always
-    materialized: delta manifests are resolved by walking back to the
-    nearest checkpoint — at most ``_CHECKPOINT_INTERVAL`` raw reads —
-    and replaying the adds in commit order. Consumers never see the
-    delta encoding."""
+    """Manifest ``version`` with "files" (and merged "file_stats" /
+    "file_blooms") always materialized: delta manifests are resolved by
+    walking back to the nearest checkpoint — at most
+    ``_CHECKPOINT_INTERVAL`` raw reads — and replaying the adds in commit
+    order. Consumers never see the delta encoding."""
     m = _read_raw_manifest(table_path, version)
     if "files" in m:
         return m
@@ -137,14 +137,20 @@ def read_manifest(table_path: str, version: int) -> dict[str, Any]:
         v -= 1
     files = list(base["files"])
     stats = dict(base.get("file_stats") or {})
+    blooms = dict(base.get("file_blooms") or {})
     for d in reversed(deltas):
         files.extend(d["adds"])
         stats.update(d.get("file_stats") or {})
+        blooms.update(d.get("file_blooms") or {})
     out = dict(m)
     out["files"] = files
     if m.get("stats_cols") or base.get("stats_cols"):
         out.setdefault("stats_cols", base.get("stats_cols"))
         out["file_stats"] = stats
+    if m.get("bloom_cols") or base.get("bloom_cols"):
+        for key in ("bloom_cols", "bloom_bits", "bloom_probes"):
+            out.setdefault(key, base.get(key))
+        out["file_blooms"] = blooms
     return out
 
 
@@ -199,6 +205,21 @@ def append_delta_files(
             out.extend(f for f in files if f not in prev)
             prev = set(files)
     return out
+
+
+def _bloom_positions(value: Any, bits: int, probes: int) -> list[int]:
+    """Driver-side probe positions for a point-lookup value — the SAME
+    md5-derived construction the Spark-side bloom builder uses
+    (md5("{value}:{seed}") hex prefix 15 → 60-bit int mod bits), so the
+    two sides agree bit-for-bit. Values are formatted via str(): supported
+    key types are integers and strings (doubles would need a canonical
+    text form — don't bloom float columns)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}:{s}".encode()).hexdigest()[:15], 16) % bits
+        for s in range(probes)
+    ]
 
 
 class TxnConflict(RuntimeError):
@@ -294,6 +315,9 @@ class TxnTable:
         n_buckets: int = 8,
         checkpoint_interval: int | None = None,
         meta: dict[str, Any] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 256,
+        bloom_probes: int = 4,
     ) -> "TxnTable":
         """Create version 1 from ``df`` (or empty with ``schema``).
 
@@ -331,6 +355,12 @@ class TxnTable:
         extra: dict[str, Any] = dict(meta or {})
         if stats_cols:
             extra["stats_cols"] = list(stats_cols)
+        if bloom_cols:
+            if bloom_bits % 64 != 0 or bloom_bits < 64:
+                raise ValueError("bloom_bits must be a positive multiple of 64")
+            extra["bloom_cols"] = list(bloom_cols)
+            extra["bloom_bits"] = int(bloom_bits)
+            extra["bloom_probes"] = int(bloom_probes)
         if checkpoint_interval is not None:
             if checkpoint_interval < 1:
                 raise ValueError("checkpoint_interval must be >= 1")
@@ -342,6 +372,10 @@ class TxnTable:
             files, n = t._write_data(df, bucket=bucket)
             if stats_cols:
                 extra["file_stats"] = t._collect_file_stats(files, stats_cols)
+            if bloom_cols:
+                extra["file_blooms"] = t._collect_file_blooms(
+                    files, list(bloom_cols), int(bloom_bits), int(bloom_probes)
+                )
             if bucket:
                 extra["bucket"] = t._bucket_with_dir(bucket, files)
             committed = t._commit(0, files, df.schema, op="create", n_rows=n, extra=extra)
@@ -373,17 +407,21 @@ class TxnTable:
     def _stats_extra(
         self, base: int, new_files: list[str], keep_base: bool = True
     ) -> dict[str, Any]:
-        """Stats metadata for the next commit: base stats carried for files
-        that survive (appends), dropped for whole-snapshot rewrites."""
+        """Stats + bloom metadata for the next commit: base entries carried
+        for files that survive (appends), dropped for whole-snapshot
+        rewrites. Every write path funnels through here, so declared
+        min/max stats AND bloom filters stay maintained across
+        append/overwrite/merge/compact without per-op code."""
         if base == 0:
             return {}
+        out = dict(self._bloom_extra(base, new_files, keep_base))
         m = self._manifest(base)
         cols = m.get("stats_cols") or []
         if not cols:
-            return {}
+            return out
         file_stats: dict[str, Any] = dict(m.get("file_stats") or {}) if keep_base else {}
         file_stats.update(self._collect_file_stats(new_files, cols))
-        return {"stats_cols": cols, "file_stats": file_stats}
+        return {**out, "stats_cols": cols, "file_stats": file_stats}
 
     @classmethod
     def ensure(cls, spark: SparkSession, path: str) -> "TxnTable":
@@ -512,6 +550,98 @@ class TxnTable:
             }
         return out
 
+    def _collect_file_blooms(
+        self, files: list[str], cols: list[str], bits: int, probes: int
+    ) -> dict[str, dict[str, list[int]]]:
+        """Per-file Bloom filters for the bloom columns, ONE Spark job:
+        each row contributes ``probes`` bit positions per column (the
+        md5-derived engine-portable hash), OR-combined per row then
+        bit_or-aggregated per file into ``bits/64`` signed 64-bit words.
+        The Delta-style point-lookup index for keys that range stats can't
+        prune (hash-distributed writes make every file's min/max span the
+        whole key space; the bloom still pins a key to the files that
+        actually contain it)."""
+        if not files or not cols:
+            return {}
+        df = self.spark.read.parquet(*files)
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        n_words = bits // 64
+        # Narrow-and-tall on purpose: explode each value's probe positions
+        # into rows and aggregate (file, col, word) cells — a wide
+        # one-agg-per-word plan generates O(bits) aggregate expressions and
+        # blows up codegen/heap at real widths (observed: 2^16 bits OOM'd a
+        # default-memory driver). Map-side partial bit_or reduces the
+        # exploded rows to files x cols x words before the shuffle.
+        per_col = []
+        for c in present:
+            positions = F.array(*[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col(c).cast("string"), F.lit(s))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("bigint") % bits
+                for s in range(probes)
+            ])
+            per_col.append(
+                df.filter(F.col(c).isNotNull()).select(
+                    F.input_file_name().alias("__f"),
+                    F.lit(c).alias("__c"),
+                    F.explode(positions).alias("__p"),
+                )
+            )
+        cells = per_col[0]
+        for extra_cells in per_col[1:]:
+            cells = cells.unionByName(extra_cells)
+        rows = (
+            cells.select(
+                "__f",
+                "__c",
+                F.shiftright("__p", 6).alias("__w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").alias("__m"),
+            )
+            .groupBy("__f", "__c", "__w")
+            .agg(F.bit_or("__m").alias("__bits"))
+            .collect()
+        )
+        out: dict[str, dict[str, list[int]]] = {
+            os.path.relpath(f, self.path): {c: [0] * n_words for c in present}
+            for f in files
+        }
+        for r in rows:
+            rel = os.path.relpath(r["__f"].replace("file://", ""), self.path)
+            out[rel][r["__c"]][int(r["__w"])] = int(r["__bits"])
+        return out
+
+    def _bloom_extra(
+        self, base: int, new_files: list[str], keep_base: bool = True
+    ) -> dict[str, Any]:
+        """Bloom metadata for the next commit, mirroring ``_stats_extra``:
+        config carried from the base manifest, filters computed for the new
+        files, base files' filters kept for appends and dropped for
+        whole-snapshot rewrites."""
+        if base == 0:
+            return {}
+        m = self._manifest(base)
+        cols = m.get("bloom_cols") or []
+        if not cols:
+            return {}
+        bits = int(m.get("bloom_bits") or 256)
+        probes = int(m.get("bloom_probes") or 4)
+        blooms: dict[str, Any] = (
+            dict(m.get("file_blooms") or {}) if keep_base else {}
+        )
+        blooms.update(self._collect_file_blooms(new_files, cols, bits, probes))
+        return {
+            "bloom_cols": cols,
+            "bloom_bits": bits,
+            "bloom_probes": probes,
+            "file_blooms": blooms,
+        }
+
     def _commit(
         self,
         base_version: int,
@@ -533,11 +663,12 @@ class TxnTable:
         os.makedirs(self._log, exist_ok=True)
         rel_files = [os.path.relpath(f, self.path) for f in files]
         extra = dict(extra or {})
-        if "file_stats" in extra:
-            present = set(rel_files)
-            extra["file_stats"] = {
-                f: s for f, s in extra["file_stats"].items() if f in present
-            }
+        present = set(rel_files)
+        for per_file_key in ("file_stats", "file_blooms"):
+            if per_file_key in extra:
+                extra[per_file_key] = {
+                    f: s for f, s in extra[per_file_key].items() if f in present
+                }
         import time
 
         committed_at = time.time()
@@ -570,13 +701,14 @@ class TxnTable:
                     "committed_at": committed_at,
                     **extra,
                 }
-                if "file_stats" in extra:
-                    add_set = set(adds)
-                    manifest["file_stats"] = {
-                        f: s
-                        for f, s in extra["file_stats"].items()
-                        if f in add_set
-                    }
+                add_set = set(adds)
+                for per_file_key in ("file_stats", "file_blooms"):
+                    if per_file_key in extra:
+                        manifest[per_file_key] = {
+                            f: s
+                            for f, s in extra[per_file_key].items()
+                            if f in add_set
+                        }
         scratch = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(scratch, "w") as fh:
             json.dump(manifest, fh)
@@ -698,6 +830,50 @@ class TxnTable:
             if hi is not None:
                 df = df.filter(F.col(col) <= hi)
         return df
+
+    def bloom_pruned_files(
+        self, col: str, value: Any, version: int | None = None
+    ) -> list[str]:
+        """Snapshot files whose Bloom filter for ``col`` may contain
+        ``value`` (files without a bloom entry are always kept — pruning is
+        only an optimization, never a correctness lever). This is the
+        point-lookup complement to ``pruned_files``: hash-distributed
+        writes give every file a full-range min/max, useless to a range
+        index, while the bloom pins the key to the files that actually
+        contain it (plus the filter's false-positive rate)."""
+        m = self._manifest(version)
+        blooms = m.get("file_blooms") or {}
+        if col not in (m.get("bloom_cols") or []):
+            return list(m["files"])
+        bits = int(m.get("bloom_bits") or 256)
+        probes = int(m.get("bloom_probes") or 4)
+        positions = _bloom_positions(value, bits, probes)
+        kept = []
+        for f in m["files"]:
+            words = blooms.get(f, {}).get(col)
+            if words is None:
+                kept.append(f)
+                continue
+            if all((words[p >> 6] >> (p & 63)) & 1 for p in positions):
+                kept.append(f)
+        return kept
+
+    def read_point(
+        self, col: str, value: Any, version: int | None = None
+    ) -> DataFrame:
+        """``col = value`` point lookup scanning only the bloom-surviving
+        files. Exactly equivalent to ``read().filter(col == value)`` —
+        the equality predicate is still applied after the skip."""
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        files = self.bloom_pruned_files(col, value, version)
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+        return df.filter(F.col(col) == value)
 
     # --------------------------------------------------------------- writes
 
@@ -873,7 +1049,8 @@ class TxnTable:
 
         def attempt(base):
             extra: dict[str, Any] = {"restored_from": version}
-            for key in ("stats_cols", "file_stats", "bucket"):
+            for key in ("stats_cols", "file_stats", "bucket",
+                        "bloom_cols", "bloom_bits", "bloom_probes", "file_blooms"):
                 if key in src:
                     extra[key] = src[key]
             files = [os.path.join(self.path, f) for f in src["files"]]
@@ -1231,6 +1408,7 @@ class TxnTable:
             m = self._manifest(base)
             stats_cols = sorted(set(m.get("stats_cols") or []) | set(cols))
             extra = {
+                **self._bloom_extra(base, new_files, keep_base=False),
                 "stats_cols": stats_cols,
                 "file_stats": self._collect_file_stats(new_files, stats_cols),
             }

@@ -820,3 +820,74 @@ def test_mv_falls_back_to_full_recompute_after_rewrite(spark, tmp_path):
     assert mv.refresh() == 3
     got = _rows(mv.read().select("k", "n", F.col("total").cast("double")))
     assert got == [(1, 1, 5.0), (3, 2, 7.0)]
+
+
+# ------------------------------------------------------ bloom file skipping
+
+
+def _bloom_df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .selectExpr("id AS k", "CAST(id * 7 AS DOUBLE) AS v")
+        .repartition(8)
+    )
+
+
+def test_bloom_point_lookup_prunes_and_stays_exact(spark, tmp_path):
+    """Hash-distributed writes give every file a full-range min/max —
+    useless to the range index — but the per-file bloom pins a point key
+    to the file(s) that actually hold it. Pruning must never change
+    results, present or absent."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _bloom_df(spark, 0, 1000), bloom_cols=["k"], bloom_bits=2048
+    )
+    t.append(_bloom_df(spark, 1000, 2000))
+    total = len(TxnTable(spark, path)._manifest()["files"])
+    assert total >= 16
+    for probe in (3, 777, 1500):
+        kept = t.bloom_pruned_files("k", probe)
+        assert len(kept) < total // 4, (probe, len(kept), total)
+        assert _rows(t.read_point("k", probe)) == _rows(
+            t.read().filter(F.col("k") == probe)
+        )
+    # absent key: typically zero files survive; result MUST be empty
+    assert t.read_point("k", 999_999).count() == 0
+
+
+def test_bloom_maintained_across_rewrites_and_restore(spark, tmp_path):
+    """Every write path funnels through _stats_extra/_bloom_extra, so the
+    bloom index survives compact (whole-snapshot rewrite recomputes per
+    new file) and restore (metadata-only carry)."""
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _bloom_df(spark, 0, 500), bloom_cols=["k"], bloom_bits=2048
+    )
+    t.append(_bloom_df(spark, 500, 1000))
+    t.compact(target_partitions=4)
+    m = t._manifest()
+    assert set(m["file_blooms"]) == set(m["files"])
+    assert _rows(t.read_point("k", 250)) == [(250, 1750.0)]
+    v_good = t.version()
+    t.overwrite(_bloom_df(spark, 0, 10))
+    t.restore(v_good)
+    m2 = t._manifest()
+    assert set(m2["file_blooms"]) == set(m2["files"])
+    assert _rows(t.read_point("k", 250)) == [(250, 1750.0)]
+
+
+def test_bloom_delta_manifests_carry_only_adds(spark, tmp_path):
+    """Between checkpoints an append's manifest stores blooms ONLY for its
+    added files; read_manifest resolution merges the full map back."""
+    from scraping_jobsdb_spark.sources.txn import _read_raw_manifest, read_manifest
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, _bloom_df(spark, 0, 100), bloom_cols=["k"], bloom_bits=2048
+    )
+    t.append(_bloom_df(spark, 100, 200))
+    raw = _read_raw_manifest(path, 2)
+    if "adds" in raw:  # delta form: blooms restricted to the delta
+        assert set(raw["file_blooms"]) == set(raw["adds"])
+    resolved = read_manifest(path, 2)
+    assert set(resolved["file_blooms"]) == set(resolved["files"])

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_time_weighted_value",
     "stats_regression_pack",
     "bloom_point_lookup_txn",
+    "doc_unigram_surprisal",
 ]
 
 

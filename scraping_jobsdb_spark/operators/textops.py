@@ -38,6 +38,7 @@ __all__ = [
     "chunk_documents",
     "bm25_rank",
     "decontaminate_ngram_overlap",
+    "unigram_surprisal",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -406,6 +407,42 @@ def decontaminate_ngram_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
         .filter(F.col("n_hit_grams") >= min_overlap)
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus's own unigram
+    model — the cheap language-model quality score: documents of common
+    words score low (boilerplate), documents of rare words score high
+    (noise/garble); both tails are what quality filters cut. For doc D,
+    mean over tokens t of -ln P(t), with P(t) = count(t) / total tokens
+    (the corpus MLE). Output: (id, n_tokens, surprisal_nats).
+
+    Shape: tokenize-explode → one (term) count aggregate → broadcast join
+    of the term table back onto the token stream → per-doc aggregate. Two
+    shuffles total (term counts, doc grouping), the same physical plan
+    family as TF-IDF. Determinism: each token's surprisal is rounded to
+    9 dp (ln is the one non-IEEE-portable op) and summed through
+    DECIMAL(30,9) — order-independent, and the scaled sum stays far below
+    2^53 so no engine's decimal→double cast double-rounds (NOTES_r4)."""
+    toks = docs.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    toks = toks.localCheckpoint()  # consumed by the model AND the scoring join
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = model.agg(F.sum("tc")).first()[0]
+    scored = toks.join(F.broadcast(model), "term").select(
+        id_col,
+        F.round(-F.log(F.col("tc") / F.lit(float(total))), 9)
+        .cast("decimal(30,9)")
+        .alias("__s"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("__s").cast("double") / F.count(F.lit(1))).alias("surprisal_nats"),
     )
 
 

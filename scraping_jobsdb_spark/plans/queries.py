@@ -4307,6 +4307,42 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ), model AS (
+        SELECT term, COUNT(*) AS tc FROM toks GROUP BY term
+    ), total AS (
+        SELECT CAST(SUM(tc) AS DOUBLE) AS tt FROM model
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-ln(m.tc / (SELECT tt FROM total)), 9)
+                    AS DECIMAL(30,9)) AS s
+        FROM toks t JOIN model m USING (term)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (operators/textops.py:unigram_surprisal):
+    per-doc mean surprisal under the corpus's own unigram model — low =
+    boilerplate of common words, high = rare-word noise; both tails are
+    quality-filter cuts. TF-IDF's plan family (one term aggregate,
+    broadcast model join, per-doc aggregate); per-token nats rounded to
+    9 dp then DECIMAL-summed so the mean is engine-exact."""
+    from scraping_jobsdb_spark.operators.textops import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return unigram_surprisal(docs)
+
+
+@_register(
     "bloom_point_lookup_txn",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
@@ -4733,6 +4769,7 @@ _GATE_PRIORITY = [
     "events_time_weighted_value",
     "stats_regression_pack",
     "bloom_point_lookup_txn",
+    "doc_unigram_surprisal",
     "approx_distinct_sketch",
     "dedup_pipeline_winnowing",
     "cdc_row_changes_bucketed_txn",
@@ -4764,7 +4801,6 @@ _GATE_PRIORITY = [
     "window_rank_navigation",
     "window_running_sum",
     "topk_orders",
-    "set_union_all",
     "set_intersect_except",
     "rollup_status_priority",
     "cube_flag_status",
@@ -4777,12 +4813,12 @@ _GATE_PRIORITY = [
     "events_hourly_streaming",
     "scalar_date_pack",
     "shipping_priority_top10",
-    # scalar_string_pack, returned_items_by_nation,
+    # set_union_all, scalar_string_pack, returned_items_by_nation,
     # sql_surface_revenue_by_nation, scalar_subquery_above_total_avg,
     # grouped_sorted_list, exists_order_priority_count,
     # forecast_revenue_delta and supplier_count_by_parttype rotated out to
-    # make room for the eight late-round-4 additions above (window = 50);
-    # all eight are untouched r1-green, re-verified locally by
+    # make room for the nine late-round-4 additions above (window = 50);
+    # all nine are untouched r1-green, re-verified locally by
     # scripts/driver_check.py this round, and lead the r5 window with the
     # r2-green cohort (project_select / scalar_date_pack /
     # shipping_priority_top10 stay in-window: their date-hygiene fix

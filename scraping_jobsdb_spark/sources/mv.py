@@ -38,6 +38,7 @@ from scraping_jobsdb_spark.sources.txn import (
 __all__ = ["IncrementalAggView"]
 
 _WATERMARK_KEY = "mv_source_version"
+_EPOCH_KEY = "mv_epoch"
 
 # (delta-level aggregate, state-level re-combine) per measure kind. count
 # re-combines by SUM; everything else re-combines with itself.
@@ -141,10 +142,48 @@ class IncrementalAggView:
                 return int(m[_WATERMARK_KEY])
         return -1
 
+    def applied_epoch(self) -> int:
+        """Highest streaming epoch folded into the view (-1 if none)."""
+        if not self.exists():
+            return -1
+        view = self._view()
+        for v in range(view.version(), 0, -1):
+            m = view._manifest(v)
+            if _EPOCH_KEY in m:
+                return int(m[_EPOCH_KEY])
+        return -1
+
     # -------------------------------------------------------------- refresh
 
     def read(self) -> DataFrame:
         return self._view().read()
+
+    def fold(self, delta: DataFrame, epoch_id: int | None = None) -> bool:
+        """Fold an externally-supplied delta (a streaming micro-batch) into
+        the view with the same combine algebra as ``refresh`` — the
+        ``foreachBatch`` body that turns any stream into a continuously-
+        maintained aggregate view. ``epoch_id`` makes the fold exactly-once
+        under failure-recovery replays: a batch whose epoch is already
+        recorded in the view's manifest is a no-op (the Delta
+        txnAppId/txnVersion contract, same as stream_epoch_append).
+        Returns whether the batch was applied."""
+        if epoch_id is not None and self.applied_epoch() >= epoch_id:
+            return False
+        meta: dict[str, Any] = {}
+        if epoch_id is not None:
+            meta[_EPOCH_KEY] = int(epoch_id)
+        partial = self._pin_types(self._partial(delta))
+        if not self.exists():
+            TxnTable.create(self.spark, self.view_path, partial, meta=meta)
+            return True
+        merged = self._pin_types(
+            self.read()
+            .unionByName(partial)
+            .groupBy(*self.group_cols)
+            .agg(*self._combine_aggs())
+        )
+        self._view().overwrite(merged, meta=meta)
+        return True
 
     def refresh(self) -> int:
         """Fold source commits past the watermark into the view; returns the

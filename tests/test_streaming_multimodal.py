@@ -426,3 +426,61 @@ def test_corpus_prep_text_ops_compose_with_streaming(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, prep(static).collect()))
     assert got == want and len(got) > 0
+
+def test_streaming_mv_maintenance_equals_batch_aggregate(spark, tmp_path):
+    """Continuous MV maintenance: a checkpointed stream over txn appends
+    folds each micro-batch into an IncrementalAggView via foreachBatch —
+    after draining, the view equals the one-shot aggregate over the source
+    snapshot, across appends and a restart. A replayed epoch is a no-op
+    (exactly-once under failure recovery)."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+    from scraping_jobsdb_spark.streaming.txn_source import (
+        TxnAppendsStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnAppendsStreamDataSource)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable.create(
+        spark, src,
+        spark.createDataFrame([(1, 10.0), (2, 1.5)], "k bigint, x double"),
+    )
+    mv = IncrementalAggView(
+        spark, src, view,
+        group_cols=["k"],
+        measures={"n": ("count", None), "total": ("dsum", "x")},
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("txn_appends").option("path", src).load()
+            .writeStream.foreachBatch(lambda df, eid: mv.fold(df, epoch_id=eid))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def batch_truth():
+        return sorted(map(tuple,
+            t.read().groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("x").cast("decimal(30,4)"))
+                .cast("decimal(30,4)").alias("total"),
+            ).collect()))
+
+    def view_state():
+        return sorted(map(tuple, mv.read().select("k", "n", "total").collect()))
+
+    drain()
+    assert view_state() == batch_truth()
+    t.append(spark.createDataFrame([(1, 2.5), (3, 7.0)], "k bigint, x double"))
+    t.append(spark.createDataFrame([(2, -0.5)], "k bigint, x double"))
+    drain()  # restart from checkpoint: folds exactly the two new commits
+    assert view_state() == batch_truth()
+    # replayed epoch: explicit no-op
+    assert mv.fold(t.read(), epoch_id=0) is False
+    assert view_state() == batch_truth()

@@ -15,10 +15,10 @@ That buys three things the blob form can't give:
   building over 100 TB shuffles at most ``depth × width`` rows per mapper.
 * **Merging is a union + re-sum** (counters are linear), so per-shard /
   per-day sketches roll up without touching the data again.
-* **Everything is oracle-able**: the hash is md5-derived (first 15 hex
-  digits as a 60-bit integer), which any engine reproduces bit-for-bit —
-  unlike xxhash64, whose seeds are Spark-internal. Estimates are integer
-  mins: no floats anywhere.
+* **Everything is oracle-able**: the hash is md5-derived (one digest per
+  value, probe positions sliced from disjoint 7-hex windows), which any
+  engine reproduces bit-for-bit — unlike xxhash64, whose seeds are
+  Spark-internal. Estimates are integer mins: no floats anywhere.
 
 Standard CMS guarantees: estimate ≥ true count (never under), and with
 width w, depth d, the overestimate ≤ N·e/w with probability 1 − e^−d.
@@ -29,15 +29,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate"]
+__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions"]
 
 
-def _cms_bucket(col: Column, seed: Column, width: int) -> Column:
-    """60-bit md5-derived hash of (value, seed) mod width. Engine-portable:
-    md5 + hex-prefix parse exists everywhere (DuckDB oracle uses the same
-    construction), and 15 hex digits stay safely inside a signed 64-bit."""
-    h = F.conv(F.substring(F.md5(F.concat_ws(":", col, seed)), 1, 15), 16, 10)
-    return (h.cast("bigint") % width).alias("bucket")
+def probe_positions(col: Column, probes: int, width: int) -> list[Column]:
+    """Engine-portable probe positions: hash ONCE, slice the digest.
+
+    One md5 yields 32 hex chars = four disjoint 7-hex (28-bit) windows;
+    probe s reads window s mod 4, and every block of 4 probes past the
+    first re-hashes with a ":block" suffix. md5 dominates the sketch-build
+    map stage, so hash-once-slice-probes is ~probes× cheaper than the
+    md5-per-probe form at the standard depth 4 — the difference between
+    one digest and four per corpus row at 100 TB. 28-bit windows modulo a
+    64-multiple width stay uniform for any practical width (2^28 >> bits).
+    Shared by the CMS and the txn-table Bloom index; DuckDB oracles and
+    the driver-side Bloom prober replicate the same construction."""
+    out = []
+    for s in range(probes):
+        block = s // 4
+        basis = col if block == 0 else F.concat_ws(":", col, F.lit(block))
+        h = F.conv(F.substring(F.md5(basis), 1 + 7 * (s % 4), 7), 16, 10)
+        out.append(h.cast("bigint") % width)
+    return out
+
+
 
 
 def cms_build(
@@ -51,20 +66,14 @@ def cms_build(
     (seed, bucket, n), ``depth × width`` rows at most. ``weight_col`` counts
     each row with a weight (e.g. pre-aggregated term counts) instead of 1.
 
-    One pass, one aggregate: each value explodes into ``depth`` cells
-    (map-only ``posexplode`` of a literal seed array) and the cell counts
-    hash-aggregate with map-side combine — the shuffle carries counters,
-    not data."""
-    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    One pass, one aggregate: each value hashes ONCE and posexplodes its
+    ``depth`` sliced positions into cells; the cell counts hash-aggregate
+    with map-side combine — the shuffle carries counters, not data."""
     w = F.col(weight_col) if weight_col else F.lit(1)
+    positions = probe_positions(F.col(col).cast("string"), depth, width)
     cells = df.select(
-        F.col(col).alias("__v"),
+        F.posexplode(F.array(*positions)).alias("seed", "bucket"),
         w.cast("bigint").alias("__w"),
-        F.explode(seeds).alias("seed"),
-    ).select(
-        "seed",
-        _cms_bucket(F.col("__v"), F.col("seed"), width),
-        "__w",
     )
     return cells.groupBy("seed", "bucket").agg(F.sum("__w").alias("n"))
 
@@ -93,13 +102,10 @@ def cms_estimate(
 
     The sketch is ≤ depth×width rows → broadcast; probing any number of
     values is a map-only explode + broadcast join + per-probe min."""
-    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    positions = probe_positions(F.col(probe_col).cast("string"), depth, width)
     cells = probes.select(
-        F.col(probe_col), F.explode(seeds).alias("seed")
-    ).select(
-        probe_col,
-        "seed",
-        _cms_bucket(F.col(probe_col), F.col("seed"), width),
+        F.col(probe_col),
+        F.posexplode(F.array(*positions)).alias("seed", "bucket"),
     )
     return (
         cells.join(F.broadcast(sketch), ["seed", "bucket"], "left")

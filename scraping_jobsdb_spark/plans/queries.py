@@ -4530,7 +4530,7 @@ def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(generate_series(0, 3)) AS seed
     ), cells AS (
         SELECT seed,
-               CAST(('0x' || substr(md5(term || ':' || seed), 1, 15)) AS BIGINT)
+               CAST(('0x' || substr(md5(term), 1 + 7 * seed, 7)) AS BIGINT)
                    % 256 AS bucket,
                COUNT(*) AS n
         FROM toks, seeds
@@ -4540,7 +4540,7 @@ def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('window'), ('batch'), ('scan'), ('agg'), ('zzz-absent')
     ), probe_cells AS (
         SELECT p.term, s.seed,
-               CAST(('0x' || substr(md5(p.term || ':' || s.seed), 1, 15)) AS BIGINT)
+               CAST(('0x' || substr(md5(p.term), 1 + 7 * s.seed, 7)) AS BIGINT)
                    % 256 AS bucket
         FROM probes p, seeds s
     )

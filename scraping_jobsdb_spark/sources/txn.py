@@ -209,17 +209,22 @@ def append_delta_files(
 
 def _bloom_positions(value: Any, bits: int, probes: int) -> list[int]:
     """Driver-side probe positions for a point-lookup value — the SAME
-    md5-derived construction the Spark-side bloom builder uses
-    (md5("{value}:{seed}") hex prefix 15 → 60-bit int mod bits), so the
-    two sides agree bit-for-bit. Values are formatted via str(): supported
-    key types are integers and strings (doubles would need a canonical
-    text form — don't bloom float columns)."""
+    hash-once-slice-probes construction the Spark-side builder uses
+    (``operators.sketches.probe_positions``): one md5, probe s reads 7-hex
+    window s mod 4, blocks past the first re-hash with a ":block" suffix.
+    Values are formatted via str(): supported key types are integers and
+    strings (doubles would need a canonical text form — don't bloom float
+    columns)."""
     import hashlib
 
-    return [
-        int(hashlib.md5(f"{value}:{s}".encode()).hexdigest()[:15], 16) % bits
-        for s in range(probes)
-    ]
+    out = []
+    for s in range(probes):
+        block = s // 4
+        basis = f"{value}" if block == 0 else f"{value}:{block}"
+        h = hashlib.md5(basis.encode()).hexdigest()
+        w = 7 * (s % 4)
+        out.append(int(h[w:w + 7], 16) % bits)
+    return out
 
 
 class TxnConflict(RuntimeError):
@@ -574,18 +579,13 @@ class TxnTable:
         # blows up codegen/heap at real widths (observed: 2^16 bits OOM'd a
         # default-memory driver). Map-side partial bit_or reduces the
         # exploded rows to files x cols x words before the shuffle.
+        from scraping_jobsdb_spark.operators.sketches import probe_positions
+
         per_col = []
         for c in present:
-            positions = F.array(*[
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.col(c).cast("string"), F.lit(s))),
-                        1, 15,
-                    ),
-                    16, 10,
-                ).cast("bigint") % bits
-                for s in range(probes)
-            ])
+            positions = F.array(
+                *probe_positions(F.col(c).cast("string"), probes, bits)
+            )
             per_col.append(
                 df.filter(F.col(c).isNotNull()).select(
                     F.input_file_name().alias("__f"),

@@ -25,6 +25,7 @@ __all__ = [
     "stratified_exact_sample",
     "token_budget_sample",
     "weighted_priority_sample",
+    "leakage_safe_split",
 ]
 
 
@@ -132,4 +133,45 @@ def weighted_priority_sample(
         .withColumn("priority", priority)
         .orderBy(F.col("priority").desc(), F.col(key_col))
         .limit(k)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate CLUSTERS, not
+    documents, are the unit of assignment — a hash split on doc ids leaks
+    eval content whenever two near-copies land in different splits, the
+    contamination that inflates benchmark scores. ``pairs`` is any
+    near-dup pair list (winnowing containment, MinHash, embedding LSH);
+    clusters resolve via connected components (min reachable id — the
+    canonical deterministic key), singletons are their own cluster, and
+    the split is the md5 band of the CLUSTER id (same 'test' < 0a ≤
+    'val' < 14 ≤ 'train' bands as the content-hash split query), so every
+    member of a cluster lands in the same split by construction.
+
+    Adds (cluster_id, split) to ``df``. Scale: the pair graph is the
+    output of an aggressive candidate filter (tiny next to the corpus) —
+    components resolve on it alone, and the assignment join back is a
+    broadcast in the common case. Deterministic end to end: the same
+    corpus always yields the same split — auditable and engine-checkable."""
+    from scraping_jobsdb_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "id", id_col
+    )
+    tagged = df.join(F.broadcast(comp), id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    pfx = F.substring(F.md5(cluster.cast("string")), 1, 2)
+    return tagged.select(
+        *df.columns,
+        cluster.alias("cluster_id"),
+        F.when(pfx < "0a", "test")
+        .when(pfx < "14", "val")
+        .otherwise("train")
+        .alias("split"),
     )

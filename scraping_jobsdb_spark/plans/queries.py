@@ -4307,6 +4307,117 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "leakage_safe_split_stats",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    ), assign AS (
+        SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS cluster_id
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+    ), tagged AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '0a'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '14'
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM assign
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def q_leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware splitting (operators/sampling.py:leakage_safe_split):
+    near-dup CLUSTERS are the unit of train/val/test assignment, so two
+    near-copies can never straddle an eval boundary — the leakage that a
+    per-document hash split silently permits. Same injected-near-dup
+    corpus and containment-pair stage as dedup_pipeline_winnowing; the
+    oracle re-resolves clusters with a recursive CTE and re-derives the
+    cluster-hash bands, verifying the per-split counts hash-exactly. The
+    no-straddle invariant itself is asserted as a property test."""
+    from scraping_jobsdb_spark.operators.sampling import leakage_safe_split
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = fingerprint_containment_pairs(
+        corpus, threshold_milli=800, k=8, w=4, max_df=50
+    )
+    tagged = leakage_safe_split(corpus, pairs)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@_register(
     "doc_unigram_surprisal",
     oracle="""
     WITH toks AS (
@@ -4770,6 +4881,7 @@ _GATE_PRIORITY = [
     "stats_regression_pack",
     "bloom_point_lookup_txn",
     "doc_unigram_surprisal",
+    "leakage_safe_split_stats",
     "approx_distinct_sketch",
     "dedup_pipeline_winnowing",
     "cdc_row_changes_bucketed_txn",
@@ -4803,7 +4915,6 @@ _GATE_PRIORITY = [
     "topk_orders",
     "set_intersect_except",
     "rollup_status_priority",
-    "cube_flag_status",
     "doc_exact_dedup",
     "doc_text_stats",
     "doc_fingerprint",
@@ -4813,16 +4924,17 @@ _GATE_PRIORITY = [
     "events_hourly_streaming",
     "scalar_date_pack",
     "shipping_priority_top10",
-    # set_union_all, scalar_string_pack, returned_items_by_nation,
-    # sql_surface_revenue_by_nation, scalar_subquery_above_total_avg,
-    # grouped_sorted_list, exists_order_priority_count,
-    # forecast_revenue_delta and supplier_count_by_parttype rotated out to
-    # make room for the nine late-round-4 additions above (window = 50);
-    # all nine are untouched r1-green, re-verified locally by
-    # scripts/driver_check.py this round, and lead the r5 window with the
-    # r2-green cohort (project_select / scalar_date_pack /
-    # shipping_priority_top10 stay in-window: their date-hygiene fix
-    # changed output code paths this round)
+    # cube_flag_status, set_union_all, scalar_string_pack,
+    # returned_items_by_nation, sql_surface_revenue_by_nation,
+    # scalar_subquery_above_total_avg, grouped_sorted_list,
+    # exists_order_priority_count, forecast_revenue_delta and
+    # supplier_count_by_parttype rotated out to make room for the ten
+    # late-round-4 additions above (window = 50); all ten are untouched
+    # r1-green, re-verified locally by scripts/driver_check.py this
+    # round, and lead the r5 window with the r2-green cohort
+    # (project_select / scalar_date_pack / shipping_priority_top10 stay
+    # in-window: their date-hygiene fix changed output code paths this
+    # round)
 ]
 
 

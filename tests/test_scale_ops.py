@@ -513,3 +513,40 @@ def test_weighted_priority_sample_biases_toward_weight(spark):
     assert sample_mean > corpus_mean
     s2 = weighted_priority_sample(docs, "doc_id", "n_chars", k=50)
     assert _rows(s1) == _rows(s2)
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The no-leakage invariant: every near-dup cluster lands wholly in one
+    split — in particular every injected near-copy (d, d+10000) shares its
+    original's split — and the union of splits is exactly the corpus."""
+    from scraping_jobsdb_spark.operators.sampling import leakage_safe_split
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = fingerprint_containment_pairs(
+        corpus, threshold_milli=800, k=8, w=4, max_df=50
+    )
+    tagged = leakage_safe_split(corpus, pairs)
+    assert tagged.count() == corpus.count()
+    straddling = (
+        tagged.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+    split_of = {r["doc_id"]: r["split"] for r in tagged.collect()}
+    linked = {r["id_a"] for r in pairs.collect()} | {
+        r["id_b"] for r in pairs.collect()
+    }
+    injected_linked = [d for d in linked if d >= 10000]
+    assert injected_linked, "expected injected near-copies to pair up"
+    for d in injected_linked:
+        assert split_of[d] == split_of[d - 10000]

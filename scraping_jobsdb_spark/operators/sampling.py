@@ -156,15 +156,19 @@ def leakage_safe_split(
 
     Adds (cluster_id, split) to ``df``. Scale: the pair graph is the
     output of an aggressive candidate filter (tiny next to the corpus) —
-    components resolve on it alone, and the assignment join back is a
-    broadcast in the common case. Deterministic end to end: the same
-    corpus always yields the same split — auditable and engine-checkable."""
+    components resolve on it alone, and the assignment join back is left
+    to AQE, which broadcasts the (materialized, size-known) component map
+    when it is small and falls back to a shuffled join when a pathological
+    pair graph isn't — a forced broadcast hint here would be a driver OOM
+    hazard on exactly that pathological input. Deterministic end to end:
+    the same corpus always yields the same split — auditable and
+    engine-checkable."""
     from scraping_jobsdb_spark.operators.graph import connected_components
 
     comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
         "id", id_col
     )
-    tagged = df.join(F.broadcast(comp), id_col, "left")
+    tagged = df.join(comp, id_col, "left")
     cluster = F.coalesce(F.col("component"), F.col(id_col))
     pfx = F.substring(F.md5(cluster.cast("string")), 1, 2)
     return tagged.select(

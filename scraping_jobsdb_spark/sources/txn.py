@@ -921,15 +921,54 @@ class TxnTable:
             }
         return extra
 
-    def append(self, df: DataFrame) -> int:
-        """Transactional append: all-or-nothing visibility."""
+    def append(self, df: DataFrame, evolve_schema: bool = False) -> int:
+        """Transactional append: all-or-nothing visibility.
+
+        Additive evolution: a frame carrying every table column PLUS new
+        ones evolves the committed schema automatically (old files read
+        through the widened schema as nulls — Parquet scans by name). A
+        frame MISSING table columns requires ``evolve_schema=True``, which
+        null-fills them (Delta's mergeSchema posture) — without the flag
+        it raises instead of silently forking the schema."""
         self._require_unbucketed("append")
 
         def attempt(base):
-            new_files, n = self._write_data(df)
+            data = df
+            schema = df.schema
+            if base >= 1:
+                table_schema = StructType.fromJson(
+                    json.loads(self._manifest(base)["schema"])
+                )
+                missing = [
+                    f for f in table_schema.fields
+                    if f.name not in set(schema.fieldNames())
+                ]
+                if missing:
+                    if not evolve_schema:
+                        raise ValueError(
+                            f"{self.path}: append frame lacks table columns "
+                            f"{[f.name for f in missing]}; pass "
+                            "evolve_schema=True to null-fill them"
+                        )
+                    have = set(schema.fieldNames())
+                    # table columns first (nulls where df lacks them), then
+                    # df-only columns appended in df order — the evolved
+                    # committed schema
+                    cols = [
+                        F.col(f.name) if f.name in have
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in table_schema.fields
+                    ] + [
+                        F.col(f.name)
+                        for f in schema.fields
+                        if f.name not in set(table_schema.fieldNames())
+                    ]
+                    data = df.select(*cols)
+                    schema = data.schema
+            new_files, n = self._write_data(data)
             m = self._manifest(base)
             all_files = [os.path.join(self.path, f) for f in m["files"]] + new_files
-            return all_files, df.schema, "append", n, n, self._stats_extra(base, new_files)
+            return all_files, schema, "append", n, n, self._stats_extra(base, new_files)
 
         return self._occ_loop(attempt)
 

@@ -891,3 +891,26 @@ def test_bloom_delta_manifests_carry_only_adds(spark, tmp_path):
         assert set(raw["file_blooms"]) == set(raw["adds"])
     resolved = read_manifest(path, 2)
     assert set(resolved["file_blooms"]) == set(resolved["files"])
+
+
+def test_append_schema_evolution_additive(spark, tdir):
+    """evolve_schema=True: table-only columns fill with nulls, df-only
+    columns extend the committed schema, and old files read through the
+    widened schema as nulls. Without the flag, a mismatched frame raises
+    instead of silently forking the schema."""
+    t = TxnTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="evolve_schema"):
+        t.append(spark.createDataFrame([(2, 9.5)], "k bigint, score double"))
+    t.append(
+        spark.createDataFrame([(2, 9.5)], "k bigint, score double"),
+        evolve_schema=True,
+    )
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: (None, 9.5)}
+    # next strict append must now match the EVOLVED schema
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 1.5)], "k bigint, v string, score double"
+        )
+    )
+    assert t.read().count() == 3

@@ -30,7 +30,14 @@ def frame_repr(df: pd.DataFrame) -> tuple[str, str]:
         tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)
     )
     h = hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
-    return h, ",".join(f"{c}:{df[c].dtype}" for c in df.columns)
+    # datetime64 resolution (ns vs us) stringifies identically, so the real
+    # gate's value hash can't see it — normalize it away here too, or every
+    # timestamp-bearing query reads as a false FAIL (Spark→pandas gives ns,
+    # DuckDB→pandas gives us)
+    dtypes = ",".join(
+        f"{c}:{str(df[c].dtype).replace('[us]', '[ns]')}" for c in df.columns
+    )
+    return h, dtypes
 
 
 def main() -> None:

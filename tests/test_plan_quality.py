@@ -114,6 +114,12 @@ FORBIDDEN = [
     # sufficient stats = ONE aggregate pass: no join, no window
     ("stats_regression_pack", "Join"),
     ("stats_regression_pack", "Window"),
+    # the LM scoring join is term-equi (broadcast model), never a product
+    ("doc_unigram_surprisal", "CartesianProduct"),
+    ("doc_unigram_surprisal", "BroadcastNestedLoopJoin"),
+    # split assignment: containment equi-join + CC + equi join-back only
+    ("leakage_safe_split_stats", "CartesianProduct"),
+    ("leakage_safe_split_stats", "BroadcastNestedLoopJoin"),
 ]
 
 

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "stats_regression_pack",
     "bloom_point_lookup_txn",
     "doc_unigram_surprisal",
+    "term_postings_index",
 ]
 
 

@@ -4307,6 +4307,43 @@ def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "term_postings_index",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM toks GROUP BY term
+    """,
+)
+def q_term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the sorted posting
+    list (serialized as a comma-joined string: the driver's pandas
+    canonicalizer cannot sort list-valued cells — the approx_distinct_
+    sketch lesson — and a delimited string hashes identically everywhere).
+    The retrieval-side artifact BM25/TF-IDF consume; one distinct + one
+    aggregate shuffle, postings sorted under a total order so the index
+    is byte-deterministic at any partitioning. At 100 TB the posting list
+    per common term is large — this shape streams it through
+    sort_array(collect_list) per term; terms are the shuffle key, so skew
+    tooling (stop-term filters, max_df guards — see top_ngrams/winnowing)
+    applies upstream."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).distinct()
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+    )
+
+
+@_register(
     "leakage_safe_split_stats",
     oracle=r"""
     WITH RECURSIVE corpus AS (
@@ -4882,6 +4919,7 @@ _GATE_PRIORITY = [
     "bloom_point_lookup_txn",
     "doc_unigram_surprisal",
     "leakage_safe_split_stats",
+    "term_postings_index",
     "approx_distinct_sketch",
     "dedup_pipeline_winnowing",
     "cdc_row_changes_bucketed_txn",
@@ -4914,7 +4952,6 @@ _GATE_PRIORITY = [
     "window_running_sum",
     "topk_orders",
     "set_intersect_except",
-    "rollup_status_priority",
     "doc_exact_dedup",
     "doc_text_stats",
     "doc_fingerprint",
@@ -4924,7 +4961,7 @@ _GATE_PRIORITY = [
     "events_hourly_streaming",
     "scalar_date_pack",
     "shipping_priority_top10",
-    # cube_flag_status, set_union_all, scalar_string_pack,
+    # rollup_status_priority, cube_flag_status, set_union_all, scalar_string_pack,
     # returned_items_by_nation, sql_surface_revenue_by_nation,
     # scalar_subquery_above_total_avg, grouped_sorted_list,
     # exists_order_priority_count, forecast_revenue_delta and

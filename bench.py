@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "bloom_point_lookup_txn",
     "doc_unigram_surprisal",
     "term_postings_index",
+    "doc_segment_dedup_global",
+    "quality_top_fraction_per_lang",
+    "skew_join_salted",
+    "incremental_batch_dedup",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "token_budget_sample",
     "weighted_priority_sample",
     "leakage_safe_split",
+    "top_fraction_per_group",
 ]
 
 
@@ -178,4 +179,48 @@ def leakage_safe_split(
         .when(pfx < "14", "val")
         .otherwise("train")
         .alias("split"),
+    )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    fraction: float,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Keep the best ``fraction`` of rows per group under ``score`` — the
+    FineWeb-style per-language quality cut ("keep the top half of each
+    language by quality"), and generally any score-ranked stratified
+    selection (as opposed to the hash-ranked pseudo-random samplers above).
+
+    The cut keeps ``rank <= ceil(|group| * fraction)`` rows, so every
+    non-empty group retains at least one row. Rank is a row_number under
+    (score desc, tiebreak_cols) — a total order, so the selected set is
+    unique and engine-independent PROVIDED the caller quantizes a
+    floating-point score first (round to 9 dp: cross-engine double
+    arithmetic can differ in the last ulp and flip near-equal ranks; see
+    NOTES on GEMM-vs-expression drift).
+
+    One shuffle on the group key; rank and group count ride the SAME window
+    partitioning (a single Window exec), so the count adds no exchange.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        score.desc(), *[F.col(c) for c in tiebreak_cols]
+    )
+    wc = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        "*",
+        F.row_number().over(w).alias("__rank"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    return (
+        ranked.filter(
+            F.col("__rank") <= F.ceil(F.col("__n") * F.lit(fraction))
+        )
+        .drop("__n")
+        .withColumnRenamed("__rank", "rank_in_group")
+        .withColumn("rank_in_group", F.col("rank_in_group").cast("bigint"))
     )

@@ -39,6 +39,8 @@ __all__ = [
     "bm25_rank",
     "decontaminate_ngram_overlap",
     "unigram_surprisal",
+    "dedup_segments_global",
+    "incremental_containment_filter",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -678,4 +680,149 @@ def fingerprint_containment_pairs(
             >= F.lit(threshold_milli) * F.least("fp_a", "fp_b")
         )
         .select("id_a", "id_b", "shared_fp", "fp_a", "fp_b")
+    )
+
+
+# ------------------------------------------------- cross-corpus line dedup
+
+
+def dedup_segments_global(
+    docs: DataFrame,
+    segment_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/RefinedWeb-style exact line deduplication ACROSS the corpus: split
+    every document into fixed-width word segments (the "lines" of a corpus
+    without newline structure), keep only the globally-FIRST occurrence of
+    each distinct segment under the total order (doc id, position), and
+    reassemble each document from its surviving segments.
+
+    Output: (id, text_dedup, n_segments_kept) — documents whose every
+    segment was seen earlier disappear entirely, exactly like C4's
+    three-sentence-span dedup drops fully-boilerplate pages.
+
+    Scale shape: map-only segmentation (split → sequence → posexplode →
+    slice, no UDF), ONE shuffle on the segment text for the
+    first-occurrence window, one shuffle on the doc id to reassemble.
+    Segment strings can be md5'd before the window at 100 TB to cut
+    shuffle bytes (the semantics are identical modulo collisions); kept
+    plain here so the operator is value-hash oracle-able.
+
+    Deterministic: first occurrence is row_number over (id, position) — a
+    total order — never an arbitrary DISTINCT.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__w") - 1, F.lit(0)), F.lit(segment_words)
+    )
+    segs = (
+        docs.select(id_col, words.alias("__w"))
+        .select(id_col, F.posexplode(starts).alias("seg_id", "__start"), "__w")
+        .select(
+            id_col,
+            F.col("seg_id").cast("bigint").alias("seg_id"),
+            F.concat_ws(
+                " ", F.slice("__w", F.col("__start") + 1, F.lit(segment_words))
+            ).alias("seg"),
+        )
+    )
+    first = Window.partitionBy("seg").orderBy(id_col, "seg_id")
+    kept = (
+        segs.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seg_id", "seg"))).alias("__ss"))
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform("__ss", lambda s: s["seg"])
+            ).alias("text_dedup"),
+            F.size("__ss").cast("bigint").alias("n_segments_kept"),
+        )
+    )
+
+
+# --------------------------------------------- incremental batch-vs-corpus
+
+
+def incremental_containment_filter(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold_milli: int = 800,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-crawl dedup: score every NEW document (``batch``) against
+    the EXISTING corpus by winnowing-fingerprint containment, the decision an
+    ongoing ingest pipeline makes on each arriving batch (the scale mapping
+    of the reference's per-run "skip already-scraped job ids" anti-join,
+    ``airflow/dags/scrape_url.py`` — there by exact key, here by content).
+
+    Output, one row per batch document: (id, n_fp, n_dup_of, kept) where
+    ``n_dup_of`` counts corpus documents containing ≥ ``threshold_milli``/1000
+    of the batch doc's (pruned) fingerprint set and ``kept`` is the survival
+    verdict. All-integer containment (cross-multiplied threshold) — fully
+    value-hash oracle-able, like ``fingerprint_containment_pairs``.
+
+    Scale shape: the corpus side is the big, stable one — its fingerprint
+    set and stop-gram list are computed once per batch (precomputed and
+    stored in a txn table in a deployed pipeline; recomputed here so the
+    operator is self-contained). The probe is ONE equi-join on the gram
+    hash between the (small) batch fingerprints and the pruned corpus
+    index — LSH-banding economics, never all-pairs. Stop-grams (df >
+    ``max_df`` in the CORPUS) are dropped from both sides, and batch set
+    sizes are measured over the same pruned universe the join runs on.
+    """
+    # Checkpoint both fingerprint sets: each feeds multiple consumers below
+    # and Catalyst would otherwise replay the per-character explode+window
+    # stage once per consumer (same rationale as
+    # fingerprint_containment_pairs' pins).
+    fps_c = winnowing_fingerprint_set(
+        corpus, k, w, text_col, id_col
+    ).localCheckpoint()
+    fps_b = winnowing_fingerprint_set(batch, k, w, text_col, id_col)
+    # stop-grams: boilerplate hashes shared by > max_df CORPUS documents;
+    # both sides drop them (anti-join), so batch sizes and the probe join
+    # run over the same pruned universe. A gram absent from the corpus is
+    # kept on the batch side — it cannot match anything anyway.
+    stop = (
+        fps_c.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    pruned_c = fps_c.join(stop, "h", "left_anti")
+    pruned_b = fps_b.join(stop, "h", "left_anti").localCheckpoint()
+    sizes_b = pruned_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        pruned_b.select(F.col(id_col).alias("__bid"), "h")
+        .join(pruned_c.select(F.col(id_col).alias("__cid"), "h"), "h")
+        .groupBy("__bid", "__cid")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    dup_of = (
+        shared.join(
+            sizes_b.select(F.col(id_col).alias("__bid"), "n_fp"), "__bid"
+        )
+        .filter(F.col("shared_fp") * 1000 >= F.lit(threshold_milli) * F.col("n_fp"))
+        .groupBy("__bid")
+        .agg(F.count(F.lit(1)).alias("n_dup_of"))
+    )
+    ids = batch.select(id_col)
+    return (
+        ids.join(sizes_b, id_col, "left")
+        .join(dup_of.withColumnRenamed("__bid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fp", F.lit(0)).cast("bigint").alias("n_fp"),
+            F.coalesce("n_dup_of", F.lit(0)).cast("bigint").alias("n_dup_of"),
+            (F.coalesce("n_dup_of", F.lit(0)) == 0).alias("kept"),
+        )
     )

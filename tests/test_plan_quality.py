@@ -120,6 +120,19 @@ FORBIDDEN = [
     # split assignment: containment equi-join + CC + equi join-back only
     ("leakage_safe_split_stats", "CartesianProduct"),
     ("leakage_safe_split_stats", "BroadcastNestedLoopJoin"),
+    # segment dedup: first-occurrence window partitions by the segment —
+    # never a global window, never a join
+    ("doc_segment_dedup_global", "SinglePartition"),
+    ("doc_segment_dedup_global", "Join"),
+    # quality cut: rank and group count share ONE lang-partitioned window
+    ("quality_top_fraction_per_lang", "SinglePartition"),
+    ("quality_top_fraction_per_lang", "Join"),
+    # salted join is an equi-join on (key, salt): no product, no BNLJ
+    ("skew_join_salted", "CartesianProduct"),
+    ("skew_join_salted", "BroadcastNestedLoopJoin"),
+    # batch-vs-corpus probe: gram-hash equi-joins only, no products
+    ("incremental_batch_dedup", "CartesianProduct"),
+    ("incremental_batch_dedup", "BroadcastNestedLoopJoin"),
 ]
 
 

@@ -550,3 +550,75 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
     assert injected_linked, "expected injected near-copies to pair up"
     for d in injected_linked:
         assert split_of[d] == split_of[d - 10000]
+
+
+def test_dedup_segments_global_first_occurrence_semantics(spark):
+    from scraping_jobsdb_spark.operators.textops import dedup_segments_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # both segments globally first
+            (2, "a b c x y z"),       # first segment duplicates doc 1's
+            (3, "a b c d e f"),       # fully duplicated -> vanishes
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.text_dedup, r.n_segments_kept)
+        for r in dedup_segments_global(docs, segment_words=3).collect()
+    }
+    assert out == {1: ("a b c d e f", 2), 2: ("x y z", 1)}
+
+
+def test_top_fraction_per_group_ceil_and_tiebreak(spark):
+    from scraping_jobsdb_spark.operators.sampling import top_fraction_per_group
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 5.0), ("g1", 2, 4.0), ("g1", 3, 3.0), ("g1", 4, 2.0),
+            ("g2", 5, 1.0),                       # singleton group survives
+            ("g3", 6, 7.0), ("g3", 7, 7.0), ("g3", 8, 7.0),  # all tied
+        ],
+        "g string, id bigint, score double",
+    )
+    kept = top_fraction_per_group(df, ["g"], F.col("score"), 0.5, ["id"])
+    got = sorted((r.g, r.id, r.rank_in_group) for r in kept.collect())
+    # g1: ceil(4*.5)=2 -> ids 1,2; g2: ceil(1*.5)=1 -> id 5;
+    # g3: ceil(3*.5)=2 -> tie broken by id asc -> ids 6,7
+    assert got == [
+        ("g1", 1, 1), ("g1", 2, 2), ("g2", 5, 1), ("g3", 6, 1), ("g3", 7, 2),
+    ]
+
+
+def test_incremental_containment_filter_verdicts(spark):
+    from scraping_jobsdb_spark.operators.textops import (
+        incremental_containment_filter,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "violet engines hum beneath the winter bridge at dawn"
+    )
+    other = (
+        "completely different subject matter entirely about submarine "
+        "navigation protocols and deep ocean current measurement systems"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base.rsplit(" ", 1)[0]),  # near-dup of doc 1 (last word cut)
+            (11, "unrelated fresh text about alpine meadow irrigation "
+                 "ditches and terraced barley fields above the treeline"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.kept, r.n_dup_of)
+        for r in incremental_containment_filter(batch, corpus).collect()
+    }
+    assert out[10] == (False, 1)
+    assert out[11] == (True, 0)
+    # every batch doc gets exactly one verdict row
+    assert set(out) == {10, 11}

@@ -554,18 +554,26 @@ def winnowing_fingerprints(
     of the distinct selected hashes (a compact integer sketch that any
     engine reproduces bit-exactly).
 
-    Physical shape — learned the hard way (both measured at sf0.1):
+    Physical shape — learned the hard way (all measured at sf0.1):
     per-position ``substr(s, i, 1)`` is O(i) on byte-addressed UTF8 strings
-    (the whole doc goes quadratic: 251 s), and staging a char-code array in
-    a separate projection gets CollapseProject-inlined into every
-    element_at, recomputing the array per position (worse). The stable form
-    explodes the text to one row per character and computes each gram hash
-    from ``lead(code, j)`` columns: the k leads, the winnowing min, and the
-    selection all share ONE window partitioning (doc_id, ordered by pos) —
-    a single shuffle, O(len·k) work, nothing quadratic anywhere.
+    (the whole doc goes quadratic: 251 s), and computing the char-code and
+    gram-hash arrays INLINE in one projection duplicates the producing
+    expression into every consumer lambda (the array recomputed per
+    position — quadratic again). The stable form stages each array behind
+    an alias in its OWN projection (codes → gram hashes → window minima):
+    CollapseProject keeps the boundaries because each alias is referenced
+    more than once by non-cheap higher-order expressions, so every array
+    materializes once per row. The whole selection is then MAP-ONLY — no
+    explode, no window, NO SHUFFLE — where the previous char-explode +
+    lead()-window form shuffled one row per character of the corpus
+    (an Exchange the size of the text itself; at 100 TB that shuffle, not
+    the arithmetic, is the bottleneck). Local throughput is identical;
+    the fingerprint sets are bit-identical (verified old-vs-new).
 
-    Scale: for 100 TB the doc_id partition count follows the scan and no
-    stage materializes more than the exploded character stream.
+    Scale: for 100 TB the partition count follows the scan; nothing is
+    materialized beyond the per-row arrays, and the first exchange in any
+    consumer moves only (id, fingerprint) pairs — ~w-fold smaller than
+    the text, vs a full char-stream shuffle before.
     """
     return (
         winnowing_fingerprint_set(docs, k, w, text_col, id_col)
@@ -586,35 +594,58 @@ def winnowing_fingerprint_set(
 ) -> DataFrame:
     """The distinct selected fingerprint hashes per document — (id, h) rows,
     the winnowing selection itself (see ``winnowing_fingerprints`` for the
-    hash formula, selection rule, and the physical-shape rationale)."""
+    hash formula, selection rule, and the physical-shape rationale).
+
+    Map-only: each projection stage materializes one per-row array
+    (char codes → gram hashes → trailing-window minima), the selection
+    filters/dedups in-array, and only the final small fingerprint set is
+    exploded to rows. No shuffle anywhere — the stage boundaries between
+    the aliased arrays are load-bearing (see the physical-shape note
+    above); collapsing them re-inlines the producing expression per
+    element and goes quadratic.
+    """
     powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
-    order = Window.partitionBy(id_col).orderBy("pos")
-    code = F.ascii("ch").cast("bigint")
-    gram_hash = (
-        sum(
-            (F.lead(code, j).over(order) if j else code) * F.lit(powers[j])
-            for j in range(k)
-        )
-        % WINNOW_MOD
+    s = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("bigint"))
+    st1 = docs.select(id_col, codes.alias("__codes"))
+
+    n = F.size("__codes")
+    # gram positions 0..n-k; guard: sequence(0, negative) would DESCEND
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
     )
-    win = order.rowsBetween(-(w - 1), Window.currentRow)
-    return (
-        docs.select(
-            id_col,
-            F.posexplode(
-                F.split(
-                    F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
-                    "",
-                )
-            ).alias("pos", "ch"),
-        )
-        .withColumn("h", gram_hash)
-        .filter(F.col("h").isNotNull())  # tail positions with < k chars left
-        .withColumn("__wmin", F.min("h").over(win))
-        .filter(F.col("h") == F.col("__wmin"))
-        .select(id_col, "h")
-        .distinct()
+
+    def _gram(i: Column) -> Column:
+        h = F.lit(0).cast("bigint")
+        for j, p in enumerate(powers):
+            # every intermediate < 255 * MOD << 2^63 — no overflow
+            h = h + F.element_at("__codes", i + j + 1) * F.lit(p)
+        return h % F.lit(WINNOW_MOD)
+
+    st2 = st1.select(id_col, F.transform(idx, _gram).alias("__hs"))
+
+    m = F.size("__hs")
+    # trailing-window minimum at each position: min(hs[max(0,i-w+1) .. i])
+    wmins = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.array_min(
+            F.slice("__hs", F.greatest(i - w + 2, F.lit(1)), F.least(i + 1, F.lit(w)))
+        ),
     )
+    st3 = st2.select(
+        id_col,
+        "__hs",
+        F.when(m > 0, wmins)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("__wm"),
+    )
+    selected = F.array_distinct(
+        F.filter(
+            F.zip_with("__hs", "__wm", lambda h, mn: F.when(h == mn, h)),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return st3.select(id_col, F.explode(selected).alias("h"))
 
 
 def fingerprint_containment_pairs(

@@ -86,7 +86,10 @@ FORBIDDEN = [
     # never the O(n^2) nested-loop form
     ("embedding_neardup_pairs", "BroadcastNestedLoopJoin"),
     ("embedding_neardup_pairs", "CartesianProduct"),
-    # winnowing's window-min partitions by doc_id — never a global window
+    # winnowing selection is map-only in-array work: no window at all (the
+    # old char-explode form shuffled one row per character), certainly
+    # never a global one
+    ("doc_winnowing_fingerprints", "Window"),
     ("doc_winnowing_fingerprints", "SinglePartition"),
     ("doc_winnowing_fingerprints", "CartesianProduct"),
     # PII scrub is a map-only regex pass: no join, no window, no agg

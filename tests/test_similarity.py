@@ -584,3 +584,47 @@ def test_hll_mergeable_sketches_merge_invariance(spark):
     assert merged == single  # merge invariance, bit-exact
     for et, est in merged.items():
         assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), (et, est, exact[et])
+
+
+def test_winnowing_fingerprint_formula_vs_python_reference(spark):
+    """Pin the hash formula + selection rule against an independent Python
+    reference, so the engine-side implementation can be rewritten (e.g. the
+    char-window -> map-only array form) without the sketch silently
+    drifting: every (doc, h) pair must match exactly."""
+    from scraping_jobsdb_spark.operators.textops import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+        winnowing_fingerprint_set,
+    )
+
+    import re
+
+    def ref_fps(text, k=8, w=4):
+        s = re.sub(r"\s+", " ", text.strip().lower())
+        n = len(s)
+        if n < k:
+            return set()
+        hs = []
+        for i in range(n - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h + ord(s[i + j]) * pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)) % WINNOW_MOD
+            hs.append(h)
+        out = set()
+        for i, h in enumerate(hs):
+            if h == min(hs[max(0, i - w + 1): i + 1]):
+                out.add(h)
+        return out
+
+    rows = [
+        (1, "The  Quick   brown fox\tjumps over the lazy dog"),
+        (2, "abcdefgh"),                 # exactly k chars -> one gram
+        (3, "abcdefg"),                  # k-1 chars -> empty set
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzz"), # all-equal hashes -> heavy dedup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprint_set(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.h)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == ref_fps(text), f"doc {doc_id}"

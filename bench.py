@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "quality_top_fraction_per_lang",
     "skew_join_salted",
     "incremental_batch_dedup",
+    "dedup_keep_best_quality",
 ]
 
 

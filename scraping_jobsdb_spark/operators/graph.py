@@ -24,10 +24,10 @@ labels are (id, label) pairs — the GraphX/GraphFrames propagation pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_keep_list"]
+__all__ = ["connected_components", "dedup_keep_list", "dedup_keep_best"]
 
 
 def connected_components(
@@ -189,4 +189,42 @@ def dedup_keep_list(
     cc = connected_components(edges, src, dst)
     return cc.select(
         "id", "component", (F.col("id") == F.col("component")).alias("keep")
+    )
+
+
+def dedup_keep_best(
+    edges: DataFrame,
+    scores: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: from near-dup pairs plus a
+    per-document score, keep the BEST-scoring document of each cluster
+    (ties: smallest id) instead of ``dedup_keep_list``'s smallest-id rule —
+    what a curation pipeline actually wants when duplicates differ in
+    quality (truncated copies, boilerplate-injected mirrors).
+
+    Output: one row per clustered node — (id, component, score, keep).
+    Un-paired documents never appear (trivially kept). Deterministic
+    PROVIDED the caller quantizes a floating-point score first (round to
+    9 dp — the cross-engine ulp contract). One extra shuffle over
+    ``dedup_keep_list``: the per-component argmax window.
+    """
+    cc = connected_components(edges, src, dst)
+    scored = cc.join(
+        scores.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("id")
+    )
+    return scored.select(
+        "id",
+        "component",
+        F.col("__score").alias(score_col),
+        (F.row_number().over(w) == 1).alias("keep"),
     )

@@ -303,29 +303,23 @@ def chunk_documents(
 def _word_ngrams(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, gram) rows: whitespace word-level n-grams via posexplode +
-    lead() — same single-window physical shape as the winnowing k-grams
-    (one shuffle on the doc id, nothing quadratic; see
-    ``winnowing_fingerprints`` for why per-position indexing is banned)."""
-    order = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(order) for j in range(1, n)]
-    return (
-        docs.select(
-            id_col,
-            F.posexplode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            ).alias("pos", "w"),
-        )
-        # both window expressions share one partitioning: a single Window
-        # exec produces the gram and its completeness witness together
-        .select(
-            id_col,
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "gram")
+    """(id, gram) rows: whitespace word-level n-grams, MAP-ONLY — the word
+    array is staged behind an alias in its own projection, gram strings are
+    built in-array (slice + concat_ws per position), and only the finished
+    grams are exploded. No shuffle: the previous posexplode + lead()-window
+    form exchanged one row per WORD of the corpus through a doc_id window
+    before any consumer aggregated (same migration as
+    ``winnowing_fingerprint_set``; the staged alias is what keeps
+    CollapseProject from re-inlining the split per position — see the
+    physical-shape note there)."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    st1 = docs.select(id_col, ws.alias("__ws"))
+    nw = F.size("__ws")
+    idx = F.when(nw >= n, F.sequence(F.lit(0), nw - n)).otherwise(
+        F.array().cast("array<int>")
     )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)))
+    return st1.select(id_col, F.explode(grams).alias("gram"))
 
 
 def repetition_stats(

@@ -5104,6 +5104,123 @@ def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_keep_best_quality",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t, text
+        FROM corpus
+    ), scored AS (
+        SELECT doc_id,
+            ROUND(
+              0.4 * (CASE WHEN len(t) >= 10 AND len(t) <= 100000
+                          THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (CASE WHEN len(list_filter(t, x -> lower(x) IN
+                              ('the','a','an','of','and','or','is','to','in')))
+                              / len(t)
+                              BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                              / length(text)), 9) AS quality
+        FROM toks
+    ), ranked AS (
+        SELECT c.id AS doc_id, c.component, s.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY s.quality DESC, c.id) AS rn
+        FROM comp c JOIN scored s ON c.id = s.doc_id
+    )
+    SELECT doc_id, component, quality, rn = 1 AS keep FROM ranked
+    """,
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/graph.py
+    dedup_keep_best): winnowing containment pairs over the corpus with
+    injected truncated near-dups → connected components → keep the
+    HIGHEST-quality member of each cluster (9dp-quantized composite score,
+    smaller id on ties) instead of the smallest id. The injected near-dups
+    are truncated copies, so quality-aware selection — unlike min-id —
+    systematically retains the fuller original. Fully value-hash checked:
+    clusters re-resolved by the oracle's recursive CTE, the argmax by a
+    window under the same total order."""
+    from scraping_jobsdb_spark.operators.graph import dedup_keep_best
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+        quality_score,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = fingerprint_containment_pairs(
+        corpus, threshold_milli=800, k=8, w=4, max_df=50
+    )
+    scores = corpus.select(
+        "doc_id", F.round(quality_score("text"), 9).alias("quality")
+    )
+    return dedup_keep_best(
+        pairs, scores, id_col="doc_id", score_col="quality"
+    ).withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5143,6 +5260,7 @@ def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "dedup_keep_best_quality",
     "doc_segment_dedup_global",
     "quality_top_fraction_per_lang",
     "skew_join_salted",
@@ -5186,7 +5304,6 @@ _GATE_PRIORITY = [
     "join_dims_broadcast",
     "join_left_outer_agg",
     "join_semi",
-    "window_rank_navigation",
     "window_running_sum",
     "topk_orders",
     "set_intersect_except",
@@ -5201,8 +5318,9 @@ _GATE_PRIORITY = [
     # exists_order_priority_count, forecast_revenue_delta,
     # supplier_count_by_parttype, and (for the four final-session corpus
     # queries doc_segment_dedup_global / quality_top_fraction_per_lang /
-    # skew_join_salted / incremental_batch_dedup) doc_exact_dedup,
-    # doc_text_stats, doc_fingerprint, join_semi and doc_ngram_jaccard
+    # skew_join_salted / incremental_batch_dedup / dedup_keep_best_quality)
+    # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard
+    # and window_rank_navigation
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

@@ -96,8 +96,10 @@ FORBIDDEN = [
     ("doc_pii_redaction", "Join"),
     ("doc_pii_redaction", "Window"),
     ("doc_pii_redaction", "HashAggregate"),
-    # repetition grams window by doc_id — never a global window; the gram
-    # build is posexplode+lead, never a per-position self-product
+    # the gram build is map-only in-array slicing (no window at all — the
+    # old posexplode+lead form shuffled one row per word), never a
+    # per-position self-product
+    ("doc_repetition_stats", "Window"),
     ("doc_repetition_stats", "SinglePartition"),
     ("doc_repetition_stats", "CartesianProduct"),
     # the oracled dedup pipeline: containment equi-join + CC, no products
@@ -108,8 +110,9 @@ FORBIDDEN = [
     # no window) — one pass over the scan end to end
     ("bm25_doc_ranking", "Exchange hashpartitioning"),
     ("bm25_doc_ranking", "Window"),
-    # gram build is posexplode+lead per doc — never a global window, never
-    # a per-position product
+    # gram build is map-only (no window, no word-stream shuffle), never a
+    # per-position product
+    ("decontamination_ngram_overlap", "Window"),
     ("decontamination_ngram_overlap", "SinglePartition"),
     ("decontamination_ngram_overlap", "CartesianProduct"),
     # the TWAP lead() window partitions by user — never a global window

@@ -622,3 +622,27 @@ def test_incremental_containment_filter_verdicts(spark):
     assert out[11] == (True, 0)
     # every batch doc gets exactly one verdict row
     assert set(out) == {10, 11}
+
+
+def test_dedup_keep_best_argmax_and_ties(spark):
+    from scraping_jobsdb_spark.operators.graph import dedup_keep_best
+
+    # two clusters: {1,2,3} (chain), {10,11}; 4 unpaired (absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5), (4, 1.0)],
+        "doc_id bigint, q double",
+    )
+    out = {
+        r.id: (r.component, r.q, r.keep)
+        for r in dedup_keep_best(edges, scores, score_col="q").collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> smaller id 2 kept
+    assert out[2] == (1, 0.9, True)
+    assert out[1][2] is False and out[3][2] is False
+    # cluster {10,11}: tie -> 10 kept
+    assert out[10] == (10, 0.5, True) and out[11][2] is False
+    # unpaired doc never appears
+    assert 4 not in out

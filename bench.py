@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "skew_join_salted",
     "incremental_batch_dedup",
     "dedup_keep_best_quality",
+    "hll_portable_registers",
 ]
 
 

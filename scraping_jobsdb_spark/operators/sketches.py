@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions"]
+__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions", "hll_build", "hll_merge", "hll_estimate"]
 
 
 def probe_positions(col: Column, probes: int, width: int) -> list[Column]:
@@ -112,4 +112,99 @@ def cms_estimate(
         .groupBy(probe_col)
         # a missing cell means nothing ever hashed there: count 0
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )
+
+
+# ------------------------------------------------------------- portable HLL
+
+HLL_DRAW_BITS = 60  # 15 md5 hex chars -> uniform 60-bit draw
+
+
+def hll_build(
+    df: DataFrame, col: str, p: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Engine-portable HyperLogLog registers as a DataFrame (bucket, rho) —
+    the distinct-count sibling of ``cms_build``, with the same portability
+    contract: md5-derived hashing, so any engine re-derives the IDENTICAL
+    register table and the gate can verify the sketch itself hash-exactly
+    (Spark's native ``hll_sketch_agg`` blobs are DataSketches-internal and
+    only rows-only checkable; this one is the fully-oracled form).
+
+    m = 2^p buckets; per value: a 60-bit md5 draw splits into bucket
+    (low p bits) and the remaining 60-p bits whose leading-zero count + 1
+    is rho; registers are max(rho) per bucket — ONE aggregate with
+    map-side combine, shuffling at most m rows per mapper (per group when
+    ``group_cols`` asks for one sketch per group). rho is derived
+    from the minimal binary-string length (identical in Spark ``conv`` and
+    DuckDB ``bin``), never from float log2 (exact at power-of-two
+    boundaries where log2 rounding is not)."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    m = 1 << p
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    rest = F.shiftright(h, p)
+    binlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    max_rho = HLL_DRAW_BITS - p + 1
+    rho = (
+        F.when(rest == 0, F.lit(max_rho))
+        .otherwise(F.lit(max_rho) - binlen)
+        .cast("bigint")
+    )
+    keys = list(group_cols or [])
+    return (
+        df.select(*keys, (h % m).cast("bigint").alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union-max of register tables: the HLL merge law (registers are
+    max-linear), so per-shard / per-day sketches roll up without touching
+    the data — bit-identical to building over the concatenated data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Raw HyperLogLog estimate from a register DataFrame (one row:
+    ``est_distinct`` double, ``n_zero_buckets`` bigint).
+
+    Determinism: the harmonic sum is computed as the INTEGER
+    S = sum(2^(max_rho - rho)) (+ 2^max_rho per never-hit bucket) — every
+    term is an exact power of two and the integer sum is order-independent,
+    where the float form sum(2^-rho) rounds order-dependently once terms
+    differ by >53 binary orders. One double division at the end. The
+    standard small-range correction applies (raw estimate ≤ 2.5m with
+    empty buckets → linear counting m·ln(m/V)); ln() carries libm ulps,
+    which is why GATE queries hash the integer registers, not estimates —
+    estimate accuracy (~1.04/sqrt(m)) is asserted in tests."""
+    m = 1 << p
+    max_rho = HLL_DRAW_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # DataFrame-API shiftleft wants a literal shift; the SQL form takes a
+    # column — the per-register term 2^(max_rho - rho) is an exact bigint
+    agg = sketch.agg(
+        F.expr(
+            f"sum(shiftleft(cast(1 as bigint), cast({max_rho} - rho as int)))"
+        ).alias("__s_hit"),
+        F.count(F.lit(1)).alias("__n_hit"),
+    )
+    s_total = F.col("__s_hit") + (F.lit(m) - F.col("__n_hit")) * F.lit(
+        1 << max_rho
+    ).cast("bigint")
+    num = alpha * m * m * float(1 << max_rho)
+    raw = F.lit(num) / s_total.cast("double")
+    v = (F.lit(m) - F.col("__n_hit")).cast("bigint")
+    est = F.when(
+        (v > 0) & (raw <= F.lit(2.5 * m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        est.alias("est_distinct"),
+        v.alias("n_zero_buckets"),
     )

@@ -5221,6 +5221,55 @@ def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+@_register(
+    "hll_portable_registers",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), rows_ AS (
+        SELECT event_type AS scope, h % 256 AS bucket,
+               CASE WHEN (h >> 8) = 0 THEN 53
+                    ELSE 53 - length(bin(h >> 8)) END AS rho
+        FROM h
+    ), per_type AS (
+        SELECT scope, bucket, MAX(rho) AS rho FROM rows_ GROUP BY 1, 2
+    ), merged AS (
+        SELECT '__all__' AS scope, bucket, MAX(rho) AS rho
+        FROM per_type GROUP BY bucket
+    )
+    SELECT scope, CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+    FROM per_type
+    UNION ALL
+    SELECT scope, CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+    FROM merged
+    """,
+)
+def q_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketches.py hll_build /
+    hll_merge): one register sketch of distinct users per event_type, plus
+    the '__all__' sketch obtained by MERGING the five per-type sketches —
+    which the oracle checks against DuckDB deriving the global registers
+    directly from the rows, verifying the HLL merge law itself hash-exactly.
+    Unlike the DataSketches-blob form (hll_mergeable_sketches, rows-only by
+    necessity), the md5-derived register table is integer-exact in any
+    engine — the distinct-count sibling of the fully-oracled CMS. Estimates
+    (with small-range linear counting) live in hll_estimate and are
+    accuracy-asserted in tests; the gate hashes only integers."""
+    from scraping_jobsdb_spark.operators.sketches import hll_build, hll_merge
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    per_type = hll_build(ev, "user_id", p=8, group_cols=["event_type"])
+    merged = hll_merge(per_type.select("bucket", "rho")).select(
+        F.lit("__all__").alias("scope"), "bucket", "rho"
+    )
+    return per_type.select(
+        F.col("event_type").alias("scope"), "bucket", "rho"
+    ).unionByName(merged)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5260,6 +5309,7 @@ def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "hll_portable_registers",
     "dedup_keep_best_quality",
     "doc_segment_dedup_global",
     "quality_top_fraction_per_lang",
@@ -5305,7 +5355,6 @@ _GATE_PRIORITY = [
     "join_left_outer_agg",
     "join_semi",
     "window_running_sum",
-    "topk_orders",
     "set_intersect_except",
     "doc_lang_quality",
     "embedding_topk",
@@ -5319,8 +5368,8 @@ _GATE_PRIORITY = [
     # supplier_count_by_parttype, and (for the four final-session corpus
     # queries doc_segment_dedup_global / quality_top_fraction_per_lang /
     # skew_join_salted / incremental_batch_dedup / dedup_keep_best_quality)
-    # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard
-    # and window_rank_navigation
+    # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard,
+    # window_rank_navigation and (for hll_portable_registers) topk_orders
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

@@ -646,3 +646,29 @@ def test_dedup_keep_best_argmax_and_ties(spark):
     assert out[10] == (10, 0.5, True) and out[11][2] is False
     # unpaired doc never appears
     assert 4 not in out
+
+
+def test_hll_merge_law_and_accuracy(spark):
+    from scraping_jobsdb_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    df = spark.range(20000).selectExpr("id AS v")
+    whole = hll_build(df, "v", p=8)
+    # merge law: per-shard sketches union-max to the whole-data sketch
+    shards = [hll_build(df.filter(f"v % 4 = {i}"), "v", p=8) for i in range(4)]
+    merged = {(r.bucket, r.rho) for r in hll_merge(*shards).collect()}
+    assert merged == {(r.bucket, r.rho) for r in whole.collect()}
+    # raw-estimate accuracy: well within 5x the 1.04/sqrt(256) ~ 6.5% bound
+    est = hll_estimate(whole, p=8).collect()[0].est_distinct
+    assert abs(est - 20000) / 20000 < 0.2
+    # small-range: linear counting keeps tiny cardinalities sane
+    small = spark.range(30).selectExpr("id AS v")
+    est_s = hll_estimate(hll_build(small, "v", p=8), p=8).collect()[0]
+    assert est_s.n_zero_buckets > 0
+    assert abs(est_s.est_distinct - 30) / 30 < 0.35
+    # determinism: rebuilding yields the identical register table
+    again = {(r.bucket, r.rho) for r in hll_build(df, "v", p=8).collect()}
+    assert again == {(r.bucket, r.rho) for r in whole.collect()}

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "incremental_batch_dedup",
     "dedup_keep_best_quality",
     "hll_portable_registers",
+    "minhash_portable_neardup_pairs",
 ]
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "quantize_embeddings_int8",
     "dequantize_embeddings_int8",
     "kmeans_fit",
+    "minhash_candidate_pairs_portable",
 ]
 
 
@@ -837,3 +838,112 @@ def kmeans_fit(
         cents,
         "cell int, centroid array<double>",
     )
+
+
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with ENGINE-PORTABLE permutations — the
+    fully-oracle-able sibling of ``minhash_candidate_pairs``.
+
+    The fast form's xxhash64 seeds are Spark-internal, so its output can
+    only ever be rows-only checked; here each permutation reads a 28-bit
+    window of an md5 digest (hash-once-per-block: shingle s yields digests
+    md5(s), md5(s||':1'), ... — one per 4 permutations — identical to the
+    CMS/Bloom ``probe_positions`` construction), which any engine
+    re-derives bit-for-bit. Same LSH economics: signature is map-only, ONE
+    shuffle on (band, band-key), ``max_bucket`` bounds the quadratic pair
+    expansion. 28-bit permutation values are plenty for minwise ranking at
+    corpus scale (ties only merge candidates, never drop true ones, and
+    the verify stage downstream is exact anyway).
+
+    Use the xxhash64 form in the 100 TB hot path (integer rehash beats 4
+    md5 digests per shingle); use this one where cross-engine
+    reproducibility of the candidate set itself is the requirement
+    (regression gates, audits, cross-system migrations).
+    """
+    if k % bands:
+        raise ValueError(f"bands ({bands}) must divide k ({k})")
+    rows = k // bands
+    n_blocks = (k + 3) // 4
+    sh = shingles(F.col(text_col), shingle_n)
+
+    def _digests(s: Column) -> Column:
+        return F.array(
+            *[
+                F.md5(s if b == 0 else F.concat_ws(":", s, F.lit(b)))
+                for b in range(n_blocks)
+            ]
+        )
+
+    # stage the per-shingle digest arrays behind an alias: the k permutation
+    # minima below are k consumers — without the projection boundary the
+    # md5s would recompute per permutation (see winnowing_fingerprint_set's
+    # physical-shape note for the CollapseProject reference-count rule)
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(sh, _digests).alias("__dg"),
+    )
+
+    def _perm_min(p: int) -> Column:
+        block, win = p // 4, p % 4
+        return F.array_min(
+            F.transform(
+                "__dg",
+                lambda d: F.conv(
+                    F.substring(d[block], 1 + 7 * win, 7), 16, 10
+                ).cast("bigint"),
+            )
+        )
+
+    sig = staged.select(
+        "doc", F.array(*[_perm_min(p) for p in range(k)]).alias("__sig")
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("__sig").getItem(b * rows + r)
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda a: F.transform(
+                            "docs",
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                ),
+                lambda p: p.id_a < p.id_b,
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()

@@ -5270,6 +5270,74 @@ def q_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(merged)
 
 
+@_register(
+    "minhash_portable_neardup_pairs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+    ), posn AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s
+        FROM posn
+    ), perms AS (
+        SELECT unnest(generate_series(0, 15)) AS p
+    ), hv AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(
+                   md5(CASE WHEN p < 4 THEN s
+                            ELSE s || ':' || CAST(p // 4 AS VARCHAR) END),
+                   1 + 7 * (p % 4), 7)) AS BIGINT) AS hp
+        FROM sh, perms
+    ), sig AS (
+        SELECT doc_id, p, MIN(hp) AS m FROM hv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+        FROM sig GROUP BY doc_id, p // 4
+    ), sized AS (
+        SELECT band, key FROM bandkeys
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandkeys a
+    JOIN sized USING (band, key)
+    JOIN bandkeys b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with md5-portable permutations
+    (operators/similarity.py minhash_candidate_pairs_portable) over the
+    corpus with injected truncated near-dups — the FIRST fully value-hash
+    oracled LSH candidate set in the engine (the xxhash64 form stays the
+    100 TB hot path and remains rows-only: its seeds are Spark-internal).
+    16 permutations from hash-once-per-block md5 windows, 4 bands × 4
+    rows, one shuffle on (band, band-key), max_bucket=64 expansion guard;
+    DuckDB re-derives signatures, bands, buckets, and pairs identically."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        minhash_candidate_pairs_portable,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return minhash_candidate_pairs_portable(
+        docs.unionByName(near), "doc_id", "text",
+        k=16, bands=4, shingle_n=3, max_bucket=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5309,6 +5377,7 @@ def q_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "minhash_portable_neardup_pairs",
     "hll_portable_registers",
     "dedup_keep_best_quality",
     "doc_segment_dedup_global",
@@ -5346,7 +5415,6 @@ _GATE_PRIORITY = [
     "winnowing_containment_pairs",
     # (c) r1-stale: every query whose last green row is from round 1
     "groupby_min_max",
-    "dedup_distinct_on",
     "upsert_new_keys",
     "project_select",
     "work_queue_isnull",
@@ -5369,7 +5437,8 @@ _GATE_PRIORITY = [
     # queries doc_segment_dedup_global / quality_top_fraction_per_lang /
     # skew_join_salted / incremental_batch_dedup / dedup_keep_best_quality)
     # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard,
-    # window_rank_navigation and (for hll_portable_registers) topk_orders
+    # window_rank_navigation, topk_orders (for hll_portable_registers) and
+    # dedup_distinct_on (for minhash_portable_neardup_pairs)
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

@@ -628,3 +628,37 @@ def test_winnowing_fingerprint_formula_vs_python_reference(spark):
         got.setdefault(r.doc_id, set()).add(r.h)
     for doc_id, text in rows:
         assert got.get(doc_id, set()) == ref_fps(text), f"doc {doc_id}"
+
+
+def test_minhash_portable_finds_injected_near_dups(spark):
+    """The md5-permutation LSH must band truncated copies with their
+    originals (same recall property as the xxhash64 form), and repeated
+    builds must agree exactly (the portability contract)."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        minhash_candidate_pairs_portable,
+    )
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs_portable(
+            corpus, "doc_id", "text", k=16, bands=4
+        ).collect()
+    }
+    injected = {r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    found = sum(1 for d in injected if (d, d + 10000) in pairs)
+    assert found / max(len(injected), 1) >= 0.8
+    again = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs_portable(
+            corpus, "doc_id", "text", k=16, bands=4
+        ).collect()
+    }
+    assert pairs == again

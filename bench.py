@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_keep_best_quality",
     "hll_portable_registers",
     "minhash_portable_neardup_pairs",
+    "kmv_distinct_sketches",
 ]
 
 

@@ -26,10 +26,10 @@ width w, depth d, the overestimate ≤ N·e/w with probability 1 − e^−d.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions", "hll_build", "hll_merge", "hll_estimate"]
+__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions", "hll_build", "hll_merge", "hll_estimate", "kmv_build", "kmv_merge", "kmv_estimate", "kmv_intersection_estimate"]
 
 
 def probe_positions(col: Column, probes: int, width: int) -> list[Column]:
@@ -207,4 +207,101 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
     return agg.select(
         est.alias("est_distinct"),
         v.alias("n_zero_buckets"),
+    )
+
+
+# ------------------------------------------------------------- portable KMV
+
+
+def kmv_build(
+    df: DataFrame, col: str, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
+    """K-minimum-values (theta-style) sketch: the k smallest md5-derived
+    60-bit hash values of the column's DISTINCT items, per group — rows
+    (group..., v). The third member of the portable-sketch family (CMS:
+    frequencies, HLL: distinct counts) and the one that answers what HLL
+    cannot: DISTINCT COUNTS OF SET EXPRESSIONS — union via merge,
+    intersection via the theta cut — because the sketch retains actual
+    hash values, which are comparable across sketches.
+
+    Physical shape: map-side hash → per-group k-smallest. Grouped builds
+    compile to the WindowGroupLimit map-side top-k (one shuffle of ≤ k
+    rows per mapper per group); the ungrouped form is a global
+    TakeOrderedAndProject. All values integer → the sketch itself is
+    value-hash oracle-able in any engine."""
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    keys = list(group_cols or [])
+    hashed = df.select(*keys, h.alias("v")).distinct()
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("v")
+        return (
+            hashed.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk")
+        )
+    return hashed.orderBy("v").limit(k)
+
+
+def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
+    """Union sketch: pool the retained values, keep the k smallest —
+    KMV(A ∪ B), bit-identical to building over the concatenated data
+    (both sides retain supersets of the union's k minima)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.select("v").distinct().orderBy("v").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a (v) sketch: (k-1) * 2^60 / v_k with
+    v_k the k-th smallest retained value; exact count when the sketch
+    holds fewer than k values (the whole distinct set hashed). One double
+    division; everything before it is integer."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("__n"), F.max("v").alias("__vk")
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("__vk").cast("double")
+    )
+    return agg.select(est.alias("est_distinct"))
+
+
+def kmv_intersection_estimate(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Distinct-count estimate of A ∩ B from two KMV sketches — the
+    theta-sketch recipe: cut both at theta = min(max_a, max_b), count
+    matching values below the cut (rho) out of the union's survivors (u),
+    and scale the union estimate by rho/u. Returns one row:
+    (rho, est_intersection). rho is integer (hash-exact); the estimate is
+    two double operations on integers."""
+    av = a.select("v")
+    bv = b.select("v")
+    theta = (
+        av.agg(F.max("v").alias("ma"))
+        .crossJoin(bv.agg(F.max("v").alias("mb")))
+        .select(F.least("ma", "mb").alias("theta"))
+    )
+    # broadcast 1-row theta to both sides
+    at = av.crossJoin(F.broadcast(theta)).filter(F.col("v") <= F.col("theta"))
+    bt = bv.crossJoin(F.broadcast(theta)).filter(F.col("v") <= F.col("theta"))
+    inter = at.select("v").intersect(bt.select("v"))
+    union = at.select("v").union(bt.select("v")).distinct()
+    rho = inter.agg(F.count(F.lit(1)).alias("rho"))
+    u = union.agg(
+        F.count(F.lit(1)).alias("u"), F.max("v").alias("vu")
+    )
+    joined = rho.crossJoin(u)
+    est_union = F.when(
+        F.col("u") < k, F.col("u").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("vu").cast("double")
+    )
+    return joined.select(
+        F.col("rho").cast("bigint").alias("rho"),
+        (F.col("rho").cast("double") / F.greatest(F.col("u"), F.lit(1)).cast("double") * est_union).alias(
+            "est_intersection"
+        ),
     )

@@ -5338,6 +5338,54 @@ def q_minhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@_register(
+    "kmv_distinct_sketches",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS v
+        FROM events
+    ), ranked AS (
+        SELECT event_type AS scope, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk
+        FROM h
+    ), per_type AS (
+        SELECT scope, v FROM ranked WHERE rk <= 64
+    ), merged AS (
+        SELECT DISTINCT v FROM per_type
+    ), merged_ranked AS (
+        SELECT '__all__' AS scope, v, ROW_NUMBER() OVER (ORDER BY v) AS rk
+        FROM merged
+    )
+    SELECT scope, v FROM per_type
+    UNION ALL
+    SELECT scope, v FROM merged_ranked WHERE rk <= 64
+    """,
+)
+def q_kmv_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketches (operators/sketches.py kmv_build/kmv_merge):
+    the k=64 smallest md5-60bit values of the distinct users per event_type,
+    plus the '__all__' union sketch obtained by MERGING the five — verified
+    against DuckDB deriving the union's minima directly, so the KMV merge
+    law is oracle-checked like the HLL one. KMV completes the portable
+    sketch family (CMS: frequencies, HLL: distinct counts, KMV: distinct
+    counts of SET EXPRESSIONS — the retained values are comparable across
+    sketches, enabling intersection estimates HLL cannot give; see
+    kmv_intersection_estimate + tests). Grouped build is the map-side
+    WindowGroupLimit top-k; everything hashed is integer."""
+    from scraping_jobsdb_spark.operators.sketches import kmv_build, kmv_merge
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    per_type = kmv_build(ev, "user_id", k=64, group_cols=["event_type"])
+    merged = kmv_merge(64, per_type.select("v")).select(
+        F.lit("__all__").alias("scope"), "v"
+    )
+    return per_type.select(
+        F.col("event_type").alias("scope"), "v"
+    ).unionByName(merged)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5377,6 +5425,7 @@ def q_minhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "kmv_distinct_sketches",
     "minhash_portable_neardup_pairs",
     "hll_portable_registers",
     "dedup_keep_best_quality",
@@ -5421,7 +5470,6 @@ _GATE_PRIORITY = [
     "anti_join_not_in",
     "join_dims_broadcast",
     "join_left_outer_agg",
-    "join_semi",
     "window_running_sum",
     "set_intersect_except",
     "doc_lang_quality",
@@ -5437,8 +5485,9 @@ _GATE_PRIORITY = [
     # queries doc_segment_dedup_global / quality_top_fraction_per_lang /
     # skew_join_salted / incremental_batch_dedup / dedup_keep_best_quality)
     # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard,
-    # window_rank_navigation, topk_orders (for hll_portable_registers) and
-    # dedup_distinct_on (for minhash_portable_neardup_pairs)
+    # window_rank_navigation, topk_orders (for hll_portable_registers),
+    # dedup_distinct_on (for minhash_portable_neardup_pairs) and join_semi
+    # (for kmv_distinct_sketches)
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

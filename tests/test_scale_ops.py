@@ -672,3 +672,35 @@ def test_hll_merge_law_and_accuracy(spark):
     # determinism: rebuilding yields the identical register table
     again = {(r.bucket, r.rho) for r in hll_build(df, "v", p=8).collect()}
     assert again == {(r.bucket, r.rho) for r in whole.collect()}
+
+
+def test_kmv_merge_law_intersection_and_exact_small(spark):
+    from scraping_jobsdb_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersection_estimate,
+        kmv_merge,
+    )
+
+    df = spark.range(10000).selectExpr("id AS v")
+    whole = kmv_build(df, "v", k=64)
+    a = kmv_build(df.filter("v < 6000"), "v", k=64)
+    b = kmv_build(df.filter("v >= 4000"), "v", k=64)
+    # merge law: pooled minima == whole-data sketch
+    assert {r.v for r in kmv_merge(64, a, b).collect()} == {
+        r.v for r in whole.collect()
+    }
+    # estimate within ~4x the 1/sqrt(64) = 12.5% std error
+    est = kmv_estimate(whole, 64).collect()[0].est_distinct
+    assert abs(est - 10000) / 10000 < 0.5
+    # below k the sketch IS the distinct set: estimate exact
+    small = kmv_build(spark.range(30).selectExpr("id AS v"), "v", k=64)
+    assert kmv_estimate(small, 64).collect()[0].est_distinct == 30.0
+    # intersection: true 2000 of 10000; loose bound (theta variance at k=64)
+    r = kmv_intersection_estimate(a, b, 64).collect()[0]
+    assert r.rho > 0
+    assert 0 < r.est_intersection < 10000
+    # disjoint sets -> rho 0, estimate 0
+    c = kmv_build(spark.range(20000, 30000).selectExpr("id AS v"), "v", k=64)
+    r2 = kmv_intersection_estimate(a, c, 64).collect()[0]
+    assert r2.rho == 0 and r2.est_intersection == 0.0

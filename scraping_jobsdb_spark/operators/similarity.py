@@ -46,6 +46,7 @@ __all__ = [
     "dequantize_embeddings_int8",
     "kmeans_fit",
     "minhash_candidate_pairs_portable",
+    "simhash_candidate_pairs_portable",
 ]
 
 
@@ -947,3 +948,67 @@ def minhash_candidate_pairs_portable(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def simhash_candidate_pairs_portable(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 256
+) -> DataFrame:
+    """SimHash near-dup candidates with ENGINE-PORTABLE token hashes — the
+    oracle-able sibling of ``simhash_candidate_pairs`` (same relationship
+    as minhash_candidate_pairs_portable to its xxhash64 form).
+
+    Token hash = 60-bit md5 window; fingerprint = 60 bit-votes chunked
+    into 4×15-bit bands (``simhash_from_hashes`` is hash-agnostic, so the
+    vote/chunk machinery is shared verbatim with the hot path). Docs
+    within Hamming distance 3 share a band by pigeonhole; candidates meet
+    on ONE (chunk, value) shuffle and verify exact Hamming on the pair
+    stream only. Everything integer → the candidate set AND distances are
+    value-hash reproducible in any engine.
+
+    ``max_bucket`` drops (chunk, value) buckets larger than the cap before
+    pairing — the same quadratic-expansion guard as the MinHash forms
+    (a band value shared by half the corpus is boilerplate, and its
+    pair product would dominate the job); like there, capping trades
+    recall inside capped buckets for a bounded pair stream."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    h60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    with_fp = df.select(
+        F.col(id_col).alias("doc"),
+        simhash_from_hashes(
+            F.transform(toks, h60), bits=60, chunk_bits=15
+        ).alias("fp"),
+    )
+    chunked = with_fp.select(
+        "doc", "fp", F.posexplode("fp")
+    ).select(
+        "doc",
+        "fp",
+        F.struct(
+            F.col("pos").alias("chunk"), F.col("col").alias("cval")
+        ).alias("ck"),
+    )
+    small = (
+        chunked.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .select("ck")
+    )
+    guarded = chunked.join(small, "ck")
+    a = guarded.select(F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "ck")
+    b = guarded.select(F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "ck")
+    pairs = (
+        a.join(b, "ck")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("fp_a"), F.col("fp_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "id_a", "id_b", ham.cast("bigint").alias("hamming")
+    )

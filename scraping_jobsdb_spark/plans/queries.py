@@ -5386,6 +5386,81 @@ def q_kmv_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(merged)
 
 
+@_register(
+    "simhash_portable_neardup_pairs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM corpus
+    ), hv AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ), bitsv AS (
+        SELECT doc_id, unnest(range(0, 60)) AS b, h FROM hv
+    ), votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM bitsv GROUP BY 1, 2
+    ), fpbits AS (
+        SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS v FROM votes
+    ), chunks AS (
+        SELECT doc_id, 3 - (b // 15) AS chunk,
+               SUM(v << CAST(b % 15 AS INTEGER)) AS cval
+        FROM fpbits GROUP BY 1, 2
+    ), small AS (
+        SELECT chunk, cval FROM chunks
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 256
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM chunks a
+        JOIN small USING (chunk, cval)
+        JOIN chunks b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(CASE WHEN fa.v <> fb.v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM pairs p
+        JOIN fpbits fa ON fa.doc_id = p.id_a
+        JOIN fpbits fb ON fb.doc_id = p.id_b AND fb.b = fa.b
+        GROUP BY 1, 2
+    ) WHERE hamming <= 3
+    """,
+)
+def q_simhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates with md5-portable token hashes
+    (operators/similarity.py simhash_candidate_pairs_portable) over the
+    corpus with injected truncated near-dups: 60-bit fingerprints from
+    per-token bit votes, 4×15-bit bands (Hamming ≤ 3 guaranteed banded by
+    pigeonhole), one (chunk, value) shuffle, exact Hamming verified on the
+    candidate stream. With this the whole near-dup candidate family —
+    winnowing containment, MinHash-LSH, SimHash — has a fully value-hash
+    oracled member; the xxhash64 forms remain the hot path. The oracle
+    re-derives votes bit-by-bit and distances from the bit tables."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        simhash_candidate_pairs_portable,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return simhash_candidate_pairs_portable(
+        docs.unionByName(near), "doc_id", "text"
+    ).filter(F.col("hamming") <= 3)
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5425,6 +5500,7 @@ def q_kmv_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "simhash_portable_neardup_pairs",
     "kmv_distinct_sketches",
     "minhash_portable_neardup_pairs",
     "hll_portable_registers",
@@ -5470,7 +5546,6 @@ _GATE_PRIORITY = [
     "anti_join_not_in",
     "join_dims_broadcast",
     "join_left_outer_agg",
-    "window_running_sum",
     "set_intersect_except",
     "doc_lang_quality",
     "embedding_topk",
@@ -5486,8 +5561,9 @@ _GATE_PRIORITY = [
     # skew_join_salted / incremental_batch_dedup / dedup_keep_best_quality)
     # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard,
     # window_rank_navigation, topk_orders (for hll_portable_registers),
-    # dedup_distinct_on (for minhash_portable_neardup_pairs) and join_semi
-    # (for kmv_distinct_sketches)
+    # dedup_distinct_on (for minhash_portable_neardup_pairs), join_semi
+    # (for kmv_distinct_sketches) and window_running_sum (for
+    # simhash_portable_neardup_pairs)
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

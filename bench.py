@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "hll_portable_registers",
     "minhash_portable_neardup_pairs",
     "kmv_distinct_sketches",
+    "quantile_hash_sample",
 ]
 
 

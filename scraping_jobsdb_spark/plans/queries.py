@@ -5461,6 +5461,72 @@ def q_simhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     ).filter(F.col("hamming") <= 3)
 
 
+@_register(
+    "quantile_hash_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) AS k
+        FROM lineitem
+    ), sampled AS (
+        SELECT * FROM keyed
+        WHERE CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) < 429496729
+    ), ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, k) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM sampled
+    )
+    SELECT l_returnflag, MAX(n) AS n_sample,
+           MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = CEIL(n * 0.9) THEN l_extendedprice END) AS p90
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles made oracle-EXACT by deterministic sampling:
+    a ~10% md5-band sample of lineitem (hash_fraction_sample — membership
+    is a pure function of the row key, identical in every engine), then
+    the exact rank-statistic p50/p90 per return flag over the sample under
+    a (value, key) total order. The general pattern: any approximate query
+    whose randomness comes from CONTENT HASHING instead of an RNG or a
+    sketch library is reproducible bit-for-bit cross-engine — this is the
+    quantile member of that family (sampling: deterministic_sample_split;
+    sketches: cms/hll/kmv). One shuffle on the group key; rank and count
+    share a single window."""
+    from scraping_jobsdb_spark.operators.sampling import hash_fraction_sample
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    sampled = hash_fraction_sample(li, "k", 0.1)
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "k")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = sampled.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_sample"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("l_extendedprice"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("l_extendedprice"))
+        ).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5500,6 +5566,7 @@ def q_simhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "quantile_hash_sample",
     "simhash_portable_neardup_pairs",
     "kmv_distinct_sketches",
     "minhash_portable_neardup_pairs",
@@ -5539,7 +5606,6 @@ _GATE_PRIORITY = [
     "dedup_pipeline_end_to_end",
     "winnowing_containment_pairs",
     # (c) r1-stale: every query whose last green row is from round 1
-    "groupby_min_max",
     "upsert_new_keys",
     "project_select",
     "work_queue_isnull",
@@ -5562,8 +5628,9 @@ _GATE_PRIORITY = [
     # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard,
     # window_rank_navigation, topk_orders (for hll_portable_registers),
     # dedup_distinct_on (for minhash_portable_neardup_pairs), join_semi
-    # (for kmv_distinct_sketches) and window_running_sum (for
-    # simhash_portable_neardup_pairs)
+    # (for kmv_distinct_sketches), window_running_sum (for
+    # simhash_portable_neardup_pairs) and groupby_min_max (for
+    # quantile_hash_sample; it is bench-timed every round regardless)
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

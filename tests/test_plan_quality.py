@@ -65,6 +65,8 @@ REQUIRED = [
     ("decontamination_ngram_overlap", "BroadcastHashJoin"),
     # weighted sampling: map-only priorities + per-partition partial top-k
     ("weighted_sample_by_length", "TakeOrderedAndProject"),
+    # grouped KMV build compiles to the map-side per-group top-k
+    ("kmv_distinct_sketches", "WindowGroupLimit"),
 ]
 
 FORBIDDEN = [
@@ -139,6 +141,13 @@ FORBIDDEN = [
     # batch-vs-corpus probe: gram-hash equi-joins only, no products
     ("incremental_batch_dedup", "CartesianProduct"),
     ("incremental_batch_dedup", "BroadcastNestedLoopJoin"),
+    # LSH banding is always an equi-join on the band key, never a product
+    ("minhash_portable_neardup_pairs", "CartesianProduct"),
+    ("minhash_portable_neardup_pairs", "BroadcastNestedLoopJoin"),
+    ("simhash_portable_neardup_pairs", "CartesianProduct"),
+    ("simhash_portable_neardup_pairs", "BroadcastNestedLoopJoin"),
+    # register/sketch builds are pure aggregates: no join anywhere
+    ("hll_portable_registers", "Join"),
 ]
 
 

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "minhash_portable_neardup_pairs",
     "kmv_distinct_sketches",
     "quantile_hash_sample",
+    "retention_cohorts",
 ]
 
 

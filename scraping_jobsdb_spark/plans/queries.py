@@ -5527,6 +5527,46 @@ def q_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST((a.wk - c.cohort_wk) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — the canonical product-analytics rollup:
+    users are cohorted by their first active week, then counted distinct
+    per (cohort, week offset). Two shuffles (distinct user-weeks, then the
+    cohort aggregate); the per-user MIN rides the same user_id
+    partitioning as the distinct. Weeks cross the gate as ISO strings
+    (bare DATE columns stringify engine-dependently — NOTES date-hygiene
+    rule); the offset is integer day-diff / 7, exact in both engines."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5566,6 +5606,7 @@ def q_quantile_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "retention_cohorts",
     "quantile_hash_sample",
     "simhash_portable_neardup_pairs",
     "kmv_distinct_sketches",
@@ -5614,7 +5655,6 @@ _GATE_PRIORITY = [
     "join_left_outer_agg",
     "set_intersect_except",
     "doc_lang_quality",
-    "embedding_topk",
     "events_hourly_streaming",
     "scalar_date_pack",
     "shipping_priority_top10",
@@ -5629,8 +5669,10 @@ _GATE_PRIORITY = [
     # window_rank_navigation, topk_orders (for hll_portable_registers),
     # dedup_distinct_on (for minhash_portable_neardup_pairs), join_semi
     # (for kmv_distinct_sketches), window_running_sum (for
-    # simhash_portable_neardup_pairs) and groupby_min_max (for
-    # quantile_hash_sample; it is bench-timed every round regardless)
+    # simhash_portable_neardup_pairs), groupby_min_max (for
+    # quantile_hash_sample; it is bench-timed every round regardless) and
+    # embedding_topk (for retention_cohorts; embedding_topk_np covers the
+    # family in-window)
     # rotated out to make room (window = 50; the priority list had crept
     # to 51, silently leaving shipping_priority_top10 outside — caught
     # and re-counted this session); all sixteen are untouched r1-green,

@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "kmv_distinct_sketches",
     "quantile_hash_sample",
     "retention_cohorts",
+    "regional_supplier_volume",
+    "nation_volume_shipping",
+    "market_share_by_year",
+    "sole_supplier_orders",
 ]
 
 

@@ -5567,6 +5567,271 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: revenue by supplier nation for one region
+    and date window, restricted to LOCAL supply (customer and supplier share
+    a nation). The scale-shaping: region→nation→supplier collapse into one
+    broadcast dim (suppliers-in-region is dim-sized), so lineitem acquires
+    its nation map-side; the only shuffles are the two fact joins
+    (lineitem⋈orders on orderkey, +customer on custkey) and the final tiny
+    group-by. The c_nationkey = s_nationkey local-supply predicate is a
+    post-join filter — it is NOT an equi-join key, so keeping it out of the
+    join condition lets both engines plan the joins on the real keys."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "nation_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+        OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    named nations, by direction and ship-year. The disjunctive nation-pair
+    predicate cannot be pushed into either single-table scan, but both arms
+    restrict each side to one of two nations — so supplier and customer are
+    EACH pre-filtered to the two-nation subset via a broadcast nation join
+    (turning the fact joins into joins against tiny dims), and the
+    disjunction runs as a cheap post-join filter on two small string
+    columns. Year crosses as BIGINT (Spark year() is INT, DuckDB EXTRACT is
+    BIGINT — cast on the Spark side)."""
+    nations = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_11")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_11")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_11")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "market_share_by_year",
+    oracle="""
+    WITH base AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                   AS volume,
+               n2.n_name AS supp_nation
+        FROM part, lineitem, supplier, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+          AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: one supplier nation's fraction of
+    ECONOMY-part revenue sold into EUROPE customers, by order year. An
+    8-table join where every dimension (part-filtered, supplier+nation,
+    customer-nation-region) broadcasts, leaving lineitem⋈orders as the only
+    shuffle join. Both SUMs are decimal-exact; the share is the ratio of
+    their DOUBLE casts rounded to 9 dp (derived statistics round before the
+    gate — DECIMAL→DOUBLE double-rounding rule in NOTES)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    eur_nat = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(eur_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    base = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            9,
+        ).alias("mkt_share")
+    )
+
+
+@_register(
+    "sole_supplier_orders",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(*) AS n_items,
+               MIN(l_suppkey) AS the_supp
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS n_orders
+    FROM per_order p
+    JOIN orders o ON p.l_orderkey = o.o_orderkey
+    JOIN supplier s ON p.the_supp = s_suppkey
+    WHERE p.n_supp = 1 AND p.n_items > 1 AND o.o_orderstatus = 'F'
+    GROUP BY s_name
+    ORDER BY n_orders DESC, s_name
+    LIMIT 10
+    """,
+)
+def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored sole-supplier analysis (reshaped to this schema's
+    columns — no commit/receipt dates): suppliers who single-handedly
+    fulfilled the most multi-line 'F'-status orders. The per-order profile
+    (distinct-supplier count, line count, the supplier itself) is ONE
+    aggregation on the natural l_orderkey shuffle; because n_supp = 1 rows
+    are the only survivors, MIN(l_suppkey) IS the sole supplier —
+    deterministic without a second pass. Orders joins on the same orderkey
+    partitioning; supplier broadcasts; the top-10 runs as
+    TakeOrderedAndProject under the total order (count DESC, name ASC), so
+    no global sort materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("l_suppkey").alias("the_supp"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") == 1) & (F.col("n_items") > 1))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("the_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5606,6 +5871,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r4 audit — they lead the r5 window.
 _GATE_PRIORITY = [
     # (a) never evidenced / new this round
+    "regional_supplier_volume",
+    "nation_volume_shipping",
+    "market_share_by_year",
+    "sole_supplier_orders",
     "retention_cohorts",
     "quantile_hash_sample",
     "simhash_portable_neardup_pairs",
@@ -5650,14 +5919,18 @@ _GATE_PRIORITY = [
     "upsert_new_keys",
     "project_select",
     "work_queue_isnull",
-    "anti_join_not_in",
-    "join_dims_broadcast",
     "join_left_outer_agg",
-    "set_intersect_except",
-    "doc_lang_quality",
     "events_hourly_streaming",
     "scalar_date_pack",
     "shipping_priority_top10",
+    # anti_join_not_in, join_dims_broadcast, set_intersect_except and
+    # doc_lang_quality ceded their slots to the deep-join pack: each is
+    # untouched r1-green, re-verified locally via driver_check this
+    # session, and each family keeps in-window coverage (anti-joins via
+    # the dedup pipelines, broadcast-dim joins via all four new deep-join
+    # queries, set ops via set_union_all's r2 row, doc quality via
+    # quality_top_fraction_per_lang / doc_unigram_surprisal /
+    # token_budget_sample_per_lang).
     # rollup_status_priority, cube_flag_status, set_union_all, scalar_string_pack,
     # returned_items_by_nation, sql_surface_revenue_by_nation,
     # scalar_subquery_above_total_avg, grouped_sorted_list,

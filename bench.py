@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "nation_volume_shipping",
     "market_share_by_year",
     "sole_supplier_orders",
+    "gopher_quality_flags",
+    "mixture_weighted_corpus_sample",
 ]
 
 

@@ -24,6 +24,7 @@ __all__ = [
     "hash_fraction_sample",
     "stratified_exact_sample",
     "token_budget_sample",
+    "mixture_token_budget_sample",
     "weighted_priority_sample",
     "leakage_safe_split",
     "top_fraction_per_group",
@@ -102,6 +103,53 @@ def token_budget_sample(
         df.withColumn("__running", F.sum(F.col(weight_col)).over(w))
         .filter(F.col("__running") <= budget)
         .drop("__running")
+    )
+
+
+def mixture_token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight_col: str,
+    total_budget: int,
+    mixture: dict[str, float],
+) -> DataFrame:
+    """Resample a corpus to a TARGET MIXTURE: each stratum (language,
+    source, domain) gets ``floor(total_budget * mixture[stratum])`` of the
+    weight budget, then rows are kept in deterministic md5 order while the
+    stratum's running weight fits — the "40 % web / 30 % code / 30 %
+    academic" data-recipe primitive, generalizing `token_budget_sample`'s
+    uniform per-stratum budget to explicit proportions.
+
+    The mixture is a literal map baked into the plan (no join, no
+    broadcast): the per-row budget lookup is a pure expression, so the
+    whole operator stays one window shuffle on the stratum key. Strata
+    absent from the mixture have no budget and are dropped entirely —
+    exclusion is part of the recipe. Determinism contract as the other
+    samplers: membership is a pure function of the data, reproduced
+    row-for-row by the SQL oracle, and integer budgets + integer running
+    sums make the cut engine-exact.
+    """
+    if not mixture:
+        raise ValueError("mixture must be non-empty")
+    for k, frac in mixture.items():
+        if frac < 0:
+            raise ValueError(f"negative mixture weight for {k!r}")
+    entries: list[Column] = []
+    for k, frac in mixture.items():
+        entries += [F.lit(k), F.lit(int(total_budget * frac))]
+    budget = F.element_at(F.create_map(*entries), F.col(stratum_col))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(_hash_rank(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__budget", budget)
+        .filter(F.col("__budget").isNotNull())
+        .withColumn("__running", F.sum(F.col(weight_col)).over(w))
+        .filter(F.col("__running") <= F.col("__budget"))
+        .drop("__budget", "__running")
     )
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "lang_guess",
     "fingerprint",
     "with_text_stats",
+    "gopher_quality_flags",
     "bpe_ish_token_count",
     "tfidf_top_terms",
     "winnowing_fingerprints",
@@ -170,6 +171,100 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         lang_guess(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
+    )
+
+
+# Gopher rule-filter stopword set (Rae et al. 2021, §A1.1: "contains at
+# least two of the following English words").
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Gopher-style rule filters (Rae et al. 2021 §A1.1) as one map-only
+    projection — the pretraining quality gate that sits upstream of every
+    dedup/mixing stage. Extends `quality_score`'s scalar heuristic into the
+    per-rule flag set a curation pipeline audits and tunes.
+
+    Every statistic is an INTEGER (counts) and every flag a boolean derived
+    from cross-multiplied integer comparisons (e.g. mean word length in
+    [3, 10] ⇔ 3·n_words ≤ sum_word_chars ≤ 10·n_words), so the output is
+    engine-exact — no double ratio ever crosses the oracle gate. The token
+    array is staged once behind an alias and consumed by all rules (the
+    map-only staged-array shape; inlining it would re-split per rule).
+
+    Rules: word count in [50, 100 000]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1; < 90 % of lines
+    bullet-led; ≤ 30 % of lines ellipsis-terminated; ≥ 2 distinct Gopher
+    stopwords present. `keep` is the conjunction. Scale: pure map over the
+    corpus — no shuffle, no UDF, whole-stage codegen end to end."""
+    c = F.col(text_col)
+    staged = df.select(
+        *[F.col(i) for i in id_cols],
+        c.alias("__t"),
+        tokens(c).alias("__ws"),
+        F.split(c, "\n").alias("__lines"),
+    )
+    n_words = F.size(F.col("__ws"))
+    sum_chars = F.aggregate(
+        F.col("__ws"), F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    n_hash = F.length(F.col("__t")) - F.length(F.regexp_replace("__t", "#", ""))
+    n_ellipsis = (
+        F.length(F.col("__t")) - F.length(F.regexp_replace("__t", r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_lines = F.size(F.col("__lines"))
+    n_bullet = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda ln: ln.rlike(r"^\s*[-*•]"),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(F.col("__lines"), lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    lower_ws = F.transform(F.col("__ws"), F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(lower_ws, w),
+        )
+    )
+    stats = staged.select(
+        *[F.col(i) for i in id_cols],
+        n_words.cast("bigint").alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        (n_hash + n_ellipsis).cast("bigint").alias("n_symbols"),
+        n_lines.cast("bigint").alias("n_lines"),
+        n_bullet.cast("bigint").alias("n_bullet_lines"),
+        n_ell_lines.cast("bigint").alias("n_ellipsis_lines"),
+        n_stop.cast("bigint").alias("n_stopwords_present"),
+    )
+    w, sc, sym = F.col("n_words"), F.col("sum_word_chars"), F.col("n_symbols")
+    flags = stats.select(
+        "*",
+        ((w >= 50) & (w <= 100_000)).alias("flag_word_count"),
+        ((sc >= 3 * w) & (sc <= 10 * w)).alias("flag_mean_word_len"),
+        (10 * sym <= w).alias("flag_symbol_ratio"),
+        (10 * F.col("n_bullet_lines") < 9 * F.col("n_lines")).alias(
+            "flag_bullet_lines"
+        ),
+        (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")).alias(
+            "flag_ellipsis_lines"
+        ),
+        (F.col("n_stopwords_present") >= 2).alias("flag_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("flag_word_count")
+            & F.col("flag_mean_word_len")
+            & F.col("flag_symbol_ratio")
+            & F.col("flag_bullet_lines")
+            & F.col("flag_ellipsis_lines")
+            & F.col("flag_stopwords")
+        ).alias("keep"),
     )
 
 

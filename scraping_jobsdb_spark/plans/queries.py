@@ -4220,6 +4220,25 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, codebook, query, k=10, refine_with=emb, refine_factor=4)
 
 
+@_register("embedding_ivfpq_topk", oracle=None)
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py ivfpq_topk): the composed FAISS-IVFADC
+    shape — map-expression cell assignment (no crossJoin, no window
+    shuffle), fused encode+assign scan, driver-baked probe lists that
+    become partition pruning on a cell-partitioned codes table, ADC over
+    the probed 3/10 cells only, exact-cosine re-rank of the top 4k. The
+    scale path that replaces the exact GEMM near-dup at 100×. Approximate →
+    rows-only; recall + determinism asserted in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.pq import ivfpq_topk, pq_train
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return ivfpq_topk(
+        emb, query, codebook, n_centroids=10, n_probe=3, k=10, refine_factor=4
+    )
+
+
 @_register(
     "llm_corpus_prep",
     oracle="""
@@ -5832,6 +5851,117 @@ def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "gopher_quality_flags",
+    oracle=r"""
+    WITH staged AS (
+        SELECT doc_id, text AS t,
+               string_split_regex(trim(text), '\s+') AS ws,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), stats AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w)))
+                    AS BIGINT) AS sum_word_chars,
+               CAST(length(t) - length(replace(t, '#', ''))
+                    + (length(t) - length(replace(t, '...', ''))) // 3
+                    AS BIGINT) AS n_symbols,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                        ln -> regexp_matches(ln, '^\s*[-*•]')))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(lines,
+                        ln -> regexp_matches(ln, '(\.\.\.|…)\s*$')))
+                    AS BIGINT) AS n_ellipsis_lines,
+               CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(list_transform(ws, x -> lower(x)), w)))
+                    AS BIGINT) AS n_stopwords_present
+        FROM staged
+    ), flags AS (
+        SELECT *,
+               n_words BETWEEN 50 AND 100000 AS flag_word_count,
+               sum_word_chars BETWEEN 3 * n_words AND 10 * n_words
+                   AS flag_mean_word_len,
+               10 * n_symbols <= n_words AS flag_symbol_ratio,
+               10 * n_bullet_lines < 9 * n_lines AS flag_bullet_lines,
+               10 * n_ellipsis_lines <= 3 * n_lines AS flag_ellipsis_lines,
+               n_stopwords_present >= 2 AS flag_stopwords
+        FROM stats
+    )
+    SELECT *,
+           flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+               AND flag_bullet_lines AND flag_ellipsis_lines
+               AND flag_stopwords AS keep
+    FROM flags
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filters (operators/textops.py gopher_quality_flags):
+    per-document integer statistics + per-rule boolean flags + the `keep`
+    conjunction — the pretraining quality gate upstream of dedup/mixing.
+    Every flag derives from cross-multiplied INTEGER comparisons (mean word
+    length in [3,10] ⇔ 3n ≤ Σ|w| ≤ 10n), so no double ever crosses the
+    oracle gate. Physical shape: one map-only projection over a staged
+    token/line array — no shuffle, no UDF, codegen end to end."""
+    from scraping_jobsdb_spark.operators.textops import gopher_quality_flags
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return gopher_quality_flags(docs)
+
+
+@_register(
+    "mixture_weighted_corpus_sample",
+    oracle=r"""
+    WITH weighted AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), budgeted AS (
+        SELECT *,
+               CASE lang WHEN 'en' THEN 8000 WHEN 'zh' THEN 3000
+                         WHEN 'es' THEN 3000 WHEN 'de' THEN 3000
+                         WHEN 'fr' THEN 3000 END AS budget
+        FROM weighted
+    ), running AS (
+        SELECT doc_id, lang, n_tokens, budget,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running
+        FROM budgeted
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM running WHERE budget IS NOT NULL AND running <= budget
+    """,
+)
+def q_mixture_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus resampling (operators/sampling.py
+    mixture_token_budget_sample): a 20 000-token budget split 40 % en /
+    15 % each zh-es-de-fr, filled per language in deterministic md5 order —
+    the data-recipe mixing primitive ("40 % web, 30 % code, ...")
+    generalizing the uniform token_budget_sample. The mixture is a literal
+    map in the plan (no join); one window shuffle on lang; integer budgets
+    and running sums make the kept set engine-exact."""
+    from scraping_jobsdb_spark.operators.sampling import mixture_token_budget_sample
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return mixture_token_budget_sample(
+        docs,
+        "lang",
+        "doc_id",
+        "n_tokens",
+        total_budget=20_000,
+        mixture={"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -5907,6 +6037,9 @@ _GATE_PRIORITY = [
     "token_budget_sample_per_lang",
     "hll_mergeable_sketches",
     "cdc_apply_changes_txn",
+    "gopher_quality_flags",
+    "mixture_weighted_corpus_sample",
+    "embedding_ivfpq_topk",
     # (b) changed code paths + requested re-verification
     "embedding_topk_np",
     "cdc_row_changes_txn",
@@ -5915,12 +6048,17 @@ _GATE_PRIORITY = [
     "neardup_components",
     "dedup_pipeline_end_to_end",
     "winnowing_containment_pairs",
-    # (c) r1-stale: every query whose last green row is from round 1
-    "upsert_new_keys",
+    # (c) r1-stale: every query whose last green row is from round 1.
+    # upsert_new_keys and join_left_outer_agg ceded their slots to the two
+    # final-session corpus queries (gopher_quality_flags /
+    # mixture_weighted_corpus_sample): both are untouched r1-green,
+    # re-verified locally via driver_check this session, and their families
+    # keep in-window coverage (upsert via merge_upsert_txn, outer joins via
+    # the deep-join pack and the CDC family). events_hourly_streaming ceded
+    # its slot to embedding_ivfpq_topk: untouched r1-green, re-verified
+    # locally, and the streaming family holds seven r3-green rows.
     "project_select",
     "work_queue_isnull",
-    "join_left_outer_agg",
-    "events_hourly_streaming",
     "scalar_date_pack",
     "shipping_priority_top10",
     # anti_join_not_in, join_dims_broadcast, set_intersect_except and

@@ -704,3 +704,76 @@ def test_kmv_merge_law_intersection_and_exact_small(spark):
     c = kmv_build(spark.range(20000, 30000).selectExpr("id AS v"), "v", k=64)
     r2 = kmv_intersection_estimate(a, c, 64).collect()[0]
     assert r2.rho == 0 and r2.est_intersection == 0.0
+
+
+def test_mixture_token_budget_sample_proportions_and_exclusion(spark):
+    """Per-stratum budgets follow the target mixture (floor(total * frac));
+    strata absent from the mixture are dropped entirely; kept sets are the
+    deterministic md5-order prefix (same contract as token_budget_sample)."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.sampling import (
+        mixture_token_budget_sample,
+        token_budget_sample,
+    )
+
+    rows = [(i, ["en", "de", "xx"][i % 3], 10 + (i * 7) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w bigint")
+    out = mixture_token_budget_sample(
+        df, "lang", "doc_id", "w", total_budget=1000, mixture={"en": 0.7, "de": 0.3}
+    )
+    sums = {r.lang: r.s for r in out.groupBy("lang").agg(F.sum("w").alias("s")).collect()}
+    assert set(sums) == {"en", "de"}  # 'xx' excluded: no budget
+    assert sums["en"] <= 700 and sums["de"] <= 300
+    # equivalence: each stratum behaves exactly like token_budget_sample at
+    # its derived budget
+    for lang, budget in (("en", 700), ("de", 300)):
+        expect = {
+            r.doc_id
+            for r in token_budget_sample(
+                df.filter(F.col("lang") == lang), ["lang"], "doc_id", "w", budget
+            ).collect()
+        }
+        got = {r.doc_id for r in out.filter(F.col("lang") == lang).collect()}
+        assert got == expect, lang
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_token_budget_sample(df, "lang", "doc_id", "w", 100, {})
+    with pytest.raises(ValueError):
+        mixture_token_budget_sample(df, "lang", "doc_id", "w", 100, {"en": -0.1})
+
+
+def test_gopher_quality_flags_rules_are_integer_exact(spark):
+    """Each rule flips on the documented boundary; keep is the conjunction;
+    stats are integers (no doubles cross the gate)."""
+    from scraping_jobsdb_spark.operators.textops import gopher_quality_flags
+
+    good = " ".join(["word"] * 60) + " the of and that"  # 64 words, stops
+    short = "the of tiny"  # word count < 50
+    symbols = " ".join(["word##"] * 60) + " the of"  # '#' ratio > 0.1
+    bullets = "\n".join(f"- item {i} the of" for i in range(10))  # 100% bullet lines
+    ellipsis = "\n".join(f"line {i} the of..." for i in range(10))  # 100% '...' lines
+    nostop = " ".join(f"w{i}" for i in range(60))  # no Gopher stopwords
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, short),
+            (3, symbols),
+            (4, bullets),
+            (5, ellipsis),
+            (6, nostop),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].keep
+    assert not out[2].flag_word_count and not out[2].keep
+    assert not out[3].flag_symbol_ratio and out[3].n_symbols == 120
+    assert not out[4].flag_bullet_lines
+    assert not out[5].flag_ellipsis_lines and out[5].n_ellipsis_lines == 10
+    assert not out[6].flag_stopwords and out[6].n_stopwords_present == 0
+    # integer/boolean schema only
+    kinds = {f.dataType.simpleString() for f in gopher_quality_flags(df).schema.fields}
+    assert kinds <= {"bigint", "boolean"}

@@ -690,3 +690,29 @@ def test_simhash_portable_finds_injected_near_dups(spark):
     assert found / max(len(injected), 1) >= 0.7
     again = {(r.id_a, r.id_b) for r in out.filter(F.col("hamming") <= 3).collect()}
     assert close == again
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ composition: coarse-pruned ADC + exact re-rank reaches
+    brute-force recall comparable to its parents on the real embeddings
+    table, and repeat runs return the identical neighbor set."""
+    from scraping_jobsdb_spark.operators.pq import ivfpq_topk, pq_train
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    exact = {
+        (r.query_id, r.vec_id) for r in brute_force_topk(emb, query, k=10).collect()
+    }
+    run = lambda: {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk(
+            emb, query, codebook, n_centroids=10, n_probe=3, k=10, refine_factor=4
+        ).collect()
+    }
+    got = run()
+    recall = len(exact & got) / len(exact)
+    # coarse pruning (3/10 cells) * PQ candidates: recall floor matches the
+    # weaker of the two parents (ivf >= 0.5 at the same probe settings)
+    assert recall >= 0.4, recall
+    assert got == run()

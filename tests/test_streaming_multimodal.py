@@ -552,3 +552,73 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     # forced re-fold of already-seen data cannot change a max-folded state
     assert mv.fold(hll_rows(t.read(), "user_id", p=8), epoch_id=0) is False
     assert streamed() == batch_truth()
+
+
+def test_streaming_cms_cells_equal_batch(spark, tmp_path):
+    """Continuous frequency sketching: each txn-append micro-batch's
+    count-min cells fold into a SUM-measure IncrementalAggView — CMS is
+    linear, so the folded state equals the one-shot cms_build over the
+    whole snapshot, across appends and a restart. Unlike the max-folded
+    HLL, a sum fold is NOT idempotent — exactly-once rests on the view's
+    epoch watermark alone, which the replay assertion exercises."""
+    from scraping_jobsdb_spark.operators.sketches import cms_build
+    from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+    from scraping_jobsdb_spark.streaming.txn_source import (
+        TxnAppendsStreamDataSource,
+    )
+
+    spark.dataSource.register(TxnAppendsStreamDataSource)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def terms(lo, hi):
+        # skewed stream: term value id%7 repeats
+        return spark.range(lo, hi).selectExpr("CAST(id % 7 AS STRING) AS term")
+
+    t = TxnTable.create(spark, src, terms(0, 300))
+    mv = IncrementalAggView(
+        spark, src, view,
+        group_cols=["seed", "bucket"],
+        measures={"n": ("sum", "n")},
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("txn_appends").option("path", src).load()
+            .writeStream.foreachBatch(
+                lambda df, eid: mv.fold(
+                    cms_build(df, "term", width=64, depth=4), epoch_id=eid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    def batch_truth():
+        return sorted(
+            (r.seed, r.bucket, r.n)
+            for r in cms_build(t.read(), "term", width=64, depth=4).collect()
+        )
+
+    def streamed():
+        return sorted(
+            (r.seed, r.bucket, r.n)
+            for r in mv.read().select("seed", "bucket", "n").collect()
+        )
+
+    drain()
+    assert streamed() == batch_truth()
+    t.append(terms(300, 800))
+    t.append(terms(800, 1000))
+    drain()  # restart from checkpoint: folds exactly the two new commits
+    assert streamed() == batch_truth()
+    # a replayed epoch MUST be rejected — sum-folding it twice would
+    # double-count (no max-idempotence safety net here)
+    assert (
+        mv.fold(cms_build(t.read(), "term", width=64, depth=4), epoch_id=0)
+        is False
+    )
+    assert streamed() == batch_truth()

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "sole_supplier_orders",
     "gopher_quality_flags",
     "mixture_weighted_corpus_sample",
+    "asof_join_forward_window",
 ]
 
 

@@ -39,22 +39,32 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     tiebreak_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the latest right values at-or-before its
-    timestamp (NULLs where no right row precedes it).
+    """For every left row, attach the nearest right values at-or-before
+    (``direction="backward"``, the default) or at-or-after
+    (``direction="forward"``) its timestamp — NULLs where no right row
+    qualifies. ``tolerance_seconds`` bounds the match age: a carried match
+    further than the tolerance nulls out (the pandas ``merge_asof``
+    surface, distributed).
 
     Plan: union(tagged left, tagged right) → one hash shuffle on ``key`` →
     per-key sort by (ts, side, tiebreak) with right rows ordered BEFORE left
     rows at equal timestamps (an exactly-simultaneous right row is visible) →
     ``last(value, ignorenulls)`` over rows unbounded preceding → keep left
-    rows. State per task is one row of carried values — O(1) memory beyond
-    the sort, linear scan, no candidate explosion.
+    rows. Forward is the same scan with the timestamp order reversed; the
+    tolerance is a pure map post-pass on the carried right timestamp. State
+    per task is one row of carried values — O(1) memory beyond the sort,
+    linear scan, no candidate explosion in any variant.
 
     Determinism: multiple right rows with equal (key, ts) resolve to the one
     with the GREATEST ``tiebreak_cols`` tuple (default: the value columns
     themselves) — the sort places it last, so ``last()`` carries it. Pass an
     explicit unique right-side column when value columns can tie.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     tb_cols = tiebreak_cols if tiebreak_cols is not None else value_cols
     # The tiebreak struct exists on both sides of the union (typed NULLs on
@@ -86,21 +96,40 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__tb").asc_nulls_first())
+        .orderBy(ts_order, F.col("__side"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
+        F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("__asof_ts"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in value_cols
         ],
     )
+    if tolerance_seconds is None:
+        within = F.lit(True)
+    else:
+        age = (
+            F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__asof_ts"))
+            if direction == "backward"
+            else F.unix_timestamp(F.col("__asof_ts"))
+            - F.unix_timestamp(F.col("__ts"))
+        )
+        within = F.col("__asof_ts").isNotNull() & (age <= tolerance_seconds)
     return carried.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[
+            F.when(within, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
     )
 
 

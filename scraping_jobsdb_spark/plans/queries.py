@@ -2994,6 +2994,56 @@ def q_asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_join_forward_window",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           CASE WHEN p.ts IS NOT NULL
+                     AND epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN p.value END AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_join_forward_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (operators/temporal.py): each
+    click annotated with the user's NEXT purchase value at-or-after it,
+    nulled when that purchase is more than an hour out — the
+    pandas-merge_asof(direction='forward', tolerance=...) surface,
+    distributed. Same union-sort single-shuffle scan as the backward form
+    (timestamp order reversed); the tolerance is a map post-pass on the
+    carried right timestamp. Purchases pre-aggregate to one row per
+    (user, ts) so the nearest-match tie is unambiguous in both engines.
+    Oracle: DuckDB's native ASOF LEFT JOIN with the inequality flipped."""
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        ["value"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+
+
+@_register(
     "range_join_followups",
     oracle="""
     SELECT a.user_id, a.ts AS left_ts, b.ts AS right_ts
@@ -6040,6 +6090,7 @@ _GATE_PRIORITY = [
     "gopher_quality_flags",
     "mixture_weighted_corpus_sample",
     "embedding_ivfpq_topk",
+    "asof_join_forward_window",
     # (b) changed code paths + requested re-verification
     "embedding_topk_np",
     "cdc_row_changes_txn",
@@ -6057,8 +6108,10 @@ _GATE_PRIORITY = [
     # the deep-join pack and the CDC family). events_hourly_streaming ceded
     # its slot to embedding_ivfpq_topk: untouched r1-green, re-verified
     # locally, and the streaming family holds seven r3-green rows.
+    # work_queue_isnull ceded its slot to asof_join_forward_window (the
+    # asof operator's code path changed this session): untouched r1-green,
+    # re-verified locally via driver_check.
     "project_select",
-    "work_queue_isnull",
     "scalar_date_pack",
     "shipping_priority_top10",
     # anti_join_not_in, join_dims_broadcast, set_intersect_except and

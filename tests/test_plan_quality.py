@@ -148,6 +148,15 @@ FORBIDDEN = [
     ("simhash_portable_neardup_pairs", "BroadcastNestedLoopJoin"),
     # register/sketch builds are pure aggregates: no join anywhere
     ("hll_portable_registers", "Join"),
+    # Gopher flags are ONE map-only projection: no hash shuffle, no window,
+    # no join — the staged token/line arrays live inside the project
+    ("gopher_quality_flags", "Exchange hashpartitioning"),
+    ("gopher_quality_flags", "Window"),
+    ("gopher_quality_flags", "Join"),
+    # mixture budgets ride the plan as a literal map: one lang-partitioned
+    # window, never a join, never a global window
+    ("mixture_weighted_corpus_sample", "SinglePartition"),
+    ("mixture_weighted_corpus_sample", "Join"),
 ]
 
 

@@ -172,6 +172,49 @@ def test_asof_join_edge_semantics(spark):
     assert out[(2, "c")] is None   # nothing at-or-before -> NULL
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    """direction='forward' picks the earliest at-or-after right row;
+    tolerance_seconds nulls out matches further than the bound (in either
+    direction); invalid direction raises."""
+    from datetime import datetime
+
+    import pytest
+
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    left = spark.createDataFrame(
+        [(1, t("10:00:00"), "a"), (1, t("10:05:00"), "b"), (2, t("09:00:00"), "c")],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t("10:00:00"), 100.0), (1, t("10:04:00"), 200.0), (2, t("08:30:00"), 5.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    fwd = {
+        (r.user_id, r.tag): r.asof_value
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["value"], direction="forward"
+        ).collect()
+    }
+    assert fwd[(1, "a")] == 100.0  # simultaneous right row visible forward too
+    assert fwd[(1, "b")] is None   # nothing at-or-after
+    assert fwd[(2, "c")] is None   # right row is BEFORE: not a forward match
+    # tolerance: the 10:05 left row's backward match (10:04) is 60s old —
+    # inside a 90s bound, outside a 30s bound
+    tol = lambda s: {
+        (r.user_id, r.tag): r.asof_value
+        for r in asof_join(
+            left, right, "user_id", "ts", "ts", ["value"], tolerance_seconds=s
+        ).collect()
+    }
+    assert tol(90)[(1, "b")] == 200.0
+    assert tol(30)[(1, "b")] is None
+    assert tol(90)[(1, "a")] == 100.0  # zero-age match always within tolerance
+    with pytest.raises(ValueError):
+        asof_join(left, right, "user_id", "ts", "ts", ["value"], direction="nearest")
+
+
 def test_range_join_bounds_inclusive_exclusive(spark):
     from datetime import datetime
 

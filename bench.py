@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "mixture_weighted_corpus_sample",
     "asof_join_forward_window",
+    "events_daily_gap_fill",
+    "fuzzy_join_supplier_names",
 ]
 
 

@@ -47,6 +47,7 @@ __all__ = [
     "kmeans_fit",
     "minhash_candidate_pairs_portable",
     "simhash_candidate_pairs_portable",
+    "fuzzy_string_join",
 ]
 
 
@@ -1012,3 +1013,79 @@ def simhash_candidate_pairs_portable(
     return pairs.select(
         "id_a", "id_b", ham.cast("bigint").alias("hamming")
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_distance: int = 1,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance join — the entity-resolution primitive (match
+    near-identical names/titles/SKUs across two tables without an n×m
+    cross product). Candidates are pairs sharing at least one character
+    ``n``-gram; the exact ``levenshtein ≤ max_distance`` predicate refines
+    them. Blocking is a candidate FILTER, never approximate scoring: every
+    emitted pair satisfies the exact predicate; a pair sharing no n-gram is
+    by contract not a candidate (at distance 1 that requires strings
+    shorter than ~2n — pre-pad or lower ``n`` for very short keys).
+
+    Shape: map-only gram explode on both sides (grams carry their strings,
+    so no join-back scan), one equi-join on the gram hash, distinct pair
+    set, then one levenshtein per CANDIDATE — integer-exact, fully
+    oracle-able. ``max_df`` drops grams appearing in more than that many
+    rows per side (stop-grams — shared prefixes like "Customer#0000"),
+    the same quadratic-expansion guard as the winnowing containment join;
+    candidate volume is then bounded by Σ df² over surviving grams.
+
+    Returns (id_a, id_b, name_a, name_b, distance) with id_a from LEFT and
+    id_b from RIGHT; pass the same frame twice for self-join dedup (then
+    only id_a < id_b pairs emit)."""
+    self_join = left is right or (left_id == right_id and left_col == right_col)
+
+    def _grams(df: DataFrame, id_c: str, s_c: str) -> DataFrame:
+        c = F.col(s_c)
+        seq = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+        g = df.select(
+            F.col(id_c).alias("__id"),
+            c.alias("__s"),
+            F.explode(F.transform(seq, lambda i: c.substr(i, F.lit(n)))).alias(
+                "__g"
+            ),
+        ).distinct()
+        if max_df is not None:
+            from pyspark.sql import Window
+
+            wdf = Window.partitionBy("__g")
+            g = (
+                g.withColumn("__df", F.count(F.lit(1)).over(wdf))
+                .filter(F.col("__df") <= max_df)
+                .drop("__df")
+            )
+        return g
+
+    lg = _grams(left, left_id, left_col)
+    rg = _grams(right, right_id, right_col).select(
+        F.col("__id").alias("__id_b"), F.col("__s").alias("__s_b"), "__g"
+    )
+    pairs = lg.join(rg, "__g")
+    if self_join:
+        pairs = pairs.filter(F.col("__id") < F.col("__id_b"))
+    else:
+        pairs = pairs.filter(
+            (F.col("__id") != F.col("__id_b")) | (F.col("__s") != F.col("__s_b"))
+        )
+    cands = pairs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__id_b").alias("id_b"),
+        F.col("__s").alias("name_a"),
+        F.col("__s_b").alias("name_b"),
+    ).distinct()
+    return cands.select(
+        "*", F.levenshtein("name_a", "name_b").cast("bigint").alias("distance")
+    ).filter(F.col("distance") <= max_distance)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_weighted_mean"]
+__all__ = ["asof_join", "range_join", "time_weighted_mean", "gap_fill"]
 
 
 def asof_join(
@@ -221,4 +221,50 @@ def time_weighted_mean(
             / F.sum("__dur")
         ).alias("twa_value"),
         F.sum("__dur").alias("observed_seconds"),
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Calendar densification with carry-forward: given at most one row per
+    (key, date), emit one row for EVERY day between a key's first and last
+    observation, carrying each value forward until the next observation —
+    the time-series spine that turns sparse event rollups into dense daily
+    state (inventory positions, balances, last-known metrics). Adds
+    ``is_observed`` marking real rows vs filled ones.
+
+    Shape: one lead() window on the key (single shuffle), then a map-only
+    ``sequence`` + ``explode`` of each observation's [d, next_d) day range —
+    the filled rows are generated WITH their carried values in the same
+    pass, so there is no spine table, no cross join, and no second
+    carry-forward window. The last observation emits only itself (nothing
+    to fill toward). Fill volume is bounded by Σ gap days, not
+    |keys| × |calendar|. Rows must be unique per (key, date): aggregate to
+    the day grain first."""
+    w = Window.partitionBy(*key_cols).orderBy(date_col)
+    nxt = F.lead(date_col).over(w)
+    staged = df.select(
+        *key_cols,
+        *value_cols,
+        F.col(date_col).alias("__obs"),
+        F.sequence(
+            F.col(date_col),
+            F.coalesce(F.date_sub(nxt, 1), F.col(date_col)),
+            F.expr("interval 1 day"),
+        ).alias("__days"),
+    )
+    return staged.select(
+        *key_cols,
+        F.explode("__days").alias(date_col),
+        *value_cols,
+        "__obs",
+    ).select(
+        *key_cols,
+        date_col,
+        *value_cols,
+        (F.col(date_col) == F.col("__obs")).alias("is_observed"),
     )

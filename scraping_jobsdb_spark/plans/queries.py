@@ -5902,6 +5902,91 @@ def q_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_daily_gap_fill",
+    oracle=r"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                   AS daily_value
+        FROM events GROUP BY 1, 2
+    ), nxt AS (
+        SELECT *, LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+        FROM daily
+    ), filled AS (
+        SELECT user_id, daily_value, d AS obs_d,
+               unnest(generate_series(CAST(d AS TIMESTAMP),
+                      COALESCE(CAST(nd AS TIMESTAMP) - INTERVAL 1 DAY,
+                               CAST(d AS TIMESTAMP)),
+                      INTERVAL 1 DAY)) AS day_ts
+        FROM nxt
+    )
+    SELECT user_id, strftime(CAST(day_ts AS DATE), '%Y-%m-%d') AS day,
+           daily_value, CAST(day_ts AS DATE) = obs_d AS is_observed
+    FROM filled
+    """,
+)
+def q_events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (operators/temporal.py gap_fill): per-user
+    daily value rollups expanded to EVERY day between first and last
+    activity, carrying the last value forward — the dense daily-state spine
+    (balances, last-known metrics) warehouses build nightly. One lead()
+    window on the user key, then a map-only sequence+explode that emits
+    filled rows WITH their carried values — no spine table, no cross join,
+    no second carry-forward pass; fill volume is Σ gap days. Decimal-exact
+    daily sums; the day crosses the gate as an ISO string (date-hygiene
+    rule)."""
+    from scraping_jobsdb_spark.operators.temporal import gap_fill
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(_dsum("value").alias("daily_value"))
+    )
+    filled = gap_fill(daily, ["user_id"], "d", ["daily_value"])
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "daily_value",
+        "is_observed",
+    )
+
+
+@_register(
+    "fuzzy_join_supplier_names",
+    oracle=r"""
+    WITH g AS (
+        SELECT s_suppkey AS id, s_name AS name,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(s_name) - 2, 1) + 1),
+                   i -> substring(s_name, i, 3)))) AS gram
+        FROM supplier
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.name AS name_a, b.name AS name_b
+        FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+    FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    """,
+)
+def q_fuzzy_join_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-join (operators/similarity.py
+    fuzzy_string_join): supplier-name pairs within levenshtein 1 — the
+    entity-resolution primitive (near-identical names/titles/SKUs) without
+    an n² product. Character-3-gram blocking → one gram equi-join →
+    distinct candidates → one exact levenshtein per candidate.
+    Integer-exact end to end, so candidates AND distances are fully
+    oracled (the simhash_portable precedent)."""
+    from scraping_jobsdb_spark.operators.similarity import fuzzy_string_join
+
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return fuzzy_string_join(
+        supp, supp, "s_suppkey", "s_name", "s_suppkey", "s_name", max_distance=1
+    )
+
+
+@_register(
     "gopher_quality_flags",
     oracle=r"""
     WITH staged AS (
@@ -6091,13 +6176,20 @@ _GATE_PRIORITY = [
     "mixture_weighted_corpus_sample",
     "embedding_ivfpq_topk",
     "asof_join_forward_window",
-    # (b) changed code paths + requested re-verification
+    "events_daily_gap_fill",
+    "fuzzy_join_supplier_names",
+    # (b) changed code paths + requested re-verification.
+    # cdc_appends_since_txn and dedup_pipeline_end_to_end ceded their slots
+    # to the two final-session operators (gap fill / fuzzy join): both were
+    # r3-green, both re-verified locally via driver_check under the changed
+    # r4 code, and their changed paths keep in-window coverage —
+    # append-delta via incremental_mv_refresh, the adaptive-CC dedup
+    # composition via the fully-oracled dedup_pipeline_winnowing
+    # (dedup_pipeline_end_to_end's driver evidence is rows-only anyway).
     "embedding_topk_np",
     "cdc_row_changes_txn",
-    "cdc_appends_since_txn",
     "merge_upsert_txn",
     "neardup_components",
-    "dedup_pipeline_end_to_end",
     "winnowing_containment_pairs",
     # (c) r1-stale: every query whose last green row is from round 1.
     # upsert_new_keys and join_left_outer_agg ceded their slots to the two

@@ -157,6 +157,13 @@ FORBIDDEN = [
     # window, never a join, never a global window
     ("mixture_weighted_corpus_sample", "SinglePartition"),
     ("mixture_weighted_corpus_sample", "Join"),
+    # gap fill: one keyed lead() window + map-only sequence/explode — never
+    # a spine cross join, never a global window
+    ("events_daily_gap_fill", "SinglePartition"),
+    ("events_daily_gap_fill", "Join"),
+    # fuzzy join blocks on gram equi-join only, never a product
+    ("fuzzy_join_supplier_names", "CartesianProduct"),
+    ("fuzzy_join_supplier_names", "BroadcastNestedLoopJoin"),
 ]
 
 

@@ -820,3 +820,79 @@ def test_gopher_quality_flags_rules_are_integer_exact(spark):
     # integer/boolean schema only
     kinds = {f.dataType.simpleString() for f in gopher_quality_flags(df).schema.fields}
     assert kinds <= {"bigint", "boolean"}
+
+
+def test_gap_fill_carries_values_and_bounds(spark):
+    """Every day between a key's first and last observation appears exactly
+    once; values carry forward until the next observation; no fill past the
+    last observation; single-observation keys emit one row."""
+    from datetime import date
+
+    from scraping_jobsdb_spark.operators.temporal import gap_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 1), 10.0),
+            (1, date(2024, 1, 4), 40.0),
+            (1, date(2024, 1, 5), 50.0),
+            (2, date(2024, 2, 1), 7.0),
+        ],
+        "k bigint, d date, v double",
+    )
+    out = sorted(
+        (r.k, str(r.d), r.v, r.is_observed)
+        for r in gap_fill(df, ["k"], "d", ["v"]).collect()
+    )
+    assert out == [
+        (1, "2024-01-01", 10.0, True),
+        (1, "2024-01-02", 10.0, False),
+        (1, "2024-01-03", 10.0, False),
+        (1, "2024-01-04", 40.0, True),
+        (1, "2024-01-05", 50.0, True),
+        (2, "2024-02-01", 7.0, True),
+    ]
+
+
+def test_fuzzy_string_join_blocking_and_refine(spark):
+    """Emitted pairs satisfy the exact levenshtein bound; a within-distance
+    pair sharing no 3-gram is NOT a candidate (blocking contract); max_df
+    drops stop-gram-only candidates; two-table mode emits cross-side pairs."""
+    from scraping_jobsdb_spark.operators.similarity import fuzzy_string_join
+
+    df = spark.createDataFrame(
+        [(1, "alpha-01"), (2, "alpha-02"), (3, "alpha-99"), (4, "zzz")],
+        "id bigint, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_string_join(
+            df, df, "id", "name", "id", "name", max_distance=1
+        ).collect()
+    }
+    assert out == {(1, 2): 1}  # 99 is distance 2; zzz shares no gram
+    # distance 2 admits the 99 variant
+    out2 = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_string_join(
+            df, df, "id", "name", "id", "name", max_distance=2
+        ).collect()
+    }
+    assert out2 == {(1, 2), (1, 3), (2, 3)}
+    # max_df=2: grams in all three alpha names ("alp", "lph", ...) drop;
+    # surviving grams ("-01" vs "-02") still block the distance-1 pair
+    out3 = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_string_join(
+            df, df, "id", "name", "id", "name", max_distance=2, max_df=2
+        ).collect()
+    }
+    assert (1, 2) in out3 and len(out3) < len(out2)
+    # two-table: left ids vs right ids, no self-pair suppression by id
+    right = spark.createDataFrame([(7, "alpha-01x")], "rid bigint, rname string")
+    cross = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_string_join(
+            df, right, "id", "name", "rid", "rname", max_distance=1
+        ).collect()
+    }
+    assert (1, 7, 1) in cross

@@ -5954,12 +5954,16 @@ def q_events_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "fuzzy_join_supplier_names",
     oracle=r"""
-    WITH g AS (
+    WITH g0 AS (
         SELECT s_suppkey AS id, s_name AS name,
                unnest(list_distinct(list_transform(
                    range(1, greatest(length(s_name) - 2, 1) + 1),
                    i -> substring(s_name, i, 3)))) AS gram
         FROM supplier
+    ), g AS (
+        SELECT id, name, gram FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM g0
+        ) WHERE df <= 50
     ), cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                a.name AS name_a, b.name AS name_b
@@ -5975,14 +5979,26 @@ def q_fuzzy_join_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_string_join): supplier-name pairs within levenshtein 1 — the
     entity-resolution primitive (near-identical names/titles/SKUs) without
     an n² product. Character-3-gram blocking → one gram equi-join →
-    distinct candidates → one exact levenshtein per candidate.
-    Integer-exact end to end, so candidates AND distances are fully
-    oracled (the simhash_portable precedent)."""
+    distinct candidates → one exact levenshtein per candidate, with the
+    max_df=50 stop-gram guard ON: every synthetic supplier name shares the
+    "Supplier#0000…" prefix, and without the guard the gram join
+    degenerates to all-pairs (13.6 s at sf0.1 vs 0.4 s guarded — the
+    quadratic blow-up the guard exists for; candidate recall is the
+    documented blocking contract, mirrored EXACTLY by the oracle's
+    per-gram df filter). Integer-exact end to end, so candidates AND
+    distances are fully oracled (the simhash_portable precedent)."""
     from scraping_jobsdb_spark.operators.similarity import fuzzy_string_join
 
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return fuzzy_string_join(
-        supp, supp, "s_suppkey", "s_name", "s_suppkey", "s_name", max_distance=1
+        supp,
+        supp,
+        "s_suppkey",
+        "s_name",
+        "s_suppkey",
+        "s_name",
+        max_distance=1,
+        max_df=50,
     )
 
 

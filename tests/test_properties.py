@@ -294,3 +294,134 @@ def test_chunk_documents_reconstruction_and_coverage(
     for _cid, ctext in chunks[1:]:
         rebuilt.extend(ctext.split(" ")[overlap:])
     assert rebuilt == words
+
+
+@given(lrows=_temporal_rows)
+@settings(**_SETTINGS)
+def test_asof_forward_equals_naive_reference(spark, lrows):
+    """Forward as-of (reversed-scan) == naive min-at-or-after pick; a
+    tolerance bound equals naive filtering on the match age."""
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    seen = set()
+    rdedup = []
+    for k, off, v in lrows:
+        if (k, off) not in seen:
+            seen.add((k, off))
+            rdedup.append((k, off, v))
+    left = _ts_df(spark, lrows, "l")
+    right = _ts_df(spark, rdedup, "r").select("k", "ts", "r_v")
+    for tol in (None, 30):
+        got = sorted(
+            (r.k, r.l_off, r.l_v, r.asof_r_v)
+            for r in asof_join(
+                left, right, "k", "ts", "ts", ["r_v"],
+                direction="forward", tolerance_seconds=tol,
+            ).collect()
+        )
+        rmap = {}
+        for k, off, v in rdedup:
+            rmap.setdefault(k, []).append((off, v))
+        expect = []
+        for k, off, v in lrows:
+            cands = [
+                (ro, rv)
+                for ro, rv in rmap.get(k, [])
+                if ro >= off and (tol is None or ro - off <= tol)
+            ]
+            best = min(cands)[1] if cands else None
+            expect.append((k, off, v, best))
+        assert got == sorted(expect), tol
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=25),  # day offset
+            st.integers(min_value=-9, max_value=9),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_gap_fill_reconstruction_laws(spark, rows):
+    """Laws: observed rows == the input; every key's days form the exact
+    [first, last] interval with no holes; each filled value equals the
+    latest observation at-or-before its day."""
+    from datetime import date, timedelta
+
+    from scraping_jobsdb_spark.operators.temporal import gap_fill
+
+    base = date(2024, 3, 1)
+    dedup = {}
+    for k, off, v in rows:
+        dedup[(k, off)] = v  # unique (key, day): last write wins
+    data = [(k, base + timedelta(days=off), v) for (k, off), v in dedup.items()]
+    df = spark.createDataFrame(data, "k int, d date, v int")
+    out = gap_fill(df, ["k"], "d", ["v"]).collect()
+
+    observed = {(r.k, r.d): r.v for r in out if r.is_observed}
+    assert observed == {(k, d): v for k, d, v in data}
+    by_key = {}
+    for k, d, v in data:
+        by_key.setdefault(k, []).append((d, v))
+    filled = {}
+    for r in out:
+        assert (r.k, r.d) not in filled, "duplicate day"
+        filled[(r.k, r.d)] = r.v
+    for k, obs in by_key.items():
+        obs.sort()
+        days = sorted(d for kk, d in filled if kk == k)
+        lo, hi = obs[0][0], obs[-1][0]
+        assert days[0] == lo and days[-1] == hi
+        assert len(days) == (hi - lo).days + 1  # dense: no holes
+        for d in days:
+            want = max((od, ov) for od, ov in obs if od <= d)[1]
+            assert filled[(k, d)] == want
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzzy_join_equals_naive_blocked_reference(spark, names):
+    """Blocked fuzzy join == naive reference: all id_a<id_b pairs that
+    (a) share at least one char 3-gram and (b) are within levenshtein 2."""
+    from scraping_jobsdb_spark.operators.similarity import fuzzy_string_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def grams(s):
+        n = max(len(s) - 2, 1)
+        return {s[i : i + 3] for i in range(n)}
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_string_join(
+            df, df, "id", "name", "id", "name", max_distance=2
+        ).collect()
+    }
+    expect = {
+        (i, j, lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and grams(a) & grams(b) and lev(a, b) <= 2
+    }
+    assert got == expect

@@ -1044,9 +1044,11 @@ def fuzzy_string_join(
     candidate volume is then bounded by Σ df² over surviving grams.
 
     Returns (id_a, id_b, name_a, name_b, distance) with id_a from LEFT and
-    id_b from RIGHT; pass the same frame twice for self-join dedup (then
-    only id_a < id_b pairs emit)."""
-    self_join = left is right or (left_id == right_id and left_col == right_col)
+    id_b from RIGHT; pass the SAME DataFrame object twice for self-join
+    dedup (then only id_a < id_b pairs emit). Identity is the test —
+    matching column names on two different tables must NOT suppress
+    cross-side pairs."""
+    self_join = left is right
 
     def _grams(df: DataFrame, id_c: str, s_c: str) -> DataFrame:
         c = F.col(s_c)

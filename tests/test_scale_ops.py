@@ -896,3 +896,21 @@ def test_fuzzy_string_join_blocking_and_refine(spark):
         ).collect()
     }
     assert (1, 7, 1) in cross
+
+
+def test_fuzzy_join_two_tables_with_same_column_names(spark):
+    """Two DIFFERENT tables sharing column names must emit cross-side pairs
+    in both id orders — only object identity triggers self-join dedup."""
+    from scraping_jobsdb_spark.operators.similarity import fuzzy_string_join
+
+    a = spark.createDataFrame([(5, "alpha-01")], "id bigint, name string")
+    b = spark.createDataFrame([(1, "alpha-02")], "id bigint, name string")
+    out = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_string_join(
+            a, b, "id", "name", "id", "name", max_distance=1
+        ).collect()
+    }
+    # id_a(5) > id_b(1): a self-join heuristic keyed on column names would
+    # have dropped this pair
+    assert out == {(5, 1, 1)}

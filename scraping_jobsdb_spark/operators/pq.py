@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.operators.similarity import cosine
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "write_ann_index", "ann_index_topk"]
 
 
 def _subvectors(df: DataFrame, vec_col: str, m: int, dim: int) -> DataFrame:
@@ -268,58 +268,30 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def _centroid_rows(
     corpus: DataFrame,
-    query: DataFrame,
-    codebook: list[list[list[float]]],
-    n_centroids: int = 10,
-    n_probe: int = 3,
-    k: int = 10,
-    refine_factor: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroids: DataFrame | None = None,
-) -> DataFrame:
-    """IVF-PQ ANN — the full FAISS-IVFADC shape, composing the engine's ANN
-    ladder end to end: a coarse quantizer prunes the corpus to ``n_probe``
-    cells per query, ADC scores ONLY the surviving cells' codes (never
-    touching float vectors), and the top ``refine_factor × k`` candidates
-    re-rank by exact cosine. At 100 TB the codes table is written
-    partitioned by ``cell``, so the per-query scan cost is
-    ``n_probe/n_centroids`` of an already-32×-compressed corpus — this is
-    the operator whose cost model survives the scale-up that retires the
-    exact GEMM path (VERDICT r3's watch-list item).
-
-    Physical shape, stage by stage:
-    - cell assignment: argmin over LITERAL centroid structs — pure map
-      expression, no crossJoin, no window shuffle (a tighter plan than
-      ``ivf_topk``'s broadcast-crossJoin + row_number assignment);
-    - encode+assign fuse into ONE map-only projection over the corpus scan;
-    - per-query probe lists are computed driver-side from the tiny centroid
-      set (the codebook-scale scalar exception) and baked into ``isin``
-      filters — exactly what partition pruning consumes at scale;
-    - ADC + partial top-k, then an id-equi-join re-rank over |candidates|
-      float rows.
-
-    ``centroids`` (cell, centroid) from ``kmeans_fit`` replaces the
-    hash-stride seeding. Returns (query_id, vec_id, rank), deterministic
-    under (score desc, id) total order."""
-    import math
-
-    from pyspark.sql import Window
-
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame | None,
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer centroids as driver-side rows (tiny by contract):
+    trained (cell, centroid) when given, else hash-stride-seeded corpus
+    vectors keyed by their own ids."""
     from scraping_jobsdb_spark.operators.similarity import _seed_centroids
 
     if centroids is not None:
-        cent_rows = [
-            (int(r[0]), list(r[1]))
-            for r in centroids.select("cell", "centroid").collect()
-        ]
+        rows = centroids.select("cell", "centroid").collect()
     else:
-        cent_rows = [
-            (int(r[0]), list(r[1]))
-            for r in _seed_centroids(corpus, n_centroids, id_col, vec_col).collect()
-        ]
+        rows = _seed_centroids(corpus, n_centroids, id_col, vec_col).collect()
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _cell_expr(cent_rows: list[tuple[int, list[float]]], vec_col: str):
+    """Nearest-centroid cell as a PURE map expression: lexicographic
+    struct-min over (-cosine, cell) literals — no crossJoin, no window, no
+    shuffle; ties go to the lowest cell id."""
+    import math
 
     def _cos_lit(vec_expr, cvec: list[float]):
         norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
@@ -341,9 +313,7 @@ def ivfpq_topk(
         )
         return dot / (vnorm * F.lit(norm))
 
-    # nearest cell as a pure expression: lexicographic struct-min over
-    # (-cos, cell) — ties to the lowest cell id, no shuffle
-    cell_expr = F.array_min(
+    return F.array_min(
         F.array(
             *[
                 F.struct(
@@ -355,27 +325,46 @@ def ivfpq_topk(
         )
     )["c"]
 
-    # one map-only pass: (id, codes, cell)
-    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
-        corpus.select(F.col(id_col), cell_expr.alias("cell")), id_col
-    )
 
-    # driver-side probe lists (centroids are tiny by contract)
-    q_rows = query.select(id_col, vec_col).collect()
+def _probe_cells(
+    qvec, cent_rows: list[tuple[int, list[float]]], n_probe: int
+) -> list[int]:
+    """The n_probe nearest centroid cells for one query vector, computed
+    driver-side (centroids are codebook-scale scalars); ties to the lowest
+    cell id — deterministic."""
+    import math
 
-    def _probe_cells(qvec) -> list[int]:
-        scoredc = []
-        for cid, cvec in cent_rows:
-            dot = sum(float(a) * b for a, b in zip(qvec, cvec))
-            nq = math.sqrt(sum(float(a) * a for a in qvec)) or 1.0
-            nc = math.sqrt(sum(b * b for b in cvec)) or 1.0
-            scoredc.append((-dot / (nq * nc), cid))
-        return [cid for _, cid in sorted(scoredc)[:n_probe]]
+    scoredc = []
+    for cid, cvec in cent_rows:
+        dot = sum(float(a) * b for a, b in zip(qvec, cvec))
+        nq = math.sqrt(sum(float(a) * a for a in qvec)) or 1.0
+        nc = math.sqrt(sum(b * b for b in cvec)) or 1.0
+        scoredc.append((-dot / (nq * nc), cid))
+    return [cid for _, cid in sorted(scoredc)[:n_probe]]
+
+
+def _adc_rank_refine(
+    codes_for_cells,
+    q_rows,
+    cent_rows,
+    codebook,
+    n_probe: int,
+    k: int,
+    refine_factor: int,
+    refine_with: DataFrame | None,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-ADC tail: per-query cell-filtered ADC scoring, partial
+    top ``refine_factor × k``, optional exact-cosine re-rank. Deterministic
+    under (score desc, id) total order."""
+    from pyspark.sql import Window
 
     scored = None
     for qid, qvec in ((r[0], r[1]) for r in q_rows):
         part = (
-            coded.filter(F.col("cell").isin(_probe_cells(qvec)))
+            codes_for_cells(_probe_cells(qvec, cent_rows, n_probe))
             .select(
                 F.lit(qid).alias("query_id"),
                 F.col(id_col),
@@ -388,11 +377,14 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_score").desc(), F.col(id_col).asc()
     )
+    n_keep = k * refine_factor if refine_with is not None else k
     top = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k * refine_factor
+        F.col("rank") <= n_keep
     )
+    if refine_with is None:
+        return top.select("query_id", id_col, "rank")
     qv = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    cv = refine_with.select(F.col(id_col), F.col(vec_col).alias("cvec"))
     rescored = (
         top.select("query_id", id_col)
         .join(cv, id_col)
@@ -408,4 +400,148 @@ def ivfpq_topk(
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    codebook: list[list[list[float]]],
+    n_centroids: int = 10,
+    n_probe: int = 3,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN — the full FAISS-IVFADC shape, composing the engine's ANN
+    ladder end to end: a coarse quantizer prunes the corpus to ``n_probe``
+    cells per query, ADC scores ONLY the surviving cells' codes (never
+    touching float vectors), and the top ``refine_factor × k`` candidates
+    re-rank by exact cosine. This in-memory form recomputes codes per call;
+    ``write_ann_index`` / ``ann_index_topk`` persist them partitioned by
+    cell so the probe becomes real partition pruning — the operator whose
+    cost model survives the scale-up that retires the exact GEMM path
+    (VERDICT r3's watch-list item).
+
+    Physical shape, stage by stage:
+    - cell assignment: argmin over LITERAL centroid structs — pure map
+      expression, no crossJoin, no window shuffle (a tighter plan than
+      ``ivf_topk``'s broadcast-crossJoin + row_number assignment);
+    - encode+assign fuse into ONE map-only projection over the corpus scan;
+    - per-query probe lists are computed driver-side from the tiny centroid
+      set (the codebook-scale scalar exception) and baked into ``isin``
+      filters — exactly what partition pruning consumes at scale;
+    - ADC + partial top-k, then an id-equi-join re-rank over |candidates|
+      float rows.
+
+    ``centroids`` (cell, centroid) from ``kmeans_fit`` replaces the
+    hash-stride seeding. Returns (query_id, vec_id, rank), deterministic
+    under (score desc, id) total order."""
+    cent_rows = _centroid_rows(corpus, n_centroids, id_col, vec_col, centroids)
+    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
+        corpus.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
+        id_col,
+    )
+    q_rows = query.select(id_col, vec_col).collect()
+    return _adc_rank_refine(
+        lambda cells: coded.filter(F.col("cell").isin(cells)),
+        q_rows,
+        cent_rows,
+        codebook,
+        n_probe,
+        k,
+        refine_factor,
+        corpus,
+        query,
+        id_col,
+        vec_col,
+    )
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    path: str,
+    codebook: list[list[list[float]]],
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF-PQ index: codes written PARTITIONED BY cell
+    (``<path>/codes/cell=N/``), centroids and the codebook as tiny parquet
+    side tables. This is the storage layout the ivfpq docstring promises:
+    a probe reads ``n_probe`` of ``n_centroids`` directories — the scan
+    never lists, opens, or decodes the other cells' files (asserted via
+    PartitionFilters in tests). One map-only encode+assign pass over the
+    corpus; the index is 8 bytes/vector + two codebook-scale side tables."""
+    import os
+
+    spark = corpus.sparkSession
+    cent_rows = _centroid_rows(corpus, n_centroids, id_col, vec_col, centroids)
+    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
+        corpus.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
+        id_col,
+    )
+    coded.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    m = len(codebook)
+    cb_rows = [
+        (j, c, codebook[j][c]) for j in range(m) for c in range(len(codebook[j]))
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, cell int, centroid array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+
+
+def ann_index_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    n_probe: int = 3,
+    k: int = 10,
+    refine_factor: int = 4,
+    refine_with: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted ANN index (``write_ann_index`` layout): load the
+    two codebook-scale side tables driver-side, bake each query's probe
+    list into a ``cell IN (...)`` filter over the partitioned codes table —
+    Spark's partition pruning then restricts the scan to the probed
+    directories (the at-scale point of the whole structure) — ADC-score,
+    and optionally exact-re-rank against ``refine_with`` (the raw vector
+    table). Same determinism contract as ``ivfpq_topk``; given the same
+    codebook and centroids the two return identical rows (tested)."""
+    import os
+
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    ]
+    cb = {}
+    for r in spark.read.parquet(os.path.join(path, "codebook")).collect():
+        cb[(r.subspace, r.cell)] = [float(x) for x in r.centroid]
+    m = 1 + max(j for j, _ in cb)
+    kk = 1 + max(c for _, c in cb)
+    codebook = [[cb[(j, c)] for c in range(kk)] for j in range(m)]
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    q_rows = query.select(id_col, vec_col).collect()
+    return _adc_rank_refine(
+        lambda cells: codes.filter(F.col("cell").isin(cells)),
+        q_rows,
+        cent_rows,
+        codebook,
+        n_probe,
+        k,
+        refine_factor,
+        refine_with,
+        query,
+        id_col,
+        vec_col,
     )

@@ -716,3 +716,49 @@ def test_ivfpq_recall_and_determinism(spark):
     # weaker of the two parents (ivf >= 0.5 at the same probe settings)
     assert recall >= 0.4, recall
     assert got == run()
+
+
+def test_ann_index_persisted_equals_inmemory_and_prunes(spark, tmp_path):
+    """write_ann_index + ann_index_topk: (1) identical rows to ivfpq_topk
+    under the same codebook/centroids, (2) the probe scan's PartitionFilters
+    prune to the probed cells — the codes directories for other cells are
+    never read (the at-scale point of the cell-partitioned layout)."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_topk,
+        ivfpq_topk,
+        pq_train,
+        write_ann_index,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    # pin the centroids so both paths share the coarse quantizer exactly
+    cents = (
+        _seed_centroids(emb, 10, "vec_id", "embedding")
+        .selectExpr("CAST(vec_id AS INT) AS cell", "CAST(embedding AS ARRAY<DOUBLE>) AS centroid")
+    )
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path, codebook, centroids=cents)
+    from_index = ann_index_topk(
+        spark, path, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+    )
+    in_memory = ivfpq_topk(
+        emb, query, codebook, n_probe=3, k=10, refine_factor=4, centroids=cents
+    )
+    a = sorted((r.query_id, r.vec_id, r.rank) for r in from_index.collect())
+    b = sorted((r.query_id, r.vec_id, r.rank) for r in in_memory.collect())
+    assert a == b and len(a) == 30
+
+    # partition pruning: the single-query probe plan reads only probed cells
+    one = emb.filter(F.col("vec_id") == 0)
+    plan = (
+        ann_index_topk(spark, path, one, n_probe=3, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]

@@ -323,6 +323,7 @@ class TxnTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 256,
         bloom_probes: int = 4,
+        constraints: dict[str, str] | None = None,
     ) -> "TxnTable":
         """Create version 1 from ``df`` (or empty with ``schema``).
 
@@ -370,11 +371,17 @@ class TxnTable:
             if checkpoint_interval < 1:
                 raise ValueError("checkpoint_interval must be >= 1")
             extra["checkpoint_interval"] = int(checkpoint_interval)
+        if constraints:
+            # Delta-style CHECK constraints: SQL predicates every committed
+            # row must satisfy (NULL satisfies, per SQL CHECK semantics).
+            # Recorded in the v1 manifest so EVERY writer of the table
+            # enforces them on every write path, forever.
+            extra["constraints"] = {str(k): str(v) for k, v in constraints.items()}
         bucket = None
         if bucket_by:
             bucket = {"cols": list(bucket_by), "n": int(n_buckets)}
         if df is not None:
-            files, n = t._write_data(df, bucket=bucket)
+            files, n = t._write_data(df, bucket=bucket, constraints=constraints)
             if stats_cols:
                 extra["file_stats"] = t._collect_file_stats(files, stats_cols)
             if bloom_cols:
@@ -464,6 +471,18 @@ class TxnTable:
             )
         return self._ckpt_int
 
+    def _constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints: recorded in the immutable v1
+        manifest at create time (cached per instance), {} when none or the
+        table does not exist yet (mid-create)."""
+        if not hasattr(self, "_constr"):
+            try:
+                m = _read_raw_manifest(self.path, 1)
+            except FileNotFoundError:
+                return {}
+            self._constr = dict(m.get("constraints", {}))
+        return self._constr
+
     def _manifest(self, version: int | None = None) -> dict[str, Any]:
         v = version if version is not None else self.version()
         return read_manifest(self.path, v)
@@ -484,7 +503,10 @@ class TxnTable:
         return sorted(out)
 
     def _write_data(
-        self, df: DataFrame, bucket: dict[str, Any] | None = None
+        self,
+        df: DataFrame,
+        bucket: dict[str, Any] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> tuple[list[str], int]:
         """Write a commit's data files under a fresh directory; the files are
         invisible until a manifest referencing them is published.
@@ -495,7 +517,15 @@ class TxnTable:
         onto the bucket hash so each bucket lands in exactly ONE file —
         that's what lets the bucketed read publish a per-bucket sort order
         and the downstream sort-merge join skip both its exchange AND its
-        sort on the table side."""
+        sort on the table side.
+
+        CHECK constraints (create-time for this call, else the table's
+        recorded set) validate on the SAME post-write read that already
+        computes the row count — fused into one aggregate, zero extra
+        passes. A violation raises BEFORE any manifest is published: the
+        already-written files stay invisible (orphans, reclaimed by
+        vacuum), so enforcement is transactional by construction. NULL
+        satisfies a constraint (SQL CHECK semantics)."""
         token = uuid.uuid4().hex
         out_dir = os.path.join(self.path, _DATA_DIR, token)
         if bucket:
@@ -518,8 +548,29 @@ class TxnTable:
         else:
             df.write.mode("error").parquet(out_dir)
         files = self._list_parquet(out_dir)
-        n = self.spark.read.parquet(*files).count() if files else 0
-        return files, n
+        if not files:
+            return files, 0
+        checks = constraints if constraints is not None else self._constraints()
+        back = self.spark.read.parquet(*files)
+        if not checks:
+            return files, back.count()
+        row = back.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(name)
+                for name, e in checks.items()
+            ],
+        ).collect()[0]
+        bad = {name: row[name] for name in checks if row[name]}
+        if bad:
+            raise ValueError(
+                f"{self.path}: CHECK constraint violation — "
+                + ", ".join(
+                    f"{name} ({checks[name]!r}): {cnt} row(s)"
+                    for name, cnt in bad.items()
+                )
+            )
+        return files, row["__n"]
 
     def _collect_file_stats(
         self, files: list[str], stats_cols: list[str]

@@ -914,3 +914,49 @@ def test_append_schema_evolution_additive(spark, tdir):
         )
     )
     assert t.read().count() == 3
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta-style CHECK constraints: recorded at create, enforced on
+    append/overwrite/merge by every writer instance; a violating write
+    raises BEFORE any commit (version and data unchanged); NULL satisfies
+    (SQL CHECK semantics); validation is fused into the existing post-write
+    count pass."""
+    import pytest
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, 10.0), (2, 0.5)], "k bigint, x double"),
+        constraints={"x_nonneg": "x >= 0", "k_pos": "k > 0"},
+    )
+    # create itself validates
+    with pytest.raises(ValueError, match="x_nonneg"):
+        TxnTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            spark.createDataFrame([(1, -1.0)], "k bigint, x double"),
+            constraints={"x_nonneg": "x >= 0"},
+        )
+    # a FRESH instance (constraints come from the manifest, not memory)
+    t2 = TxnTable(spark, path)
+    with pytest.raises(ValueError, match="x_nonneg.*1 row"):
+        t2.append(spark.createDataFrame([(3, -2.0)], "k bigint, x double"))
+    assert t2.version() == 1  # nothing committed
+    assert sorted(map(tuple, t2.read().collect())) == [(1, 10.0), (2, 0.5)]
+    # NULL satisfies
+    t2.append(spark.createDataFrame([(4, None)], "k bigint, x double"))
+    assert t2.version() == 2
+    # merge path validated too
+    src = spark.createDataFrame([(1, -5.0)], "k bigint, x double")
+    with pytest.raises(ValueError, match="x_nonneg"):
+        t2.merge(src, ["k"], when_matched_update={"x": "x"})
+    # overwrite path validated
+    with pytest.raises(ValueError, match="k_pos"):
+        t2.overwrite(spark.createDataFrame([(0, 1.0)], "k bigint, x double"))
+    # valid writes still flow
+    t2.append(spark.createDataFrame([(5, 1.5)], "k bigint, x double"))
+    assert {r.k for r in t2.read().collect()} == {1, 2, 4, 5}

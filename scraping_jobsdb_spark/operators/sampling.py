@@ -137,7 +137,9 @@ def mixture_token_budget_sample(
             raise ValueError(f"negative mixture weight for {k!r}")
     entries: list[Column] = []
     for k, frac in mixture.items():
-        entries += [F.lit(k), F.lit(int(total_budget * frac))]
+        # epsilon-floor: plain int() truncates binary-float artifacts
+        # (10000 * 0.07 = 699.9999... would floor to 699, not 700)
+        entries += [F.lit(k), F.lit(int(total_budget * frac + 1e-9))]
     budget = F.element_at(F.create_map(*entries), F.col(stratum_col))
     w = (
         Window.partitionBy(stratum_col)

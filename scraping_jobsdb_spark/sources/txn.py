@@ -1458,6 +1458,25 @@ class TxnTable:
 
         return self._occ_loop(attempt)
 
+    def maybe_compact(
+        self,
+        max_files: int,
+        target_partitions: int | None = None,
+    ) -> int | None:
+        """Auto-compaction policy (Delta's autoOptimize posture): compact
+        only when the live snapshot references MORE than ``max_files`` data
+        files, else no-op. The check is a driver-side manifest read — no
+        Spark job, no data touched — so an ingest loop can call this after
+        every append and pay the rewrite only when the small-file count
+        actually crosses the threshold (rewrite cost amortizes to
+        O(snapshot / max_files) per file ever written). Returns the new
+        file count, or None when no compaction ran."""
+        if max_files < 1:
+            raise ValueError("max_files must be >= 1")
+        if len(self._manifest()["files"]) <= max_files:
+            return None
+        return self.compact(target_partitions=target_partitions)
+
     def zorder_by(
         self, cols: list[str], target_partitions: int | None = None
     ) -> int:

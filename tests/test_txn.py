@@ -960,3 +960,34 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     # valid writes still flow
     t2.append(spark.createDataFrame([(5, 1.5)], "k bigint, x double"))
     assert {r.k for r in t2.read().collect()} == {1, 2, 4, 5}
+
+
+def test_maybe_compact_threshold_policy(spark, tmp_path):
+    """maybe_compact: no-op (manifest-read only, no new version) while the
+    snapshot holds <= max_files files; one compact commit once the append
+    loop crosses the threshold; data identical before/after."""
+    import pytest
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    path = str(tmp_path / "t")
+    t = TxnTable.create(
+        spark, path, spark.range(10).selectExpr("id AS k").coalesce(1)
+    )
+    with pytest.raises(ValueError):
+        t.maybe_compact(0)
+    v_before = t.version()
+    assert t.maybe_compact(max_files=50) is None
+    assert t.version() == v_before  # no commit happened
+    # accumulate small files past the threshold
+    for i in range(6):
+        t.append(spark.range(10 * (i + 1), 10 * (i + 2)).selectExpr("id AS k").coalesce(1))
+    n_files = len(t._manifest()["files"])
+    assert n_files > 4
+    before = sorted(r.k for r in t.read().collect())
+    new_count = t.maybe_compact(max_files=4, target_partitions=2)
+    assert new_count is not None and len(t._manifest()["files"]) <= 4
+    assert t._manifest()["op"] == "compact"
+    assert sorted(r.k for r in t.read().collect()) == before
+    # back under threshold: policy no-ops again
+    assert t.maybe_compact(max_files=4) is None

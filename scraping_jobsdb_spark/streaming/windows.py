@@ -30,6 +30,7 @@ __all__ = [
     "sliding_value_totals_stream",
     "session_counts_stream",
     "click_purchase_stream_join",
+    "stream_static_enriched_totals",
     "run_stream_to_memory",
 ]
 
@@ -152,6 +153,40 @@ def click_purchase_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").alias("click_ts"),
         F.col("p_ts").alias("purchase_ts"),
         "purchase_value",
+    )
+
+
+def stream_static_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the third §2.7 join shape next to stream-stream
+    and the stateful ops: each micro-batch of the events stream enriches
+    against the static customer dimension (broadcast: a dimension join
+    carries NO streaming state, unlike a stream-stream join — the static
+    side is simply re-planned per micro-batch, picking up nothing but its
+    scan), then aggregates hourly value totals per customer nation.
+    Identical logical aggregation to the equivalent batch plan (asserted in
+    tests)."""
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    stream = events_file_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        stream.join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_nationkey",
+            "n_events",
+            "total_value",
+        )
     )
 
 

@@ -622,3 +622,40 @@ def test_streaming_cms_cells_equal_batch(spark, tmp_path):
         is False
     )
     assert streamed() == batch_truth()
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static dimension enrichment: the streamed hourly per-nation
+    totals equal the identical batch plan — the static side re-plans per
+    micro-batch with no streaming state."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_static_enriched_totals,
+    )
+
+    streamed = run_stream_to_memory(
+        stream_static_enriched_totals(spark, SF_SMOKE), spark
+    )
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_nationkey",
+            "n_events",
+            "total_value",
+        )
+    )
+    got = sorted(map(tuple, streamed.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0

@@ -1061,14 +1061,18 @@ def fuzzy_string_join(
             ),
         ).distinct()
         if max_df is not None:
-            from pyspark.sql import Window
-
-            wdf = Window.partitionBy("__g")
-            g = (
-                g.withColumn("__df", F.count(F.lit(1)).over(wdf))
-                .filter(F.col("__df") <= max_df)
-                .drop("__df")
+            # stop-gram list via a COUNTER aggregate (map-side combined:
+            # the shuffle carries one row per distinct gram, not the whole
+            # gram stream the window form exchanged), then an anti-join the
+            # planner sizes itself — stop-grams are few by construction
+            # (bounded by |grams| / max_df), so AQE broadcasts the list
+            stop = (
+                g.groupBy("__g")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > max_df)
+                .select("__g")
             )
+            g = g.join(stop, "__g", "left_anti")
         return g
 
     lg = _grams(left, left_id, left_col)

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "sessionize"]
+__all__ = ["running_user_totals", "running_user_totals_tws", "sessionize"]
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 _STATE_SCHEMA = "n bigint, total double"
@@ -139,5 +139,60 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_totals_tws(events_stream: DataFrame) -> DataFrame:
+    """Per-user cumulative (count, sum(value)) via transformWithStateInPandas
+    — Spark 4's successor API to applyInPandasWithState: named state
+    variables acquired from a handle in ``init`` instead of one positional
+    state tuple, with the RocksDB state store managing layout. Same fold
+    semantics as ``_fold`` (tests assert the two APIs and the batch
+    aggregate agree). The processor class is defined at call time:
+    importing StatefulProcessor at module import would hard-bind this
+    module to the Spark-4-only API. Requires the RocksDB provider on the
+    session (``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``)
+    and the ``protobuf`` package (the API's state-server wire protocol);
+    the equivalence test skips where protobuf is absent and the
+    applyInPandasWithState twin remains the runtime-independent path.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class Processor(StatefulProcessor):
+        def init(self, handle):
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Processor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -659,3 +659,74 @@ def test_stream_static_join_equals_batch(spark):
     got = sorted(map(tuple, streamed.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_totals_equals_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API, RocksDB
+    provider) == the applyInPandasWithState fold == the batch aggregate.
+
+    The API's state-server protocol needs the protobuf package, which this
+    runtime does not ship — skipped there (the applyInPandasWithState twin
+    keeps the semantics covered); runs wherever protobuf exists."""
+    import os
+    import tempfile
+
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (not in runtime)",
+    )
+
+    from scraping_jobsdb_spark.session import ship_package
+    from scraping_jobsdb_spark.streaming.stateful import running_user_totals_tws
+
+    ship_package(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        static = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        src = tempfile.mkdtemp(prefix="sjs_tws_src_")
+        os.symlink(
+            os.path.abspath(f"{SF_SMOKE}/events.parquet"),
+            os.path.join(src, "e.parquet"),
+        )
+        stream = spark.readStream.schema(static.schema).parquet(src)
+        name = "tws_out_test"
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sjs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    expect = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid in expect:
+        assert got[uid][0] == expect[uid][0]
+        assert abs(got[uid][1] - expect[uid][1]) < 1e-6

@@ -28,6 +28,7 @@ __all__ = [
     "fingerprint",
     "with_text_stats",
     "gopher_quality_flags",
+    "compression_ratio",
     "bpe_ish_token_count",
     "tfidf_top_terms",
     "winnowing_fingerprints",
@@ -172,6 +173,35 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_guess(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def compression_ratio(col: Column | str) -> Column:
+    """zlib compression ratio of the UTF-8 text (compressed/raw bytes) — the
+    classic redundancy signal (C4/Gopher family): templated or repetitive
+    boilerplate compresses far below prose, random junk barely compresses
+    at all. Python is required (no JVM zlib expression), so this is the
+    Arrow path: one vectorized pandas_udf, level-6 zlib, deterministic for
+    a given zlib version. Rounded to 6 dp. NULL/empty text → NULL."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio(s):
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return s.map(one)
+
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    f = pandas_udf(_ratio, "double")
+    c = F.col(col) if isinstance(col, str) else col
+    return f(c)
 
 
 # Gopher rule-filter stopword set (Rae et al. 2021, §A1.1: "contains at

@@ -914,3 +914,35 @@ def test_fuzzy_join_two_tables_with_same_column_names(spark):
     # id_a(5) > id_b(1): a self-join heuristic keyed on column names would
     # have dropped this pair
     assert out == {(5, 1, 1)}
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    """Repetitive text compresses well below prose; high-entropy text
+    barely compresses; empty/NULL → NULL; deterministic across runs."""
+    import random
+
+    from scraping_jobsdb_spark.operators.textops import compression_ratio
+
+    rng = random.Random(7)
+    noisy = "".join(chr(rng.randrange(33, 127)) for _ in range(2000))
+    rows = [
+        (1, "spam " * 400),                      # templated boilerplate
+        (2, "The quick brown fox jumps over the lazy dog. " * 40),
+        (3, noisy),                               # near-incompressible
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {
+        r.id: r.cr
+        for r in df.select("id", compression_ratio("text").alias("cr")).collect()
+    }
+    assert out[1] < 0.05                 # pure repetition
+    assert out[1] < out[2] < out[3]      # redundancy ordering
+    assert out[3] > 0.8                  # junk barely compresses
+    assert out[4] is None and out[5] is None
+    again = {
+        r.id: r.cr
+        for r in df.select("id", compression_ratio("text").alias("cr")).collect()
+    }
+    assert again == out

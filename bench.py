@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "asof_join_forward_window",
     "events_daily_gap_fill",
     "fuzzy_join_supplier_names",
+    "embedding_int8_cosine_topk",
 ]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "minhash_candidate_pairs_portable",
     "simhash_candidate_pairs_portable",
     "fuzzy_string_join",
+    "quantized_cosine_topk",
 ]
 
 
@@ -1095,3 +1096,63 @@ def fuzzy_string_join(
     return cands.select(
         "*", F.levenshtein("name_a", "name_b").cast("bigint").alias("distance")
     ).filter(F.col("distance") <= max_distance)
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k IN THE INT8-QUANTIZED DOMAIN — the search the 4×
+    storage lever actually runs at scale: scores come from the codes alone
+    (the float vectors are never read back). The per-vector scales CANCEL
+    in the cosine — cos(a,b) = Σcᵃcᵇ / (√Σcᵃ² · √Σcᵇ²) — so every sum is
+    a small-integer sum (exact in any engine) and the score is one
+    IEEE-exact √,√,×,÷ chain: unlike every float-summation ranking, this
+    one is fully value-hash-oracle-able (rounded to 9 dp only as belt and
+    braces). Same broadcast-query / corpus-scan / per-query-window shape
+    as brute_force_topk. Returns (query_id, vec_id, rank)."""
+    from pyspark.sql import Window
+
+    q8 = quantize_embeddings_int8(corpus, vec_col=vec_col, id_col=id_col)
+
+    def _norm2(codes):
+        return F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c * c
+        )
+
+    c8 = q8.select(F.col(id_col), F.col("codes"), _norm2(F.col("codes")).alias("n2"))
+    qids = q8.join(query.select(id_col), id_col)
+    qv = qids.select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("qcodes"),
+        _norm2(F.col("codes")).alias("qn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("qcodes"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c8.crossJoin(F.broadcast(qv))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                dot
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))),
+                9,
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )

@@ -3290,6 +3290,59 @@ def q_scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_int8_cosine_topk",
+    oracle=r"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, x -> abs(x)))
+                        / 127.0, 1e-12) AS scale
+        FROM embeddings
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x / scale) AS INTEGER)) AS codes
+        FROM s
+    ), n AS (
+        SELECT vec_id, codes,
+               CAST(list_sum(list_transform(codes,
+                    c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS n2
+        FROM q8
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND(
+                   CAST(list_dot_product(c.codes, q.codes) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))),
+                   9) AS qcos
+        FROM n c JOIN n q ON q.vec_id IN (0, 100, 200)
+        WHERE c.vec_id != q.vec_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_embedding_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 in the INT8-QUANTIZED domain (operators/similarity.py
+    quantized_cosine_topk): scores come from the codes alone — the
+    per-vector scales cancel in the cosine, so every sum is a
+    small-integer sum and the score is one IEEE-exact √√×÷ chain. The
+    first fully value-hash-oracled member of the int8 family (its float
+    dequantize sibling stays rows-only): ranks re-derived exactly by
+    DuckDB from the same round(x/scale) codes. Broadcast query set, one
+    corpus scan, per-query window."""
+    from scraping_jobsdb_spark.operators.similarity import quantized_cosine_topk
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return quantized_cosine_topk(emb, query, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 @_register("embedding_quantized_topk", oracle=None)
 def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-10 over int8-quantized embeddings (quantize → dequantize →
@@ -6194,6 +6247,7 @@ _GATE_PRIORITY = [
     "asof_join_forward_window",
     "events_daily_gap_fill",
     "fuzzy_join_supplier_names",
+    "embedding_int8_cosine_topk",
     # (b) changed code paths + requested re-verification.
     # cdc_appends_since_txn and dedup_pipeline_end_to_end ceded their slots
     # to the two final-session operators (gap fill / fuzzy join): both were
@@ -6218,8 +6272,10 @@ _GATE_PRIORITY = [
     # locally, and the streaming family holds seven r3-green rows.
     # work_queue_isnull ceded its slot to asof_join_forward_window (the
     # asof operator's code path changed this session): untouched r1-green,
-    # re-verified locally via driver_check.
-    "project_select",
+    # re-verified locally via driver_check. project_select ceded its slot
+    # to embedding_int8_cosine_topk: its date-hygiene change is the SAME
+    # date_format mechanism scalar_date_pack and shipping_priority_top10
+    # evidence in-window, and it re-verified locally via driver_check.
     "scalar_date_pack",
     "shipping_priority_top10",
     # anti_join_not_in, join_dims_broadcast, set_intersect_except and

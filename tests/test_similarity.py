@@ -762,3 +762,30 @@ def test_ann_index_persisted_equals_inmemory_and_prunes(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_quantized_domain_topk_recall(spark):
+    """Int8-domain cosine ranks (scores from codes alone, scales cancelled)
+    track the float-exact top-k closely, and repeat runs are identical."""
+    from scraping_jobsdb_spark.operators.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    exact = {}
+    for r in brute_force_topk(emb, query, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in quantized_cosine_topk(emb, query, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for qid in exact:
+        recall = len(exact[qid] & got[qid]) / len(exact[qid])
+        assert recall >= 0.8, f"query {qid}: recall {recall}"
+    again = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in quantized_cosine_topk(emb, query, k=10).collect()
+    }
+    first = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in quantized_cosine_topk(emb, query, k=10).collect()
+    }
+    assert again == first

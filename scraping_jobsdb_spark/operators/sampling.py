@@ -135,11 +135,16 @@ def mixture_token_budget_sample(
     for k, frac in mixture.items():
         if frac < 0:
             raise ValueError(f"negative mixture weight for {k!r}")
+    from fractions import Fraction
+
     entries: list[Column] = []
     for k, frac in mixture.items():
-        # epsilon-floor: plain int() truncates binary-float artifacts
-        # (10000 * 0.07 = 699.9999... would floor to 699, not 700)
-        entries += [F.lit(k), F.lit(int(total_budget * frac + 1e-9))]
+        # exact decimal floor: Fraction(str(frac)) reads the fraction as
+        # the DECIMAL the caller wrote (0.07 -> 7/100), so the budget is
+        # floor(total * decimal) at ANY magnitude — a float product
+        # truncates (10000 * 0.07 = 699.99...) and an absolute epsilon
+        # stops compensating once budgets reach ~1e9 tokens
+        entries += [F.lit(k), F.lit(int(Fraction(total_budget) * Fraction(str(frac))))]
     budget = F.element_at(F.create_map(*entries), F.col(stratum_col))
     w = (
         Window.partitionBy(stratum_col)

@@ -1077,7 +1077,9 @@ def fuzzy_string_join(
         return g
 
     lg = _grams(left, left_id, left_col)
-    rg = _grams(right, right_id, right_col).select(
+    # self-join: reuse the one gram pipeline (scan/explode/distinct/guard
+    # run once) instead of building a byte-identical second copy
+    rg = (lg if self_join else _grams(right, right_id, right_col)).select(
         F.col("__id").alias("__id_b"), F.col("__s").alias("__s_b"), "__g"
     )
     pairs = lg.join(rg, "__g")
@@ -1124,8 +1126,11 @@ def quantized_cosine_topk(
         )
 
     c8 = q8.select(F.col(id_col), F.col("codes"), _norm2(F.col("codes")).alias("n2"))
-    qids = q8.join(query.select(id_col), id_col)
-    qv = qids.select(
+    # quantization is row-local, so query vectors quantize directly — an
+    # external query (id not in the corpus) works, and a query row whose
+    # vector differs from the same-id corpus row scores with ITS vector
+    qq8 = quantize_embeddings_int8(query, vec_col=vec_col, id_col=id_col)
+    qv = qq8.select(
         F.col(id_col).alias("query_id"),
         F.col("codes").alias("qcodes"),
         _norm2(F.col("codes")).alias("qn2"),

@@ -45,9 +45,12 @@ def asof_join(
     """For every left row, attach the nearest right values at-or-before
     (``direction="backward"``, the default) or at-or-after
     (``direction="forward"``) its timestamp — NULLs where no right row
-    qualifies. ``tolerance_seconds`` bounds the match age: a carried match
-    further than the tolerance nulls out (the pandas ``merge_asof``
-    surface, distributed).
+    qualifies. ``tolerance_seconds`` bounds the match age (fractional
+    seconds): a carried match further than the tolerance nulls out (the
+    pandas ``merge_asof`` surface, distributed). Matching is ROW-level:
+    the nearest qualifying right row's values attach even when some are
+    NULL — a nearer null-valued observation is not skipped in favor of a
+    staler non-null one (merge_asof / SQL ASOF JOIN semantics).
 
     Plan: union(tagged left, tagged right) → one hash shuffle on ``key`` →
     per-key sort by (ts, side, tiebreak) with right rows ordered BEFORE left
@@ -102,32 +105,40 @@ def asof_join(
         .orderBy(ts_order, F.col("__side"), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the last right ROW as one struct: its timestamp and its values
+    # stay together, so a nearer right row with a NULL value correctly
+    # yields NULL (pandas merge_asof and SQL ASOF JOIN semantics) instead
+    # of resurrecting a staler non-null value; a single internal alias
+    # also cannot collide with a value column named 'ts'.
+    row_struct = F.struct(
+        F.col("__ts").alias("t"),
+        *[F.col(f"__r_{c}").alias(f"v_{c}") for c in value_cols],
+    )
     carried = unioned.select(
         "*",
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        )
+        F.last(F.when(F.col("__side") == 0, row_struct), ignorenulls=True)
         .over(w)
-        .alias("__asof_ts"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        .alias("__asof_row"),
     )
+    matched = F.col("__asof_row").isNotNull()
     if tolerance_seconds is None:
-        within = F.lit(True)
+        within = matched
     else:
+        # fractional seconds on BOTH sides (timestamp→double is exact
+        # microsecond epoch); unix_timestamp truncates to whole seconds
+        # and would admit matches up to ~1s past the tolerance, diverging
+        # from an oracle computing fractional epoch()
         age = (
-            F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__asof_ts"))
+            F.col("__ts").cast("double") - F.col("__asof_row.t").cast("double")
             if direction == "backward"
-            else F.unix_timestamp(F.col("__asof_ts"))
-            - F.unix_timestamp(F.col("__ts"))
+            else F.col("__asof_row.t").cast("double")
+            - F.col("__ts").cast("double")
         )
-        within = F.col("__asof_ts").isNotNull() & (age <= tolerance_seconds)
+        within = matched & (age <= tolerance_seconds)
     return carried.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
         *[
-            F.when(within, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            F.when(within, F.col(f"__asof_row.v_{c}")).alias(f"asof_{c}")
             for c in value_cols
         ],
     )

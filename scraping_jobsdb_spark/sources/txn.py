@@ -1473,6 +1473,12 @@ class TxnTable:
         file count, or None when no compaction ran."""
         if max_files < 1:
             raise ValueError("max_files must be >= 1")
+        if self.bucket_spec() is not None:
+            # a bucketed snapshot is already one file per bucket and every
+            # commit rewrites it whole — compaction cannot reduce the count
+            # below n_buckets, so a threshold under it would otherwise
+            # trigger a full-table rewrite on EVERY call, forever
+            return None
         if len(self._manifest()["files"]) <= max_files:
             return None
         return self.compact(target_partitions=target_partitions)

@@ -946,3 +946,49 @@ def test_compression_ratio_orders_redundancy(spark):
         for r in df.select("id", compression_ratio("text").alias("cr")).collect()
     }
     assert again == out
+
+
+def test_asof_join_row_level_null_semantics_and_fractional_tolerance(spark):
+    """The nearest right ROW wins even when its value is NULL (merge_asof
+    semantics — a staler non-null value must not resurrect), and the
+    tolerance uses fractional seconds (a match 0.5s past an N-second bound
+    with fractional timestamps nulls out; whole-second truncation would
+    have admitted it)."""
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 {s}")
+    left = spark.createDataFrame(
+        [(1, t("11:00:00"), "a")], "user_id bigint, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, t("10:00:00"), 5.0), (1, t("10:59:00"), None)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, "user_id", "ts", "ts", ["value"], tolerance_seconds=300
+    ).collect()
+    assert out[0].asof_value is None  # nearest row is NULL-valued: stays NULL
+    # fractional tolerance: right at .6s before an exact-second left, bound 1s
+    left2 = spark.createDataFrame(
+        [(1, t("10:00:01"), "x")], "user_id bigint, ts timestamp, tag string"
+    )
+    right2 = spark.createDataFrame(
+        [(1, t("09:59:59.400000"), 7.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    within = asof_join(
+        left2, right2, "user_id", "ts", "ts", ["value"], tolerance_seconds=2
+    ).collect()[0]
+    assert within.asof_value == 7.0  # age 1.6s <= 2
+    beyond = asof_join(
+        left2, right2, "user_id", "ts", "ts", ["value"], tolerance_seconds=1
+    ).collect()[0]
+    assert beyond.asof_value is None  # age 1.6s > 1 (truncation would say 1 <= 1)
+    # a value column literally named 'ts' no longer collides internally
+    named = asof_join(
+        left2, right2.select("user_id", "ts", "value"),
+        "user_id", "ts", "ts", ["ts", "value"],
+    ).collect()[0]
+    assert named.asof_value == 7.0 and named.asof_ts == t("09:59:59.400000")

@@ -991,3 +991,21 @@ def test_maybe_compact_threshold_policy(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == before
     # back under threshold: policy no-ops again
     assert t.maybe_compact(max_files=4) is None
+
+
+def test_maybe_compact_bucketed_is_noop(spark, tmp_path):
+    """A bucketed snapshot is already one file per bucket and every commit
+    rewrites it whole: maybe_compact must no-op (never a rewrite-per-call
+    loop when the threshold sits under n_buckets)."""
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    t = TxnTable.create(
+        spark,
+        str(tmp_path / "b"),
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v"),
+        bucket_by=["k"],
+        n_buckets=8,
+    )
+    v = t.version()
+    assert t.maybe_compact(max_files=2) is None  # threshold < n_buckets
+    assert t.version() == v  # no commit

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "events_daily_gap_fill",
     "fuzzy_join_supplier_names",
     "embedding_int8_cosine_topk",
+    "recursive_event_chains",
+    "variant_json_surface",
 ]
 
 

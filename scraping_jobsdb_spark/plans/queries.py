@@ -6056,6 +6056,100 @@ def q_fuzzy_join_supplier_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "recursive_event_chains",
+    oracle="""
+    WITH RECURSIVE chains(start_id, cur_id, cur_ts, depth) AS (
+        SELECT event_id, event_id, ts, 0
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT c.start_id, n.next_id, n.next_ts, c.depth + 1
+        FROM chains c JOIN (
+            SELECT event_id, ts,
+                   LEAD(event_id) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_id,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_ts
+            FROM events
+        ) n ON c.cur_id = n.event_id
+        WHERE n.next_id IS NOT NULL
+          AND epoch(n.next_ts) - epoch(n.ts) <= 120
+          AND c.depth < 10
+    )
+    SELECT start_id, MAX(depth) AS chain_len
+    FROM chains GROUP BY start_id
+    """,
+)
+def q_recursive_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0's WITH RECURSIVE, new SQL surface): from
+    each click, follow the per-user NEXT-EVENT pointer while consecutive
+    gaps stay within 2 minutes (depth-capped at 10) — the activity-chain
+    / clickstream-path traversal iterative DataFrame loops used to be the
+    only answer to. The recursion is explosion-proof BY CONSTRUCTION: the
+    lead() window gives every event out-degree ≤ 1 and strictly increasing
+    timestamps (acyclic), so UNION ALL — the only recursion Spark supports
+    — cannot multiply paths. Gap age compares fractional seconds
+    (timestamp→double ≡ DuckDB epoch()). Oracle: the very same SQL."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sjs_rec_events"
+    )
+    return spark.sql(
+        """
+    WITH RECURSIVE chains(start_id, cur_id, cur_ts, depth) AS (
+        SELECT event_id, event_id, ts, 0
+        FROM sjs_rec_events WHERE event_type = 'click'
+        UNION ALL
+        SELECT c.start_id, n.next_id, n.next_ts, c.depth + 1
+        FROM chains c JOIN (
+            SELECT event_id, ts,
+                   LEAD(event_id) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_id,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_ts
+            FROM sjs_rec_events
+        ) n ON c.cur_id = n.event_id
+        WHERE n.next_id IS NOT NULL
+          AND CAST(n.next_ts AS DOUBLE) - CAST(n.ts AS DOUBLE) <= 120
+          AND c.depth < 10
+    )
+    SELECT start_id, MAX(depth) AS chain_len
+    FROM chains GROUP BY start_id
+    """
+    )
+
+
+@_register(
+    "variant_json_surface",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS absent,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 AS k_div7
+    FROM events
+    """,
+)
+def q_variant_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured surface (Spark 4.0's open VARIANT type):
+    parse_json once into a VARIANT column, then typed variant_get path
+    extraction — the shredding-friendly path that replaces repeated
+    get_json_object string re-parsing (scalar_json_pack's pre-4.0 form).
+    A missing path extracts as typed NULL. The variant never leaves the
+    plan (relational columns out), so the oracle checks the extracted
+    values via DuckDB's JSON accessors."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    v = F.parse_json("props")
+    staged = ev.select("event_id", v.alias("__v"))
+    k = F.try_variant_get("__v", "$.k", "bigint")
+    return staged.select(
+        "event_id",
+        k.alias("k"),
+        (k * 2).alias("k_doubled"),
+        F.try_variant_get("__v", "$.missing", "bigint").alias("absent"),
+        (k % 7 == 0).alias("k_div7"),
+    )
+
+
+@_register(
     "gopher_quality_flags",
     oracle=r"""
     WITH staged AS (
@@ -6248,6 +6342,8 @@ _GATE_PRIORITY = [
     "events_daily_gap_fill",
     "fuzzy_join_supplier_names",
     "embedding_int8_cosine_topk",
+    "recursive_event_chains",
+    "variant_json_surface",
     # (b) changed code paths + requested re-verification.
     # cdc_appends_since_txn and dedup_pipeline_end_to_end ceded their slots
     # to the two final-session operators (gap fill / fuzzy join): both were
@@ -6256,10 +6352,14 @@ _GATE_PRIORITY = [
     # append-delta via incremental_mv_refresh, the adaptive-CC dedup
     # composition via the fully-oracled dedup_pipeline_winnowing
     # (dedup_pipeline_end_to_end's driver evidence is rows-only anyway).
+    # cdc_row_changes_txn and neardup_components later ceded theirs to the
+    # Spark-4 surface queries (recursive CTE / VARIANT): both re-verified
+    # locally under the final code, the unbucketed snapshot-diff stays
+    # evidenced by cdc_apply_changes_txn (which reads it) and the
+    # co-bucketed variant, and connected components stays evidenced by
+    # dedup_pipeline_winnowing (adaptive-CC end to end, oracle-exact).
     "embedding_topk_np",
-    "cdc_row_changes_txn",
     "merge_upsert_txn",
-    "neardup_components",
     "winnowing_containment_pairs",
     # (c) r1-stale: every query whose last green row is from round 1.
     # upsert_new_keys and join_left_outer_agg ceded their slots to the two

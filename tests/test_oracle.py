@@ -71,3 +71,47 @@ def test_query_matches_oracle(name, spark, duck):
         raise AssertionError(
             f"{name}: value mismatch; spark-only={only_s} duck-only={only_d}"
         )
+
+
+def test_spark4_sql_udf_and_pipe_syntax_surfaces(spark):
+    """Spark 4 SQL-language surfaces beyond the registered queries: SQL
+    scalar UDFs (CREATE FUNCTION ... RETURN, catalyst-inlined — no Python
+    boundary) and pipe-syntax queries (|>) both compute exactly what their
+    classic-SQL rewrites compute."""
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sjs_clamp01(x DOUBLE) "
+        "RETURNS DOUBLE RETURN greatest(0.0d, least(1.0d, x))"
+    )
+    load_table(spark, SF_SMOKE, "events").createOrReplaceTempView(
+        "sjs_udf_events"
+    )
+    via_udf = spark.sql(
+        "SELECT event_id, sjs_clamp01(value / 100.0) AS v FROM sjs_udf_events"
+    )
+    inlined = spark.sql(
+        "SELECT event_id, greatest(0.0d, least(1.0d, value / 100.0)) AS v "
+        "FROM sjs_udf_events"
+    )
+    assert sorted(map(tuple, via_udf.collect())) == sorted(
+        map(tuple, inlined.collect())
+    )
+    # the SQL UDF inlines into the plan: no Python eval stage appears
+    plan = via_udf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    piped = spark.sql(
+        "FROM sjs_udf_events |> WHERE event_type = 'click' "
+        "|> AGGREGATE count(*) AS n, sum(user_id) AS su GROUP BY user_id "
+        "|> WHERE n > 1"
+    )
+    classic = spark.sql(
+        "SELECT user_id, count(*) AS n, sum(user_id) AS su "
+        "FROM sjs_udf_events WHERE event_type = 'click' "
+        "GROUP BY user_id HAVING count(*) > 1"
+    )
+    got = sorted(map(tuple, piped.select("user_id", "n", "su").collect()))
+    want = sorted(map(tuple, classic.collect()))
+    assert got == want and len(got) > 0

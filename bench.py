@@ -151,13 +151,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters for the driver's TAIL capture of this line: with 77+
+    # per-query entries the front of the line can be truncated, so the scalar
+    # summary fields ("metric"/"value"/"unit"/"sf") go AFTER the big
+    # "queries" dict — whatever is cut, the headline total survives
+    # (BENCH_r04.json lost its parsed total to the old front-placement).
+    # Within "queries", newest-first: the append-only BENCH_QUERIES order is
+    # reversed at print time so truncation eats this round's additions (which
+    # get fresh scrutiny anyway) instead of the long-stable round-1 cohort.
     print(
         json.dumps(
             {
+                "queries": {n: timings[n] for n in reversed(BENCH_QUERIES)},
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

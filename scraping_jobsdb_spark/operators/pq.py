@@ -304,12 +304,19 @@ def _cell_expr(cent_rows: list[tuple[int, list[float]]], vec_col: str):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        vnorm = F.sqrt(
-            F.aggregate(
-                vec_expr.cast("array<double>"),
-                F.lit(0.0),
-                lambda acc, v: acc + v * v,
-            )
+        # Zero-guard mirrors the `or 1.0` on the centroid norm and the
+        # driver-side _probe_cells: an all-zero corpus vector must score 0
+        # (not NaN) so executor-side cell assignment and driver-side probe
+        # scoring agree on degenerate rows.
+        vnorm = F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    vec_expr.cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+            ),
+            F.lit(1e-12),
         )
         return dot / (vnorm * F.lit(norm))
 

@@ -1048,7 +1048,11 @@ def fuzzy_string_join(
     id_b from RIGHT; pass the SAME DataFrame object twice for self-join
     dedup (then only id_a < id_b pairs emit). Identity is the test —
     matching column names on two different tables must NOT suppress
-    cross-side pairs."""
+    cross-side pairs. In cross-table mode EVERY qualifying pair emits,
+    including pairs whose id AND string coincide across the two tables:
+    two genuinely different tables sharing an id space would otherwise
+    silently lose their strongest (distance-0) matches; only object
+    identity dedups."""
     self_join = left is right
 
     def _grams(df: DataFrame, id_c: str, s_c: str) -> DataFrame:
@@ -1085,10 +1089,9 @@ def fuzzy_string_join(
     pairs = lg.join(rg, "__g")
     if self_join:
         pairs = pairs.filter(F.col("__id") < F.col("__id_b"))
-    else:
-        pairs = pairs.filter(
-            (F.col("__id") != F.col("__id_b")) | (F.col("__s") != F.col("__s_b"))
-        )
+    # cross-table mode: no filter — equal-(id, string) pairs across two
+    # different tables are real (the strongest possible match), not
+    # self-matches; see the docstring contract paragraph.
     cands = pairs.select(
         F.col("__id").alias("id_a"),
         F.col("__id_b").alias("id_b"),

@@ -375,7 +375,15 @@ class TxnTable:
             # Delta-style CHECK constraints: SQL predicates every committed
             # row must satisfy (NULL satisfies, per SQL CHECK semantics).
             # Recorded in the v1 manifest so EVERY writer of the table
-            # enforces them on every write path, forever.
+            # enforces them on every write path, forever. Names starting
+            # with "__" are reserved: the fused validation aggregate in
+            # _write_data aliases its internal row count "__n", and a
+            # user constraint of that name would collide with it.
+            for k in constraints:
+                if str(k).startswith("__"):
+                    raise ValueError(
+                        f"constraint name {k!r} is reserved (no '__' prefix)"
+                    )
             extra["constraints"] = {str(k): str(v) for k, v in constraints.items()}
         bucket = None
         if bucket_by:

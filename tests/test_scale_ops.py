@@ -916,6 +916,29 @@ def test_fuzzy_join_two_tables_with_same_column_names(spark):
     assert out == {(5, 1, 1)}
 
 
+def test_fuzzy_join_cross_table_identical_pair_emits(spark):
+    """Cross-table mode must emit the strongest match — a pair whose id AND
+    string coincide across two genuinely different tables (shared id space,
+    e.g. resolving two snapshots of a vendor list). Distance 0, both sides
+    identical; only object identity triggers self-join suppression."""
+    from scraping_jobsdb_spark.operators.similarity import fuzzy_string_join
+
+    a = spark.createDataFrame(
+        [(1, "acme corp"), (2, "apex ltd")], "id bigint, name string"
+    )
+    b = spark.createDataFrame(
+        [(1, "acme corp"), (3, "acme corpn")], "id bigint, name string"
+    )
+    out = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_string_join(
+            a, b, "id", "name", "id", "name", max_distance=1
+        ).collect()
+    }
+    assert (1, 1, 0) in out  # identical (id, string) cross pair emits
+    assert (1, 3, 1) in out
+
+
 def test_compression_ratio_orders_redundancy(spark):
     """Repetitive text compresses well below prose; high-entropy text
     barely compresses; empty/NULL → NULL; deterministic across runs."""

@@ -764,6 +764,28 @@ def test_ann_index_persisted_equals_inmemory_and_prunes(spark, tmp_path):
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_cell_expr_zero_vector_matches_driver_probe(spark):
+    """Degenerate (all-zero) vectors: the executor-side cell expression and
+    the driver-side probe scorer must agree — both score 0 against every
+    centroid (no NaN / div-by-zero) and tie-break to the LOWEST cell id."""
+    from scraping_jobsdb_spark.operators.pq import _cell_expr, _probe_cells
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    rows = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", _cell_expr(cents, "embedding").alias("cell")
+        ).collect()
+    }
+    assert rows[1] == 0  # zero vector: all cosines 0, lowest cell id wins
+    assert rows[2] == 1
+    assert _probe_cells([0.0, 0.0], cents, n_probe=1) == [rows[1]]
+    assert _probe_cells([0.0, 2.0], cents, n_probe=1) == [rows[2]]
+
+
 def test_quantized_domain_topk_recall(spark):
     """Int8-domain cosine ranks (scores from codes alone, scales cancelled)
     track the float-exact top-k closely, and repeat runs are identical."""

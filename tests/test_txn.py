@@ -960,6 +960,16 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     # valid writes still flow
     t2.append(spark.createDataFrame([(5, 1.5)], "k bigint, x double"))
     assert {r.k for r in t2.read().collect()} == {1, 2, 4, 5}
+    # "__"-prefixed names are reserved (the fused validation aggregate
+    # aliases its internal row count "__n"; a user constraint of that name
+    # would collide and corrupt the row[name] lookup)
+    with pytest.raises(ValueError, match="reserved"):
+        TxnTable.create(
+            spark,
+            str(tmp_path / "resv"),
+            spark.createDataFrame([(1, 1.0)], "k bigint, x double"),
+            constraints={"__n": "x >= 0"},
+        )
 
 
 def test_maybe_compact_threshold_policy(spark, tmp_path):

@@ -1,0 +1,194 @@
+"""Persisted winnowing-fingerprint corpus index for incremental dedup.
+
+The deployed posture of batch-vs-corpus containment dedup
+(``operators/textops.py incremental_containment_filter``): an ongoing
+ingest pipeline must NOT re-fingerprint its 100 TB corpus on every
+arriving batch. This module stores the corpus fingerprint set ``(doc_id,
+h)`` in a transactional table and maintains the per-gram document
+frequency (the stop-gram source) as an incrementally-refreshed aggregate
+view — so admitting a new batch costs
+
+  fingerprint(batch)                         — map-only over the batch
+  + one broadcast probe join into the index  — zero corpus-sized shuffles
+  + append(batch fps) + O(delta + view) DF refresh
+
+independent of corpus size. This is the composition of the engine's txn
+layer (`sources/txn.py`), incremental MV layer (`sources/mv.py`), and the
+winnowing dedup family (`operators/textops.py`) — the content-level,
+at-scale generalization of the reference's per-run "skip already-scraped
+job ids" anti-join (``airflow/dags/scrape_url.py``, there by exact key).
+
+Determinism contract: probing the index is bit-identical to running
+``incremental_containment_filter`` against the corpus the index currently
+holds — both paths share ``containment_verdict`` and the same integer
+hash/selection arithmetic, so the probe stays fully value-hash
+oracle-able.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.textops import (
+    containment_verdict,
+    winnowing_fingerprint_set,
+)
+from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+from scraping_jobsdb_spark.sources.txn import TxnTable
+
+__all__ = ["FingerprintIndex"]
+
+# v1-manifest keys for the index parameters: every writer and every probe
+# must agree on (k, w, max_df) or fingerprints stop being comparable.
+_META_KEYS = ("fp_k", "fp_w", "fp_max_df", "fp_id_col")
+
+
+class FingerprintIndex:
+    """A corpus fingerprint index at ``path``: a ``TxnTable`` of ``(id, h)``
+    winnowing fingerprints under ``path/fps`` plus an
+    ``IncrementalAggView`` of per-gram document frequency under
+    ``path/df``. Parameters ride the fps table's v1 manifest."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.fps_path = os.path.join(path, "fps")
+        self.df_path = os.path.join(path, "df")
+        m = TxnTable(spark, self.fps_path)._manifest(1)
+        missing = [k for k in _META_KEYS if k not in m]
+        if missing:
+            raise ValueError(
+                f"{self.fps_path}: not a fingerprint index (v1 manifest "
+                f"lacks {missing})"
+            )
+        self.k = int(m["fp_k"])
+        self.w = int(m["fp_w"])
+        self.max_df = int(m["fp_max_df"])
+        self.id_col = str(m["fp_id_col"])
+        self._df_view = IncrementalAggView(
+            spark,
+            self.fps_path,
+            self.df_path,
+            group_cols=["h"],
+            measures={"df": ("count", None)},
+        )
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def exists(cls, spark: SparkSession, path: str) -> bool:
+        return TxnTable.exists(spark, os.path.join(path, "fps"))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        *,
+        k: int = 8,
+        w: int = 4,
+        max_df: int = 50,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "FingerprintIndex":
+        """Fingerprint ``corpus`` once (map-only, no shuffle — see
+        ``winnowing_fingerprint_set``) and persist the index. One pass over
+        the corpus, ever; every later batch pays only its own size."""
+        fps = winnowing_fingerprint_set(corpus, k, w, text_col, id_col)
+        TxnTable.create(
+            spark,
+            os.path.join(path, "fps"),
+            fps,
+            meta={
+                "fp_k": int(k),
+                "fp_w": int(w),
+                "fp_max_df": int(max_df),
+                "fp_id_col": str(id_col),
+            },
+        )
+        idx = cls(spark, path)
+        idx._df_view.refresh()
+        return idx
+
+    # ------------------------------------------------------------- maintain
+
+    def add(self, docs: DataFrame, text_col: str = "text") -> int:
+        """Admit ``docs`` into the corpus: append their fingerprints
+        (transactional — all-or-nothing visibility) and fold the append
+        delta into the document-frequency view. Cost: fingerprint(docs) +
+        O(|delta| + |distinct grams|) — never a corpus rescan. Returns the
+        new fps-table version."""
+        fps = winnowing_fingerprint_set(
+            docs, self.k, self.w, text_col, self.id_col
+        )
+        t = TxnTable(self.spark, self.fps_path)
+        t.append(fps)
+        self._df_view.refresh()
+        return t.version()
+
+    # ---------------------------------------------------------------- reads
+
+    def fingerprints(self) -> DataFrame:
+        """The corpus fingerprint set ``(id, h)`` at the current version."""
+        return TxnTable(self.spark, self.fps_path).read()
+
+    def stop_grams(self) -> DataFrame:
+        """Gram hashes selected by more than ``max_df`` corpus documents —
+        read from the incrementally-maintained DF view (no corpus scan).
+        Small by construction (bounded by |grams| / max_df), so consumers
+        broadcast it."""
+        self._require_fresh_df()
+        return self._df_view.read().filter(F.col("df") > self.max_df).select("h")
+
+    def _require_fresh_df(self) -> None:
+        # The probe's stop-gram list must reflect every committed
+        # fingerprint or the pruned universes drift between batches.
+        applied = self._df_view.applied_source_version()
+        current = TxnTable(self.spark, self.fps_path).version()
+        if applied < current:
+            raise ValueError(
+                f"{self.df_path}: DF view at source version {applied} but "
+                f"fps table at {current}; call add()/refresh via the index "
+                "so the stop-gram view is maintained with the data"
+            )
+
+    # ---------------------------------------------------------------- probe
+
+    def probe(
+        self,
+        batch: DataFrame,
+        threshold_milli: int = 800,
+        text_col: str = "text",
+        broadcast_batch: bool = True,
+    ) -> DataFrame:
+        """Score every batch document against the stored corpus: one row
+        per batch doc — (id, n_fp, n_dup_of, kept), identical to
+        ``incremental_containment_filter`` against the same corpus (shared
+        ``containment_verdict`` tail; pinned by test).
+
+        Scale shape: the batch fingerprint set is BROADCAST (a batch is
+        small next to a 100 TB corpus), so the probe join streams over the
+        index scan map-side — the only shuffle moves matched (batch doc,
+        corpus doc) pairs, never the index. The stop-gram list comes from
+        the maintained DF view (broadcast anti-join on both sides). Set
+        ``broadcast_batch=False`` for a backfill-sized batch; the planner
+        then picks the join strategy."""
+        stop = F.broadcast(self.stop_grams())
+        fps_b = winnowing_fingerprint_set(
+            batch, self.k, self.w, text_col, self.id_col
+        )
+        pruned_b = fps_b.join(stop, "h", "left_anti").localCheckpoint()
+        if broadcast_batch:
+            pruned_b = F.broadcast(pruned_b)
+        pruned_c = self.fingerprints().join(stop, "h", "left_anti")
+        return containment_verdict(
+            batch.select(self.id_col),
+            pruned_b,
+            pruned_c,
+            threshold_milli,
+            self.id_col,
+        )

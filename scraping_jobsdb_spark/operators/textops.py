@@ -922,9 +922,12 @@ def incremental_containment_filter(
     value-hash oracle-able, like ``fingerprint_containment_pairs``.
 
     Scale shape: the corpus side is the big, stable one — its fingerprint
-    set and stop-gram list are computed once per batch (precomputed and
-    stored in a txn table in a deployed pipeline; recomputed here so the
-    operator is self-contained). The probe is ONE equi-join on the gram
+    set and stop-gram list are computed once per batch here so the
+    operator is self-contained; the deployed posture (corpus fingerprints
+    persisted in a txn table, stop-gram DF maintained incrementally, zero
+    corpus re-fingerprinting per batch) ships as
+    ``operators/fpindex.py FingerprintIndex``, which probes through the
+    same ``containment_verdict`` tail — bit-identical results. The probe is ONE equi-join on the gram
     hash between the (small) batch fingerprints and the pruned corpus
     index — LSH-banding economics, never all-pairs. Stop-grams (df >
     ``max_df`` in the CORPUS) are dropped from both sides, and batch set
@@ -950,6 +953,29 @@ def incremental_containment_filter(
     )
     pruned_c = fps_c.join(stop, "h", "left_anti")
     pruned_b = fps_b.join(stop, "h", "left_anti").localCheckpoint()
+    return containment_verdict(
+        batch.select(id_col), pruned_b, pruned_c, threshold_milli, id_col
+    )
+
+
+def containment_verdict(
+    batch_ids: DataFrame,
+    pruned_b: DataFrame,
+    pruned_c: DataFrame,
+    threshold_milli: int,
+    id_col: str,
+) -> DataFrame:
+    """The shared verdict tail of batch-vs-corpus containment dedup: given
+    the stop-gram-PRUNED fingerprint sets of the batch and the corpus
+    (``(id, h)`` rows over the same pruned universe), emit one row per batch
+    document — (id, n_fp, n_dup_of, kept). Used by both the self-contained
+    ``incremental_containment_filter`` and the persisted-index probe
+    (``operators/fpindex.py``), so the two paths cannot drift.
+
+    Shape: one equi-join on the gram hash (the probe), a pair-count
+    aggregate, an integer cross-multiplied threshold — never all-pairs.
+    When the batch side is broadcast-small the probe join is map-only over
+    the corpus index: zero corpus-sized shuffles."""
     sizes_b = pruned_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     shared = (
         pruned_b.select(F.col(id_col).alias("__bid"), "h")
@@ -965,9 +991,8 @@ def incremental_containment_filter(
         .groupBy("__bid")
         .agg(F.count(F.lit(1)).alias("n_dup_of"))
     )
-    ids = batch.select(id_col)
     return (
-        ids.join(sizes_b, id_col, "left")
+        batch_ids.join(sizes_b, id_col, "left")
         .join(dup_of.withColumnRenamed("__bid", id_col), id_col, "left")
         .select(
             id_col,

@@ -5227,6 +5227,145 @@ def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_indexed_dedup",
+    oracle=r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM all_docs
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), fps_c AS (       -- index state at probe 1: the original corpus
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), fps_b1 AS (      -- batch 1: every 5th document
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 = 0
+    ), fps_b2 AS (      -- batch 2: injected near-dups (+20000 ids)
+        SELECT doc_id, h FROM fps WHERE doc_id >= 20000
+    ), stop1 AS (
+        SELECT h FROM fps_c GROUP BY h HAVING COUNT(*) > 50
+    ), pc1 AS (
+        SELECT doc_id, h FROM fps_c WHERE h NOT IN (SELECT h FROM stop1)
+    ), pb1 AS (
+        SELECT doc_id, h FROM fps_b1 WHERE h NOT IN (SELECT h FROM stop1)
+    ), sz1 AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pb1 GROUP BY doc_id
+    ), sh1 AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pb1 b JOIN pc1 c ON b.h = c.h GROUP BY 1, 2
+    ), dup1 AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM sh1 s JOIN sz1 z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp GROUP BY 1
+    ), fps_c2 AS (      -- index state at probe 2: corpus UNION batch 1
+        SELECT doc_id, h FROM fps_c UNION ALL SELECT doc_id, h FROM fps_b1
+    ), stop2 AS (
+        SELECT h FROM fps_c2 GROUP BY h HAVING COUNT(*) > 50
+    ), pc2 AS (
+        SELECT doc_id, h FROM fps_c2 WHERE h NOT IN (SELECT h FROM stop2)
+    ), pb2 AS (
+        SELECT doc_id, h FROM fps_b2 WHERE h NOT IN (SELECT h FROM stop2)
+    ), sz2 AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pb2 GROUP BY doc_id
+    ), sh2 AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pb2 b JOIN pc2 c ON b.h = c.h GROUP BY 1, 2
+    ), dup2 AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM sh2 s JOIN sz2 z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp GROUP BY 1
+    ), b1 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), b2 AS (
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    )
+    SELECT b.doc_id, 1 AS batch_no,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM b1 b
+    LEFT JOIN sz1 z ON b.doc_id = z.doc_id
+    LEFT JOIN dup1 d ON b.doc_id = d.bid
+    UNION ALL
+    SELECT b.doc_id, 2 AS batch_no,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM b2 b
+    LEFT JOIN sz2 z ON b.doc_id = z.doc_id
+    LEFT JOIN dup2 d ON b.doc_id = d.bid
+    """,
+)
+def q_incremental_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX posture of incremental-crawl dedup
+    (operators/fpindex.py FingerprintIndex — the composition of the txn
+    layer, the incremental-MV layer, and the winnowing dedup family): the
+    corpus is fingerprinted ONCE into a transactional (doc_id, h) index
+    with an incrementally-maintained per-gram document-frequency view;
+    then two successive batches probe the STORED index — batch 1 (every
+    5th document) is scored and admitted via add() (append + O(delta+view)
+    DF refresh, no corpus re-fingerprint), and batch 2 (injected
+    near-dups) is scored against the UPDATED index. The batch fingerprint
+    sets are broadcast, so each probe streams map-side over the index
+    scan — zero corpus-sized shuffles, cost independent of corpus size.
+    The oracle recomputes both index states declaratively; kept/n_dup_of
+    verdicts are integer-exact, so the whole two-batch ingest sequence is
+    value-hash oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    idx = FingerprintIndex.create(
+        spark, tempfile.mkdtemp(prefix="sjs_fpidx_q_"), corpus,
+        k=8, w=4, max_df=50,
+    )
+    v1 = idx.probe(batch1, threshold_milli=800).withColumn(
+        "batch_no", F.lit(1).cast("int")
+    )
+    idx.add(batch1)
+    v2 = idx.probe(batch2, threshold_milli=800).withColumn(
+        "batch_no", F.lit(2).cast("int")
+    )
+    return v1.unionByName(v2).select(
+        "doc_id", "batch_no", "n_fp", "n_dup_of", "kept"
+    )
+
+
+@_register(
     "dedup_keep_best_quality",
     oracle=r"""
     WITH RECURSIVE corpus AS (

@@ -1015,3 +1015,93 @@ def test_asof_join_row_level_null_semantics_and_fractional_tolerance(spark):
         "user_id", "ts", "ts", ["ts", "value"],
     ).collect()[0]
     assert named.asof_value == 7.0 and named.asof_ts == t("09:59:59.400000")
+
+
+# ------------------------------------------------ persisted fingerprint index
+
+
+def test_fingerprint_index_probe_equals_self_contained(spark, tmp_path):
+    """Probing the persisted index is bit-identical to the self-contained
+    incremental_containment_filter against the same corpus — AND two
+    successive batches probe the STORED index with zero corpus
+    re-fingerprinting: add() folds only the batch delta (append + O(delta)
+    DF-view refresh), and the second probe equals the self-contained run
+    against corpus ∪ batch1."""
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+    from scraping_jobsdb_spark.operators.textops import (
+        incremental_containment_filter,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+
+    idx = FingerprintIndex.create(
+        spark, str(tmp_path / "idx"), corpus, k=8, w=4, max_df=50
+    )
+    got1 = sorted(map(tuple, idx.probe(batch1, threshold_milli=800).collect()))
+    want1 = sorted(
+        map(
+            tuple,
+            incremental_containment_filter(
+                batch1, corpus, threshold_milli=800, k=8, w=4, max_df=50
+            ).collect(),
+        )
+    )
+    assert got1 == want1 and len(got1) > 0
+
+    # admit batch1, probe batch2 against the UPDATED index
+    v = idx.add(batch1)
+    assert v == 2  # one append commit, no rewrite
+    got2 = sorted(map(tuple, idx.probe(batch2, threshold_milli=800).collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            incremental_containment_filter(
+                batch2,
+                corpus.unionByName(batch1),
+                threshold_milli=800,
+                k=8,
+                w=4,
+                max_df=50,
+            ).collect(),
+        )
+    )
+    assert got2 == want2 and len(got2) > 0
+    # near-dups of corpus docs are flagged: most batch2 docs are dup_of >= 1
+    flagged = sum(1 for r in got2 if r[2] >= 1)
+    assert flagged >= len(got2) * 0.8
+
+
+def test_fingerprint_index_stale_df_view_raises(spark, tmp_path):
+    """A probe whose stop-gram view lags the fps table must refuse: writing
+    fingerprints around the index API (direct TxnTable.append) leaves the
+    DF view stale, and a silently-stale stop-gram list would drift the
+    pruned universe between batches."""
+    import pytest
+
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    idx = FingerprintIndex.create(
+        spark, str(tmp_path / "idx"), docs.filter(F.col("doc_id") < 100)
+    )
+    # bypass the API: append raw fingerprints without refreshing the view
+    TxnTable(spark, idx.fps_path).append(
+        spark.createDataFrame([(99999, 12345)], "doc_id bigint, h bigint")
+    )
+    with pytest.raises(ValueError, match="DF view"):
+        idx.probe(docs.filter(F.col("doc_id") < 10))
+    # parameters round-trip through the manifest
+    reopened = FingerprintIndex(spark, str(tmp_path / "idx"))
+    assert (reopened.k, reopened.w, reopened.max_df, reopened.id_col) == (
+        8,
+        4,
+        50,
+        "doc_id",
+    )

@@ -111,6 +111,17 @@ BENCH_QUERIES = [
     "embedding_int8_cosine_topk",
     "recursive_event_chains",
     "variant_json_surface",
+    # --- round 5 additions (keep appending, never reorder) ---
+    # simhash re-admitted: the hot-band pre-filter now bounds band-join
+    # fan-in (not just emitted pairs), and the fingerprint stage is
+    # checkpointed once instead of replayed per consumer (8.1 s → 1.7 s)
+    "simhash_neardup_pairs",
+    "simhash_portable_neardup_pairs",
+    "incremental_indexed_dedup",
+    # the reference's own ingest → parse → impute path on the offline
+    # site: a recurring timing row for the composed pipeline (SURVEY
+    # §3.1-3.3), previously pytest-only
+    "reference_pipeline_e2e",
 ]
 
 

@@ -200,18 +200,32 @@ def simhash(col: Column | str, bits: int = 64, chunk_bits: int = 16) -> Column:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, chunk_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_bits: int = 16,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit fingerprint into 16-bit
     chunks; docs within Hamming distance 3 share at least one chunk
-    (pigeonhole over 4 chunks). One shuffle on (chunk_idx, chunk_value)."""
+    (pigeonhole over 4 chunks). One shuffle on (chunk_idx, chunk_value).
+
+    ``max_bucket`` bounds band-join FAN-IN, not just the emitted pair
+    count: (chunk, value) buckets holding more than the cap are dropped
+    BEFORE the self-join (one counter aggregate + equi-join on the small
+    surviving-band list), so a self-similar corpus — where one band value
+    is shared by half the documents — cannot quadratically expand the
+    join input. Singleton buckets are dropped too (they cannot pair).
+    Same stop-gram economics as the winnowing/fuzzy joins; recall inside
+    dropped bands is traded for a bounded job, and a dropped band is
+    boilerplate by definition. ``max_bucket=None`` disables the guard."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     with_fp = df.select(
         F.col(id_col).alias("doc"),
         simhash_from_hashes(
             F.transform(toks, lambda t: F.xxhash64(t)), chunk_bits=chunk_bits
         ).alias("fp"),
-    )
+    ).localCheckpoint()
     chunked = with_fp.select(
         "doc",
         "fp",
@@ -219,6 +233,14 @@ def simhash_candidate_pairs(
     ).select(
         "doc", "fp", F.struct(F.col("pos").alias("chunk"), F.col("col").alias("cval")).alias("ck")
     )
+    if max_bucket is not None:
+        small = (
+            chunked.groupBy("ck")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+            .select("ck")
+        )
+        chunked = chunked.join(small, "ck")
     a = chunked.select(F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "ck")
     b = chunked.select(F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "ck")
     pairs = (
@@ -979,7 +1001,7 @@ def simhash_candidate_pairs_portable(
         simhash_from_hashes(
             F.transform(toks, h60), bits=60, chunk_bits=15
         ).alias("fp"),
-    )
+    ).localCheckpoint()
     chunked = with_fp.select(
         "doc", "fp", F.posexplode("fp")
     ).select(

@@ -4342,6 +4342,75 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("reference_pipeline_e2e", oracle=None)
+def q_reference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN end-to-end path (SURVEY §3.1-3.3) as one run:
+    ingest (param-grid fan-out → rate-limited fetch via mapInPandas →
+    link explode → exactly-once raw memberships → dedup → catalog
+    anti-join → detail fetch → date-partitioned lake write) → parse
+    (HTML extraction over lake docs not yet parsed) → impute (salary
+    intervals MERGEd into the parsed table) — against the deterministic
+    offline site (sources/fake_site.py), exactly as the e2e pytest drives
+    it. Returns the final parsed-and-imputed table. Independent of sf_dir
+    by construction (the corpus is the fake site's); registered rows-only
+    so the driver and bench exercise the composed pipeline every round —
+    the reference's Airflow DAG surface (airflow/dags/scrape_url.py,
+    parse_html.py, impute SQL) had only pytest evidence before."""
+    import tempfile
+    from datetime import date as _date
+
+    from scraping_jobsdb_spark.pipelines.impute import impute
+    from scraping_jobsdb_spark.pipelines.ingest import ingest
+    from scraping_jobsdb_spark.pipelines.parse import parse
+    from scraping_jobsdb_spark.sources.fake_site import fake_transport
+    from scraping_jobsdb_spark.sources.txn import read_table_any
+
+    base = tempfile.mkdtemp(prefix="sjs_ref_e2e_")
+    ingest(
+        spark,
+        fake_transport,
+        lake_path=f"{base}/lake",
+        raw_path=f"{base}/raw",
+        catalog_path=f"{base}/catalog",
+        run_date=_date(2026, 8, 13),
+        fetch_partitions=8,
+    )
+    parse(spark, f"{base}/lake", f"{base}/parsed")
+    impute(spark, f"{base}/raw", f"{base}/parsed")
+    return read_table_any(spark, f"{base}/parsed")
+
+
+@_register("embedding_ann_index_topk", oracle=None)
+def q_embedding_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN index probe (operators/pq.py write_ann_index +
+    ann_index_topk): the IVF-PQ index materialized as a cell-PARTITIONED
+    codes table plus two codebook-scale side tables, then queried — each
+    query's probe list bakes into a ``cell IN (...)`` predicate, so
+    partition pruning restricts the scan to n_probe of n_centroids
+    directories; unprobed cell files are never listed or opened
+    (PartitionFilters plan-asserted in tests/test_similarity.py). Exercises
+    the driver on the pruned-read path itself, not just the in-memory twin
+    (row-identical to ivfpq_topk under a shared quantizer — tested).
+    Approximate by design → rows-only; recall + determinism + pruning
+    asserted in pytest."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_topk,
+        pq_train,
+        write_ann_index,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    path = tempfile.mkdtemp(prefix="sjs_ann_q_")
+    write_ann_index(emb, path, codebook, n_centroids=10)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return ann_index_topk(
+        spark, path, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+    )
+
+
 @_register(
     "llm_corpus_prep",
     oracle="""

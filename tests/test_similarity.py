@@ -49,6 +49,27 @@ def test_simhash_neardups_low_hamming(spark):
     assert injected >= int(0.8 * near.count())
 
 
+def test_simhash_hot_band_guard_bounds_fanin(spark):
+    """The band-drop contract: a (chunk, value) bucket larger than
+    max_bucket is dropped BEFORE the self-join, so a pathologically
+    self-similar corpus (every doc identical → all four bands hot) emits
+    zero candidates from the hot bands instead of n²/2 pairs — while
+    distinct near-dup pairs in small buckets still emit. max_bucket=None
+    disables the guard (the identical corpus then yields all pairs)."""
+    same = [(i, "the same boilerplate text repeated verbatim") for i in range(40)]
+    distinct_pair = [
+        (100, "a genuinely unique document about owls and lighthouses"),
+        (101, "a genuinely unique document about owls and lighthouses"),
+    ]
+    df = spark.createDataFrame(same + distinct_pair, "doc_id bigint, text string")
+    guarded = simhash_candidate_pairs(df, "doc_id", "text", max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert (100, 101) in got        # small-bucket near-dups survive
+    assert all(a >= 100 for a, _ in got)  # hot-band pairs never joined
+    unguarded = simhash_candidate_pairs(df, "doc_id", "text", max_bucket=None)
+    assert unguarded.count() >= 40 * 39 // 2  # the blow-up the guard stops
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     query = emb.filter(F.col("vec_id").isin(0, 100, 200))

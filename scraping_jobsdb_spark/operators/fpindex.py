@@ -130,6 +130,30 @@ class FingerprintIndex:
         self._df_view.refresh()
         return t.version()
 
+    def add_stream_batch(
+        self,
+        docs: DataFrame,
+        epoch_id: int,
+        app_id: str = "fpindex",
+        text_col: str = "text",
+    ) -> int:
+        """The ``foreachBatch`` body that maintains the index from a
+        stream: an epoch-idempotent ``add`` (exactly-once under
+        failure-recovery replays — a batch whose (app_id, epoch) is already
+        in the fps table's log appends nothing, and the DF-view refresh
+        then no-ops on the unchanged version). Returns fingerprint rows
+        appended (0 for a recognized replay). Streaming-equals-batch: N
+        micro-batches through this path leave the index byte-identical to
+        one ``add`` of their union (pinned by test)."""
+        fps = winnowing_fingerprint_set(
+            docs, self.k, self.w, text_col, self.id_col
+        )
+        n = TxnTable(self.spark, self.fps_path).stream_epoch_append(
+            fps, app_id, epoch_id
+        )
+        self._df_view.refresh()
+        return n
+
     # ---------------------------------------------------------------- reads
 
     def fingerprints(self) -> DataFrame:

@@ -28,6 +28,8 @@ __all__ = [
     "weighted_priority_sample",
     "leakage_safe_split",
     "top_fraction_per_group",
+    "cap_per_group",
+    "pack_sequences",
 ]
 
 
@@ -278,4 +280,88 @@ def top_fraction_per_group(
         .drop("__n")
         .withColumnRenamed("__rank", "rank_in_group")
         .withColumn("rank_in_group", F.col("rank_in_group").cast("bigint"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group, chosen pseudo-randomly but
+    DETERMINISTICALLY (md5-rank of the unique key) — the CCNet/RefinedWeb
+    per-domain quota ("no single domain may contribute more than N pages"),
+    the frequency-capping twin of ``top_fraction_per_group``'s quality cut.
+    Hash order, not arrival order, so a crawler that happens to fetch one
+    domain first gets no bias, and re-runs pick the identical set.
+
+    One shuffle on the group key; groups at-or-under the cap pass through
+    whole. Output adds ``rank_in_group`` (1-based hash rank) so callers can
+    audit which rows sat closest to the cut."""
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_rank(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.select("*", F.row_number().over(w).alias("rank_in_group"))
+        .filter(F.col("rank_in_group") <= max_rows)
+        .withColumn("rank_in_group", F.col("rank_in_group").cast("bigint"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    n_tokens_col: str,
+    capacity: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-``capacity`` training examples by
+    concatenation order — the sequence-packing step that turns a curated
+    corpus into equal-length examples (GPT-style pretraining packs docs
+    back-to-back and cuts every ``capacity`` tokens; a doc may straddle a
+    cut). Order is the deterministic md5-rank of ``key_col`` (the same
+    shuffle-the-corpus-then-concatenate posture as token_budget_sample),
+    optionally per ``group_cols`` stream (e.g. one packing stream per
+    language).
+
+    Output per doc: ``pack_start`` (token offset in the concatenated
+    stream), ``bin_first``/``bin_last`` (the examples it lands in:
+    floor(start/capacity) .. floor((end-1)/capacity)) and ``n_bins`` —
+    enough for a writer to materialize examples with documents split at
+    exact token boundaries. Zero-token docs occupy no span: bin_last <
+    bin_first and n_bins = 0.
+
+    All-integer (a running SUM window — one shuffle on the group key, or a
+    single global window partition when ``group_cols`` is None, matching
+    the oracle exactly). At 100 TB pack per shard/group: the global form's
+    single-partition window is the documented small-N/driver-side variant.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    parts = [F.col(c) for c in (group_cols or [])]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(_hash_rank(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(n_tokens_col).cast("bigint")
+    running = F.sum(n).over(w)
+    start = (running - n).alias("pack_start")
+    out = df.select("*", start, running.alias("__end"))
+    return (
+        out.select(
+            "*",
+            F.floor(F.col("pack_start") / capacity).alias("bin_first"),
+            F.floor((F.col("__end") - 1) / capacity).alias("bin_last"),
+        )
+        .withColumn(
+            "n_bins",
+            F.when(n == 0, F.lit(0).cast("bigint")).otherwise(
+                F.col("bin_last") - F.col("bin_first") + 1
+            ),
+        )
+        .drop("__end")
     )

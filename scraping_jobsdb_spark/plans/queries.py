@@ -6468,6 +6468,87 @@ def q_mixture_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@_register(
+    "domain_cap_sample",
+    oracle=r"""
+    SELECT doc_id, source, rank_in_group FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rank_in_group
+        FROM documents
+    ) WHERE rank_in_group <= 120
+    """,
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (operators/sampling.py cap_per_group): at
+    most 120 documents per ``source``, chosen by deterministic md5 rank —
+    the CCNet/RefinedWeb anti-dominance rule ("no single domain may
+    contribute more than N pages"), the frequency twin of the
+    quality-ranked top_fraction_per_group cut. Hash order means crawl
+    arrival order cannot bias the kept set and re-runs agree; one window
+    shuffle on the group key. Integer ranks → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, ["source"], "doc_id", 120).select(
+        "doc_id", "source", "rank_in_group"
+    )
+
+
+@_register(
+    "sequence_packing_stream",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS pack_start
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, pack_start,
+           CAST(FLOOR(pack_start / 2048.0) AS BIGINT) AS bin_first,
+           CAST(FLOOR((pack_start + n_tokens - 1) / 2048.0) AS BIGINT)
+               AS bin_last,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(FLOOR((pack_start + n_tokens - 1) / 2048.0) AS BIGINT)
+                   - CAST(FLOOR(pack_start / 2048.0) AS BIGINT) + 1
+           END AS n_bins
+    FROM packed
+    """,
+)
+def q_sequence_packing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.py pack_sequences): documents
+    concatenated in deterministic md5 order into one stream PER LANGUAGE
+    and cut into 2048-token training examples — each doc's exact token
+    offset, first/last example ids, and straddle count (GPT-style
+    pretraining packs docs back-to-back; a doc may cross a cut). The
+    running sum rides one window shuffle on lang; everything is integer
+    arithmetic on whitespace token counts, so offsets and bin ids are
+    engine-exact. At 100 TB the packing stream is per-shard/group by
+    construction — no global order anywhere."""
+    from scraping_jobsdb_spark.operators.sampling import pack_sequences
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", capacity=2048, group_cols=["lang"]
+    ).select(
+        "doc_id", "lang", "n_tokens", "pack_start",
+        "bin_first", "bin_last", "n_bins",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6488,135 +6569,85 @@ def q_mixture_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFr
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-4 window (registry 125, window 50). Evidence ages going in:
-# 49 queries green in r3, 31 in r2, 33 still r1 (their last green rows are
-# three rounds old by r4's gate), 1 never evidenced (approx_distinct_sketch,
-# output shape fixed this round), 7 new this round (incl. the late-round
-# incremental_mv_refresh and bm25_doc_ranking, which displace two untouched,
-# locally re-verified r1-green queries from the 50-slot window). Priorities:
-# (a) never/new — first driver evidence;
-# (b) code paths CHANGED this round — embedding_topk_np (cosine now
-#     quantized before ranking), the CDC family (shared manifest helpers +
-#     delta-manifest checkpointing + co-bucketed diff), merge_upsert_txn
-#     (bucketed-write hygiene), neardup_components/dedup_pipeline_end_to_end
-#     (pointer-jump checkpoint) — plus winnowing_containment_pairs
-#     (VERDICT-requested re-verification);
-# (c) every r1-stale query (33) so no green row is ever older than two
-#     rounds;
-# The 31 r2-green queries left outside are exactly two rounds old at the
-# r4 audit — they lead the r5 window.
+# Round-5 window (registry 161, window 50). Evidence ages going in (from
+# COVERAGE.md's "Last evidence" column, now generated from the CORRECTNESS
+# artifacts): 47 green r4, 39 green r3, 31 green r2, 31 still green r1
+# (three-to-four rounds stale — the prior rounds' windows could not fit
+# them alongside the never/new/changed cohorts), 3 new this round, 10
+# rows-only by design. Priorities:
+# (a) new this round — first driver evidence: the persisted-fingerprint-
+#     index dedup composition, the reference's own e2e pipeline, and the
+#     partition-pruned ANN index probe;
+# (b) code paths CHANGED this round — incremental_batch_dedup (verdict
+#     tail refactored into the shared containment_verdict),
+#     simhash_portable_neardup_pairs + simhash_neardup_pairs (hot-band
+#     pre-filter + checkpointed fingerprint stage), embedding_ivfpq_topk
+#     (_cell_expr vnorm zero-guard);
+# (c) every r1-stale query (31) — the oldest rotation debt in the
+#     registry;
+# (d) 12 of the 31 r2-green queries, picked for family coverage the rest
+#     of the window lacks (DQ checks, multimodal stages, connected
+#     components, the pandas-UDF surface, SCD2, sessionization,
+#     full-outer reconcile, argmin, exact decontamination, TF-DF).
+# The 19 r2-green queries left outside (array/scalar packs, pivot/
+# unpivot/grouping-sets, window frames — families each evidenced
+# in-window by a sibling) will be three rounds old at r6 and MUST lead
+# its window; COVERAGE.md's freshness column tracks them mechanically.
 _GATE_PRIORITY = [
-    # (a) never evidenced / new this round
-    "regional_supplier_volume",
-    "nation_volume_shipping",
-    "market_share_by_year",
-    "sole_supplier_orders",
-    "retention_cohorts",
-    "quantile_hash_sample",
-    "simhash_portable_neardup_pairs",
-    "kmv_distinct_sketches",
-    "minhash_portable_neardup_pairs",
-    "hll_portable_registers",
-    "dedup_keep_best_quality",
-    "doc_segment_dedup_global",
-    "quality_top_fraction_per_lang",
-    "skew_join_salted",
+    # (a) new this round
+    "incremental_indexed_dedup",
+    "reference_pipeline_e2e",
+    "embedding_ann_index_topk",
+    # (b) changed code paths
     "incremental_batch_dedup",
-    "incremental_mv_refresh",
-    "bm25_doc_ranking",
-    "decontamination_ngram_overlap",
-    "cms_term_frequencies",
-    "weighted_sample_by_length",
-    "events_time_weighted_value",
-    "stats_regression_pack",
-    "bloom_point_lookup_txn",
-    "doc_unigram_surprisal",
-    "leakage_safe_split_stats",
-    "term_postings_index",
-    "approx_distinct_sketch",
-    "dedup_pipeline_winnowing",
-    "cdc_row_changes_bucketed_txn",
-    "doc_pii_redaction",
-    "doc_repetition_stats",
-    "doc_top_ngrams",
-    "doc_chunking",
-    "token_budget_sample_per_lang",
-    "hll_mergeable_sketches",
-    "cdc_apply_changes_txn",
-    "gopher_quality_flags",
-    "mixture_weighted_corpus_sample",
+    "simhash_portable_neardup_pairs",
+    "simhash_neardup_pairs",
     "embedding_ivfpq_topk",
-    "asof_join_forward_window",
-    "events_daily_gap_fill",
-    "fuzzy_join_supplier_names",
-    "embedding_int8_cosine_topk",
-    "recursive_event_chains",
-    "variant_json_surface",
-    # (b) changed code paths + requested re-verification.
-    # cdc_appends_since_txn and dedup_pipeline_end_to_end ceded their slots
-    # to the two final-session operators (gap fill / fuzzy join): both were
-    # r3-green, both re-verified locally via driver_check under the changed
-    # r4 code, and their changed paths keep in-window coverage —
-    # append-delta via incremental_mv_refresh, the adaptive-CC dedup
-    # composition via the fully-oracled dedup_pipeline_winnowing
-    # (dedup_pipeline_end_to_end's driver evidence is rows-only anyway).
-    # cdc_row_changes_txn and neardup_components later ceded theirs to the
-    # Spark-4 surface queries (recursive CTE / VARIANT): both re-verified
-    # locally under the final code, the unbucketed snapshot-diff stays
-    # evidenced by cdc_apply_changes_txn (which reads it) and the
-    # co-bucketed variant, and connected components stays evidenced by
-    # dedup_pipeline_winnowing (adaptive-CC end to end, oracle-exact).
-    "embedding_topk_np",
-    "merge_upsert_txn",
-    "winnowing_containment_pairs",
-    # (c) r1-stale: every query whose last green row is from round 1.
-    # upsert_new_keys and join_left_outer_agg ceded their slots to the two
-    # final-session corpus queries (gopher_quality_flags /
-    # mixture_weighted_corpus_sample): both are untouched r1-green,
-    # re-verified locally via driver_check this session, and their families
-    # keep in-window coverage (upsert via merge_upsert_txn, outer joins via
-    # the deep-join pack and the CDC family). events_hourly_streaming ceded
-    # its slot to embedding_ivfpq_topk: untouched r1-green, re-verified
-    # locally, and the streaming family holds seven r3-green rows.
-    # work_queue_isnull ceded its slot to asof_join_forward_window (the
-    # asof operator's code path changed this session): untouched r1-green,
-    # re-verified locally via driver_check. project_select ceded its slot
-    # to embedding_int8_cosine_topk: its date-hygiene change is the SAME
-    # date_format mechanism scalar_date_pack and shipping_priority_top10
-    # evidence in-window, and it re-verified locally via driver_check.
-    "scalar_date_pack",
-    "shipping_priority_top10",
-    # anti_join_not_in, join_dims_broadcast, set_intersect_except and
-    # doc_lang_quality ceded their slots to the deep-join pack: each is
-    # untouched r1-green, re-verified locally via driver_check this
-    # session, and each family keeps in-window coverage (anti-joins via
-    # the dedup pipelines, broadcast-dim joins via all four new deep-join
-    # queries, set ops via set_union_all's r2 row, doc quality via
-    # quality_top_fraction_per_lang / doc_unigram_surprisal /
-    # token_budget_sample_per_lang).
-    # rollup_status_priority, cube_flag_status, set_union_all, scalar_string_pack,
-    # returned_items_by_nation, sql_surface_revenue_by_nation,
-    # scalar_subquery_above_total_avg, grouped_sorted_list,
-    # exists_order_priority_count, forecast_revenue_delta,
-    # supplier_count_by_parttype, and (for the four final-session corpus
-    # queries doc_segment_dedup_global / quality_top_fraction_per_lang /
-    # skew_join_salted / incremental_batch_dedup / dedup_keep_best_quality)
-    # doc_exact_dedup, doc_text_stats, doc_fingerprint, doc_ngram_jaccard,
-    # window_rank_navigation, topk_orders (for hll_portable_registers),
-    # dedup_distinct_on (for minhash_portable_neardup_pairs), join_semi
-    # (for kmv_distinct_sketches), window_running_sum (for
-    # simhash_portable_neardup_pairs), groupby_min_max (for
-    # quantile_hash_sample; it is bench-timed every round regardless) and
-    # embedding_topk (for retention_cohorts; embedding_topk_np covers the
-    # family in-window)
-    # rotated out to make room (window = 50; the priority list had crept
-    # to 51, silently leaving shipping_priority_top10 outside — caught
-    # and re-counted this session); all sixteen are untouched r1-green,
-    # re-verified
-    # locally by scripts/driver_check.py this round, and lead the r5
-    # window with the r2-green cohort (project_select / scalar_date_pack /
-    # shipping_priority_top10 stay in-window: their date-hygiene fix
-    # changed output code paths this round)
+    # (c) r1-stale (31)
+    "anti_join_not_in",
+    "cube_flag_status",
+    "dedup_distinct_on",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_lang_quality",
+    "doc_ngram_jaccard",
+    "doc_text_stats",
+    "embedding_topk",
+    "events_hourly_streaming",
+    "exists_order_priority_count",
+    "forecast_revenue_delta",
+    "groupby_min_max",
+    "grouped_sorted_list",
+    "join_dims_broadcast",
+    "join_left_outer_agg",
+    "join_semi",
+    "project_select",
+    "returned_items_by_nation",
+    "rollup_status_priority",
+    "scalar_string_pack",
+    "scalar_subquery_above_total_avg",
+    "set_intersect_except",
+    "set_union_all",
+    "sql_surface_revenue_by_nation",
+    "supplier_count_by_parttype",
+    "topk_orders",
+    "upsert_new_keys",
+    "window_rank_navigation",
+    "window_running_sum",
+    "work_queue_isnull",
+    # (d) r2-green, family-coverage picks (12)
+    "dq_aggregate_checks",
+    "dq_bounds_observed",
+    "multimodal_frame_sample",
+    "multimodal_resize_stage",
+    "neardup_components",
+    "pandas_udf_token_count",
+    "scd2_supplier_balances",
+    "gaps_and_islands",
+    "join_full_outer_reconcile",
+    "argmin_supplier_per_part",
+    "decontamination_exact_overlap",
+    "term_document_frequency",
 ]
 
 

@@ -1105,3 +1105,77 @@ def test_fingerprint_index_stale_df_view_raises(spark, tmp_path):
         50,
         "doc_id",
     )
+
+
+# ------------------------------------------------- cap + sequence packing
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    """Per-domain quota: groups over the cap keep exactly max_rows rows
+    chosen by md5 hash rank (arrival-order-independent), groups at or
+    under pass through whole; repeat runs pick the identical set."""
+    from scraping_jobsdb_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    capped = cap_per_group(docs, ["source"], "doc_id", 50)
+    by_src = {
+        r.source: r.n
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in orig.items():
+        assert by_src[s] == min(n, 50), s
+    # deterministic: identical set on re-run, and input order cannot matter
+    ids1 = {r.doc_id for r in capped.collect()}
+    shuffled = cap_per_group(
+        docs.orderBy(F.col("doc_id").desc()), ["source"], "doc_id", 50
+    )
+    assert {r.doc_id for r in shuffled.collect()} == ids1
+    import pytest
+
+    with pytest.raises(ValueError, match="max_rows"):
+        cap_per_group(docs, ["source"], "doc_id", 0)
+
+
+def test_pack_sequences_contiguous_and_exact(spark):
+    """Sequence packing: pack_start is the exact running token offset in
+    md5 order, bins cover [start, end) under integer capacity cuts, docs
+    straddle cuts (n_bins > 1), zero-token docs occupy no bin, and the
+    total stream length equals the token sum."""
+    from scraping_jobsdb_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 37) % 120) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity=256).collect()
+    import hashlib
+
+    order = sorted(out, key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+    run = 0
+    for r in order:
+        assert r.pack_start == run, (r.doc_id, r.pack_start, run)
+        run += r.n_tokens
+        if r.n_tokens == 0:
+            assert r.n_bins == 0
+        else:
+            assert r.bin_first == r.pack_start // 256
+            assert r.bin_last == (r.pack_start + r.n_tokens - 1) // 256
+            assert r.n_bins == r.bin_last - r.bin_first + 1
+    assert run == sum(n for _, n in rows)
+    # some doc must straddle a cut (capacity 256, docs up to 119 tokens)
+    assert any(r.n_bins > 1 for r in out)
+    # grouped form packs one independent stream per group
+    df2 = df.withColumn("lang", (F.col("doc_id") % 2).cast("string"))
+    g = pack_sequences(df2, "doc_id", "n_tokens", 256, group_cols=["lang"])
+    per_lang_total = {
+        r.lang: r.t
+        for r in g.groupBy("lang")
+        .agg(F.max(F.col("pack_start") + F.col("n_tokens")).alias("t"))
+        .collect()
+    }
+    want = {}
+    for i, n in rows:
+        want[str(i % 2)] = want.get(str(i % 2), 0) + n
+    assert per_lang_total == want

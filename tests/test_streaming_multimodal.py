@@ -730,3 +730,61 @@ def test_transform_with_state_totals_equals_batch(spark):
     for uid in expect:
         assert got[uid][0] == expect[uid][0]
         assert abs(got[uid][1] - expect[uid][1]) < 1e-6
+
+
+def test_streaming_fingerprint_index_equals_batch(spark, tmp_path):
+    """Continuous corpus-index maintenance: a checkpointed stream over txn
+    doc appends admits each micro-batch into the FingerprintIndex via
+    add_stream_batch — after draining, probing the streamed index gives
+    byte-identical verdicts to an index built in ONE batch over the same
+    corpus, across appends and a restart; a replayed epoch appends
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+    from scraping_jobsdb_spark.streaming.txn_source import (
+        TxnAppendsStreamDataSource,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.dataSource.register(TxnAppendsStreamDataSource)
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    add1 = docs.filter(F.col("doc_id") % 3 == 1)
+    probe_batch = docs.filter(F.col("doc_id") % 3 == 2).limit(40)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable.create(spark, src, seed)
+    idx = FingerprintIndex.create(
+        spark, str(tmp_path / "idx"),
+        spark.createDataFrame([], "doc_id bigint, text string"),
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("txn_appends").option("path", src).load()
+            .writeStream.foreachBatch(
+                lambda df, eid: idx.add_stream_batch(df, epoch_id=eid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    t.append(add1)
+    drain()  # restart from checkpoint: admits exactly the new commit
+
+    batch_idx = FingerprintIndex.create(
+        spark, str(tmp_path / "idx_batch"), seed.unionByName(add1)
+    )
+    got = sorted(map(tuple, idx.probe(probe_batch).collect()))
+    want = sorted(map(tuple, batch_idx.probe(probe_batch).collect()))
+    assert got == want and len(got) == 40
+    # replayed epoch: nothing appended, index state unchanged
+    v = TxnTable(spark, idx.fps_path).version()
+    assert idx.add_stream_batch(seed, epoch_id=0) == 0
+    assert TxnTable(spark, idx.fps_path).version() == v

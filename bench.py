@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     # site: a recurring timing row for the composed pipeline (SURVEY
     # §3.1-3.3), previously pytest-only
     "reference_pipeline_e2e",
+    "domain_cap_sample",
+    "sequence_packing_stream",
+    "bpe_merge_candidates",
+    "lateral_topn_per_key",
+    "group_by_all_rollup",
 ]
 
 

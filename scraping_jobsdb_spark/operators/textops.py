@@ -43,6 +43,8 @@ __all__ = [
     "unigram_surprisal",
     "dedup_segments_global",
     "incremental_containment_filter",
+    "containment_verdict",
+    "bpe_pair_counts",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -1000,4 +1002,61 @@ def containment_verdict(
             F.coalesce("n_dup_of", F.lit(0)).cast("bigint").alias("n_dup_of"),
             (F.coalesce("n_dup_of", F.lit(0)) == 0).alias("kept"),
         )
+    )
+
+
+# ----------------------------------------------------- BPE vocabulary step
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """The first merge step of BPE vocabulary training: corpus-weighted
+    counts of ADJACENT SYMBOL PAIRS over character-split words, top-``k``
+    by count (the pair a BPE trainer would merge next, and the next k-1
+    runners-up). Symbols are single characters plus the word-end marker
+    "</w>" (Sennrich et al.'s formulation), so "merge-ability across a
+    word boundary" can never arise.
+
+    Scale shape — the classic BPE-at-scale reduction: aggregate the corpus
+    to DISTINCT WORDS WITH COUNTS first (one shuffle, output is
+    vocabulary-sized, millions not billions), then pair-explode only the
+    distinct words and SUM the word counts per pair (second shuffle,
+    pair-vocabulary-sized). The corpus text itself is touched exactly once,
+    map-only; every subsequent stage is bounded by vocabulary size, which
+    is why real BPE trainers survive 100 TB corpora. Top-k via one final
+    ordered limit (TakeOrderedAndProject — no global sort).
+
+    All-integer counts, deterministic tie-break (count desc, pair asc) →
+    fully value-hash oracle-able."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # symbols: chars + end-of-word marker; adjacent pairs via zip of the
+    # array against its own tail — pure JVM array ops, no UDF
+    syms = F.concat(F.split(F.col("w"), "(?!$)"), F.array(F.lit("</w>")))
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.zip_with(
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(k)
     )

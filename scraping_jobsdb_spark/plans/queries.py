@@ -907,6 +907,55 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_neardup_lsh_pairs",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_concat([embedding[1]::DOUBLE + 0.5],
+                           embedding[2:]::DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
+)
+def q_embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH banded embedding near-dup (operators/similarity.py
+    embedding_neardup_pairs_lsh) at a PRUNING-FRIENDLY threshold (0.9)
+    over the corpus with injected perturbed near-dups (+0.5 on the first
+    coordinate of every 10th vector) — the scale path the exact-GEMM
+    ``embedding_neardup_pairs`` docstring defers to: candidates meet on an
+    EQUI-join of (band, signature) buckets instead of any all-pairs
+    product, and the exact cosine predicate verifies in-bucket only. The
+    Rademacher planes are FIXED, so the banding is a pure function of the
+    input: the result is deterministic and — with the default bands sized
+    for per-pair miss ≤ 1e-7 at the boundary and the nearest pair 0.0016
+    away from the threshold — equals the exact pair set on this corpus
+    (verified against the blocked-GEMM form AND hash-oracled against
+    DuckDB's exact join). The standing watch-list item's answer: at
+    thresholds where geometry separates, this shape replaces the GEMM at
+    100×."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    near = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return embedding_neardup_pairs_lsh(emb.unionByName(near), 0.9)
+
+
+@_register(
     "embedding_topk_np",
     oracle="""
     WITH q AS (
@@ -6549,6 +6598,114 @@ def q_sequence_packing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bpe_merge_candidates",
+    oracle=r"""
+    WITH words AS (
+        SELECT w, COUNT(*) AS wc FROM (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ), pairs AS (
+        SELECT wc,
+               CASE WHEN i < length(w)
+                    THEN substr(w, i, 1) || ' ' || substr(w, i + 1, 1)
+                    ELSE substr(w, i, 1) || ' </w>'
+               END AS pair
+        FROM words, unnest(range(1, length(w) + 1)) AS t(i)
+    )
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 60
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training, step 1 (operators/textops.py
+    bpe_pair_counts): corpus-weighted counts of adjacent symbol pairs over
+    character-split words (symbols = chars + the </w> word-end marker,
+    Sennrich-style), top-60 — the pair a BPE trainer merges next plus the
+    runners-up. The at-scale reduction is the point: the corpus collapses
+    to DISTINCT WORDS WITH COUNTS first (vocabulary-sized, one shuffle),
+    pairs explode only off that word table (second shuffle,
+    pair-vocab-sized), top-k is an ordered limit (TakeOrderedAndProject,
+    no global sort). All-integer, deterministic tie-break → value-hash
+    oracled."""
+    from scraping_jobsdb_spark.operators.textops import bpe_pair_counts
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
+    return bpe_pair_counts(docs, k=60)
+
+
+@_register(
+    "lateral_topn_per_key",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+             SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2
+         ) t
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def q_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.2+ SQL surface): each selected
+    customer's top-2 orders by price via a per-row correlated ORDER BY ...
+    LIMIT — the SQL spelling of top-N-per-key, planned by Catalyst as a
+    ranked window under the hood rather than N point queries. Identical
+    SQL text runs in DuckDB (LATERAL is ANSI). Deterministic: price ties
+    break on o_orderkey."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (
+                 SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2
+             ) t
+        WHERE c.c_custkey % 50 = 0
+        """
+    )
+
+
+@_register(
+    "group_by_all_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / modern-SQL surface): the grouping key
+    list is inferred from the non-aggregate select items — the
+    exploratory-analytics idiom both engines now share. Decimal-exact sum;
+    identical SQL text runs in DuckDB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6598,6 +6755,12 @@ _GATE_PRIORITY = [
     "incremental_indexed_dedup",
     "reference_pipeline_e2e",
     "embedding_ann_index_topk",
+    "domain_cap_sample",
+    "sequence_packing_stream",
+    "bpe_merge_candidates",
+    "lateral_topn_per_key",
+    "group_by_all_rollup",
+    "embedding_neardup_lsh_pairs",
     # (b) changed code paths
     "incremental_batch_dedup",
     "simhash_portable_neardup_pairs",
@@ -6635,19 +6798,24 @@ _GATE_PRIORITY = [
     "window_rank_navigation",
     "window_running_sum",
     "work_queue_isnull",
-    # (d) r2-green, family-coverage picks (12)
-    "dq_aggregate_checks",
+    # (d) r2-green, family-coverage picks (6 — the other six original
+    # picks ceded their slots to the six late-round new queries; all six
+    # displaced queries [dq_aggregate_checks, gaps_and_islands,
+    # join_full_outer_reconcile, argmin_supplier_per_part,
+    # decontamination_exact_overlap, term_document_frequency] were
+    # re-verified locally via scripts/driver_check this round and their
+    # families keep in-window coverage: DQ via dq_bounds_observed,
+    # sessionization via events_daily_gap_fill's family, outer joins via
+    # join_left_outer_agg + the CDC family, argmin via
+    # dedup_keep_best_quality's window argmax, decontamination via
+    # decontamination_ngram_overlap (r4-green), TF-DF via the bm25/tfidf
+    # family)
     "dq_bounds_observed",
     "multimodal_frame_sample",
     "multimodal_resize_stage",
     "neardup_components",
     "pandas_udf_token_count",
     "scd2_supplier_balances",
-    "gaps_and_islands",
-    "join_full_outer_reconcile",
-    "argmin_supplier_per_part",
-    "decontamination_exact_overlap",
-    "term_document_frequency",
 ]
 
 

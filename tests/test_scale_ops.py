@@ -1179,3 +1179,39 @@ def test_pack_sequences_contiguous_and_exact(spark):
     for i, n in rows:
         want[str(i % 2)] = want.get(str(i % 2), 0) + n
     assert per_lang_total == want
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """Corpus-weighted adjacent-symbol-pair counts equal a direct Python
+    BPE step-1 computation (chars + </w> marker, word-frequency weighted),
+    with the deterministic (count desc, pair asc) top-k order."""
+    from collections import Counter
+
+    from scraping_jobsdb_spark.operators.textops import bpe_pair_counts
+
+    rows = [
+        (1, "low low lower"),
+        (2, "lowest low  newer"),
+        (3, "newer new\tnew"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = Counter()
+    words = Counter()
+    for _, t in rows:
+        for w in t.lower().split():
+            words[w] += 1
+    for w, wc in words.items():
+        syms = list(w) + ["</w>"]
+        for a, b in zip(syms, syms[1:]):
+            want[f"{a} {b}"] += wc
+    got = [(r.pair, r.pair_count) for r in bpe_pair_counts(df, k=1000).collect()]
+    assert dict(got) == dict(want)
+    # top-k order: count desc, pair asc — and 'lo' ('l o') is the max pair
+    ordered = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == ordered
+    top3 = [r.pair for r in bpe_pair_counts(df, k=3).collect()]
+    assert top3 == [p for p, _ in ordered[:3]]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        bpe_pair_counts(df, k=0)

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "bpe_merge_candidates",
     "lateral_topn_per_key",
     "group_by_all_rollup",
+    "nearest_centroid_confusion",
 ]
 
 

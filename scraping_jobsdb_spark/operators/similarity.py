@@ -49,6 +49,8 @@ __all__ = [
     "simhash_candidate_pairs_portable",
     "fuzzy_string_join",
     "quantized_cosine_topk",
+    "label_centroids",
+    "nearest_centroid_classify",
 ]
 
 
@@ -1185,4 +1187,107 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
+    )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 12,
+) -> DataFrame:
+    """Per-label mean embedding — the class-centroid primitive (nearest-
+    centroid classification, IVF seeding from supervision, cluster
+    profiling). Returns (label, n_vecs, centroid array<double>).
+
+    Exactness contract: each coordinate's sum runs in DECIMAL(30,scale)
+    (order-independent — partial-aggregation order can't change the
+    result), divided once by the count and cast back to double, so the
+    centroid is bit-identical across partitionings and engines.
+
+    Scale shape: ONE map-side-combined hash aggregate on the label — the
+    per-coordinate sums are ``dim`` independent SUM expressions over
+    ``element_at``, so there is NO explode and the shuffle carries one
+    dim-wide row per (partition, label), not one row per (vector,
+    coordinate). Contrast the posexplode form, which shuffles |corpus| x
+    dim rows. ``dim`` must be declared because the aggregate's width is
+    part of the plan."""
+    sums = [
+        F.sum(
+            F.element_at(F.col(vec_col), i + 1).cast(f"decimal(30,{scale})")
+        ).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    agg = corpus.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vecs"), *sums)
+    # divide in DOUBLE (exact-decimal sum cast first): decimal-division
+    # scale rules differ across engines, double(exact)/double(int) does not
+    centroid = F.array(
+        *[F.col(f"__s{i}").cast("double") / F.col("n_vecs") for i in range(dim)]
+    )
+    return agg.select(label_col, "n_vecs", centroid.alias("centroid"))
+
+
+def nearest_centroid_classify(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize_dp: int = 9,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: each vector gets the
+    label of its highest-cosine centroid. Returns (id, pred_label).
+
+    The centroid table is codebook-scale, so it is collected driver-side
+    and baked into a PURE map expression (struct-min over quantized
+    (-cosine, label) literals — the `_cell_expr` pattern from
+    operators/pq.py): classification is a zero-shuffle map over the corpus
+    scan, embarrassingly parallel at any scale. Cosines are quantized to
+    ``quantize_dp`` decimals BEFORE the argmin and ties break on the
+    LOWEST label — the cross-engine determinism rule every ranked float
+    comparison in this engine follows (GEMM-vs-expression ulp drift must
+    not flip a winner)."""
+    cent_rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(label_col, "centroid").collect()
+    )
+
+    def _qcos(cvec: list[float]):
+        import math
+
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cvec]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        vn = F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            F.lit(1e-12),
+        )
+        return F.round(dot / (vn * F.lit(cn)), quantize_dp)
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-_qcos(cvec)).alias("d"), F.lit(lbl).alias("lbl"))
+                for lbl, cvec in cent_rows
+            ]
+        )
+    )
+    return corpus.select(
+        F.col(id_col), best.getField("lbl").cast("int").alias("pred_label")
     )

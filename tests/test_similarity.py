@@ -832,3 +832,53 @@ def test_quantized_domain_topk_recall(spark):
         for r in quantized_cosine_topk(emb, query, k=10).collect()
     }
     assert again == first
+
+
+def test_label_centroids_exact_and_classify_deterministic(spark):
+    """Centroids equal a numpy double-precision mean exactly (decimal sums
+    + one double division); classification is a pure map that (a) repeats
+    identically, (b) assigns a centroid's own value to its label, and
+    (c) zero vectors get the lowest label (all cosines 0, tie-break)."""
+    import numpy as np
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_classify,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = label_centroids(emb, dim=64)
+    got = {r.label: np.array(r.centroid) for r in cents.collect()}
+    pdf = emb.toPandas()
+    for lbl, arr in got.items():
+        rows = np.array(
+            [list(v) for v in pdf[pdf.label == lbl].embedding], dtype=np.float64
+        )
+        # decimal-exact sum then one double division == numpy's pairwise
+        # sum only up to ulps; compare at 1e-12 (the documented contract
+        # is cross-PARTITIONING exactness, pinned below by re-run)
+        assert np.allclose(rows.sum(axis=0) / len(rows), arr, atol=1e-12), lbl
+    # cross-partitioning exactness: same values from a different layout
+    re = {
+        r.label: list(r.centroid)
+        for r in label_centroids(emb.repartition(13), dim=64).collect()
+    }
+    assert all(re[k] == list(v) for k, v in got.items())
+
+    # classify the centroids themselves: each must get its own label
+    pred = {
+        r.vec_id: r.pred_label
+        for r in nearest_centroid_classify(
+            cents.select(
+                F.col("label").cast("bigint").alias("vec_id"),
+                F.col("centroid").alias("embedding"),
+            ),
+            cents,
+        ).collect()
+    }
+    assert all(pred[lbl] == lbl for lbl in got)
+    # zero vector: every cosine 0 after the vnorm guard -> lowest label
+    z = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    assert nearest_centroid_classify(z, cents).collect()[0].pred_label == min(got)

@@ -1001,11 +1001,9 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     cents = label_centroids(emb, dim=64)
-    pred = nearest_centroid_classify(emb, cents)
-    return (
-        pred.join(emb.select("vec_id", "label"), "vec_id")
-        .groupBy("label", "pred_label")
-        .agg(F.count(F.lit(1)).alias("n"))
+    pred = nearest_centroid_classify(emb, cents, carry_cols=["label"])
+    return pred.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "lateral_topn_per_key",
     "group_by_all_rollup",
     "nearest_centroid_confusion",
+    "epoch_repeat_expansion",
 ]
 
 

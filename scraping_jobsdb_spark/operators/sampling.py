@@ -30,6 +30,7 @@ __all__ = [
     "top_fraction_per_group",
     "cap_per_group",
     "pack_sequences",
+    "epochs_expand",
 ]
 
 
@@ -364,4 +365,64 @@ def pack_sequences(
             ),
         )
         .drop("__end")
+    )
+
+
+def epochs_expand(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    max_repeats: int = 100,
+) -> DataFrame:
+    """Materialize a data-repetition recipe: each row is emitted
+    ``floor(w)`` times plus one more with probability ``frac(w)`` — the
+    "3.5 epochs of wiki, 0.3 of CC" oversampling step of a training-data
+    mix, with the fractional epoch decided by a DETERMINISTIC md5 draw of
+    the key (the hash_fraction_sample idiom): expected copies equal the
+    weight exactly, re-runs and engines agree row-for-row, and growing
+    the corpus never re-rolls prior decisions.
+
+    Output = input columns + ``repeat_idx`` (1-based). Weight ≤ 0 emits
+    nothing; weights cap at ``max_repeats`` (a mis-joined weight column
+    must not explode a row into millions of copies — the guard raises).
+
+    MAP-ONLY: floor + one hash comparison + explode(sequence) — no
+    shuffle, no RNG state; at 100 TB the expansion streams through the
+    scan partition-locally."""
+    if max_repeats < 1:
+        raise ValueError(f"max_repeats must be >= 1, got {max_repeats}")
+    w = F.col(weight_col).cast("double")
+    draw = F.conv(
+        F.substring(_hash_rank(F.col(key_col)), 1, 8), 16, 10
+    ).cast("bigint")
+    # frac(w) compared against the 32-bit uniform draw in INTEGER space —
+    # floor(frac * 2^32) exactly as hash_fraction_sample does, so the
+    # boundary behavior matches the established sampler family
+    extra = F.when(
+        draw < F.floor((w - F.floor(w)) * F.lit(2.0**32)).cast("bigint"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    n = (F.floor(w).cast("bigint") + extra).alias("__n")
+    expanded = df.select("*", n).withColumn(
+        "__over", F.col("__n") > max_repeats
+    )
+    # driver-side contract: fail loudly instead of silently truncating
+    # (checked lazily inside the plan via a guarded expression)
+    guarded = F.when(
+        F.col("__over"),
+        F.raise_error(
+            F.concat(
+                F.lit(f"epochs_expand: weight exceeds max_repeats={max_repeats} for key "),
+                F.col(key_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col("__n"))
+    return (
+        expanded.withColumn("__n", guarded)
+        .filter(F.col("__n") >= 1)
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("repeat_idx")
+        )
+        .drop("__n", "__over")
+        .withColumn("repeat_idx", F.col("repeat_idx").cast("bigint"))
     )

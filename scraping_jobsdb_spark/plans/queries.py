@@ -6758,6 +6758,56 @@ def q_group_by_all_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "epoch_repeat_expansion",
+    oracle=r"""
+    WITH weighted AS (
+        SELECT doc_id, source,
+               CASE
+                   WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 2.5
+                   WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 1.0
+                   WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 0.5
+                   ELSE 0.0
+               END AS w
+        FROM documents
+    ), expanded AS (
+        SELECT doc_id, source,
+               CAST(FLOOR(w) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           < CAST(FLOOR((w - FLOOR(w)) * 4294967296.0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n
+        FROM weighted
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS repeat_idx
+    FROM expanded WHERE n >= 1
+    """,
+)
+def q_epoch_repeat_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-repetition recipe materialized (operators/sampling.py
+    epochs_expand): per-source epoch multipliers (2.5 / 1.0 / 0.5 / 0 by
+    source-id band — the "N epochs of wiki, half of CC, drop the rest"
+    oversampling step of a training mix) expand each document into
+    floor(w) copies plus a deterministically-md5-drawn fractional copy —
+    expected copies equal the weight exactly, and the decision is a pure
+    function of the key (re-runs, engines, and corpus growth all agree).
+    MAP-ONLY: no shuffle, no RNG — the oracle re-derives every draw from
+    the same md5 arithmetic, so the expansion is value-hash exact."""
+    from scraping_jobsdb_spark.operators.sampling import epochs_expand
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    srcnum = F.substring("source", 4, 10).cast("int") % 4
+    weighted = docs.withColumn(
+        "w",
+        F.when(srcnum == 0, 2.5)
+        .when(srcnum == 1, 1.0)
+        .when(srcnum == 2, 0.5)
+        .otherwise(0.0),
+    )
+    return epochs_expand(weighted, "doc_id", "w").select(
+        "doc_id", "source", "repeat_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6814,6 +6864,7 @@ _GATE_PRIORITY = [
     "group_by_all_rollup",
     "embedding_neardup_lsh_pairs",
     "nearest_centroid_confusion",
+    "epoch_repeat_expansion",
     # (b) changed code paths
     "incremental_batch_dedup",
     "simhash_portable_neardup_pairs",
@@ -6870,7 +6921,10 @@ _GATE_PRIORITY = [
     "multimodal_resize_stage",
     "neardup_components",
     "pandas_udf_token_count",
-    "scd2_supplier_balances",
+    # scd2_supplier_balances ceded its slot to epoch_repeat_expansion:
+    # re-verified locally via driver_check this round, bench-timed every
+    # round, and the windowed-temporal family keeps in-window coverage
+    # (window_running_sum, window_rank_navigation)
 ]
 
 

@@ -1215,3 +1215,40 @@ def test_bpe_pair_counts_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="k must"):
         bpe_pair_counts(df, k=0)
+
+
+def test_epochs_expand_deterministic_and_exact(spark):
+    """floor(w) copies always emit; the fractional extra copy follows the
+    deterministic md5 draw (re-runs identical); w<=0 emits nothing;
+    expected copies tracks the weight over many keys; over-cap raises."""
+    import hashlib
+
+    import pytest
+
+    from scraping_jobsdb_spark.operators.sampling import epochs_expand
+
+    rows = [(i, 2.5) for i in range(400)] + [(9001, 0.0), (9002, -1.0), (9003, 3.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = epochs_expand(df, "doc_id", "w").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.doc_id, []).append(r.repeat_idx)
+    assert 9001 not in by_key and 9002 not in by_key
+    assert sorted(by_key[9003]) == [1, 2, 3]
+    # every 2.5-weight key gets 2 or 3 copies, contiguous 1..n
+    for i in range(400):
+        assert sorted(by_key[i]) in ([1, 2], [1, 2, 3])
+    n_extra = sum(1 for i in range(400) if len(by_key[i]) == 3)
+    assert 120 <= n_extra <= 280  # ~50% of 400, deterministic but hash-spread
+    # decision matches the documented md5 rule exactly
+    for i in (0, 7, 123):
+        draw = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        want = 3 if draw < int(0.5 * 2**32) else 2
+        assert len(by_key[i]) == want, i
+    # identical on re-run
+    again = {(r.doc_id, r.repeat_idx) for r in epochs_expand(df, "doc_id", "w").collect()}
+    assert again == {(r.doc_id, r.repeat_idx) for r in out}
+    # over-cap fails loudly, not by silent truncation
+    big = spark.createDataFrame([(1, 1000.0)], "doc_id bigint, w double")
+    with pytest.raises(Exception, match="max_repeats"):
+        epochs_expand(big, "doc_id", "w", max_repeats=100).collect()

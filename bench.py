@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "group_by_all_rollup",
     "nearest_centroid_confusion",
     "epoch_repeat_expansion",
+    "corpus_to_training_examples",
 ]
 
 

@@ -6808,6 +6808,97 @@ def q_epoch_repeat_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_to_training_examples",
+    oracle=r"""
+    WITH quality AS (
+        SELECT doc_id, text, lang, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+          AND length(text) >= 20
+    ), deduped AS (
+        SELECT doc_id, lang, source, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn FROM quality
+        ) WHERE rn = 1
+    ), capped AS (
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) AS rk FROM deduped
+        ) WHERE rk <= 80
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS pack_start
+        FROM capped
+    ), binned AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(pack_start / 1024.0) AS BIGINT) AS bin_first,
+               CAST(FLOOR((pack_start + n_tokens - 1) / 1024.0) AS BIGINT)
+                   AS bin_last
+        FROM packed
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MAX(bin_last) + 1 AS n_examples,
+           CAST(SUM(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddle
+    FROM binned GROUP BY lang
+    """,
+)
+def q_corpus_to_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → training examples, the curation chain as ONE plan:
+    quality floor (token/char minimums) → exact content dedup (lowest id
+    survives) → per-source quota cap (cap_per_group, ≤80 docs/domain) →
+    per-language sequence packing into 1024-token examples
+    (pack_sequences) → per-language yield stats (docs, tokens, examples,
+    straddles). Every stage is individually gate-green; this verifies the
+    COMPOSITION value-hash-exactly — the md5 rank a doc gets in the cap
+    window feeds the md5 order it packs in, so any drift anywhere in the
+    chain breaks the hash. Scale shape: three window shuffles (dedup
+    digest, source cap, lang pack) + one rollup, all on natural keys, no
+    UDFs anywhere."""
+    from scraping_jobsdb_spark.operators.dedup import dedup_exact
+    from scraping_jobsdb_spark.operators.sampling import (
+        cap_per_group,
+        pack_sequences,
+    )
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    quality = docs.withColumn(
+        "n_tokens", token_count("text").cast("bigint")
+    ).filter((F.col("n_tokens") >= 5) & (F.length("text") >= 20))
+    deduped = dedup_exact(quality, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+    capped = cap_per_group(deduped, ["source"], "doc_id", 80).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    packed = pack_sequences(
+        capped, "doc_id", "n_tokens", capacity=1024, group_cols=["lang"]
+    )
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("bin_last") + 1).alias("n_examples"),
+        F.sum(
+            F.when(F.col("bin_last") > F.col("bin_first"), 1).otherwise(0)
+        ).cast("bigint").alias("n_straddle"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6865,6 +6956,7 @@ _GATE_PRIORITY = [
     "embedding_neardup_lsh_pairs",
     "nearest_centroid_confusion",
     "epoch_repeat_expansion",
+    "corpus_to_training_examples",
     # (b) changed code paths
     "incremental_batch_dedup",
     "simhash_portable_neardup_pairs",
@@ -6920,7 +7012,10 @@ _GATE_PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_resize_stage",
     "neardup_components",
-    "pandas_udf_token_count",
+    # pandas_udf_token_count ceded its slot to corpus_to_training_examples:
+    # re-verified locally via driver_check this round, bench-timed every
+    # round, and the Arrow/pandas-UDF surface keeps in-window coverage via
+    # the two multimodal stage queries (mapInPandas + pandas_udf paths).
     # scd2_supplier_balances ceded its slot to epoch_repeat_expansion:
     # re-verified locally via driver_check this round, bench-timed every
     # round, and the windowed-temporal family keeps in-window coverage

@@ -425,3 +425,111 @@ def test_fuzzy_join_equals_naive_blocked_reference(spark, names):
         if i < j and grams(a) & grams(b) and lev(a, b) <= 2
     }
     assert got == expect
+
+
+_pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc key
+        st.integers(min_value=0, max_value=300),     # token count
+        st.integers(min_value=0, max_value=2),       # group
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_pack_rows, cap=st.integers(min_value=1, max_value=128))
+@settings(**_SETTINGS)
+def test_pack_sequences_laws(spark, rows, cap):
+    """Laws on generated corpora: per-group streams are contiguous (offsets
+    are the running sums of an md5 total order, no gaps/overlaps), bin ids
+    follow from the offsets arithmetically, and the total stream length per
+    group equals the group's token sum."""
+    import hashlib
+
+    from scraping_jobsdb_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint, g int")
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", capacity=cap, group_cols=["g"]
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert sum(len(v) for v in by_g.values()) == len(rows)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        run = 0
+        for r in rs:
+            assert r.pack_start == run
+            run += r.n_tokens
+            if r.n_tokens > 0:
+                assert r.bin_first == r.pack_start // cap
+                assert r.bin_last == (r.pack_start + r.n_tokens - 1) // cap
+                assert r.n_bins == r.bin_last - r.bin_first + 1
+            else:
+                assert r.n_bins == 0
+        assert run == sum(n for k, n, gg in rows if gg == g)
+
+
+@given(rows=_pack_rows, cap=st.integers(min_value=1, max_value=10))
+@settings(**_SETTINGS)
+def test_cap_per_group_laws(spark, rows, cap):
+    """Per-group sizes are min(|group|, cap); the kept set is the md5-rank
+    prefix of each group (a pure function of the keys — verified against a
+    Python recomputation); ranks are 1..n contiguous."""
+    import hashlib
+
+    from scraping_jobsdb_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint, g int")
+    out = cap_per_group(df, ["g"], "doc_id", cap).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    groups = {}
+    for k, n, g in rows:
+        groups.setdefault(g, []).append(k)
+    for g, keys in groups.items():
+        want = sorted(keys, key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))[:cap]
+        got = sorted((r.doc_id for r in by_g.get(g, [])))
+        assert got == sorted(want), g
+        assert sorted(r.rank_in_group for r in by_g[g]) == list(
+            range(1, len(want) + 1)
+        )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(min_value=0.0, max_value=5.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_epochs_expand_laws(spark, rows):
+    """Copies per key are floor(w) or floor(w)+1, exactly matching the md5
+    draw rule; repeat_idx is 1..n contiguous; total expansion is within
+    the deterministic bound; zero weights vanish."""
+    import hashlib
+
+    from scraping_jobsdb_spark.operators.sampling import epochs_expand
+
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    out = epochs_expand(df, "doc_id", "w").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.doc_id, []).append(r.repeat_idx)
+    for k, w in rows:
+        import math
+
+        draw = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        extra = 1 if draw < math.floor((w - math.floor(w)) * 2.0**32) else 0
+        want = int(math.floor(w)) + extra
+        got = sorted(by_key.get(k, []))
+        assert got == list(range(1, want + 1)), (k, w, want, got)

@@ -154,6 +154,41 @@ class FingerprintIndex:
         self._df_view.refresh()
         return n
 
+    def admit_stream_batch(
+        self,
+        docs: DataFrame,
+        epoch_id: int,
+        threshold_milli: int = 800,
+        app_id: str = "fpindex-admit",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ONLINE dedup admission — the ``foreachBatch`` body of a
+        deduplicating ingest stream: probe the batch against the current
+        index, admit ONLY the surviving (``kept``) documents' fingerprints,
+        and return the verdict frame so the caller can route kept rows to
+        the corpus sink and dropped rows to a reject log. Near-dups of
+        anything already admitted — including docs admitted by an EARLIER
+        micro-batch — are rejected; duplicates WITHIN a batch survive
+        together (batch-vs-corpus, not batch-vs-self: compose with
+        ``fingerprint_containment_pairs`` upstream for intra-batch dedup).
+
+        Exactly-once: the kept-fingerprint append is epoch-keyed (replays
+        append nothing and the DF-view refresh no-ops), so failure
+        recovery cannot admit a batch twice."""
+        verdict = self.probe(
+            docs, threshold_milli=threshold_milli, text_col=text_col
+        ).localCheckpoint()
+        kept_ids = verdict.filter(F.col("kept")).select(self.id_col)
+        kept_docs = docs.join(kept_ids, self.id_col, "left_semi")
+        fps = winnowing_fingerprint_set(
+            kept_docs, self.k, self.w, text_col, self.id_col
+        )
+        TxnTable(self.spark, self.fps_path).stream_epoch_append(
+            fps, app_id, epoch_id
+        )
+        self._df_view.refresh()
+        return verdict
+
     # ---------------------------------------------------------------- reads
 
     def fingerprints(self) -> DataFrame:

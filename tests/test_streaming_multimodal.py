@@ -788,3 +788,49 @@ def test_streaming_fingerprint_index_equals_batch(spark, tmp_path):
     v = TxnTable(spark, idx.fps_path).version()
     assert idx.add_stream_batch(seed, epoch_id=0) == 0
     assert TxnTable(spark, idx.fps_path).version() == v
+
+
+def test_streaming_dedup_admission_rejects_cross_batch_neardups(spark, tmp_path):
+    """Online dedup admission: batch 1's docs are admitted (empty index);
+    batch 2 containing near-dups OF BATCH 1 gets them rejected and only
+    its novel docs admitted; a replayed epoch admits nothing twice. The
+    index ends holding exactly the admitted documents' fingerprints."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 200)
+    # batch 2: near-dups of batch-1 docs (text minus last word) + novel docs
+    near = b1.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    novel = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    b2 = near.unionByName(novel)
+
+    idx = FingerprintIndex.create(
+        spark, str(tmp_path / "idx"),
+        spark.createDataFrame([], "doc_id bigint, text string"),
+    )
+    v1 = idx.admit_stream_batch(b1, epoch_id=0)
+    assert v1.filter(~F.col("kept")).count() == 0  # empty index: all admitted
+    v2 = idx.admit_stream_batch(b2, epoch_id=1)
+    kept2 = {r.doc_id for r in v2.filter(F.col("kept")).collect()}
+    rejected2 = {r.doc_id for r in v2.filter(~F.col("kept")).collect()}
+    near_ids = {r.doc_id for r in near.collect()}
+    # most injected near-dups rejected; all novel docs admitted
+    assert len(rejected2 & near_ids) >= int(0.8 * len(near_ids))
+    assert {r.doc_id for r in novel.collect()} <= kept2
+    # replay of epoch 1: no new fingerprints, no version bump
+    v = TxnTable(spark, idx.fps_path).version()
+    idx.admit_stream_batch(b2, epoch_id=1)
+    assert TxnTable(spark, idx.fps_path).version() == v
+    # index holds fingerprints for exactly the admitted ids
+    admitted = {r.doc_id for r in v1.filter(F.col("kept")).collect()} | kept2
+    indexed = {r.doc_id for r in idx.fingerprints().select("doc_id").distinct().collect()}
+    assert indexed <= admitted
+    assert len(indexed) >= 0.95 * len(admitted)  # only fingerprint-less (tiny) docs may miss

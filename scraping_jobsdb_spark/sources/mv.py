@@ -199,10 +199,18 @@ class IncrementalAggView:
             TxnTable.create(self.spark, self.view_path, state, meta=meta)
             return target
         try:
-            files = append_delta_files(self.source_path, last, target)
+            # Tolerate row-preserving maintenance (compact/zorder) in the
+            # range: those commits rewrite files, not rows, so the aggregate
+            # delta is still just the appends around them. A rewrite landing
+            # AFTER in-range appends still raises (their files were folded
+            # into the rewrite) and falls back below.
+            files = append_delta_files(
+                self.source_path, last, target, skip_row_preserving=True
+            )
         except ValueError:
-            # a rewrite landed in the range: delta algebra is void — one
-            # full recompute at the captured snapshot, then incremental again
+            # a row-CHANGING rewrite landed in the range: delta algebra is
+            # void — one full recompute at the captured snapshot, then
+            # incremental again
             state = self._pin_types(self._partial(source.read(target)))
             self._view().overwrite(state, meta=meta)
             return target

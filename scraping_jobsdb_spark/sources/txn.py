@@ -73,6 +73,13 @@ APPEND_OPS = frozenset(
     {"create", "append", "idempotent_append", "stream_epoch_append", "adopt"}
 )
 
+# Ops that rewrite files WITHOUT changing the row multiset: a compaction or
+# re-clustering commit contributes zero row delta, so delta-algebra
+# consumers (incremental MVs) may skip it and keep folding appends around
+# it instead of falling back to a full recompute. An allowlist for the same
+# reason as APPEND_OPS.
+ROW_PRESERVING_OPS = frozenset({"compact", "zorder"})
+
 
 def _jsonable(v):
     """Stat values as JSON-comparable scalars: numbers pass through, dates/
@@ -168,7 +175,10 @@ def current_version(table_path: str) -> int:
 
 
 def append_delta_files(
-    table_path: str, from_version: int, to_version: int
+    table_path: str,
+    from_version: int,
+    to_version: int,
+    skip_row_preserving: bool = False,
 ) -> list[str]:
     """Relative paths of data files added in versions
     ``(from_version, to_version]``, in commit order.
@@ -179,11 +189,37 @@ def append_delta_files(
     previous file set — so a range of n commits costs n raw manifest
     reads plus one resolution of ``from_version``. This is the
     incremental-offset path both ``read_appends_since`` and the streaming
-    source resolve batches with."""
+    source resolve batches with.
+
+    ``skip_row_preserving=True`` additionally tolerates ``compact``/
+    ``zorder`` commits in the range: they rewrite files but not rows, so
+    they contribute no delta — the walk re-bases its file set on the
+    rewrite's complete list and keeps collecting the appends around it.
+    ONLY safe for row-multiset consumers (aggregate MV refresh); a
+    file-level consumer (the streaming source) must NOT skip them, since
+    the post-rewrite append files carry rows it would then double-see."""
     prev: set[str] | None = None  # resolved lazily: delta-only ranges skip it
     out: list[str] = []
     for v in range(from_version + 1, to_version + 1):
         m = _read_raw_manifest(table_path, v)
+        if skip_row_preserving and m["op"] in ROW_PRESERVING_OPS:
+            # zero row delta: nothing to emit, but later checkpoint-manifest
+            # diffs (and membership checks) must run against the rewritten
+            # file set, and files emitted BEFORE the rewrite no longer exist
+            # under their old names — their rows are inside the rewrite, so
+            # drop them from the pending delta (the caller reads rows that
+            # post-date the rewrite from the rewrite's own files... except a
+            # rewrite folds PRE-range rows in too, so instead: a rewrite
+            # mid-range makes the collected prefix unusable — raise and let
+            # the caller full-recompute, UNLESS nothing was collected yet
+            # (rewrite precedes all appends in range: safe to re-base).
+            if out:
+                raise ValueError(
+                    f"version {v} is a {m['op']} after in-range appends: "
+                    "their files were rewritten; re-read the snapshot"
+                )
+            prev = set(m["files"])
+            continue
         if m["op"] not in APPEND_OPS:
             raise ValueError(
                 f"version {v} is a {m['op']}: the file delta is not an "

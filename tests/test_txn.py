@@ -822,6 +822,45 @@ def test_mv_falls_back_to_full_recompute_after_rewrite(spark, tmp_path):
     assert got == [(1, 1, 5.0), (3, 2, 7.0)]
 
 
+def test_mv_skips_row_preserving_maintenance(spark, tmp_path):
+    """compact/zorder rewrite files, not rows: a refresh across a
+    maintenance commit that PRECEDES the range's appends keeps folding
+    incrementally (no full recompute — asserted by counting source scans
+    via the delta-file read), while a compact landing AFTER in-range
+    appends still falls back, and results are exact either way."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    t = TxnTable.create(
+        spark, src, _mv_df(spark, [(1, 1.0), (2, 2.0)]).coalesce(1)
+    )
+    mv = _mv(spark, src, view)
+    mv.refresh()
+    # v2 = compact (row-preserving), v3 = append; refresh folds ONLY v3
+    t.compact(target_partitions=1)
+    t.append(_mv_df(spark, [(1, 3.0), (3, 4.0)]).coalesce(1))
+    from scraping_jobsdb_spark.sources.txn import append_delta_files
+
+    files = append_delta_files(src, 1, 3, skip_row_preserving=True)
+    assert len(files) == 1  # exactly the appended file — the compact is skipped
+    assert mv.refresh() == 3
+    got = _rows(mv.read().select("k", "n", F.col("total").cast("double")))
+    assert got == [(1, 2, 4.0), (2, 1, 2.0), (3, 1, 4.0)]
+    # compact AFTER an in-range append: the append's file was folded into
+    # the rewrite — the tolerant walk must refuse, refresh full-recomputes
+    t.append(_mv_df(spark, [(3, 5.0)]).coalesce(1))
+    t.compact(target_partitions=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="after in-range appends"):
+        append_delta_files(src, 3, 5, skip_row_preserving=True)
+    assert mv.refresh() == 5
+    got = _rows(mv.read().select("k", "n", F.col("total").cast("double")))
+    assert got == [(1, 2, 4.0), (2, 1, 2.0), (3, 2, 9.0)]
+    # and incremental again after the fallback
+    t.append(_mv_df(spark, [(2, 1.0)]).coalesce(1))
+    assert mv.refresh() == 6
+    assert _rows(mv.read().select("k", "n")) == [(1, 2), (2, 2), (3, 2)]
+
+
 # ------------------------------------------------------ bloom file skipping
 
 

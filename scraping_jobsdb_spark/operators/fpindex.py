@@ -189,6 +189,26 @@ class FingerprintIndex:
         self._df_view.refresh()
         return verdict
 
+    def maintain(self, max_files: int = 64) -> int | None:
+        """Compact the fps table once its snapshot exceeds ``max_files``
+        files (an ingest loop calls this per admitted batch for amortized
+        O(snapshot/max_files) rewrite cost — every ``add`` writes at least
+        one file, and thousands of tiny fingerprint files slow every
+        probe's scan). Compaction is ROW-PRESERVING, so the DF view's next
+        refresh skips it and keeps folding appends incrementally
+        (``append_delta_files(skip_row_preserving=True)``) instead of
+        recomputing gram frequencies from the whole index. Returns the
+        compacted snapshot's file count, or None if under the threshold."""
+        n = TxnTable(self.spark, self.fps_path).maybe_compact(
+            max_files=max_files
+        )
+        if n is not None:
+            # advance the DF view's watermark over the compact commit (a
+            # zero-delta fold — rows unchanged) so the probe's freshness
+            # guard keeps holding
+            self._df_view.refresh()
+        return n
+
     # ---------------------------------------------------------------- reads
 
     def fingerprints(self) -> DataFrame:

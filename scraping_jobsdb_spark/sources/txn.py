@@ -1525,7 +1525,14 @@ class TxnTable:
             return None
         if len(self._manifest()["files"]) <= max_files:
             return None
-        return self.compact(target_partitions=target_partitions)
+        # The post-compact count must come in UNDER the threshold, or the
+        # policy churns: the bare compact() default (session parallelism,
+        # e.g. 32) can exceed a small max_files, leaving the table
+        # perpetually "over threshold" and rewritten on every call.
+        return self.compact(
+            target_partitions=target_partitions
+            or min(max_files, max(1, self.spark.sparkContext.defaultParallelism))
+        )
 
     def zorder_by(
         self, cols: list[str], target_partitions: int | None = None

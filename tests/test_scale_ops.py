@@ -1252,3 +1252,43 @@ def test_epochs_expand_deterministic_and_exact(spark):
     big = spark.createDataFrame([(1, 1000.0)], "doc_id bigint, w double")
     with pytest.raises(Exception, match="max_repeats"):
         epochs_expand(big, "doc_id", "w", max_repeats=100).collect()
+
+
+def test_fingerprint_index_maintain_compacts_without_view_recompute(spark, tmp_path):
+    """maintain() compacts the fps table past the file threshold; the DF
+    view's next refresh SKIPS the row-preserving rewrite (no fallback
+    recompute — asserted via the tolerant delta walk) and probe results
+    are identical before/after compaction."""
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+    from scraping_jobsdb_spark.sources.txn import TxnTable, append_delta_files
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    idx = FingerprintIndex.create(
+        spark, str(tmp_path / "idx"), docs.filter(F.col("doc_id") < 100)
+    )
+    for lo in (100, 150, 200, 250):
+        idx.add(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50))
+        )
+    t = TxnTable(spark, idx.fps_path)
+    n_before = len(t._manifest()["files"])
+    probe = docs.filter(F.col("doc_id") >= 400).limit(30)
+    before = sorted(map(tuple, idx.probe(probe).collect()))
+    assert idx.maintain(max_files=2) is not None  # past threshold: compacted
+    assert len(t._manifest()["files"]) < n_before
+    before_after_compact = sorted(map(tuple, idx.probe(probe).collect()))
+    assert before_after_compact == before
+    # one more add: the view refresh crosses the compact incrementally
+    v_compact = t.version()
+    idx.add(docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320)))
+    files = append_delta_files(
+        idx.fps_path, v_compact - 1, t.version(), skip_row_preserving=True
+    )
+    assert files  # the walk crosses the compact and sees only the append
+    assert idx._df_view.applied_source_version() == t.version()
+    # stop-gram view still exactly matches a from-scratch recount
+    recount = (
+        idx.fingerprints().groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    )
+    got = sorted(map(tuple, idx._df_view.read().collect()))
+    assert got == sorted(map(tuple, recount.collect()))

@@ -6899,6 +6899,64 @@ def q_corpus_to_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(substr(CAST(o.o_orderdate AS VARCHAR), 1, 4) AS INT)
+               AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity * 0.06
+                         AS DECIMAL(30,6))) AS DOUBLE) AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type LIKE '%ECONOMY%'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profitability (reshaped to this
+    schema's columns — no partsupp, so supply cost is a retail-price
+    fraction): profit per supplier nation per order year over ECONOMY
+    parts — a 5-table star join where BOTH dimension legs (part filter,
+    supplier→nation) broadcast and the fact-fact join (lineitem⋈orders)
+    shuffles once on the natural key; the year comes from ISO-string
+    prefixing per the date-hygiene rule. Decimal-exact profit expression
+    → value-hash oracled. Completes the deep-join pack's Q5/Q7/Q8/Q21
+    coverage with the classic profit-rollup shape."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").contains("ECONOMY")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.06
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.substring(F.date_format("o_orderdate", "yyyy-MM-dd"), 1, 4)
+            .cast("int")
+            .alias("o_year"),
+        )
+        .agg(
+            F.sum(profit.cast("decimal(30,6)")).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -6942,7 +7000,14 @@ def q_corpus_to_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame
 # The 19 r2-green queries left outside (array/scalar packs, pivot/
 # unpivot/grouping-sets, window frames — families each evidenced
 # in-window by a sibling) will be three rounds old at r6 and MUST lead
-# its window; COVERAGE.md's freshness column tracks them mechanically.
+# its window, together with the 8 r2-greens that later ceded slots to
+# late-round additions (dq_aggregate_checks, gaps_and_islands,
+# join_full_outer_reconcile, argmin_supplier_per_part,
+# decontamination_exact_overlap, term_document_frequency,
+# dq_bounds_observed, scd2_supplier_balances, pandas_udf_token_count)
+# and product_type_profit (registered after the window froze — never
+# driver-evidenced; driver_check-green locally). COVERAGE.md's
+# freshness column tracks all of this mechanically.
 _GATE_PRIORITY = [
     # (a) new this round
     "incremental_indexed_dedup",

@@ -6957,6 +6957,58 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "txn_replace_where_backfill",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0
+    ), after_replace AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+        WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice
+        FROM base WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM after_replace
+    WHERE NOT (o_orderstatus = 'P' AND o_totalprice < 100000)
+    """,
+)
+def q_txn_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level copy-on-write write paths (sources/txn.py delete_where /
+    replace_where — the DELETE WHERE and Delta-replaceWhere lakehouse
+    ops): a txn table takes an atomic predicate-scoped backfill (every
+    'F' row swapped for its recomputed version, one commit covering the
+    delete AND the insert, untouched files carried over by PATH — the
+    1/365th-rewrite shape for partition backfills) followed by a
+    predicate DELETE; the published snapshot is returned. The reference's
+    full-table re-exports (airflow/dags/scrape_url.py re-running whole
+    SQL loads) map to exactly this slice-swap at scale. Deterministic
+    end-state → value-hash oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = TxnTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="sjs_rw_q_"),
+        base.repartition(4),
+    )
+    redo = base.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", (F.col("o_totalprice") + 100.0).cast("double")
+    )
+    t.replace_where(F.col("o_orderstatus") == "F", redo)
+    t.delete_where(
+        (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") < 100000)
+    )
+    return t.read()
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7005,9 +7057,10 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join_full_outer_reconcile, argmin_supplier_per_part,
 # decontamination_exact_overlap, term_document_frequency,
 # dq_bounds_observed, scd2_supplier_balances, pandas_udf_token_count)
-# and product_type_profit (registered after the window froze — never
-# driver-evidenced; driver_check-green locally). COVERAGE.md's
-# freshness column tracks all of this mechanically.
+# and product_type_profit + txn_replace_where_backfill (registered
+# after the window froze — never driver-evidenced; driver_check-green
+# locally). COVERAGE.md's freshness column tracks all of this
+# mechanically.
 _GATE_PRIORITY = [
     # (a) new this round
     "incremental_indexed_dedup",

@@ -1357,6 +1357,133 @@ class TxnTable:
 
         return self._occ_loop(attempt)
 
+    def _touched_files(
+        self, base: int, cond: Column
+    ) -> tuple[list[str], StructType, int]:
+        """(relative paths of files holding rows where ``cond`` IS TRUE,
+        snapshot schema, matching-row count). ONE predicate-pushed scan with
+        ``input_file_name()``: parquet row-group statistics skip
+        non-matching groups, and only matching rows reach the aggregate —
+        the Delta-style touched-file discovery every file-level
+        copy-on-write op starts with."""
+        m = self._manifest(base)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        rel_files = m["files"]
+        if not rel_files:
+            return [], schema, 0
+        abs_files = [os.path.join(self.path, f) for f in rel_files]
+        hits = (
+            self.spark.read.schema(schema)
+            .parquet(*abs_files)
+            .filter(cond)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        # input_file_name returns a URI; normalize back to manifest-relative
+        prefix = os.path.abspath(self.path) + os.sep
+        touched = []
+        n_match = 0
+        for r in hits:
+            p = r["__f"]  # NB: attribute access would name-mangle __f here
+            if p.startswith("file:"):
+                p = p[5:].lstrip("/")
+                p = "/" + p
+            touched.append(os.path.relpath(os.path.abspath(p), os.path.abspath(self.path)))
+            n_match += r["__n"]
+        return sorted(touched), schema, int(n_match)
+
+    def delete_where(self, cond: Column | str) -> int:
+        """File-level copy-on-write DELETE: rows where ``cond`` IS TRUE are
+        removed; rows where it is FALSE or NULL survive (SQL DELETE
+        semantics). Only files that actually HOLD a matching row are
+        rewritten — every other file carries over untouched, so deleting
+        one day from a year-partitioned fact table rewrites ~1/365th of it,
+        not the snapshot (contrast ``merge``, which rewrites whole). The
+        discovery scan is predicate-pushed; file stats and blooms carry for
+        surviving files and are recomputed for rewrites. Returns rows
+        deleted (0 = no commit). Row-CHANGING op: CDC append feeds and
+        incremental MVs past it fall back, by design."""
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        self._require_unbucketed("delete_where")
+
+        def attempt(base):
+            touched, schema, n_match = self._touched_files(base, cond_col)
+            if not touched:
+                return None  # nothing matches: no-op, no commit
+            m = self._manifest(base)
+            keep = (
+                self.spark.read.schema(schema)
+                .parquet(*[os.path.join(self.path, f) for f in touched])
+                .filter(~F.coalesce(cond_col, F.lit(False)))
+            )
+            new_files, _ = self._write_data(keep)
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            all_files = [
+                os.path.join(self.path, f) for f in untouched
+            ] + new_files
+            n_total = (m.get("n_rows") or 0) - n_match if m.get("n_rows") else None
+            return (
+                all_files,
+                schema,
+                "delete",
+                n_total,
+                n_match,
+                self._stats_extra(base, new_files),
+            )
+
+        out = self._occ_loop(attempt)
+        return 0 if out is None else out
+
+    def replace_where(self, cond: Column | str, df: DataFrame) -> int:
+        """Partition-scoped overwrite (Delta's ``replaceWhere``): atomically
+        delete every row where ``cond`` IS TRUE and insert ``df`` — the
+        idempotent backfill primitive ("recompute day X and swap it in").
+        Every inserted row must satisfy ``cond`` (enforced; otherwise a
+        re-run would not be idempotent — the second run's delete wouldn't
+        claim the stray rows). File-level copy-on-write like
+        ``delete_where``: untouched files carry over; one commit covers
+        the delete AND the insert. Returns the rows written to the
+        replaced region (the inserts plus carried non-matching rows from
+        rewritten files)."""
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        self._require_unbucketed("replace_where")
+        stray = df.filter(~F.coalesce(cond_col, F.lit(False))).limit(1).collect()
+        if stray:
+            raise ValueError(
+                "replace_where: an insert row does not satisfy the "
+                f"predicate — first offender: {stray[0].asDict()}"
+            )
+
+        def attempt(base):
+            touched, schema, _n_match = self._touched_files(base, cond_col)
+            m = self._manifest(base)
+            survivors = None
+            if touched:
+                survivors = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[os.path.join(self.path, f) for f in touched])
+                    .filter(~F.coalesce(cond_col, F.lit(False)))
+                )
+            data = (
+                df if survivors is None else survivors.unionByName(df)
+            )
+            new_files, n_written = self._write_data(data)
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            all_files = [
+                os.path.join(self.path, f) for f in untouched
+            ] + new_files
+            return (
+                all_files,
+                schema,
+                "replace_where",
+                None,
+                n_written,
+                self._stats_extra(base, new_files),
+            )
+
+        return self._occ_loop(attempt)
+
     def read_appends_since(self, version: int) -> DataFrame:
         """Rows added by append-family commits AFTER ``version`` (the
         incremental-consumption edge: checkpoint a version, poll for news).

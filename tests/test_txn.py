@@ -1058,3 +1058,79 @@ def test_maybe_compact_bucketed_is_noop(spark, tmp_path):
     v = t.version()
     assert t.maybe_compact(max_files=2) is None  # threshold < n_buckets
     assert t.version() == v  # no commit
+
+
+# ------------------------------------------------- file-level COW delete
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tdir):
+    """DELETE WHERE: matching rows vanish, FALSE and NULL predicate rows
+    survive (SQL semantics); files with no matching row carry over
+    UNREWRITTEN (same physical path in the new manifest); time travel
+    still reads the old snapshot; a no-match delete commits nothing."""
+    t = TxnTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a"), (2, "b")]).coalesce(1),
+    )
+    t.append(_df(spark, [(3, "c"), (4, None)]).coalesce(1))
+    t.append(_df(spark, [(5, "e")]).coalesce(1))
+    files_before = set(TxnTable(spark, tdir)._manifest()["files"])
+    # delete k=3: only the second file holds it; v is NULL for k=4 -> the
+    # NULL-predicate row survives
+    n = t.delete_where(F.col("k") == 3)
+    assert n == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (4, None), (5, "e")]
+    files_after = set(TxnTable(spark, tdir)._manifest()["files"])
+    # the files holding k=1,2 and k=5 carried over by path
+    assert len(files_before & files_after) == 2
+    # time travel: pre-delete snapshot intact
+    assert len(_rows(t.read(version=3))) == 5
+    # NULL predicate: v = NULL rows survive a predicate on v
+    assert t.delete_where(F.col("v") == "nope") == 0  # no match: no commit
+    v = t.version()
+    assert t.delete_where(F.col("v") == "a") == 1
+    assert t.version() == v + 1
+    assert _rows(t.read()) == [(2, "b"), (4, None), (5, "e")]
+
+
+def test_replace_where_is_idempotent_backfill(spark, tdir):
+    """replaceWhere: the predicate slice is atomically swapped for the new
+    frame; re-running the same backfill yields the identical table
+    (idempotence); an insert row outside the predicate is rejected;
+    untouched files carry over."""
+    import pytest
+
+    t = TxnTable.create(
+        spark, tdir,
+        _df(spark, [(1, "day1"), (2, "day1")], "k bigint, day string").coalesce(1),
+    )
+    t.append(_df(spark, [(3, "day2"), (4, "day2")], "k bigint, day string").coalesce(1))
+    files_before = set(TxnTable(spark, tdir)._manifest()["files"])
+    redo = _df(spark, [(30, "day2"), (40, "day2"), (50, "day2")], "k bigint, day string")
+    t.replace_where(F.col("day") == "day2", redo)
+    assert _rows(t.read()) == [(1, "day1"), (2, "day1"), (30, "day2"), (40, "day2"), (50, "day2")]
+    # day1's file carried over untouched
+    assert files_before & set(TxnTable(spark, tdir)._manifest()["files"])
+    # idempotent: same backfill again -> same table
+    t.replace_where(F.col("day") == "day2", redo)
+    assert _rows(t.read()) == [(1, "day1"), (2, "day1"), (30, "day2"), (40, "day2"), (50, "day2")]
+    # stray insert outside the predicate: rejected before any commit
+    v = t.version()
+    with pytest.raises(ValueError, match="does not satisfy"):
+        t.replace_where(F.col("day") == "day2", _df(spark, [(9, "day9")], "k bigint, day string"))
+    assert t.version() == v
+
+
+def test_delete_where_respects_stats_and_constraints(spark, tdir):
+    """File stats stay maintained across a delete (pruned reads exact) and
+    CHECK constraints re-validate rewritten survivors."""
+    t = TxnTable.create(
+        spark, tdir,
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").repartition(4),
+        stats_cols=["k"],
+        constraints={"x_nonneg": "x >= 0"},
+    )
+    t.delete_where((F.col("k") >= 40) & (F.col("k") < 60))
+    assert t.read().count() == 80
+    kept = sorted(r.k for r in t.read_pruned("k", 35, 45).collect())
+    assert kept == list(range(35, 40))  # pruning exact post-delete

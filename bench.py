@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "nearest_centroid_confusion",
     "epoch_repeat_expansion",
     "corpus_to_training_examples",
+    "product_type_profit",
+    "txn_replace_where_backfill",
 ]
 
 

@@ -145,12 +145,16 @@ def read_manifest(table_path: str, version: int) -> dict[str, Any]:
     files = list(base["files"])
     stats = dict(base.get("file_stats") or {})
     blooms = dict(base.get("file_blooms") or {})
+    dvs = dict(base.get("dvs") or {})
     for d in reversed(deltas):
         files.extend(d["adds"])
         stats.update(d.get("file_stats") or {})
         blooms.update(d.get("file_blooms") or {})
+        dvs.update(d.get("dvs") or {})
     out = dict(m)
     out["files"] = files
+    if dvs:
+        out["dvs"] = dvs
     if m.get("stats_cols") or base.get("stats_cols"):
         out.setdefault("stats_cols", base.get("stats_cols"))
         out["file_stats"] = stats
@@ -472,6 +476,11 @@ class TxnTable:
             return {}
         out = dict(self._bloom_extra(base, new_files, keep_base))
         m = self._manifest(base)
+        if keep_base and m.get("dvs"):
+            # deletion vectors ride the manifest like stats: appends carry
+            # them (new files have none), rewrites drop them (the rewrite
+            # materializes the deletions)
+            out["dvs"] = dict(m["dvs"])
         cols = m.get("stats_cols") or []
         if not cols:
             return out
@@ -759,11 +768,13 @@ class TxnTable:
         rel_files = [os.path.relpath(f, self.path) for f in files]
         extra = dict(extra or {})
         present = set(rel_files)
-        for per_file_key in ("file_stats", "file_blooms"):
+        for per_file_key in ("file_stats", "file_blooms", "dvs"):
             if per_file_key in extra:
                 extra[per_file_key] = {
                     f: s for f, s in extra[per_file_key].items() if f in present
                 }
+        if not extra.get("dvs", {"_": 1}):
+            extra.pop("dvs", None)  # drop an emptied map entirely
         import time
 
         committed_at = time.time()
@@ -797,13 +808,15 @@ class TxnTable:
                     **extra,
                 }
                 add_set = set(adds)
-                for per_file_key in ("file_stats", "file_blooms"):
+                for per_file_key in ("file_stats", "file_blooms", "dvs"):
                     if per_file_key in extra:
                         manifest[per_file_key] = {
                             f: s
                             for f, s in extra[per_file_key].items()
                             if f in add_set
                         }
+                if not manifest.get("dvs", {"_": 1}):
+                    manifest.pop("dvs", None)
         scratch = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(scratch, "w") as fh:
             json.dump(manifest, fh)
@@ -818,11 +831,48 @@ class TxnTable:
 
     # ---------------------------------------------------------------- reads
 
+    def _dv_overlay(
+        self, df: DataFrame, m: dict[str, Any], scanned: list[str]
+    ) -> DataFrame:
+        """Apply the snapshot's deletion vectors to a scan of ``scanned``
+        manifest files (merge-on-read): anti-join the scan against the
+        union of the DV parquets referenced by those files, keyed on
+        (_metadata.file_name, _metadata.row_index). A no-op when no scanned
+        file carries a DV — existing tables pay nothing. The DV side is
+        deleted-row-scale and BROADCAST: the overlay adds no shuffle to the
+        scan."""
+        dvs = m.get("dvs") or {}
+        dv_files = sorted(
+            {dv for f in scanned for dv in dvs.get(f, [])}
+        )
+        if not dv_files:
+            return df
+        dv = (
+            self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dv_files]
+            )
+            .select("file_name", "row_index")
+            .distinct()
+        )
+        tagged = df.select(
+            "*",
+            F.col("_metadata.file_name").alias("__dvf"),
+            F.col("_metadata.row_index").alias("__dvr"),
+        )
+        kept = tagged.join(
+            F.broadcast(dv),
+            (tagged["__dvf"] == dv["file_name"])
+            & (tagged["__dvr"] == dv["row_index"]),
+            "left_anti",
+        )
+        return kept.drop("__dvf", "__dvr")
+
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot as of ``version`` (default: latest). Immutable: the
         returned frame keeps reading the same files regardless of later
         commits. Bucketed snapshots read through a catalog registration so
-        the scan carries the bucket distribution into the planner."""
+        the scan carries the bucket distribution into the planner.
+        Deletion vectors, if any, overlay transparently (merge-on-read)."""
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
         files = [os.path.join(self.path, f) for f in m["files"]]
@@ -831,7 +881,8 @@ class TxnTable:
         bucket = m.get("bucket")
         if bucket:
             return self._read_bucketed(m, schema, bucket)
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(*files)
+        return self._dv_overlay(df, m, m["files"])
 
     def _read_bucketed(
         self, m: dict[str, Any], schema: StructType, bucket: dict[str, Any]
@@ -916,8 +967,12 @@ class TxnTable:
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f) for f in files]
+            df = self._dv_overlay(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                ),
+                m,
+                files,
             )
         for col, (lo, hi) in predicates.items():
             if lo is not None:
@@ -965,8 +1020,12 @@ class TxnTable:
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.path, f) for f in files]
+            df = self._dv_overlay(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                ),
+                m,
+                files,
             )
         return df.filter(F.col(col) == value)
 
@@ -1372,24 +1431,24 @@ class TxnTable:
         if not rel_files:
             return [], schema, 0
         abs_files = [os.path.join(self.path, f) for f in rel_files]
+        # Tag file identity BEFORE the DV overlay: a post-join
+        # input_file_name() is ambiguous (two scan sources), and any DV
+        # overlay must apply first so already-deleted rows cannot re-match.
+        tagged = self.spark.read.schema(schema).parquet(*abs_files).select(
+            "*", F.col("_metadata.file_name").alias("__tf")
+        )
         hits = (
-            self.spark.read.schema(schema)
-            .parquet(*abs_files)
+            self._dv_overlay(tagged, m, rel_files)
             .filter(cond)
-            .groupBy(F.input_file_name().alias("__f"))
+            .groupBy("__tf")
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        # input_file_name returns a URI; normalize back to manifest-relative
-        prefix = os.path.abspath(self.path) + os.sep
+        by_name = {os.path.basename(f): f for f in rel_files}
         touched = []
         n_match = 0
         for r in hits:
-            p = r["__f"]  # NB: attribute access would name-mangle __f here
-            if p.startswith("file:"):
-                p = p[5:].lstrip("/")
-                p = "/" + p
-            touched.append(os.path.relpath(os.path.abspath(p), os.path.abspath(self.path)))
+            touched.append(by_name[r["__tf"]])
             n_match += r["__n"]
         return sorted(touched), schema, int(n_match)
 
@@ -1412,11 +1471,13 @@ class TxnTable:
             if not touched:
                 return None  # nothing matches: no-op, no commit
             m = self._manifest(base)
-            keep = (
-                self.spark.read.schema(schema)
-                .parquet(*[os.path.join(self.path, f) for f in touched])
-                .filter(~F.coalesce(cond_col, F.lit(False)))
-            )
+            keep = self._dv_overlay(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                ),
+                m,
+                touched,
+            ).filter(~F.coalesce(cond_col, F.lit(False)))
             new_files, _ = self._write_data(keep)
             untouched = [f for f in m["files"] if f not in set(touched)]
             all_files = [
@@ -1430,6 +1491,94 @@ class TxnTable:
                 n_total,
                 n_match,
                 self._stats_extra(base, new_files),
+            )
+
+        out = self._occ_loop(attempt)
+        return 0 if out is None else out
+
+    def delete_where_dv(self, cond: Column | str) -> int:
+        """Merge-on-READ delete (Delta/Iceberg deletion-vector posture):
+        matching row POSITIONS are recorded in a deletion-vector parquet
+        under the transaction log and every read path overlays them with a
+        broadcast anti-join — NO data file is rewritten. The write cost is
+        one predicate-pushed scan plus a deleted-rows-sized write,
+        independent of file sizes; the read cost is a broadcast anti-join
+        only on files that carry a DV. Use for frequent small deletes (GDPR
+        erasure, late-event retraction) where ``delete_where``'s
+        copy-on-write rewrite amplification dominates; a later ``compact``
+        (or any whole-snapshot rewrite) materializes the deletions and
+        drops the vectors — compaction IS the DV garbage collection.
+        Returns rows deleted (0 = no commit). Row-changing op: CDC append
+        feeds and incremental MVs past it fall back, by design."""
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        self._require_unbucketed("delete_where_dv")
+
+        def attempt(base):
+            m = self._manifest(base)
+            rel_files = m["files"]
+            if not rel_files:
+                return None
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            clash = {"file_name", "row_index"} & set(schema.fieldNames())
+            if clash:
+                raise ValueError(
+                    f"delete_where_dv: column names {sorted(clash)} are "
+                    "reserved for the deletion-vector position keys; use "
+                    "delete_where (copy-on-write) on this table"
+                )
+            tagged = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in rel_files]
+            ).select(
+                "*",
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            dvs_now = m.get("dvs") or {}
+            dv_files = sorted({d for fs in dvs_now.values() for d in fs})
+            if dv_files:
+                prior = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in dv_files]
+                    )
+                    .select(
+                        F.col("file_name").alias("__pf"),
+                        F.col("row_index").alias("__pr"),
+                    )
+                    .distinct()
+                )
+                tagged = tagged.join(
+                    F.broadcast(prior),
+                    (tagged["file_name"] == prior["__pf"])
+                    & (tagged["row_index"] == prior["__pr"]),
+                    "left_anti",
+                )
+            matches = tagged.filter(cond_col).select("file_name", "row_index")
+            dv_dir_rel = os.path.join(_TXN_DIR, "dv", uuid.uuid4().hex)
+            dv_dir = os.path.join(self.path, dv_dir_rel)
+            matches.write.parquet(dv_dir)
+            new_dv_files = self._list_parquet(dv_dir)
+            back = self.spark.read.parquet(dv_dir)
+            touched_names = [r[0] for r in back.select("file_name").distinct().collect()]
+            n_deleted = back.count()
+            if n_deleted == 0:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                return None
+            rel_new_dvs = [os.path.relpath(f, self.path) for f in new_dv_files]
+            by_name = {os.path.basename(f): f for f in rel_files}
+            new_dvs = {k: list(v) for k, v in dvs_now.items()}
+            for name in touched_names:
+                data_rel = by_name[name]
+                new_dvs.setdefault(data_rel, []).extend(rel_new_dvs)
+            extra = self._stats_extra(base, [])
+            extra["dvs"] = new_dvs
+            prev_n = m.get("n_rows")
+            return (
+                [os.path.join(self.path, f) for f in rel_files],
+                schema,
+                "delete_dv",
+                (prev_n - n_deleted) if isinstance(prev_n, int) else None,
+                n_deleted,
+                extra,
             )
 
         out = self._occ_loop(attempt)
@@ -1460,11 +1609,13 @@ class TxnTable:
             m = self._manifest(base)
             survivors = None
             if touched:
-                survivors = (
-                    self.spark.read.schema(schema)
-                    .parquet(*[os.path.join(self.path, f) for f in touched])
-                    .filter(~F.coalesce(cond_col, F.lit(False)))
-                )
+                survivors = self._dv_overlay(
+                    self.spark.read.schema(schema).parquet(
+                        *[os.path.join(self.path, f) for f in touched]
+                    ),
+                    m,
+                    touched,
+                ).filter(~F.coalesce(cond_col, F.lit(False)))
             data = (
                 df if survivors is None else survivors.unionByName(df)
             )

@@ -1134,3 +1134,71 @@ def test_delete_where_respects_stats_and_constraints(spark, tdir):
     assert t.read().count() == 80
     kept = sorted(r.k for r in t.read_pruned("k", 35, 45).collect())
     assert kept == list(range(35, 40))  # pruning exact post-delete
+
+
+# --------------------------------------------------- deletion vectors (MoR)
+
+
+def test_delete_where_dv_merge_on_read(spark, tdir):
+    """Merge-on-read delete: rows vanish from every read path with ZERO
+    data files rewritten (file list unchanged across the commit); a second
+    DV stacks on the first; already-DV-deleted rows can't re-match; time
+    travel reads pre-delete snapshots; appends carry the vectors; compact
+    materializes deletions and drops them."""
+    t = TxnTable.create(
+        spark, tdir,
+        spark.range(0, 100).selectExpr("id AS k", "CAST(id % 7 AS INT) AS g").repartition(4),
+    )
+    files_v1 = list(TxnTable(spark, tdir)._manifest()["files"])
+    assert t.delete_where_dv(F.col("k") % 10 == 0) == 10
+    m = TxnTable(spark, tdir)._manifest()
+    assert m["files"] == files_v1            # no data file rewritten
+    assert m.get("dvs")                       # vectors recorded
+    assert t.read().count() == 90
+    assert t.read().filter(F.col("k") % 10 == 0).count() == 0
+    # second DV stacks; re-deleting the same predicate is a no-op
+    assert t.delete_where_dv(F.col("k") % 10 == 0) == 0
+    assert t.delete_where_dv(F.col("k") == 7) == 1
+    assert t.read().count() == 89
+    # time travel: v1 still sees all 100
+    assert t.read(version=1).count() == 100
+    # appends carry the vectors forward
+    t.append(spark.range(100, 110).selectExpr("id AS k", "CAST(id % 7 AS INT) AS g").coalesce(1))
+    assert t.read().count() == 99
+    assert t.read().filter(F.col("k") == 7).count() == 0
+    # copy-on-write delete on a DV-carrying table must not resurrect rows
+    assert t.delete_where(F.col("k") == 101) == 1
+    assert t.read().count() == 98
+    assert t.read().filter((F.col("k") == 7) | (F.col("k") % 10 == 0) & (F.col("k") < 100)).count() == 0
+    # compact: deletions materialize, vectors dropped
+    t.compact(target_partitions=2)
+    m2 = TxnTable(spark, tdir)._manifest()
+    assert not m2.get("dvs")
+    assert t.read().count() == 98
+
+
+def test_delete_where_dv_point_and_pruned_reads_overlay(spark, tdir):
+    """The DV overlay applies to stats-pruned and bloom point reads too —
+    pruning never resurrects deleted rows."""
+    t = TxnTable.create(
+        spark, tdir,
+        spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").repartition(4),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+        bloom_bits=1024,
+    )
+    t.delete_where_dv((F.col("k") >= 50) & (F.col("k") < 60))
+    assert sorted(r.k for r in t.read_pruned("k", 45, 65).collect()) == (
+        list(range(45, 50)) + list(range(60, 66))
+    )
+    assert t.read_point("k", 55).count() == 0
+    assert t.read_point("k", 65).count() == 1
+    # reserved-name guard
+    import pytest
+
+    bad = TxnTable.create(
+        spark, str(tdir) + "_b",
+        spark.createDataFrame([(1, "f")], "k bigint, file_name string"),
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        bad.delete_where_dv(F.col("k") == 1)

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "corpus_to_training_examples",
     "product_type_profit",
     "txn_replace_where_backfill",
+    "txn_deletion_vectors",
 ]
 
 

@@ -7009,6 +7009,41 @@ def q_txn_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
+@_register(
+    "txn_deletion_vectors",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey % 8 = 0
+      AND NOT (l_returnflag = 'R')
+      AND NOT (l_quantity < 5)
+    """,
+)
+def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes (sources/txn.py delete_where_dv — the
+    Delta/Iceberg deletion-vector posture): two successive DELETEs record
+    row positions in deletion-vector parquets — ZERO data files rewritten
+    (the second stacks on the first) — and the published read overlays
+    them with a broadcast anti-join keyed on the parquet _metadata
+    position. The write cost is deleted-rows-sized, independent of file
+    sizes — the GDPR-erasure / late-retraction shape where copy-on-write
+    rewrite amplification dominates; compaction later materializes the
+    vectors away. Deterministic end state → value-hash oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    base = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 8 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    t = TxnTable.create(
+        spark, tempfile.mkdtemp(prefix="sjs_dv_q_"), base.repartition(4)
+    )
+    t.delete_where_dv(F.col("l_returnflag") == "R")
+    t.delete_where_dv(F.col("l_quantity") < 5)
+    return t.read()
+
+
 # ---------------------------------------------------------------------------
 # Gate-window ordering.
 #
@@ -7057,7 +7092,8 @@ def q_txn_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join_full_outer_reconcile, argmin_supplier_per_part,
 # decontamination_exact_overlap, term_document_frequency,
 # dq_bounds_observed, scd2_supplier_balances, pandas_udf_token_count)
-# and product_type_profit + txn_replace_where_backfill (registered
+# and product_type_profit + txn_replace_where_backfill +
+# txn_deletion_vectors (registered
 # after the window froze — never driver-evidenced; driver_check-green
 # locally). COVERAGE.md's freshness column tracks all of this
 # mechanically.

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "product_type_profit",
     "txn_replace_where_backfill",
     "txn_deletion_vectors",
+    "txn_update_where",
 ]
 
 

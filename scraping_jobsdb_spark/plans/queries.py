@@ -7010,6 +7010,45 @@ def q_txn_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txn_update_where",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice * 1.1 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderstatus = 'O' THEN 'repriced'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 6 = 0
+    """,
+)
+def q_txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level copy-on-write UPDATE (sources/txn.py update_where — the
+    SQL UPDATE ... SET ... WHERE lakehouse op; the reference's
+    UPDATE...FROM imputation family, here as a self-contained predicate
+    update): every open order in the slice gets repriced in ONE commit
+    that rewrites only the files holding a matching row. Deterministic
+    end state → value-hash oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 6 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    t = TxnTable.create(
+        spark, tempfile.mkdtemp(prefix="sjs_upd_q_"), base.repartition(4)
+    )
+    t.update_where(
+        F.col("o_orderstatus") == "O",
+        {
+            "o_totalprice": (F.col("o_totalprice") * 1.1).cast("double"),
+            "o_orderpriority": F.lit("repriced"),
+        },
+    )
+    return t.read()
+
+
+@_register(
     "txn_deletion_vectors",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -7093,7 +7132,7 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decontamination_exact_overlap, term_document_frequency,
 # dq_bounds_observed, scd2_supplier_balances, pandas_udf_token_count)
 # and product_type_profit + txn_replace_where_backfill +
-# txn_deletion_vectors (registered
+# txn_deletion_vectors + txn_update_where (registered
 # after the window froze — never driver-evidenced; driver_check-green
 # locally). COVERAGE.md's freshness column tracks all of this
 # mechanically.

@@ -1496,6 +1496,70 @@ class TxnTable:
         out = self._occ_loop(attempt)
         return 0 if out is None else out
 
+    def update_where(
+        self, cond: Column | str, set_exprs: dict[str, Column | str]
+    ) -> int:
+        """File-level copy-on-write UPDATE (SQL ``UPDATE t SET ... WHERE
+        cond``): rows where ``cond`` IS TRUE get each target column
+        replaced by its ``set_exprs`` expression (a Column or SQL string
+        over the row); all other rows — including NULL-predicate rows —
+        carry unchanged. Likes its delete sibling, only files holding a
+        matching row are rewritten; untouched files carry over by path.
+        Types are pinned to the table schema (an expression cannot drift a
+        column's type). Returns rows updated (0 = no commit)."""
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        self._require_unbucketed("update_where")
+
+        def attempt(base):
+            touched, schema, n_match = self._touched_files(base, cond_col)
+            if not touched:
+                return None
+            names = set(schema.fieldNames())
+            unknown = [c for c in set_exprs if c not in names]
+            if unknown:
+                raise ValueError(
+                    f"update_where: SET targets {unknown} not in table "
+                    f"schema {sorted(names)}"
+                )
+            m = self._manifest(base)
+            scan = self._dv_overlay(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in touched]
+                ),
+                m,
+                touched,
+            )
+            is_hit = F.coalesce(cond_col, F.lit(False))
+            cols = []
+            for f in schema.fields:
+                if f.name in set_exprs:
+                    e = set_exprs[f.name]
+                    e_col = F.expr(e) if isinstance(e, str) else e
+                    cols.append(
+                        F.when(is_hit, e_col.cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            rewritten = scan.select(*cols)
+            new_files, _ = self._write_data(rewritten)
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            all_files = [
+                os.path.join(self.path, f) for f in untouched
+            ] + new_files
+            return (
+                all_files,
+                schema,
+                "update",
+                m.get("n_rows"),
+                n_match,
+                self._stats_extra(base, new_files),
+            )
+
+        out = self._occ_loop(attempt)
+        return 0 if out is None else out
+
     def delete_where_dv(self, cond: Column | str) -> int:
         """Merge-on-READ delete (Delta/Iceberg deletion-vector posture):
         matching row POSITIONS are recorded in a deletion-vector parquet

@@ -1202,3 +1202,32 @@ def test_delete_where_dv_point_and_pruned_reads_overlay(spark, tdir):
     )
     with pytest.raises(ValueError, match="reserved"):
         bad.delete_where_dv(F.col("k") == 1)
+
+
+def test_update_where_rewrites_only_touched_files(spark, tdir):
+    """UPDATE WHERE: matching rows get the SET expressions (types pinned
+    to the schema), non-matching and NULL-predicate rows carry unchanged,
+    untouched files carry over by path, unknown SET targets raise, and a
+    no-match update commits nothing."""
+    import pytest
+
+    t = TxnTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a"), (2, "b")]).coalesce(1),
+    )
+    t.append(_df(spark, [(3, "c"), (4, None)]).coalesce(1))
+    files_before = set(TxnTable(spark, tdir)._manifest()["files"])
+    n = t.update_where(F.col("k") >= 3, {"v": F.concat(F.coalesce(F.col("v"), F.lit("?")), F.lit("!"))})
+    assert n == 2
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c!"), (4, "?!")]
+    files_after = set(TxnTable(spark, tdir)._manifest()["files"])
+    assert files_before & files_after  # the k=1,2 file carried over
+    # NULL-predicate rows carry unchanged
+    assert t.update_where(F.col("v") == "zzz", {"v": F.lit("x")}) == 0
+    with pytest.raises(ValueError, match="SET targets"):
+        t.update_where(F.col("k") == 1, {"nope": F.lit(1)})
+    # SQL-string forms for both cond and expression
+    assert t.update_where("k = 1", {"v": "upper(v)"}) == 1
+    assert _rows(t.read()) == [(1, "A"), (2, "b"), (3, "c!"), (4, "?!")]
+    # time travel intact
+    assert _rows(t.read(version=2)) == [(1, "a"), (2, "b"), (3, "c"), (4, None)]

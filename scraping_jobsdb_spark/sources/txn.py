@@ -1648,6 +1648,112 @@ class TxnTable:
         out = self._occ_loop(attempt)
         return 0 if out is None else out
 
+    def update_where_dv(
+        self, cond: Column | str, set_exprs: dict[str, Column | str]
+    ) -> int:
+        """Merge-on-READ update (Iceberg's MoR posture): ONE commit records
+        a deletion vector over the matching rows AND appends their updated
+        copies — no existing data file is rewritten. Write cost is
+        matched-rows-sized (the copy-on-write ``update_where`` pays
+        touched-FILE-sized rewrites); read cost is the same broadcast DV
+        anti-join every read already applies. Use for frequent small
+        updates on tables with large files; compaction materializes the
+        whole history away. Returns rows updated (0 = no commit)."""
+        cond_col = F.expr(cond) if isinstance(cond, str) else cond
+        self._require_unbucketed("update_where_dv")
+
+        def attempt(base):
+            m = self._manifest(base)
+            rel_files = m["files"]
+            if not rel_files:
+                return None
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            clash = {"file_name", "row_index"} & set(schema.fieldNames())
+            if clash:
+                raise ValueError(
+                    f"update_where_dv: column names {sorted(clash)} are "
+                    "reserved for the deletion-vector position keys; use "
+                    "update_where (copy-on-write) on this table"
+                )
+            names = set(schema.fieldNames())
+            unknown = [c for c in set_exprs if c not in names]
+            if unknown:
+                raise ValueError(
+                    f"update_where_dv: SET targets {unknown} not in table "
+                    f"schema {sorted(names)}"
+                )
+            tagged = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.path, f) for f in rel_files]
+            ).select(
+                "*",
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            dvs_now = m.get("dvs") or {}
+            dv_files = sorted({d for fs in dvs_now.values() for d in fs})
+            if dv_files:
+                prior = (
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in dv_files]
+                    )
+                    .select(
+                        F.col("file_name").alias("__pf"),
+                        F.col("row_index").alias("__pr"),
+                    )
+                    .distinct()
+                )
+                tagged = tagged.join(
+                    F.broadcast(prior),
+                    (tagged["file_name"] == prior["__pf"])
+                    & (tagged["row_index"] == prior["__pr"]),
+                    "left_anti",
+                )
+            matched = tagged.filter(cond_col).localCheckpoint()
+            dv_dir_rel = os.path.join(_TXN_DIR, "dv", uuid.uuid4().hex)
+            dv_dir = os.path.join(self.path, dv_dir_rel)
+            matched.select("file_name", "row_index").write.parquet(dv_dir)
+            back = self.spark.read.parquet(dv_dir)
+            touched_names = [
+                r[0] for r in back.select("file_name").distinct().collect()
+            ]
+            n_updated = back.count()
+            if n_updated == 0:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                return None
+            cols = []
+            for f in schema.fields:
+                if f.name in set_exprs:
+                    e = set_exprs[f.name]
+                    e_col = F.expr(e) if isinstance(e, str) else e
+                    cols.append(e_col.cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            new_files, _ = self._write_data(matched.select(*cols))
+            new_dv_rels = [
+                os.path.relpath(f, self.path)
+                for f in self._list_parquet(dv_dir)
+            ]
+            by_name = {os.path.basename(f): f for f in rel_files}
+            new_dvs = {k: list(v) for k, v in dvs_now.items()}
+            for name in touched_names:
+                new_dvs.setdefault(by_name[name], []).extend(new_dv_rels)
+            extra = self._stats_extra(base, new_files)
+            extra["dvs"] = new_dvs
+            all_files = [
+                os.path.join(self.path, f) for f in rel_files
+            ] + new_files
+            return (
+                all_files,
+                schema,
+                "update_dv",
+                m.get("n_rows"),
+                n_updated,
+                extra,
+            )
+
+        out = self._occ_loop(attempt)
+        return 0 if out is None else out
+
     def replace_where(self, cond: Column | str, df: DataFrame) -> int:
         """Partition-scoped overwrite (Delta's ``replaceWhere``): atomically
         delete every row where ``cond`` IS TRUE and insert ``df`` — the

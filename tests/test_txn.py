@@ -1231,3 +1231,34 @@ def test_update_where_rewrites_only_touched_files(spark, tdir):
     assert _rows(t.read()) == [(1, "A"), (2, "b"), (3, "c!"), (4, "?!")]
     # time travel intact
     assert _rows(t.read(version=2)) == [(1, "a"), (2, "b"), (3, "c"), (4, None)]
+
+
+def test_update_where_dv_merge_on_read(spark, tdir):
+    """MoR update: one commit = deletion vector over matched rows + their
+    updated copies appended; no pre-existing file rewritten; reads see
+    updated values everywhere; chains with MoR delete; compact
+    materializes; updated copies are themselves updatable."""
+    t = TxnTable.create(
+        spark, tdir,
+        spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").repartition(2),
+    )
+    files_v1 = set(TxnTable(spark, tdir)._manifest()["files"])
+    assert t.update_where_dv(F.col("k") < 10, {"x": F.col("x") + 1000.0}) == 10
+    m = TxnTable(spark, tdir)._manifest()
+    assert files_v1 <= set(m["files"])  # old files all still present
+    assert m.get("dvs")
+    got = {r.k: r.x for r in t.read().collect()}
+    assert len(got) == 50
+    assert got[3] == 1003.0 and got[20] == 20.0
+    # update the updated copy again (its rows live in appended files)
+    assert t.update_where_dv(F.col("k") == 3, {"x": F.lit(-1.0)}) == 1
+    assert {r.x for r in t.read().filter(F.col("k") == 3).collect()} == {-1.0}
+    # MoR delete composes on top
+    assert t.delete_where_dv(F.col("x") == -1.0) == 1
+    assert t.read().count() == 49
+    # compact: everything materializes, vectors dropped, values kept
+    t.compact(target_partitions=2)
+    m2 = TxnTable(spark, tdir)._manifest()
+    assert not m2.get("dvs")
+    got2 = {r.k: r.x for r in t.read().collect()}
+    assert len(got2) == 49 and got2[5] == 1005.0 and 3 not in got2

@@ -1619,7 +1619,9 @@ class TxnTable:
             matches = tagged.filter(cond_col).select("file_name", "row_index")
             dv_dir_rel = os.path.join(_TXN_DIR, "dv", uuid.uuid4().hex)
             dv_dir = os.path.join(self.path, dv_dir_rel)
-            matches.write.parquet(dv_dir)
+            # one DV file per delete: vectors are deleted-rows-sized, and a
+            # part file per scan partition would bloat the active-DV count
+            matches.coalesce(1).write.parquet(dv_dir)
             new_dv_files = self._list_parquet(dv_dir)
             back = self.spark.read.parquet(dv_dir)
             touched_names = [r[0] for r in back.select("file_name").distinct().collect()]
@@ -1711,7 +1713,9 @@ class TxnTable:
             matched = tagged.filter(cond_col).localCheckpoint()
             dv_dir_rel = os.path.join(_TXN_DIR, "dv", uuid.uuid4().hex)
             dv_dir = os.path.join(self.path, dv_dir_rel)
-            matched.select("file_name", "row_index").write.parquet(dv_dir)
+            matched.select("file_name", "row_index").coalesce(1).write.parquet(
+                dv_dir
+            )
             back = self.spark.read.parquet(dv_dir)
             touched_names = [
                 r[0] for r in back.select("file_name").distinct().collect()
@@ -1954,6 +1958,7 @@ class TxnTable:
         self,
         max_files: int,
         target_partitions: int | None = None,
+        max_dv_files: int | None = None,
     ) -> int | None:
         """Auto-compaction policy (Delta's autoOptimize posture): compact
         only when the live snapshot references MORE than ``max_files`` data
@@ -1961,8 +1966,12 @@ class TxnTable:
         Spark job, no data touched — so an ingest loop can call this after
         every append and pay the rewrite only when the small-file count
         actually crosses the threshold (rewrite cost amortizes to
-        O(snapshot / max_files) per file ever written). Returns the new
-        file count, or None when no compaction ran."""
+        O(snapshot / max_files) per file ever written). ``max_dv_files``
+        additionally triggers on the count of ACTIVE deletion-vector
+        parquets — compaction is the DV garbage collection, and an
+        unbounded stack of tiny vectors slows every read's overlay
+        broadcast. Returns the new file count, or None when no compaction
+        ran."""
         if max_files < 1:
             raise ValueError("max_files must be >= 1")
         if self.bucket_spec() is not None:
@@ -1971,7 +1980,10 @@ class TxnTable:
             # below n_buckets, so a threshold under it would otherwise
             # trigger a full-table rewrite on EVERY call, forever
             return None
-        if len(self._manifest()["files"]) <= max_files:
+        m = self._manifest()
+        n_dvs = len({d for fs in (m.get("dvs") or {}).values() for d in fs})
+        dv_over = max_dv_files is not None and n_dvs > max_dv_files
+        if len(m["files"]) <= max_files and not dv_over:
             return None
         # The post-compact count must come in UNDER the threshold, or the
         # policy churns: the bare compact() default (session parallelism,

@@ -1262,3 +1262,22 @@ def test_update_where_dv_merge_on_read(spark, tdir):
     assert not m2.get("dvs")
     got2 = {r.k: r.x for r in t.read().collect()}
     assert len(got2) == 49 and got2[5] == 1005.0 and 3 not in got2
+
+
+def test_maybe_compact_dv_threshold(spark, tdir):
+    """max_dv_files: a stack of deletion vectors past the threshold
+    triggers compaction (DV GC) even when the data-file count is fine;
+    under both thresholds it stays a no-op."""
+    t = TxnTable.create(
+        spark, tdir,
+        spark.range(0, 40).selectExpr("id AS k").coalesce(2),
+    )
+    for i in range(3):
+        assert t.delete_where_dv(F.col("k") == i) == 1
+    v = t.version()
+    assert t.maybe_compact(max_files=50, max_dv_files=5) is None
+    assert t.version() == v  # under both thresholds
+    assert t.maybe_compact(max_files=50, max_dv_files=2) is not None
+    m = TxnTable(spark, tdir)._manifest()
+    assert not m.get("dvs")
+    assert t.read().count() == 37

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "txn_replace_where_backfill",
     "txn_deletion_vectors",
     "txn_update_where",
+    "txn_mor_update",
 ]
 
 

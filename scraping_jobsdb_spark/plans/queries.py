@@ -7049,6 +7049,50 @@ def q_txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txn_mor_update",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+    ), updated AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(o_totalprice + 500.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM updated WHERE NOT (o_totalprice < 1000)
+    """,
+)
+def q_txn_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE chained with merge-on-read DELETE
+    (sources/txn.py update_where_dv + delete_where_dv): the update's one
+    commit records a deletion vector over matched rows AND appends their
+    updated copies (write cost matched-ROWS-sized, no data file
+    rewritten); the delete then stacks a second vector — including over
+    the freshly-appended copies. The published read overlays both with
+    one broadcast anti-join. Deterministic end state → value-hash
+    oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = TxnTable.create(
+        spark, tempfile.mkdtemp(prefix="sjs_moru_q_"), base.repartition(4)
+    )
+    t.update_where_dv(
+        F.col("o_orderstatus") == "O",
+        {"o_totalprice": (F.col("o_totalprice") + 500.0).cast("double")},
+    )
+    t.delete_where_dv(F.col("o_totalprice") < 1000)
+    return t.read()
+
+
+@_register(
     "txn_deletion_vectors",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -7132,7 +7176,7 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decontamination_exact_overlap, term_document_frequency,
 # dq_bounds_observed, scd2_supplier_balances, pandas_udf_token_count)
 # and product_type_profit + txn_replace_where_backfill +
-# txn_deletion_vectors + txn_update_where (registered
+# txn_deletion_vectors + txn_update_where + txn_mor_update (registered
 # after the window froze — never driver-evidenced; driver_check-green
 # locally). COVERAGE.md's freshness column tracks all of this
 # mechanically.

@@ -1281,3 +1281,41 @@ def test_maybe_compact_dv_threshold(spark, tdir):
     m = TxnTable(spark, tdir)._manifest()
     assert not m.get("dvs")
     assert t.read().count() == 37
+
+
+def test_dv_with_schema_evolution_and_occ(spark, tdir):
+    """Deletion vectors survive the edge interactions: (1) an evolving
+    append on a DV-carrying table (old files read through the widened
+    schema, vectors still apply); (2) an OCC race — a concurrent append
+    lands between a DV delete's base read and its commit, the delete
+    retries and BOTH effects land."""
+    t = TxnTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1),
+    )
+    assert t.delete_where_dv(F.col("k") == 2) == 1
+    # additive schema evolution on top of a DV
+    t.append(
+        spark.createDataFrame([(4, "d", 9.5)], "k bigint, v string, w double")
+    )
+    got = {r.k: (r.v, r.w) for r in t.read().collect()}
+    assert got == {1: ("a", None), 3: ("c", None), 4: ("d", 9.5)}
+    # OCC: interleave an append inside the DV delete's attempt
+    real_commit = t._commit
+    state = {"done": False}
+
+    def racing_commit(base, files, schema, op, n_rows, extra=None):
+        if not state["done"] and op == "delete_dv":
+            state["done"] = True
+            other = TxnTable(spark, t.path)
+            other.append(
+                spark.createDataFrame([(5, "e", 1.0)], "k bigint, v string, w double")
+            )
+        return real_commit(base, files, schema, op, n_rows, extra=extra)
+
+    t._commit = racing_commit
+    assert t.delete_where_dv(F.col("k") == 3) == 1
+    t._commit = real_commit
+    assert state["done"]
+    final = {r.k for r in t.read().collect()}
+    assert final == {1, 4, 5}  # both the racing append and the delete landed

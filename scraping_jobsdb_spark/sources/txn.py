@@ -1434,8 +1434,11 @@ class TxnTable:
         # Tag file identity BEFORE the DV overlay: a post-join
         # input_file_name() is ambiguous (two scan sources), and any DV
         # overlay must apply first so already-deleted rows cannot re-match.
+        # Key on the FULL file path, not the basename — adopted external
+        # layouts can hold colliding basenames and a basename map would
+        # silently resolve a match to the wrong file.
         tagged = self.spark.read.schema(schema).parquet(*abs_files).select(
-            "*", F.col("_metadata.file_name").alias("__tf")
+            "*", F.col("_metadata.file_path").alias("__tf")
         )
         hits = (
             self._dv_overlay(tagged, m, rel_files)
@@ -1444,11 +1447,14 @@ class TxnTable:
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        by_name = {os.path.basename(f): f for f in rel_files}
+        root = os.path.abspath(self.path)
         touched = []
         n_match = 0
         for r in hits:
-            touched.append(by_name[r["__tf"]])
+            uri = r["__tf"]
+            fp = uri[5:] if uri.startswith("file:") else uri
+            fp = "/" + fp.lstrip("/")
+            touched.append(os.path.relpath(os.path.abspath(fp), root))
             n_match += r["__n"]
         return sorted(touched), schema, int(n_match)
 
@@ -1590,6 +1596,16 @@ class TxnTable:
                     "reserved for the deletion-vector position keys; use "
                     "delete_where (copy-on-write) on this table"
                 )
+            names_list = [os.path.basename(f) for f in rel_files]
+            if len(set(names_list)) != len(names_list):
+                # adopted tables can hold externally-written files with
+                # colliding basenames; the DV position key is (file_name,
+                # row_index), so a collision would delete rows from BOTH
+                raise ValueError(
+                    "delete_where_dv: snapshot holds duplicate file "
+                    "basenames (adopted external layout?); use "
+                    "delete_where (copy-on-write) on this table"
+                )
             tagged = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self.path, f) for f in rel_files]
             ).select(
@@ -1675,6 +1691,13 @@ class TxnTable:
                 raise ValueError(
                     f"update_where_dv: column names {sorted(clash)} are "
                     "reserved for the deletion-vector position keys; use "
+                    "update_where (copy-on-write) on this table"
+                )
+            names_list = [os.path.basename(f) for f in rel_files]
+            if len(set(names_list)) != len(names_list):
+                raise ValueError(
+                    "update_where_dv: snapshot holds duplicate file "
+                    "basenames (adopted external layout?); use "
                     "update_where (copy-on-write) on this table"
                 )
             names = set(schema.fieldNames())

@@ -1319,3 +1319,32 @@ def test_dv_with_schema_evolution_and_occ(spark, tdir):
     assert state["done"]
     final = {r.k for r in t.read().collect()}
     assert final == {1, 4, 5}  # both the racing append and the delete landed
+
+
+def test_dv_rejects_duplicate_basenames(spark, tdir, tmp_path):
+    """An adopted layout with colliding part-file basenames must refuse
+    merge-on-read ops: the DV position key is (file_name, row_index) and
+    a collision would delete rows from both files. Copy-on-write delete
+    still works."""
+    import pytest
+
+    d = str(tmp_path / "ext")
+    spark.createDataFrame([(1, "a")], "k bigint, v string").coalesce(1)\
+        .write.parquet(d + "/p1")
+    spark.createDataFrame([(2, "b")], "k bigint, v string").coalesce(1)\
+        .write.parquet(d + "/p2")
+    import glob as _g
+    import os as _os
+    import shutil as _sh
+    # force identical basenames in two subdirs
+    for sub in ("p1", "p2"):
+        f = _g.glob(f"{d}/{sub}/part-*.parquet")[0]
+        _sh.move(f, f"{d}/{sub}/part-00000.parquet")
+        for extra in _g.glob(f"{d}/{sub}/_*"):
+            _os.remove(extra)
+    t = TxnTable.ensure(spark, d)
+    assert t.read().count() == 2
+    with pytest.raises(ValueError, match="duplicate file basenames"):
+        t.delete_where_dv(F.col("k") == 1)
+    assert t.delete_where(F.col("k") == 1) == 1  # COW path unaffected
+    assert _rows(t.read()) == [(2, "b")]

@@ -2083,6 +2083,32 @@ class TxnTable:
             if rel not in referenced:
                 os.unlink(f)
                 removed += 1
+        # deletion-vector parquets live under the txn log (outside the
+        # data walk): keep every vector any raw manifest references (time
+        # travel), remove crashed-attempt orphans
+        referenced_dvs: set[str] = set()
+        for v in range(1, self.version() + 1):
+            raw = _read_raw_manifest(self.path, v)
+            for fs in (raw.get("dvs") or {}).values():
+                referenced_dvs.update(fs)
+        dv_root = os.path.join(self.path, _TXN_DIR, "dv")
+        if os.path.isdir(dv_root):
+            for root, _dirs, files_ in os.walk(dv_root):
+                for f in files_:
+                    if not f.endswith(".parquet"):
+                        continue
+                    full = os.path.join(root, f)
+                    if os.path.relpath(full, self.path) not in referenced_dvs:
+                        os.unlink(full)
+                        removed += 1
+            for d in os.listdir(dv_root):
+                full = os.path.join(dv_root, d)
+                if os.path.isdir(full) and not any(
+                    fn.endswith(".parquet")
+                    for _r, _d, fns in os.walk(full)
+                    for fn in fns
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
         # prune empty commit directories
         data_root = os.path.join(self.path, _DATA_DIR)
         if os.path.isdir(data_root):

@@ -1348,3 +1348,29 @@ def test_dv_rejects_duplicate_basenames(spark, tdir, tmp_path):
         t.delete_where_dv(F.col("k") == 1)
     assert t.delete_where(F.col("k") == 1) == 1  # COW path unaffected
     assert _rows(t.read()) == [(2, "b")]
+
+
+def test_vacuum_keeps_referenced_dvs_removes_orphans(spark, tdir):
+    """vacuum: deletion vectors referenced by ANY manifest survive (time
+    travel through DV history stays valid); a crashed DV write's orphan
+    parquet is removed."""
+    import glob as _g
+    import os as _os
+
+    t = TxnTable.create(
+        spark, tdir, spark.range(0, 20).selectExpr("id AS k").coalesce(1)
+    )
+    t.delete_where_dv(F.col("k") < 5)
+    # simulate a crashed attempt: a dv dir written, never committed
+    orphan_dir = _os.path.join(tdir, "_txn", "dv", "deadbeef")
+    spark.createDataFrame(
+        [("x.parquet", 0)], "file_name string, row_index bigint"
+    ).coalesce(1).write.parquet(orphan_dir)
+    n_orphans = len(_g.glob(orphan_dir + "/*.parquet"))
+    assert n_orphans >= 1
+    removed = t.vacuum()
+    assert removed >= n_orphans
+    assert not _os.path.isdir(orphan_dir)
+    # the committed vector survives and still applies
+    assert t.read().count() == 15
+    assert t.read(version=1).count() == 20

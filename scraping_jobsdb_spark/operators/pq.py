@@ -506,6 +506,47 @@ def write_ann_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
 
 
+def ann_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit new vectors into a persisted ANN index WITHOUT rebuilding it:
+    the stored quantizer (centroids + codebook side tables) encodes and
+    cell-assigns the newcomers in one map-only pass, and their codes
+    APPEND into the existing cell directories — the index's coarse
+    structure is frozen (exactly FAISS's add-after-train contract), so
+    probes see old and new vectors identically and recall for existing
+    queries is untouched. Cost: O(|new|), independent of index size.
+    Retrain + rewrite (``write_ann_index``) when drift makes the frozen
+    quantizer a bad fit — same trade as every IVF deployment."""
+    import os
+
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    ]
+    cb = {}
+    for r in spark.read.parquet(os.path.join(path, "codebook")).collect():
+        cb[(r.subspace, r.cell)] = [float(x) for x in r.centroid]
+    m = 1 + max(j for j, _ in cb)
+    kk = 1 + max(c for _, c in cb)
+    codebook = [[cb[(j, c)] for c in range(kk)] for j in range(m)]
+    coded = pq_encode(
+        new_vectors, codebook, id_col=id_col, vec_col=vec_col
+    ).join(
+        new_vectors.select(
+            F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")
+        ),
+        id_col,
+    )
+    coded.write.partitionBy("cell").mode("append").parquet(
+        os.path.join(path, "codes")
+    )
+
+
 def ann_index_topk(
     spark,
     path: str,

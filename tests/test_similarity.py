@@ -882,3 +882,47 @@ def test_label_centroids_exact_and_classify_deterministic(spark):
         [(1, [0.0] * 64)], "vec_id bigint, embedding array<double>"
     )
     assert nearest_centroid_classify(z, cents).collect()[0].pred_label == min(got)
+
+
+def test_ann_index_add_equals_rebuild(spark, tmp_path):
+    """Incremental index admission: write the index over half the corpus,
+    ann_index_add the other half — probes return row-identical results to
+    an index built over the full corpus in one shot (the stored quantizer
+    is shared, so codes and cell assignments agree exactly)."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_add,
+        ann_index_topk,
+        pq_train,
+        write_ann_index,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _seed_centroids(emb, 10, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+
+    p_inc = str(tmp_path / "inc")
+    write_ann_index(half_a, p_inc, codebook, centroids=cents)
+    ann_index_add(spark, p_inc, half_b)
+    p_full = str(tmp_path / "full")
+    write_ann_index(emb, p_full, codebook, centroids=cents)
+
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(
+            spark, p_inc, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(
+            spark, p_full, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    assert got == want and len(got) == 30

@@ -67,6 +67,10 @@ REQUIRED = [
     ("weighted_sample_by_length", "TakeOrderedAndProject"),
     # grouped KMV build compiles to the map-side per-group top-k
     ("kmv_distinct_sketches", "WindowGroupLimit"),
+    # BPE top-k is an ordered limit, never a global sort
+    ("bpe_merge_candidates", "TakeOrderedAndProject"),
+    # Q9 star: the part dimension leg broadcasts
+    ("product_type_profit", "BroadcastHashJoin"),
 ]
 
 FORBIDDEN = [
@@ -164,6 +168,29 @@ FORBIDDEN = [
     # fuzzy join blocks on gram equi-join only, never a product
     ("fuzzy_join_supplier_names", "CartesianProduct"),
     ("fuzzy_join_supplier_names", "BroadcastNestedLoopJoin"),
+    # --- round 5 additions ---
+    # domain cap is one source-partitioned window: never global, no join
+    ("domain_cap_sample", "SinglePartition"),
+    ("domain_cap_sample", "Join"),
+    # packing is one lang-partitioned running-sum window: never global,
+    # no join anywhere in the plan
+    ("sequence_packing_stream", "SinglePartition"),
+    ("sequence_packing_stream", "Join"),
+    # epoch expansion is MAP-ONLY: no shuffle, no window, no join
+    ("epoch_repeat_expansion", "Exchange hashpartitioning"),
+    ("epoch_repeat_expansion", "Window"),
+    ("epoch_repeat_expansion", "Join"),
+    # BPE reduces to distinct-words-with-counts first: aggregates and an
+    # ordered limit only — no window, no join
+    ("bpe_merge_candidates", "Window"),
+    ("bpe_merge_candidates", "Join"),
+    # centroid classify is a pure map over driver-baked literals: the only
+    # joins in the whole confusion plan are none at all
+    ("nearest_centroid_confusion", "CartesianProduct"),
+    ("nearest_centroid_confusion", "BroadcastNestedLoopJoin"),
+    # sign-LSH banding: equi-join on (band, signature), never a product
+    ("embedding_neardup_lsh_pairs", "CartesianProduct"),
+    ("embedding_neardup_lsh_pairs", "BroadcastNestedLoopJoin"),
 ]
 
 

@@ -172,11 +172,21 @@ class FingerprintIndex:
         together (batch-vs-corpus, not batch-vs-self: compose with
         ``fingerprint_containment_pairs`` upstream for intra-batch dedup).
 
-        Exactly-once: the kept-fingerprint append is epoch-keyed (replays
-        append nothing and the DF-view refresh no-ops), so failure
-        recovery cannot admit a batch twice."""
+        Exactly-once AND replay-stable: the kept-fingerprint append is
+        epoch-keyed (replays append nothing and the DF-view refresh
+        no-ops), and the probe excludes corpus fingerprints carrying the
+        batch's OWN doc ids — on a failure-recovery replay the index
+        already holds the first attempt's kept fingerprints under the same
+        ids, and without the exclusion every previously-kept doc would
+        score 100% contained in itself and flip to dropped, so a caller
+        routing kept rows to the corpus sink would lose those docs on
+        recovery. Contract: doc ids are unique across the stream (a
+        re-sent id is the same document, never a self-duplicate)."""
         verdict = self.probe(
-            docs, threshold_milli=threshold_milli, text_col=text_col
+            docs,
+            threshold_milli=threshold_milli,
+            text_col=text_col,
+            exclude_self_ids=True,
         ).localCheckpoint()
         kept_ids = verdict.filter(F.col("kept")).select(self.id_col)
         kept_docs = docs.join(kept_ids, self.id_col, "left_semi")
@@ -243,6 +253,7 @@ class FingerprintIndex:
         threshold_milli: int = 800,
         text_col: str = "text",
         broadcast_batch: bool = True,
+        exclude_self_ids: bool = False,
     ) -> DataFrame:
         """Score every batch document against the stored corpus: one row
         per batch doc — (id, n_fp, n_dup_of, kept), identical to
@@ -255,7 +266,10 @@ class FingerprintIndex:
         corpus doc) pairs, never the index. The stop-gram list comes from
         the maintained DF view (broadcast anti-join on both sides). Set
         ``broadcast_batch=False`` for a backfill-sized batch; the planner
-        then picks the join strategy."""
+        then picks the join strategy. ``exclude_self_ids`` drops corpus
+        fingerprints whose id appears in the batch itself before scoring
+        (a broadcast anti-join on the small batch-id set) — the
+        replay-stability guard ``admit_stream_batch`` relies on."""
         stop = F.broadcast(self.stop_grams())
         fps_b = winnowing_fingerprint_set(
             batch, self.k, self.w, text_col, self.id_col
@@ -264,6 +278,12 @@ class FingerprintIndex:
         if broadcast_batch:
             pruned_b = F.broadcast(pruned_b)
         pruned_c = self.fingerprints().join(stop, "h", "left_anti")
+        if exclude_self_ids:
+            pruned_c = pruned_c.join(
+                F.broadcast(batch.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
+            )
         return containment_verdict(
             batch.select(self.id_col),
             pruned_b,

@@ -154,8 +154,10 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>): map-only argmin against the literal codebook —
-    no join, no shuffle; the codebook rides the plan as constants."""
-    m, k = len(codebook), len(codebook[0])
+    no join, no shuffle; the codebook rides the plan as constants. Ragged
+    codebooks (sub-codebooks of differing length) are legal: each subspace
+    argmins over its OWN cell list."""
+    m = len(codebook)
     width = len(codebook[0][0])
 
     def best_cell(j: int):
@@ -171,7 +173,7 @@ def pq_encode(
                         _l2sq(sub, F.array(*[F.lit(x) for x in codebook[j][c]])).alias("d"),
                         F.lit(c).alias("c"),
                     )
-                    for c in range(k)
+                    for c in range(len(codebook[j]))
                 ]
             )
         )["c"]
@@ -197,7 +199,7 @@ def _adc_score(qvec, codebook: list[list[list[float]]]):
                         for i in range(width)
                     )
                 )
-                for c in range(len(codebook[0]))
+                for c in range(len(codebook[j]))
             ]
         )
         term = F.element_at(table, F.col("codes").getItem(j) + 1)
@@ -506,12 +508,44 @@ def write_ann_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
 
 
+def _load_index_sides(spark, path: str):
+    """Load a persisted index's two side tables driver-side: centroid rows
+    and the codebook rebuilt EXACTLY as stored — per-subspace cell lists,
+    NOT a dense 0..max-cell rectangle. ``write_ann_index`` legally writes
+    ragged codebooks (sub-codebooks of differing length, e.g. k-means that
+    converged to fewer cells in one subspace); assuming the global max
+    cell count raised KeyError on the missing (subspace, cell) pairs.
+    Each subspace's cells must still be contiguous 0..len-1 (they are code
+    values — pq_encode indexes the sub-codebook by them), which is checked."""
+    import os
+
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    ]
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(os.path.join(path, "codebook")).collect():
+        by_sub.setdefault(r.subspace, {})[r.cell] = [float(x) for x in r.centroid]
+    m = 1 + max(by_sub)
+    codebook = []
+    for j in range(m):
+        cells = by_sub.get(j, {})
+        if sorted(cells) != list(range(len(cells))):
+            raise ValueError(
+                f"{path}: codebook subspace {j} cells {sorted(cells)} are not "
+                "contiguous from 0 — corrupt or partially-written side table"
+            )
+        codebook.append([cells[c] for c in range(len(cells))])
+    return cent_rows, codebook
+
+
 def ann_index_add(
     spark,
     path: str,
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedupe_ids: bool = False,
 ) -> None:
     """Admit new vectors into a persisted ANN index WITHOUT rebuilding it:
     the stored quantizer (centroids + codebook side tables) encodes and
@@ -521,19 +555,20 @@ def ann_index_add(
     probes see old and new vectors identically and recall for existing
     queries is untouched. Cost: O(|new|), independent of index size.
     Retrain + rewrite (``write_ann_index``) when drift makes the frozen
-    quantizer a bad fit — same trade as every IVF deployment."""
+    quantizer a bad fit — same trade as every IVF deployment.
+
+    Admitting an id already in the index appends a SECOND code row for it
+    (both rows surface in probes). Pass ``dedupe_ids=True`` to anti-join
+    the newcomers against the stored ids first — that check scans the
+    index's id column (column-pruned, but O(index), trading the O(|new|)
+    admission cost for the guard), so the default leaves id uniqueness to
+    the caller's upstream pipeline."""
     import os
 
-    cent_rows = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-    ]
-    cb = {}
-    for r in spark.read.parquet(os.path.join(path, "codebook")).collect():
-        cb[(r.subspace, r.cell)] = [float(x) for x in r.centroid]
-    m = 1 + max(j for j, _ in cb)
-    kk = 1 + max(c for _, c in cb)
-    codebook = [[cb[(j, c)] for c in range(kk)] for j in range(m)]
+    cent_rows, codebook = _load_index_sides(spark, path)
+    if dedupe_ids:
+        existing = spark.read.parquet(os.path.join(path, "codes")).select(id_col)
+        new_vectors = new_vectors.join(existing, id_col, "left_anti")
     coded = pq_encode(
         new_vectors, codebook, id_col=id_col, vec_col=vec_col
     ).join(
@@ -568,16 +603,7 @@ def ann_index_topk(
     codebook and centroids the two return identical rows (tested)."""
     import os
 
-    cent_rows = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-    ]
-    cb = {}
-    for r in spark.read.parquet(os.path.join(path, "codebook")).collect():
-        cb[(r.subspace, r.cell)] = [float(x) for x in r.centroid]
-    m = 1 + max(j for j, _ in cb)
-    kk = 1 + max(c for _, c in cb)
-    codebook = [[cb[(j, c)] for c in range(kk)] for j in range(m)]
+    cent_rows, codebook = _load_index_sides(spark, path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
     q_rows = query.select(id_col, vec_col).collect()
     return _adc_rank_refine(

@@ -206,7 +206,7 @@ def simhash_candidate_pairs(
     id_col: str,
     text_col: str,
     chunk_bits: int = 16,
-    max_bucket: int | None = 256,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit fingerprint into 16-bit
     chunks; docs within Hamming distance 3 share at least one chunk
@@ -220,7 +220,10 @@ def simhash_candidate_pairs(
     join input. Singleton buckets are dropped too (they cannot pair).
     Same stop-gram economics as the winnowing/fuzzy joins; recall inside
     dropped bands is traded for a bounded job, and a dropped band is
-    boilerplate by definition. ``max_bucket=None`` disables the guard."""
+    boilerplate by definition. The guard is OPT-IN (default ``None`` —
+    every pair emitted, the original contract): dropping hot bands is a
+    recall change, so callers choose the cap knowingly; deployed-scale
+    call sites (the registered gate/bench queries) pass ``max_bucket=256``."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     with_fp = df.select(
         F.col(id_col).alias("doc"),
@@ -387,6 +390,7 @@ def embedding_neardup_pairs_lsh(
     rows_per_band: int = 2,
     n_bands: int | None = None,
     target_miss: float = 1e-7,
+    arrow_signatures: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH banding + exact
     cosine filter — the bucketed form of ``embedding_neardup_pairs``: same
@@ -409,7 +413,19 @@ def embedding_neardup_pairs_lsh(
     b/2^(r-1) × n²/2 — LSH cannot prune what geometry doesn't separate; the
     filter-before-distinct keeps the shuffle bounded to passing pairs even
     then. The exact filter runs BEFORE distinct so the dedup shuffle carries
-    only qualifying pairs, not the candidate expansion."""
+    only qualifying pairs, not the candidate expansion.
+
+    ``arrow_signatures``: compute the sign bits in ONE Arrow-batched numpy
+    matmul (vectors × planesᵀ) instead of per-plane Catalyst folds — at
+    aggressive banding (rows_per_band ≥ 8 ⇒ hundreds of planes) the
+    expression form is interpretation-bound (each HOF fold evaluates
+    per-element; measured 26 s vs ~1 s at sf0.1 with 384 planes) while the
+    matmul is the same BLAS shape the blocked-GEMM verify already uses.
+    Everything after the signature stage (band equi-join, exact filter) is
+    identical JVM-side code; banding only prunes, so the OUTPUT pair set is
+    unchanged either way (float-rounding sign flips at a plane boundary
+    merely perturb which band catches a pair — the ≤ target_miss bound is
+    over the plane ensemble and unaffected)."""
     import math
 
     if n_bands is None:
@@ -430,18 +446,24 @@ def embedding_neardup_pairs_lsh(
         )
         return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
 
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                sum(
-                    _bit(planes[j * rows_per_band + k]) * F.lit(1 << k)
-                    for k in range(rows_per_band)
-                ).alias("sig"),
-            )
-            for j in range(n_bands)
-        ]
-    )
+    def _band_keys():
+        # built ONLY on the expression path: constructing this tree costs
+        # one py4j round-trip per literal — n_planes × dim of them (~25k
+        # calls ≈ 15 s driver-side at rows_per_band=8), which would dwarf
+        # the whole job if paid on the Arrow path too
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    sum(
+                        _bit(planes[j * rows_per_band + k]) * F.lit(1 << k)
+                        for k in range(rows_per_band)
+                    ).alias("sig"),
+                )
+                for j in range(n_bands)
+            ]
+        )
+
     # Stage shape, chosen by measurement (each alternative 2-6x slower at
     # sf0.1, including a first-shared-band packed-bits dedup that avoided
     # this distinct but recomputed the signature twice): (1) the candidate
@@ -451,9 +473,52 @@ def embedding_neardup_pairs_lsh(
     # times on isotropic data); (3) norms precomputed map-side (once per
     # vector) so the verify is a single zip_with fold per pair
     # (dot >= t*|a|*|b|), not the 3 folds of a full cosine.
-    banded = corpus.select(
-        F.col(id_col).alias("doc"), F.explode(band_keys).alias("bk")
-    )
+    if arrow_signatures:
+        import numpy as np
+        import pandas as pd
+
+        from scraping_jobsdb_spark.session import ship_package
+
+        ship_package(corpus.sparkSession)
+        pl = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+        r, b = rows_per_band, n_bands
+        weights = (1 << np.arange(r, dtype=np.int64))  # bit packing per band
+
+        def sigs(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.vstack(pdf["__vec"].to_numpy())  # (n, dim)
+                bits = (vecs @ pl.T >= 0).astype(np.int64)  # (n, r*b)
+                packed = (bits.reshape(len(pdf), b, r) * weights).sum(axis=2)
+                yield pd.DataFrame(
+                    {"doc": pdf["doc"], "sigs": list(packed)}
+                )
+
+        banded = (
+            corpus.select(
+                F.col(id_col).alias("doc"),
+                F.col(vec_col).cast("array<double>").alias("__vec"),
+            )
+            .mapInPandas(sigs, "doc " + dict(corpus.dtypes)[id_col] + ", sigs array<bigint>")
+            .select(
+                "doc",
+                F.posexplode("sigs").alias("band", "sig"),
+            )
+            .select(
+                "doc",
+                F.struct(F.col("band"), F.col("sig")).alias("bk"),
+            )
+            # materialize ONCE: both sides of the band self-join consume this
+            # stage — without the checkpoint the Arrow signature pass (and
+            # the corpus scan under it) executes twice per action (measured
+            # 17 s → 2 s at sf0.1, r=8)
+            .localCheckpoint()
+        )
+    else:
+        banded = corpus.select(
+            F.col(id_col).alias("doc"), F.explode(_band_keys()).alias("bk")
+        )
     cand = (
         banded.select(F.col("doc").alias("id_a"), "bk")
         .join(banded.select(F.col("doc").alias("id_b"), "bk"), "bk")
@@ -475,6 +540,40 @@ def embedding_neardup_pairs_lsh(
     vb = with_norm.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
     )
+    if arrow_signatures:
+        # vectorized verify to match: the candidate stream can reach a
+        # large fraction of n² on clustered corpora (hot band buckets), and
+        # the per-pair Catalyst fold evaluates per element — one numpy
+        # einsum over each Arrow batch verifies millions of pairs/s. The
+        # join still moves |candidates| × 2 × dim doubles, same as the
+        # expression form.
+        import numpy as np
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def verify(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = np.vstack(pdf["va"].to_numpy())
+                bm = np.vstack(pdf["vb"].to_numpy())
+                dots = np.einsum("ij,ij->i", a, bm)
+                keep = dots >= thr * pdf["na"].to_numpy() * pdf["nb"].to_numpy()
+                yield pdf.loc[keep, ["id_a", "id_b"]]
+
+        idt = dict(corpus.dtypes)[id_col]
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.col("va").cast("array<double>").alias("va"),
+                F.col("vb").cast("array<double>").alias("vb"),
+                "na", "nb",
+            )
+            .mapInPandas(verify, f"id_a {idt}, id_b {idt}")
+        )
     dot = F.aggregate(
         F.zip_with(
             F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")

@@ -139,7 +139,12 @@ def ingest(
             F.lit("&lo="), "lo", F.lit("&hi="), "hi", F.lit("&page=1"),
         ),
     )
-    p1_html = fetch_html(p1, transport, partitions=fetch_partitions, delay_s=delay_s)
+    # localCheckpoint: page 1's html is consumed twice (pagination metadata AND
+    # its own job links) — materialize the fetch once so the transport sees
+    # each search URL exactly once per run.
+    p1_html = fetch_html(
+        p1, transport, partitions=fetch_partitions, delay_s=delay_s
+    ).localCheckpoint()
     meta = p1_html.withColumn(
         "total",
         F.get_json_object(
@@ -147,10 +152,13 @@ def ingest(
         ).cast("int"),
     ).withColumn("n_pages", F.ceil(F.coalesce(F.col("total"), F.lit(0)) / 30.0))
 
-    # --- fan out to all pages (the per-combo page loop, scrape_url.py:160)
-    pages = meta.filter(F.col("n_pages") > 0).select(
+    # --- fan out to the REMAINING pages (the per-combo page loop,
+    # scrape_url.py:160). Page 1 was already fetched by the discovery stage —
+    # re-using its html instead of refetching halves the load for single-page
+    # combos and keeps every URL exactly-once.
+    pages = meta.filter(F.col("n_pages") > 1).select(
         "keyword", "lo", "hi",
-        F.explode(F.sequence(F.lit(1), F.col("n_pages"))).alias("page"),
+        F.explode(F.sequence(F.lit(2), F.col("n_pages"))).alias("page"),
     )
     page_urls = pages.withColumn(
         "url",
@@ -160,10 +168,13 @@ def ingest(
             F.lit("&page="), "page",
         ),
     )
-    page_html = fetch_html(page_urls, transport, partitions=fetch_partitions, delay_s=delay_s)
+    rest_html = fetch_html(page_urls, transport, partitions=fetch_partitions, delay_s=delay_s)
+    all_pages = meta.filter(F.col("n_pages") > 0).select(
+        "keyword", "lo", "hi", "html"
+    ).unionByName(rest_html.select("keyword", "lo", "hi", "html"))
 
     # --- explode job links: the page→links UDTF-shaped fan-out, JVM-side
-    links = page_html.select(
+    links = all_pages.select(
         "keyword",
         F.col("lo").alias("salary_min"),
         F.col("hi").alias("salary_max"),
@@ -179,6 +190,13 @@ def ingest(
         F.lit(run_date).alias("scrape_date"),
         F.concat(F.lit(base_url), "job_path").alias("url"),
     )
+    # Materialize ONCE: memberships is consumed by the raw append AND by the
+    # dedup → anti-join → detail-fetch chain below; without this the search
+    # fetches (p1 + all pages) re-execute per consumer — with a real transport
+    # that is duplicated HTTP load (a politeness violation) and, if the site
+    # changes between executions, divergent lineages. The checkpointed state
+    # is one day's (url, membership) rows — tiny relative to the corpus.
+    memberships = memberships.localCheckpoint()
 
     # --- exactly-once append on the composite uniqueness key (A3)
     raw_table = (
@@ -204,7 +222,14 @@ def ingest(
         todo = unique_jobs
 
     # --- fetch details, land in the date-partitioned lake (S2 + S8)
-    detail_html = fetch_html(todo, transport, partitions=fetch_partitions, delay_s=delay_s)
+    # localCheckpoint: the fetch result has three consumers (lake write,
+    # catalog append, jobs_scraped count) — without it the transport re-runs
+    # per consumer (3× the HTTP load; a non-deterministic transport could
+    # even make lake and catalog disagree). One day's fetched HTML fits
+    # executor block storage; the lineage cut is deliberate.
+    detail_html = fetch_html(
+        todo, transport, partitions=fetch_partitions, delay_s=delay_s
+    ).localCheckpoint()
     lake_rows = detail_html.select(
         "job_id", "url", "html",
         F.lit(run_date).alias("scraped_date"),

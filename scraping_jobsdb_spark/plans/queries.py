@@ -830,8 +830,11 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
     return (
-        simhash_candidate_pairs(docs.unionByName(near), "doc_id", "text")
-        .filter(F.col("hamming") <= 3)
+        # max_bucket opt-in (library default None preserves full recall):
+        # the deployed posture caps hot-band fan-in, same as the portable form
+        simhash_candidate_pairs(
+            docs.unionByName(near), "doc_id", "text", max_bucket=256
+        ).filter(F.col("hamming") <= 3)
     )
 
 
@@ -874,7 +877,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "embedding_neardup_pairs",
+    "embedding_neardup_pairs_exact_gemm",
     oracle="""
     WITH e AS (SELECT vec_id, embedding FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -882,18 +885,20 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
     """,
 )
-def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.5) — the dedup
-    family's embedding member. Physical strategy is threshold-driven: at
-    0.5, sign-LSH provably cannot prune (a random pair's per-band collision
-    probability is too close to the boundary pair's), so candidates ≈ all
-    pairs and the only lever left is the verify kernel — here the blocked
-    normalized-GEMM form (explode → hash shuffle → one numpy matmul per
-    block pair), which computes the same exact answer at BLAS speed instead
-    of per-pair expression folds. At pruning-friendly thresholds the LSH
-    banded form (``embedding_neardup_pairs_lsh``, candidate recall verified
-    at every SF in tests) is the scale path and uses this as its in-bucket
-    verify. No BNLJ/cartesian in the plan (asserted in test_plan_quality).
+def q_embedding_neardup_pairs_exact_gemm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERIFICATION-ONLY exact embedding near-dup pairs (cos ≥ 0.5, blocked
+    normalized-GEMM) — renamed from ``embedding_neardup_pairs`` when the
+    LSH banded form was promoted to the family default (r5 verdict item 6):
+    O(n²) data movement is inherent to an exact all-pairs answer, so this
+    stays registered only as the ground-truth the scale path is verified
+    against (and for the low-threshold regime where sign-LSH provably
+    cannot prune — a random pair's per-band collision probability at 0.5 is
+    too close to the boundary pair's, so candidates ≈ all pairs and the
+    only lever is the verify kernel: explode → hash shuffle → one numpy
+    matmul per block pair, BLAS speed instead of per-pair expression
+    folds). No BNLJ/cartesian in the plan (asserted in test_plan_quality).
     The 0.5 threshold sits in a ≥0.01-wide gap of the sf0.01 pair
     distribution, so engine-level float differences cannot flip
     membership."""
@@ -907,7 +912,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "embedding_neardup_lsh_pairs",
+    "embedding_neardup_pairs",
     oracle="""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
@@ -922,22 +927,24 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     """,
 )
-def q_embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH banded embedding near-dup (operators/similarity.py
-    embedding_neardup_pairs_lsh) at a PRUNING-FRIENDLY threshold (0.9)
-    over the corpus with injected perturbed near-dups (+0.5 on the first
-    coordinate of every 10th vector) — the scale path the exact-GEMM
-    ``embedding_neardup_pairs`` docstring defers to: candidates meet on an
-    EQUI-join of (band, signature) buckets instead of any all-pairs
-    product, and the exact cosine predicate verifies in-bucket only. The
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup family's embedding
+    member, REGISTERED ON ITS SCALE PATH: sign-LSH banding
+    (operators/similarity.py embedding_neardup_pairs_lsh) at a
+    pruning-friendly threshold (0.9) over the corpus with injected
+    perturbed near-dups (+0.5 on the first coordinate of every 10th
+    vector). Candidates meet on an EQUI-join of (band, signature) buckets
+    instead of any all-pairs product, and the exact cosine predicate
+    verifies in-bucket only — the plan a 100 TB deployment runs. The
     Rademacher planes are FIXED, so the banding is a pure function of the
     input: the result is deterministic and — with the default bands sized
     for per-pair miss ≤ 1e-7 at the boundary and the nearest pair 0.0016
     away from the threshold — equals the exact pair set on this corpus
     (verified against the blocked-GEMM form AND hash-oracled against
-    DuckDB's exact join). The standing watch-list item's answer: at
-    thresholds where geometry separates, this shape replaces the GEMM at
-    100×."""
+    DuckDB's exact join). Promoted from the sibling slot in r6 (r5 verdict
+    item 6); the exact blocked-GEMM form stays registered as
+    ``embedding_neardup_pairs_exact_gemm``, the verification-only
+    ground truth for the low-threshold regime where LSH cannot prune."""
     from scraping_jobsdb_spark.operators.similarity import (
         embedding_neardup_pairs_lsh,
     )
@@ -952,7 +959,17 @@ def q_embedding_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             F.slice("embedding", 2, 63),
         ).alias("embedding"),
     )
-    return embedding_neardup_pairs_lsh(emb.unionByName(near), 0.9)
+    # rows_per_band=8 (256 signatures/band, ~48 auto-sized bands at 0.9):
+    # the deployed banding — 2-bit signatures prune nothing on isotropic
+    # data (4 buckets/band ⇒ candidates ~ n²/8 per band). The exact cosine
+    # filter makes the OUTPUT independent of banding (banding only prunes,
+    # never admits); per-pair miss stays ≤ 1e-7 at the boundary, so the
+    # oracled pair set is unchanged. arrow_signatures: the 384 sign bits
+    # come from one Arrow-batched numpy matmul instead of 384 interpreted
+    # Catalyst folds (measured 26 s → ~1 s at sf0.1).
+    return embedding_neardup_pairs_lsh(
+        emb.unionByName(near), 0.9, rows_per_band=8, arrow_signatures=True
+    )
 
 
 @_register(
@@ -4478,7 +4495,13 @@ def q_reference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parse(spark, f"{base}/lake", f"{base}/parsed")
     impute(spark, f"{base}/raw", f"{base}/parsed")
-    return read_table_any(spark, f"{base}/parsed")
+    # The driver's pandas canonicalizer cannot sort list columns, so the
+    # array<string> job_functions column is serialized to a joined string
+    # (the same workaround term_postings_index uses for its posting list;
+    # also the reference's own CSV-export serialization, pipelines/export.py).
+    return read_table_any(spark, f"{base}/parsed").withColumn(
+        "job_functions", F.array_join("job_functions", ";")
+    )
 
 
 @_register("embedding_ann_index_topk", oracle=None)
@@ -6651,6 +6674,66 @@ def q_sequence_packing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sequence_packing_per_shard",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    AS BIGINT) % 8 AS INT) AS shard,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS BIGINT) AS pack_start
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens, pack_start,
+           CAST(FLOOR(pack_start / 2048.0) AS BIGINT) AS bin_first,
+           CAST(FLOOR((pack_start + n_tokens - 1) / 2048.0) AS BIGINT)
+               AS bin_last,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE CAST(FLOOR((pack_start + n_tokens - 1) / 2048.0) AS BIGINT)
+                   - CAST(FLOOR(pack_start / 2048.0) AS BIGINT) + 1
+           END AS n_bins
+    FROM packed
+    """,
+)
+def q_sequence_packing_per_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing SHARDED BY A COMPUTED KEY — the 100 TB posture of
+    ``pack_sequences`` when no natural group column exists (the global
+    no-group form is a documented single-partition small-N variant): a
+    deterministic md5-derived shard id (16-bit digest window mod 8 — the
+    portable-hash construction simhash/minhash_portable use) splits the
+    corpus into 8 independent packing streams, each its own running-sum
+    window partition. Shard assignment, offsets, and bin ids are all
+    integer/md5 arithmetic, so the whole output is engine-exact: this
+    hash-oracles the exact plan shape — N parallel window partitions, one
+    shuffle on the shard key — that replaces the global stream at scale."""
+    from scraping_jobsdb_spark.operators.sampling import pack_sequences
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("bigint") % 8
+        ).cast("int").alias("shard"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", capacity=2048, group_cols=["shard"]
+    ).select(
+        "doc_id", "shard", "n_tokens", "pack_start",
+        "bin_first", "bin_last", "n_bins",
+    )
+
+
+@_register(
     "bpe_merge_candidates",
     oracle=r"""
     WITH words AS (
@@ -7147,116 +7230,89 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-5 window (registry 161, window 50). Evidence ages going in (from
-# COVERAGE.md's "Last evidence" column, now generated from the CORRECTNESS
-# artifacts): 47 green r4, 39 green r3, 31 green r2, 31 still green r1
-# (three-to-four rounds stale — the prior rounds' windows could not fit
-# them alongside the never/new/changed cohorts), 3 new this round, 10
-# rows-only by design. Priorities:
-# (a) new this round — first driver evidence: the persisted-fingerprint-
-#     index dedup composition, the reference's own e2e pipeline, and the
-#     partition-pruned ANN index probe;
-# (b) code paths CHANGED this round — incremental_batch_dedup (verdict
-#     tail refactored into the shared containment_verdict),
-#     simhash_portable_neardup_pairs + simhash_neardup_pairs (hot-band
-#     pre-filter + checkpointed fingerprint stage), embedding_ivfpq_topk
-#     (_cell_expr vnorm zero-guard);
-# (c) every r1-stale query (31) — the oldest rotation debt in the
-#     registry;
-# (d) 12 of the 31 r2-green queries, picked for family coverage the rest
-#     of the window lacks (DQ checks, multimodal stages, connected
-#     components, the pandas-UDF surface, SCD2, sessionization,
-#     full-outer reconcile, argmin, exact decontamination, TF-DF).
-# The 19 r2-green queries left outside (array/scalar packs, pivot/
-# unpivot/grouping-sets, window frames — families each evidenced
-# in-window by a sibling) will be three rounds old at r6 and MUST lead
-# its window, together with the 8 r2-greens that later ceded slots to
-# late-round additions (dq_aggregate_checks, gaps_and_islands,
-# join_full_outer_reconcile, argmin_supplier_per_part,
-# decontamination_exact_overlap, term_document_frequency,
-# dq_bounds_observed, scd2_supplier_balances, pandas_udf_token_count)
-# and product_type_profit + txn_replace_where_backfill +
-# txn_deletion_vectors + txn_update_where + txn_mor_update (registered
-# after the window froze — never driver-evidenced; driver_check-green
-# locally). COVERAGE.md's freshness column tracks all of this
-# mechanically.
+# Round-6 window (registry 177, window 50). Evidence ages going in (the
+# latest-evidence join over CORRECTNESS_r01–r05; COVERAGE.md's freshness
+# column): 5 queries NEVER driver-evidenced (registered after the r5
+# window froze), 28 queries whose latest green row is r2 (three rounds
+# stale — the r5 verdict's Missing #1 names exactly this cohort), 45 at
+# r3, and one red r5 row (reference_pipeline_e2e — driver canonicalizer
+# choked on its array<string> column; fixed this round by serializing it).
+# Priorities:
+# (a) the r5 red row, re-checked on the fixed serialization;
+# (b) the 5 never-evidenced late r5 registrations (all driver_check-green
+#     locally in r5 AND judge-verified) — first driver evidence;
+# (c) new/renamed/changed this round: sequence_packing_per_shard (new —
+#     the sharded scale path of pack_sequences), embedding_neardup_pairs
+#     (now the PROMOTED sign-LSH plan, r5 verdict item 6),
+#     embedding_neardup_pairs_exact_gemm (the blocked-GEMM form under its
+#     new verification-only name), simhash_neardup_pairs (call site now
+#     passes max_bucket=256 explicitly — library default reverted to
+#     None per ADVICE), incremental_indexed_dedup (fpindex probe gained
+#     the exclude_self_ids replay guard), embedding_ann_index_topk +
+#     embedding_ivfpq_topk + embedding_pq_topk (pq.py codebook loader /
+#     pq_encode generalized to ragged codebooks);
+# (d) all 28 r2-stale queries — the entire three-round-old cohort;
+# (e) remaining slots to the oldest r3 cohort, picked for family
+#     coverage: the flagship impute MERGE, latest-wins keyed update,
+#     JSON scalars, batch event-time windows, winnowing fingerprints,
+#     skew salting, CDC-since (one of the four r5 bench-drift queries),
+#     and the multimodal Arrow pipeline.
 _GATE_PRIORITY = [
-    # (a) new this round
-    "incremental_indexed_dedup",
+    # (a) r5's one red row, now driver-canonicalizable
     "reference_pipeline_e2e",
-    "embedding_ann_index_topk",
-    "domain_cap_sample",
-    "sequence_packing_stream",
-    "bpe_merge_candidates",
-    "lateral_topn_per_key",
-    "group_by_all_rollup",
-    "embedding_neardup_lsh_pairs",
-    "nearest_centroid_confusion",
-    "epoch_repeat_expansion",
-    "corpus_to_training_examples",
-    # (b) changed code paths
-    "incremental_batch_dedup",
-    "simhash_portable_neardup_pairs",
+    # (b) never driver-evidenced
+    "product_type_profit",
+    "txn_replace_where_backfill",
+    "txn_update_where",
+    "txn_mor_update",
+    "txn_deletion_vectors",
+    # (c) new / renamed / changed code paths this round
+    "sequence_packing_per_shard",
+    "embedding_neardup_pairs",
+    "embedding_neardup_pairs_exact_gemm",
     "simhash_neardup_pairs",
+    "incremental_indexed_dedup",
+    "embedding_ann_index_topk",
     "embedding_ivfpq_topk",
-    # (c) r1-stale (31)
-    "anti_join_not_in",
-    "cube_flag_status",
-    "dedup_distinct_on",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_lang_quality",
-    "doc_ngram_jaccard",
-    "doc_text_stats",
-    "embedding_topk",
-    "events_hourly_streaming",
-    "exists_order_priority_count",
-    "forecast_revenue_delta",
-    "groupby_min_max",
-    "grouped_sorted_list",
-    "join_dims_broadcast",
-    "join_left_outer_agg",
-    "join_semi",
-    "project_select",
-    "returned_items_by_nation",
-    "rollup_status_priority",
-    "scalar_string_pack",
-    "scalar_subquery_above_total_avg",
-    "set_intersect_except",
-    "set_union_all",
-    "sql_surface_revenue_by_nation",
-    "supplier_count_by_parttype",
-    "topk_orders",
-    "upsert_new_keys",
-    "window_rank_navigation",
-    "window_running_sum",
-    "work_queue_isnull",
-    # (d) r2-green, family-coverage picks (6 — the other six original
-    # picks ceded their slots to the six late-round new queries; all six
-    # displaced queries [dq_aggregate_checks, gaps_and_islands,
-    # join_full_outer_reconcile, argmin_supplier_per_part,
-    # decontamination_exact_overlap, term_document_frequency] were
-    # re-verified locally via scripts/driver_check this round and their
-    # families keep in-window coverage: DQ via dq_bounds_observed,
-    # sessionization via events_daily_gap_fill's family, outer joins via
-    # join_left_outer_agg + the CDC family, argmin via
-    # dedup_keep_best_quality's window argmax, decontamination via
-    # decontamination_ngram_overlap (r4-green), TF-DF via the bm25/tfidf
-    # family)
-    # dq_bounds_observed ceded its slot to nearest_centroid_confusion:
-    # re-verified locally via driver_check this round, bench-timed every
-    # round, and the DQ family keeps pytest + observe-metric coverage
-    "multimodal_frame_sample",
-    "multimodal_resize_stage",
-    "neardup_components",
-    # pandas_udf_token_count ceded its slot to corpus_to_training_examples:
-    # re-verified locally via driver_check this round, bench-timed every
-    # round, and the Arrow/pandas-UDF surface keeps in-window coverage via
-    # the two multimodal stage queries (mapInPandas + pandas_udf paths).
-    # scd2_supplier_balances ceded its slot to epoch_repeat_expansion:
-    # re-verified locally via driver_check this round, bench-timed every
-    # round, and the windowed-temporal family keeps in-window coverage
-    # (window_running_sum, window_rank_navigation)
+    "embedding_pq_topk",
+    # (d) the 28 r2-stale queries (latest green row three rounds old)
+    "dq_aggregate_checks",
+    "conditional_aggregates",
+    "dq_bounds_observed",
+    "disjunctive_pred_revenue",
+    "window_distribution_pack",
+    "window_range_frame",
+    "pivot_priority_by_status",
+    "grouping_sets_status_priority",
+    "percentile_part_sizes",
+    "array_hof_pack",
+    "scalar_string_distance_pack",
+    "scalar_date_arith_pack",
+    "explode_token_positions",
+    "pandas_udf_token_count",
+    "regexp_extract_all_pack",
+    "argmin_supplier_per_part",
+    "suppliers_with_heavy_shipments",
+    "inactive_wealthy_customers",
+    "term_document_frequency",
+    "join_full_outer_reconcile",
+    "scd2_supplier_balances",
+    "unpivot_quality_metrics",
+    "scalar_map_pack",
+    "try_cast_error_safe_pack",
+    "decontamination_exact_overlap",
+    "explode_outer_null_preserving",
+    "array_set_ops_pack",
+    "gaps_and_islands",
+    # (e) oldest r3 cohort, family-coverage picks
+    "impute_interval_merge",
+    "latest_event_per_user",
+    "scalar_json_pack",
+    "events_hourly_tumbling",
+    "doc_winnowing_fingerprints",
+    "salted_groupby_skewed",
+    "cdc_appends_since_txn",
+    "multimodal_binary_features",
 ]
 
 

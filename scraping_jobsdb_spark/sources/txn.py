@@ -1242,8 +1242,14 @@ class TxnTable:
 
         def attempt(base):
             extra: dict[str, Any] = {"restored_from": version}
+            # "dvs" MUST carry: a snapshot taken after delete_where_dv /
+            # update_where_dv references data files whose deleted rows exist
+            # only in the deletion-vector map — restoring the files without
+            # the map would silently resurrect MoR-deleted rows (e.g. GDPR
+            # erasures) and double-count updated ones (old row + appended copy).
             for key in ("stats_cols", "file_stats", "bucket",
-                        "bloom_cols", "bloom_bits", "bloom_probes", "file_blooms"):
+                        "bloom_cols", "bloom_bits", "bloom_probes", "file_blooms",
+                        "dvs"):
                 if key in src:
                     extra[key] = src[key]
             files = [os.path.join(self.path, f) for f in src["files"]]

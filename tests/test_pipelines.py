@@ -152,6 +152,43 @@ def test_full_pipeline(spark, pipeline_dirs):
     assert csv_back.count() == len(expected_ids)
 
 
+def test_ingest_fetches_each_url_exactly_once(spark, tmp_path):
+    """The fetch stages are localCheckpoint'd: each URL hits the transport
+    exactly once per ingest run, even though the fetch results have multiple
+    downstream consumers (raw append + detail lineage; lake write + catalog
+    append + count). Without the checkpoints the detail fetch re-executed 3×
+    and the search fetches 2× — duplicated HTTP load at scale, and a
+    non-deterministic transport could make the lake and catalog disagree.
+    The transport logs to an O_APPEND file because mapInPandas runs in Python
+    worker subprocesses (a driver-side counter would never see the calls)."""
+    fetch_log = tmp_path / "fetch_log.txt"
+    fetch_log.touch()
+    log_path = str(fetch_log)
+
+    def logging_transport(url: str) -> str:
+        with open(log_path, "a") as f:
+            f.write(url + "\n")
+        return fake_transport(url)
+
+    ingest(
+        spark,
+        logging_transport,
+        lake_path=str(tmp_path / "lake"),
+        raw_path=str(tmp_path / "raw"),
+        catalog_path=str(tmp_path / "catalog"),
+        run_date=RUN_DATE,
+        keywords=["data_engineer"],
+        bands=[(11000, 20000)],
+        fetch_partitions=2,
+    )
+    fetched = fetch_log.read_text().splitlines()
+    dupes = {u: n for u in set(fetched) if (n := fetched.count(u)) > 1}
+    assert dupes == {}, f"urls fetched more than once: {dupes}"
+    # sanity: the log actually saw search + detail traffic
+    assert any("/search?" in u for u in fetched)
+    assert any("/hk/en/job/" in u for u in fetched)
+
+
 def test_ingest_idempotent_rerun(spark, pipeline_dirs):
     """Second ingest of the same run_date adds no memberships and scrapes no
     new jobs (ON CONFLICT DO NOTHING + anti-join semantics)."""

@@ -188,9 +188,10 @@ FORBIDDEN = [
     # joins in the whole confusion plan are none at all
     ("nearest_centroid_confusion", "CartesianProduct"),
     ("nearest_centroid_confusion", "BroadcastNestedLoopJoin"),
-    # sign-LSH banding: equi-join on (band, signature), never a product
-    ("embedding_neardup_lsh_pairs", "CartesianProduct"),
-    ("embedding_neardup_lsh_pairs", "BroadcastNestedLoopJoin"),
+    # the exact blocked-GEMM verification variant: explode → hash shuffle →
+    # numpy matmul per block pair, still never a planner product node
+    ("embedding_neardup_pairs_exact_gemm", "CartesianProduct"),
+    ("embedding_neardup_pairs_exact_gemm", "BroadcastNestedLoopJoin"),
 ]
 
 

@@ -332,6 +332,42 @@ def test_lsh_neardup_pairs_equal_all_pairs(spark):
         assert banded == exact, (sf, banded ^ exact)
 
 
+def test_lsh_arrow_path_equals_expression_path(spark):
+    """arrow_signatures=True (numpy matmul signatures + vectorized verify)
+    must return the same pair set as the Catalyst-expression form at the
+    same banding — the Arrow path changes the physical kernels only. Run at
+    deployed banding (rows_per_band=8) and the default (2), with injected
+    near-dups so the pair set is non-trivial."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    near = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(near)
+    for r in (2, 8):
+        expr = {
+            (x.id_a, x.id_b)
+            for x in embedding_neardup_pairs_lsh(
+                corpus, 0.9, rows_per_band=r
+            ).collect()
+        }
+        arrow = {
+            (x.id_a, x.id_b)
+            for x in embedding_neardup_pairs_lsh(
+                corpus, 0.9, rows_per_band=r, arrow_signatures=True
+            ).collect()
+        }
+        assert arrow == expr, (r, arrow ^ expr)
+        assert len(arrow) > 0
+
+
 def test_blocked_neardup_pairs_equal_all_pairs(spark):
     """The blocked-GEMM form must return EXACTLY the all-pairs result, both
     single-block and multi-block (small block_rows forces cross-block and
@@ -926,3 +962,54 @@ def test_ann_index_add_equals_rebuild(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 30
+
+
+def test_ann_index_ragged_codebook_and_dup_guard(spark, tmp_path):
+    """(1) A RAGGED codebook (sub-codebooks of differing length — legal in
+    write_ann_index) must round-trip through ann_index_add and
+    ann_index_topk: the side-table loader rebuilds per-subspace cell lists
+    from what was stored instead of assuming a dense global max-cell
+    rectangle (which raised KeyError). (2) dedupe_ids=True skips newcomers
+    whose id is already indexed; the default documents duplicate admission."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_add,
+        ann_index_topk,
+        pq_train,
+        write_ann_index,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=4, k=8, max_iter=2)
+    codebook = [sub[: 8 - j] for j, sub in enumerate(codebook)]  # ragged: 8,7,6,5
+    cents = _seed_centroids(emb, 6, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    query = emb.filter(F.col("vec_id").isin(0, 100))
+
+    path = str(tmp_path / "ragged")
+    write_ann_index(half_a, path, codebook, centroids=cents)
+    ann_index_add(spark, path, half_b)  # KeyError before the fix
+    p_full = str(tmp_path / "ragged_full")
+    write_ann_index(emb, p_full, codebook, centroids=cents)
+    got2 = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(spark, path, query, n_probe=3, k=5).collect()
+    )
+    want2 = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(spark, p_full, query, n_probe=3, k=5).collect()
+    )
+    assert got2 == want2 and len(got2) == 10
+
+    # duplicate-id guard: re-adding an already-indexed slice with
+    # dedupe_ids=True admits nothing (code-row count unchanged)
+    import os
+
+    codes_path = os.path.join(path, "codes")
+    n_before = spark.read.parquet(codes_path).count()
+    ann_index_add(spark, path, half_b.limit(20), dedupe_ids=True)
+    assert spark.read.parquet(codes_path).count() == n_before

@@ -825,10 +825,20 @@ def test_streaming_dedup_admission_rejects_cross_batch_neardups(spark, tmp_path)
     # most injected near-dups rejected; all novel docs admitted
     assert len(rejected2 & near_ids) >= int(0.8 * len(near_ids))
     assert {r.doc_id for r in novel.collect()} <= kept2
-    # replay of epoch 1: no new fingerprints, no version bump
+    # replay of epoch 1: no new fingerprints, no version bump, AND the
+    # VERDICT is identical to the first attempt — the index already holds
+    # this batch's kept fingerprints under the same ids, so without the
+    # self-id exclusion every previously-kept doc would score 100%
+    # contained in itself and flip to dropped (a caller routing kept rows
+    # to the corpus sink would lose them on failure recovery)
     v = TxnTable(spark, idx.fps_path).version()
-    idx.admit_stream_batch(b2, epoch_id=1)
+    v2_replay = idx.admit_stream_batch(b2, epoch_id=1)
     assert TxnTable(spark, idx.fps_path).version() == v
+    # the routing contract is the kept flag (n_fp may drift slightly: the
+    # epoch's own admission can push grams over the stop-gram threshold)
+    assert sorted((r.doc_id, r.kept) for r in v2_replay.collect()) == sorted(
+        (r.doc_id, r.kept) for r in v2.collect()
+    )
     # index holds fingerprints for exactly the admitted ids
     admitted = {r.doc_id for r in v1.filter(F.col("kept")).collect()} | kept2
     indexed = {r.doc_id for r in idx.fingerprints().select("doc_id").distinct().collect()}

@@ -703,6 +703,35 @@ def test_restore_rolls_back_metadata_only(spark, tdir):
     assert t.read().count() == 4
 
 
+def test_restore_carries_deletion_vectors(spark, tdir):
+    """restore() to a snapshot that carried DVs must carry the 'dvs' map
+    too: the snapshot's data files still physically contain the MoR-deleted
+    rows, and only the vector overlay hides them. Dropping the map on
+    restore would silently resurrect deleted rows (e.g. GDPR erasures) and
+    double-count update_where_dv rows (old row + appended copy)."""
+    t = TxnTable.create(
+        spark, tdir,
+        spark.range(0, 40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x").repartition(4),
+    )
+    assert t.delete_where_dv(F.col("k") < 10) == 10
+    assert t.update_where_dv(F.col("k") == 20, {"x": F.lit(-1.0)}) == 1
+    v_dv = t.version()
+    assert t.read().count() == 30
+    # botch the table, then restore across the DV commits
+    t.overwrite(spark.range(0, 1).selectExpr("id AS k", "CAST(id AS DOUBLE) AS x"))
+    t.restore(v_dv)
+    got = t.read()
+    assert got.count() == 30                                   # deletes still hidden
+    assert got.filter(F.col("k") < 10).count() == 0            # no resurrection
+    assert got.filter(F.col("k") == 20).count() == 1           # no double-count
+    assert got.filter(F.col("k") == 20).collect()[0].x == -1.0  # update survives
+    assert TxnTable(spark, tdir)._manifest().get("dvs")        # map carried
+    # restore to the PRE-DV snapshot yields the original 40 rows, no dvs
+    t.restore(1)
+    assert t.read().count() == 40
+    assert not TxnTable(spark, tdir)._manifest().get("dvs")
+
+
 def test_read_asof_timestamp_time_travel(spark, tdir):
     """Every commit records committed_at; read_asof(ts) reads the snapshot
     current at that wall-clock instant."""

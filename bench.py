@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     # GEMM form it used to time is appended here under its new
     # verification-only name, so both shapes stay measured.
     "embedding_neardup_pairs_exact_gemm",
+    "order_flow_pagerank",
+    "embedding_ann_index_txn_lifecycle",
+    "bpe_learned_merges",
 ]
 
 

@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.operators.similarity import cosine
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "write_ann_index", "ann_index_topk"]
+__all__ = [
+    "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
+    "write_ann_index", "ann_index_topk",
+    "write_ann_index_txn", "ann_index_txn_add", "ann_index_txn_add_stream_batch",
+    "ann_index_txn_delete", "ann_index_txn_maintain", "ann_index_txn_topk",
+]
 
 
 def _subvectors(df: DataFrame, vec_col: str, m: int, dim: int) -> DataFrame:
@@ -608,6 +613,262 @@ def ann_index_topk(
     q_rows = query.select(id_col, vec_col).collect()
     return _adc_rank_refine(
         lambda cells: codes.filter(F.col("cell").isin(cells)),
+        q_rows,
+        cent_rows,
+        codebook,
+        n_probe,
+        k,
+        refine_factor,
+        refine_with,
+        query,
+        id_col,
+        vec_col,
+    )
+
+
+# --------------------------------------------------------------------------
+# Transactional ANN index: the production posture of the persisted index.
+#
+# The plain-parquet layout above (write_ann_index/ann_index_add) relies on
+# directory listing: a crashed `mode("append")` leaves partial part-files
+# VISIBLE to the next probe, concurrent adds can interleave, and there is no
+# way to delete a vector without rewriting cell directories. Backing the
+# codes table with the engine's own txn layer (sources/txn.py) closes all
+# three with machinery that already exists:
+#   - adds are ONE atomic commit (crash ⇒ invisible orphans, vacuum GCs);
+#   - streaming admission is epoch-idempotent (stream_epoch_append — the
+#     Delta txnAppId/txnVersion contract), so a foreachBatch maintainer
+#     replaying an epoch appends nothing twice;
+#   - vector DELETION is a merge-on-read deletion vector (delete_where_dv):
+#     an embedding-store GDPR erasure costs one tiny DV parquet, no cell
+#     rewrite, and compaction is the GC;
+#   - probes TIME TRAVEL (version=) — reproduce any historical search;
+#   - partition pruning becomes manifest-stats FILE SKIPPING: codes are
+#     repartitionByRange(cell) so each data file covers a contiguous cell
+#     range with tight min/max stats, and a probe reads the union of
+#     read_pruned(cell==c) scans — unprobed cells' files are never opened,
+#     the same physical guarantee as the directory layout, now atomic.
+# --------------------------------------------------------------------------
+
+
+def _annx_codes(spark, path: str):
+    import os
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    return TxnTable(spark, os.path.join(path, "codes"))
+
+
+def write_ann_index_txn(
+    corpus: DataFrame,
+    path: str,
+    codebook: list[list[list[float]]],
+    n_centroids: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    target_files: int | None = None,
+) -> None:
+    """Materialize the transactional ANN index: codes in a TxnTable with
+    per-file cell stats (``stats_cols=["cell"]``), centroids/codebook as
+    tiny TxnTables. One map-only encode+assign pass, one range-repartition
+    on cell (contiguous-cell files ⇒ tight stats ⇒ probe file skipping),
+    three atomic commits. ``target_files`` pins the codes file count
+    (default: planner/AQE-sized — a small corpus may coalesce to one file,
+    which is correct but gives file skipping nothing to skip). Layout
+    mirrors ``write_ann_index`` (pq docstrings cite the reference parity
+    points there)."""
+    import os
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    spark = corpus.sparkSession
+    cent_rows = _centroid_rows(corpus, n_centroids, id_col, vec_col, centroids)
+    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
+        corpus.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
+        id_col,
+    )
+    parted = (
+        coded.repartitionByRange(target_files, "cell")
+        if target_files
+        else coded.repartitionByRange("cell")
+    )
+    TxnTable.create(
+        spark,
+        os.path.join(path, "codes"),
+        parted,
+        stats_cols=["cell"],
+    )
+    TxnTable.create(
+        spark,
+        os.path.join(path, "centroids"),
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>"),
+    )
+    m = len(codebook)
+    cb_rows = [
+        (j, c, codebook[j][c]) for j in range(m) for c in range(len(codebook[j]))
+    ]
+    TxnTable.create(
+        spark,
+        os.path.join(path, "codebook"),
+        spark.createDataFrame(
+            cb_rows, "subspace int, cell int, centroid array<double>"
+        ),
+    )
+
+
+def _load_index_sides_txn(spark, path: str, version: int | None = None):
+    """Driver-side side tables from their TxnTables (same per-subspace
+    reconstruction as ``_load_index_sides``). ``version`` pins the CODES
+    version only — the quantizer is frozen after training by contract
+    (add-after-train), so current side tables describe every version."""
+    import os
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    cent_rows = [
+        (int(r.cell), [float(x) for x in r.centroid])
+        for r in TxnTable(spark, os.path.join(path, "centroids")).read().collect()
+    ]
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in TxnTable(spark, os.path.join(path, "codebook")).read().collect():
+        by_sub.setdefault(r.subspace, {})[r.cell] = [float(x) for x in r.centroid]
+    m = 1 + max(by_sub)
+    codebook = []
+    for j in range(m):
+        cells = by_sub.get(j, {})
+        if sorted(cells) != list(range(len(cells))):
+            raise ValueError(
+                f"{path}: codebook subspace {j} cells {sorted(cells)} are not "
+                "contiguous from 0 — corrupt side table"
+            )
+        codebook.append([cells[c] for c in range(len(cells))])
+    return cent_rows, codebook
+
+
+def ann_index_txn_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedupe_ids: bool = False,
+) -> int:
+    """FAISS add-after-train as ONE atomic commit: encode + cell-assign the
+    newcomers with the stored (frozen) quantizer, range-repartition on
+    cell, append. O(|new|); concurrent adds serialize through the txn OCC
+    loop instead of interleaving part-files. Returns the new codes
+    version. ``dedupe_ids`` as in ``ann_index_add``."""
+    cent_rows, codebook = _load_index_sides_txn(spark, path)
+    t = _annx_codes(spark, path)
+    if dedupe_ids:
+        new_vectors = new_vectors.join(t.read().select(id_col), id_col, "left_anti")
+    coded = pq_encode(new_vectors, codebook, id_col=id_col, vec_col=vec_col).join(
+        new_vectors.select(
+            F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")
+        ),
+        id_col,
+    )
+    t.append(coded.repartitionByRange("cell"))
+    return t.version()
+
+
+def ann_index_txn_add_stream_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    epoch_id: int,
+    app_id: str = "annx",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """``foreachBatch`` body for a STREAMING index maintainer: the add is
+    epoch-keyed (sources/txn.py stream_epoch_append), so a failure-recovery
+    replay of the same (app_id, epoch) appends nothing — exactly-once index
+    growth over an embedding stream. Returns code rows appended (0 for a
+    recognized replay)."""
+    cent_rows, codebook = _load_index_sides_txn(spark, path)
+    coded = pq_encode(batch, codebook, id_col=id_col, vec_col=vec_col).join(
+        batch.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
+        id_col,
+    )
+    return _annx_codes(spark, path).stream_epoch_append(
+        coded.repartitionByRange("cell"), app_id, epoch_id
+    )
+
+
+def ann_index_txn_delete(
+    spark, path: str, cond, id_col: str = "vec_id"
+) -> int:
+    """Delete vectors from the index WITHOUT rewriting any cell data: a
+    merge-on-read deletion vector over the codes table (``cond`` is a
+    Column predicate on the codes schema, e.g. ``F.col("vec_id").isin(...)``
+    for an erasure list). Deleted vectors vanish from every subsequent
+    probe (the DV overlays every read path); time-travel probes at earlier
+    versions still see them until compaction materializes. Returns rows
+    deleted."""
+    return _annx_codes(spark, path).delete_where_dv(cond)
+
+
+def ann_index_txn_maintain(
+    spark, path: str, max_files: int = 64, max_dv_files: int = 8
+) -> int | None:
+    """Compaction hook for an ingest loop: once the codes table exceeds
+    ``max_files`` data files or accumulates more than ``max_dv_files``
+    active deletion vectors (maybe_compact's own trigger rules), rewrite it
+    through ``zorder_by(["cell"])`` — a single-column z-order is a range
+    sort, so the rewrite RESTORES the contiguous-cell file layout (tight
+    per-file stats ⇒ probe file skipping) that a plain ``compact()``'s hash
+    repartition would destroy — and materializes/drops any DVs (compaction
+    is the DV GC). No-op under the thresholds; returns the new file count
+    or None."""
+    t = _annx_codes(spark, path)
+    m = t._manifest()
+    n_dvs = len({d for fs in (m.get("dvs") or {}).values() for d in fs})
+    if len(m["files"]) <= max_files and n_dvs <= max_dv_files:
+        return None
+    return t.zorder_by(
+        ["cell"],
+        target_partitions=min(
+            max_files, max(1, spark.sparkContext.defaultParallelism)
+        ),
+    )
+
+
+def ann_index_txn_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    n_probe: int = 3,
+    k: int = 10,
+    refine_factor: int = 4,
+    refine_with: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Probe the transactional index: per query, the probe list becomes a
+    UNION of ``read_pruned(cell == c)`` scans — manifest-stats file
+    skipping opens only files whose cell range intersects a probed cell
+    (the range-partitioned layout makes those ranges ~one cell wide), the
+    txn-layer guarantee equivalent to the directory layout's partition
+    pruning. ``version`` time-travels the probe to any committed snapshot.
+    Deterministic ADC + optional exact re-rank, identical tail to
+    ``ann_index_topk``."""
+    from functools import reduce
+
+    cent_rows, codebook = _load_index_sides_txn(spark, path, version)
+    t = _annx_codes(spark, path)
+    q_rows = query.select(id_col, vec_col).collect()
+
+    def codes_for_cells(cells):
+        return reduce(
+            DataFrame.unionByName,
+            [t.read_pruned("cell", c, c, version) for c in sorted(cells)],
+        )
+
+    return _adc_rank_refine(
+        codes_for_cells,
         q_rows,
         cent_rows,
         codebook,

@@ -45,6 +45,7 @@ __all__ = [
     "incremental_containment_filter",
     "containment_verdict",
     "bpe_pair_counts",
+    "bpe_train",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -1059,4 +1060,79 @@ def bpe_pair_counts(
         .agg(F.sum("wc").alias("pair_count"))
         .orderBy(F.col("pair_count").desc(), F.col("pair"))
         .limit(k)
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE vocabulary training (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units") — the iterative
+    completion of ``bpe_pair_counts``: repeatedly merge the most frequent
+    adjacent symbol pair into one symbol, ``n_merges`` times. Returns the
+    learned merge table as a DataFrame —
+    (merge_rank, left, right, pair_count) — the exact artifact a tokenizer
+    ships.
+
+    Architecture (how real trainers survive 100 TB): Spark's job is the ONE
+    corpus-sized reduction — lowercase, tokenize, aggregate to DISTINCT
+    WORDS WITH COUNTS (the same first shuffle as bpe_pair_counts; output is
+    vocabulary-sized). The merge loop then runs DRIVER-SIDE over that
+    collected histogram: every iteration's pair recount touches only the
+    vocabulary (and with the standard incremental trick, only words
+    containing the just-merged pair), which is megabytes — shipping it back
+    through a Spark job per merge would pay per-iteration scheduling for
+    kilobyte-scale arithmetic. Same driver-side-tiny-state exception as
+    k-means centroids and PQ codebooks. Deterministic: integer counts,
+    ties broken by lexicographic pair order — so the merge table is a pure
+    function of the corpus (pinned by a golden-corpus test; not
+    SQL-oracle-able because the recurrence is iterative).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    word_rows = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    # vocabulary as symbol tuples: chars + word-end marker
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in word_rows:
+        vocab[tuple(r.w) + ("</w>",)] = r.wc
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        # argmax: count desc, then lexicographic pair — deterministic
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), c = best
+        merges.append((rank, left, right, c))
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, wc in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + wc
+        vocab = new_vocab
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
     )

@@ -2960,6 +2960,73 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration integer PageRank (the recursive-CTE form
+    diverges: a RIGHT JOIN's NULL-iteration group re-enters the working
+    table forever) — one CTE per iteration, byte-for-byte the arithmetic
+    of ``operators/graph.py pagerank``."""
+    steps = ",".join(
+        f"""
+    pr{k} AS (
+      SELECT n.node,
+             CAST((150 * 1000000 + 850 * COALESCE(c.contrib, 0)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(p.rank // o.d) AS contrib
+          FROM pr{k - 1} p
+          JOIN outdeg o ON o.node = p.node
+          JOIN edges e ON e.src = p.node
+          GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        for k in range(1, 6)
+    )
+    return (
+        """
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges
+    ),
+    outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+        + steps
+        + """
+    SELECT node, rank FROM pr5
+    """
+    )
+
+
+@_register("order_flow_pagerank", oracle=_pagerank_oracle())
+def q_order_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-EXACT PageRank (operators/graph.py pagerank) over the
+    customer→supplier order-flow graph (distinct (o_custkey, l_suppkey)
+    edges): 5 power-method iterations, d=0.85, every step in scaled-integer
+    arithmetic with floor division — so the full rank vector is
+    bit-identical across engines and partitionings and HASH-ORACLES against
+    DuckDB's unrolled 5-CTE formulation (floating-point PageRank can never
+    value-hash: float addition isn't associative, so the shuffle order
+    changes low bits). Iterative-algorithm posture matches
+    connected_components: per iteration one join with the checkpointed
+    static edge list + one aggregate on dst (the Pregel message pass),
+    rank lineage truncated per round via localCheckpoint."""
+    from scraping_jobsdb_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5).select("node", "rank")
+
+
 @_register("dedup_pipeline_end_to_end", oracle=None)
 def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup dedup pipeline in one plan: corpus (+injected
@@ -4531,6 +4598,46 @@ def q_embedding_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ann_index(emb, path, codebook, n_centroids=10)
     query = emb.filter(F.col("vec_id").isin(0, 100, 200))
     return ann_index_topk(
+        spark, path, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+    )
+
+
+@_register("embedding_ann_index_txn_lifecycle", oracle=None)
+def q_embedding_ann_index_txn_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSACTIONAL ANN index, full lifecycle in one plan (operators/pq.py
+    write_ann_index_txn family — the production posture of the persisted
+    index): train on the corpus, build the index over HALF of it as one
+    atomic commit, admit the other half via add-after-train (a second
+    atomic commit), MoR-DELETE a slice of vectors (a deletion vector — no
+    cell data rewritten; the embedding-store GDPR path), then probe. The
+    probe reads the union of per-cell manifest-stats-pruned scans
+    (read_pruned: unprobed cells' files never open — the txn equivalent of
+    partition pruning) with the DV overlay hiding deleted vectors.
+    Approximate scores by design → rows-only; add-equals-rebuild,
+    epoch-idempotent streaming admission, delete/time-travel semantics,
+    and file skipping all asserted in tests/test_similarity.py."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_txn_add,
+        ann_index_txn_delete,
+        ann_index_txn_topk,
+        pq_train,
+        write_ann_index_txn,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    path = tempfile.mkdtemp(prefix="sjs_annx_q_")
+    write_ann_index_txn(
+        emb.filter(F.col("vec_id") % 2 == 0), path, codebook, n_centroids=10
+    )
+    ann_index_txn_add(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+    ann_index_txn_delete(spark, path, F.col("vec_id") % 97 == 3)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return ann_index_txn_topk(
         spark, path, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
     )
 
@@ -6673,6 +6780,25 @@ def q_sequence_packing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("bpe_learned_merges", oracle=None)
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE vocabulary training (operators/textops.py bpe_train — the
+    iterative completion of ``bpe_merge_candidates``): 40 merges learned
+    from the documents corpus, returned as the ordered merge table
+    (merge_rank, left, right, pair_count). Spark does the one corpus-sized
+    reduction (distinct words with counts); the vocabulary-sized merge
+    loop runs driver-side (the k-means-centroid/PQ-codebook tiny-state
+    exception — per-iteration recounts are megabytes). Deterministic
+    (integer counts, lexicographic tie-break) but the recurrence is
+    iterative, hence rows-only; equality against an independent pure-Python
+    Sennrich implementation and step-1 consistency with the oracled
+    ``bpe_merge_candidates`` are pinned in tests/test_scale_ops.py."""
+    from scraping_jobsdb_spark.operators.textops import bpe_train
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
+    return bpe_train(docs, n_merges=40)
+
+
 @_register(
     "sequence_packing_per_shard",
     oracle=r"""
@@ -7273,6 +7399,7 @@ _GATE_PRIORITY = [
     "simhash_neardup_pairs",
     "incremental_indexed_dedup",
     "embedding_ann_index_topk",
+    "embedding_ann_index_txn_lifecycle",
     "embedding_ivfpq_topk",
     "embedding_pq_topk",
     # (d) the 28 r2-stale queries (latest green row three rounds old)
@@ -7304,15 +7431,21 @@ _GATE_PRIORITY = [
     "explode_outer_null_preserving",
     "array_set_ops_pack",
     "gaps_and_islands",
-    # (e) oldest r3 cohort, family-coverage picks
+    # (e) oldest r3 cohort, family-coverage picks (scalar_json_pack ceded
+    # its draft slot to embedding_ann_index_txn_lifecycle: the JSON-scalar
+    # family keeps fresh evidence via variant_json_surface r4 and the
+    # in-window scalar packs)
     "impute_interval_merge",
     "latest_event_per_user",
-    "scalar_json_pack",
     "events_hourly_tumbling",
     "doc_winnowing_fingerprints",
     "salted_groupby_skewed",
     "cdc_appends_since_txn",
-    "multimodal_binary_features",
+    # order_flow_pagerank (new r6, integer-exact PageRank) takes the slot
+    # multimodal_binary_features (r3) held in an earlier draft of this
+    # window: the multimodal family keeps fresh in-window-equivalent
+    # evidence via its two r5-green stage queries (frame_sample, resize)
+    "order_flow_pagerank",
 ]
 
 

@@ -149,6 +149,53 @@ def test_connected_components_nonconvergence_raises(spark):
         raise AssertionError("diameter-12 chain cannot converge in 2 rounds")
 
 
+def test_pagerank_integer_exact_known_graph(spark):
+    """5-iteration integer PageRank on a hand-checkable graph: values match
+    the independently-computed pure-Python fixed point of the same scaled
+    arithmetic; a dangling node (no in-edges) sits at the bare teleport
+    base; result is identical across repartitionings (the whole point of
+    the integer formulation)."""
+    from scraping_jobsdb_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+
+    # pure-Python reference of the exact same integer recurrence
+    nodes = sorted({u for p in edges for u in p})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // out[s]
+        rank = {n: (150 * 1_000_000 + 850 * contrib[n]) // 1000 for n in nodes}
+
+    got = {r.node: r.rank for r in pagerank(e, iterations=5).collect()}
+    assert got == rank
+    assert got[4] == 150_000  # dangling-in node: bare teleport mass
+    got_repart = {
+        r.node: r.rank
+        for r in pagerank(e.repartition(7), iterations=5).collect()
+    }
+    assert got_repart == rank  # partitioning-independent (integer-exact)
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    from scraping_jobsdb_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    got = sorted(map(tuple, pagerank(e, iterations=0).collect()))
+    assert got == [(1, 1_000_000), (2, 1_000_000)]  # init vector untouched
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(e, iterations=-1)
+    with _pytest.raises(ValueError):
+        pagerank(e, damping_milli=1500)
+
+
 def test_asof_join_edge_semantics(spark):
     from datetime import datetime
 
@@ -1215,6 +1262,68 @@ def test_bpe_pair_counts_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="k must"):
         bpe_pair_counts(df, k=0)
+
+
+def test_bpe_train_matches_python_reference_and_step1(spark):
+    """Full BPE training equals an independent pure-Python implementation
+    of the Sennrich merge loop on the classic low/lower/newest/widest
+    corpus; merge 1 equals bpe_pair_counts' top-1 (step-1 consistency);
+    merged symbols compose across iterations (multi-char lefts/rights
+    appear in later merges); merge count caps at vocabulary exhaustion."""
+    from collections import Counter
+
+    from scraping_jobsdb_spark.operators.textops import bpe_pair_counts, bpe_train
+
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest widest"),
+        (4, "widest widest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # independent reference
+    words = Counter()
+    for _, t in rows:
+        for w in t.lower().split():
+            words[w] += 1
+    vocab = {tuple(w) + ("</w>",): c for w, c in words.items()}
+    ref = []
+    for rank in range(10):
+        counts = Counter()
+        for syms, wc in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += wc
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref.append((rank, l, r, c))
+        nv = Counter()
+        for syms, wc in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (l, r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += wc
+        vocab = dict(nv)
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(df, n_merges=10).orderBy("merge_rank").collect()
+    ]
+    assert got == ref
+    # step-1 consistency: merge 0 is bpe_pair_counts' top pair
+    top1 = bpe_pair_counts(df, k=1).collect()[0]
+    assert f"{got[0][1]} {got[0][2]}" == top1.pair
+    assert got[0][3] == top1.pair_count
+    # compositionality: some later merge consumes a multi-char symbol
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in got[1:])
+    import pytest
+
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)
 
 
 def test_epochs_expand_deterministic_and_exact(spark):

@@ -1013,3 +1013,126 @@ def test_ann_index_ragged_codebook_and_dup_guard(spark, tmp_path):
     n_before = spark.read.parquet(codes_path).count()
     ann_index_add(spark, path, half_b.limit(20), dedupe_ids=True)
     assert spark.read.parquet(codes_path).count() == n_before
+
+
+def test_ann_index_txn_equals_plain_and_skips_files(spark, tmp_path):
+    """The transactional index returns row-identical probes to the plain
+    directory layout under the same quantizer, and its probe reads a strict
+    subset of the codes table's files (manifest-stats file skipping over
+    the range-partitioned cell layout — the txn equivalent of partition
+    pruning)."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_topk,
+        ann_index_txn_topk,
+        pq_train,
+        write_ann_index,
+        write_ann_index_txn,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _seed_centroids(emb, 10, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+
+    p_plain = str(tmp_path / "plain")
+    p_txn = str(tmp_path / "txn")
+    write_ann_index(emb, p_plain, codebook, centroids=cents)
+    write_ann_index_txn(emb, p_txn, codebook, centroids=cents, target_files=8)
+
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(
+            spark, p_plain, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_txn_topk(
+            spark, p_txn, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    assert a == b and len(a) == 30
+
+    # file skipping: a one-cell pruned read keeps strictly fewer files
+    codes_t = TxnTable(spark, str(tmp_path / "txn" / "codes"))
+    all_files = codes_t._manifest()["files"]
+    kept = codes_t.pruned_files("cell", 0, 0)
+    assert len(all_files) > 1
+    assert 0 < len(kept) < len(all_files)
+
+
+def test_ann_index_txn_add_stream_delete_timetravel(spark, tmp_path):
+    """Lifecycle of the transactional index: (1) add-after-train equals a
+    one-shot build; (2) streaming admission is epoch-idempotent; (3) MoR
+    vector deletion removes ids from probes without rewriting data, while
+    a time-travel probe at the pre-delete version still sees them;
+    (4) maintenance compaction materializes the DVs and preserves results."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_txn_add,
+        ann_index_txn_add_stream_batch,
+        ann_index_txn_delete,
+        ann_index_txn_maintain,
+        ann_index_txn_topk,
+        pq_train,
+        write_ann_index_txn,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _seed_centroids(emb, 10, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    query = emb.filter(F.col("vec_id").isin(0, 100))
+
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    write_ann_index_txn(half_a, p_inc, codebook, centroids=cents)
+    ann_index_txn_add(spark, p_inc, half_b)
+    write_ann_index_txn(emb, p_full, codebook, centroids=cents)
+
+    def probe(path, version=None):
+        return sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in ann_index_txn_topk(
+                spark, path, query, n_probe=3, k=10, refine_factor=4,
+                refine_with=emb, version=version,
+            ).collect()
+        )
+
+    assert probe(p_inc) == probe(p_full)
+
+    # (2) epoch-idempotent streaming admission
+    codes_t = TxnTable(spark, str(tmp_path / "inc" / "codes"))
+    extra = emb.filter(F.col("vec_id") < 0)  # empty batch is fine too
+    n1 = ann_index_txn_add_stream_batch(spark, p_inc, half_b.limit(5), epoch_id=7)
+    v_after = codes_t.version()
+    n2 = ann_index_txn_add_stream_batch(spark, p_inc, half_b.limit(5), epoch_id=7)
+    assert n2 == 0 and codes_t.version() == v_after  # replay no-op
+    assert n1 > 0
+    del extra
+
+    # (3) MoR deletion: top neighbor of query 0 disappears from the probe
+    pre_delete_version = codes_t.version()
+    victim = next(v for (q, v, r) in probe(p_inc) if q == 0)
+    files_before = codes_t._manifest()["files"]
+    assert ann_index_txn_delete(spark, p_inc, F.col("vec_id") == victim) > 0
+    assert codes_t._manifest()["files"] == files_before  # no data rewrite
+    assert victim not in {v for (_, v, _) in probe(p_inc)}
+    assert victim in {v for (_, v, _) in probe(p_inc, version=pre_delete_version)}
+
+    # (4) maintenance: force a rewrite, DVs materialize, results unchanged
+    want = probe(p_inc)
+    n_files = ann_index_txn_maintain(spark, p_inc, max_files=1)
+    assert n_files is not None
+    assert not codes_t._manifest().get("dvs")  # compaction dropped the DVs
+    assert probe(p_inc) == want

@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "order_flow_pagerank",
     "embedding_ann_index_txn_lifecycle",
     "bpe_learned_merges",
+    "bloom_prefilter_supplier_revenue",
+    "key_skew_report_suppkey",
 ]
 
 

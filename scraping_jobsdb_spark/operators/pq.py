@@ -35,6 +35,7 @@ __all__ = [
     "write_ann_index", "ann_index_topk",
     "write_ann_index_txn", "ann_index_txn_add", "ann_index_txn_add_stream_batch",
     "ann_index_txn_delete", "ann_index_txn_maintain", "ann_index_txn_topk",
+    "ann_index_topk_batch", "ann_index_txn_topk_batch",
 ]
 
 
@@ -388,6 +389,26 @@ def _adc_rank_refine(
         )
         scored = part if scored is None else scored.unionByName(part)
 
+    return _topk_refine_tail(
+        scored, k, refine_factor, refine_with, query, id_col, vec_col
+    )
+
+
+def _topk_refine_tail(
+    scored: DataFrame,
+    k: int,
+    refine_factor: int,
+    refine_with: DataFrame | None,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared top-k + optional exact-re-rank tail over a
+    (query_id, id, pq_score) stream — used by both the per-query-plan and
+    the batch scorers, so the two provably share the candidate-cut and
+    re-rank semantics."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_score").desc(), F.col(id_col).asc()
     )
@@ -414,6 +435,104 @@ def _adc_rank_refine(
         rescored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
+    )
+
+
+def _adc_rank_refine_batch(
+    codes_for_cells,
+    q_rows,
+    cent_rows,
+    codebook,
+    n_probe: int,
+    k: int,
+    refine_factor: int,
+    refine_with: DataFrame | None,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    spark,
+) -> DataFrame:
+    """BATCH IVF-ADC scorer — the many-queries scale path of the shared
+    tail. The per-query form builds Q plan branches (one cell-filtered
+    subplan + union per query): fine for interactive k-NN, quadratic
+    planning pain at thousands of queries. Here the plan size is O(1) in
+    Q:
+
+      1. per query (driver, tiny): probe cells + the m×k ADC lookup table,
+         computed with the SAME Python-float arithmetic ``_adc_score``
+         bakes into literals — so every score bit matches the per-query
+         form (pinned by test);
+      2. ONE pruned scan of the union of all probed cells;
+      3. a broadcast equi-join codes ⋈ (query_id, cell) pairs — only ids
+         travel; the ADC tables ride the scoring UDF's closure ONCE per
+         task, not per row;
+      4. vectorized lookup scoring: per Arrow batch, score = ordered
+         accumulation over subspaces of table-takes (same left-assoc
+         float64 order as the expression chain — bit-identical);
+      5. the shared ``_topk_refine_tail``.
+
+    Queries are still collected driver-side (the family contract: a query
+    set is tiny next to the corpus); what this removes is the per-query
+    PLAN cost, shuffle fan-in of Q unions, and Q window partitions over
+    separate streams."""
+    import numpy as np
+    import pandas as pd
+
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    # per-subspace offsets into the flattened table (ragged-codebook aware)
+    offs = [0]
+    for sub in codebook:
+        offs.append(offs[-1] + len(sub))
+    m = len(codebook)
+
+    tables: dict = {}
+    probe_pairs = []
+    for qid, qvec in ((r[0], r[1]) for r in q_rows):
+        flat = []
+        width = len(codebook[0][0])
+        for j in range(m):
+            for c in range(len(codebook[j])):
+                flat.append(
+                    sum(
+                        float(qvec[j * width + i]) * codebook[j][c][i]
+                        for i in range(width)
+                    )
+                )
+        tables[qid] = np.asarray(flat, dtype=np.float64)
+        for cell in _probe_cells(qvec, cent_rows, n_probe):
+            probe_pairs.append((qid, cell))
+
+    all_cells = sorted({c for _, c in probe_pairs})
+    qp = F.broadcast(
+        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    )
+    pairs = codes_for_cells(all_cells).join(qp, "cell")
+
+    offs_np = np.asarray(offs[:-1], dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes_m = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            tbl = np.vstack([tables[q] for q in pdf["query_id"]])
+            idx = codes_m + offs_np  # (n, m) flat positions
+            acc = None
+            for j in range(m):  # ordered accumulation == the literal chain
+                term = np.take_along_axis(tbl, idx[:, j : j + 1], axis=1)[:, 0]
+                acc = term if acc is None else acc + term
+            out = pdf[["query_id", id_col]].copy()
+            out["pq_score"] = acc
+            yield out[out["query_id"] != out[id_col]]
+
+    idt = "bigint"
+    scored = pairs.select("query_id", id_col, "codes").mapInPandas(
+        score, f"query_id {idt}, {id_col} {idt}, pq_score double"
+    )
+    return _topk_refine_tail(
+        scored, k, refine_factor, refine_with, query, id_col, vec_col
     )
 
 
@@ -879,4 +998,87 @@ def ann_index_txn_topk(
         query,
         id_col,
         vec_col,
+    )
+
+
+def ann_index_topk_batch(
+    spark,
+    path: str,
+    query: DataFrame,
+    n_probe: int = 3,
+    k: int = 10,
+    refine_factor: int = 4,
+    refine_with: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch probe of the plain persisted index: row-identical to
+    ``ann_index_topk`` (same probe cells, bit-identical ADC scores, shared
+    top-k/refine tail — pinned by test) but the plan is O(1) in the query
+    count: one cell-pruned scan of the union of probed cells, one broadcast
+    (query_id, cell) equi-join, one vectorized scoring stage. Use this once
+    a query SET (hundreds+) probes the index; the per-query form stays the
+    interactive path."""
+    import os
+
+    cent_rows, codebook = _load_index_sides(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    q_rows = query.select(id_col, vec_col).collect()
+    return _adc_rank_refine_batch(
+        lambda cells: codes.filter(F.col("cell").isin(cells)),
+        q_rows,
+        cent_rows,
+        codebook,
+        n_probe,
+        k,
+        refine_factor,
+        refine_with,
+        query,
+        id_col,
+        vec_col,
+        spark,
+    )
+
+
+def ann_index_txn_topk_batch(
+    spark,
+    path: str,
+    query: DataFrame,
+    n_probe: int = 3,
+    k: int = 10,
+    refine_factor: int = 4,
+    refine_with: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Batch probe of the TRANSACTIONAL index: ``ann_index_txn_topk``
+    semantics (stats-pruned reads, DV overlay, time travel) at
+    ``ann_index_topk_batch`` plan cost — ONE pruned multi-cell read instead
+    of per-query unions, then the shared batch scorer."""
+    from functools import reduce
+
+    cent_rows, codebook = _load_index_sides_txn(spark, path, version)
+    t = _annx_codes(spark, path)
+
+    def codes_for_cells(cells):
+        return reduce(
+            DataFrame.unionByName,
+            [t.read_pruned("cell", c, c, version) for c in sorted(cells)],
+        )
+
+    q_rows = query.select(id_col, vec_col).collect()
+    return _adc_rank_refine_batch(
+        codes_for_cells,
+        q_rows,
+        cent_rows,
+        codebook,
+        n_probe,
+        k,
+        refine_factor,
+        refine_with,
+        query,
+        id_col,
+        vec_col,
+        spark,
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["salted_groupby", "salted_join", "write_bucketed"]
+__all__ = ["salted_groupby", "salted_join", "write_bucketed", "bloom_prefilter_join", "key_skew_report"]
 
 # How each algebraic aggregate combines its partial results.
 _COMBINERS = {
@@ -143,3 +143,121 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    bits: int = 1 << 20,
+    probes: int = 4,
+) -> DataFrame:
+    """Join ``big ⋈ small`` with a Bloom-filter pre-filter on the big side —
+    the runtime-filter pattern for the regime where ``small`` is too large
+    to broadcast as an exact hash relation but its KEY SET sketches into a
+    bitset of ``bits`` bits. The big side is filtered map-side BEFORE its
+    shuffle, so the exchange moves only rows whose key might match: at a
+    1% join selectivity that is a ~100× cut of the dominant shuffle, the
+    same effect Spark's own (off-by-default, threshold-gated) runtime
+    bloom-filter injection targets — here explicit, deterministic, and
+    available to any join the caller chooses.
+
+    Mechanics: one aggregate over ``small`` collects the DISTINCT probe
+    positions of its keys (``sketches.probe_positions`` — the md5
+    hash-once-slice construction shared by the CMS and the txn Bloom
+    index), the driver packs them into a ``bits/8``-byte bitset, and the
+    bitset rides the plan as ONE binary literal (a single py4j call and
+    one task-binary shipment — never a per-element literal array). The big
+    side's membership test is pure JVM expression work: per probe, one
+    dynamic one-byte ``substring`` of the literal + hex→int + bit shift.
+
+    EXACTNESS: a Bloom filter has no false negatives, and every false
+    positive is eliminated by the real join that follows — the result is
+    row-identical to ``big.join(small, on, how)`` (oracle-checkable).
+    Allowed ``how``: ``inner`` and ``left_semi`` (big-side-preserving
+    joins would be broken by the filter: a big row with no match must
+    survive a left join, but the filter drops it). The collected position
+    set is bounded by ``min(|small keys| × probes, bits)`` ints — size the
+    bitset so bits ≪ driver memory; 2^20 bits = 128 KB packed.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi, got {how!r} "
+            "(big-side-preserving joins would drop unmatched big rows)"
+        )
+    if bits % 8:
+        raise ValueError(f"bits must be a multiple of 8, got {bits}")
+    from scraping_jobsdb_spark.operators.sketches import probe_positions
+
+    key = F.col(on).cast("string")
+    pos_rows = (
+        small.select(
+            F.explode(F.array(*probe_positions(key, probes, bits))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitset = bytearray(bits // 8)
+    for r in pos_rows:
+        p = int(r.p)
+        bitset[p // 8] |= 1 << (p % 8)
+    bf = F.lit(bytes(bitset))
+
+    def bit_is_set(pos: Column) -> Column:
+        byte_val = F.conv(
+            F.hex(F.substring(bf, (pos / 8).cast("int") + 1, 1)), 16, 10
+        ).cast("int")
+        # shiftright() only takes a literal shift — divide by 2^bit instead
+        # (exact: byte_val <= 255, 2^bit <= 128 are both exact doubles)
+        bit_weight = F.pow(F.lit(2.0), (pos % 8).cast("double")).cast("int")
+        return (F.floor(byte_val / bit_weight).cast("int") % 2) == 1
+    test = None
+    for p in probe_positions(key, probes, bits):
+        t = bit_is_set(p)
+        test = t if test is None else test & t
+    return big.filter(test).join(small, on, how)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Skew diagnostics for a prospective shuffle key: the top-``k``
+    heaviest key values with their row counts, share of the table, and
+    ratio to the MEAN key load — the numbers that decide whether a
+    groupBy/join on these columns needs ``salted_groupby``/``salted_join``
+    /AQE skew handling (ratio ≫ 1 for any hot key ⇒ one straggler reducer
+    at scale). One aggregate on the key + one tiny ordered limit; the
+    global totals ride a single-row broadcast join, so the whole report
+    costs one shuffle of key-count rows. All arithmetic on exact integer
+    counts (shares/ratios derived per row) — fully oracle-able.
+
+    Output: key cols + ``n_rows``, ``share`` (fraction of all rows),
+    ``skew_ratio`` (n_rows ÷ mean rows per distinct key), ordered
+    (n_rows desc, keys asc)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_rows").alias("__total"),
+            F.count(F.lit(1)).alias("__distinct"),
+        )
+    )
+    return (
+        counts.crossJoin(totals)
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("share"),
+            (F.col("n_rows") * F.col("__distinct") / F.col("__total")).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+    )

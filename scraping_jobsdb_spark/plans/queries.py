@@ -6780,6 +6780,93 @@ def q_sequence_packing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bloom_prefilter_supplier_revenue",
+    oracle="""
+    SELECT l.l_suppkey AS suppkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 1) s
+      ON s.s_suppkey = l.l_suppkey
+    GROUP BY l.l_suppkey
+    """,
+)
+def q_bloom_prefilter_supplier_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runtime-filter join (operators/scale.py bloom_prefilter_join):
+    lineitem ⋈ the suppliers of one nation, with a Bloom bitset of the
+    small side's keys filtering the BIG side map-side BEFORE its shuffle —
+    the explicit form of Spark's threshold-gated runtime bloom-filter
+    injection, for the regime where the dimension is too large to
+    broadcast exactly but its key set sketches into kilobytes. The bitset
+    is built by ONE aggregate over the small side (md5 probe_positions —
+    the portable construction the CMS/txn-bloom share) and ships as a
+    single binary literal. Bloom filters have no false negatives and the
+    real join removes false positives, so the result is row-identical to
+    the plain join — hash-oracled here against DuckDB's exact join.
+    Row-prune factor asserted in tests/test_scale_ops.py."""
+    from scraping_jobsdb_spark.operators.scale import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 1)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        bloom_prefilter_join(li, supp, "l_suppkey", "left_semi", bits=1 << 16)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "key_skew_report_suppkey",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+    ), totals AS (
+        SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+               COUNT(*) AS n_distinct
+        FROM counts
+    )
+    SELECT c.l_suppkey, c.n_rows,
+           c.n_rows / t.total AS share,
+           c.n_rows * t.n_distinct / t.total AS skew_ratio
+    FROM counts c CROSS JOIN totals t
+    ORDER BY c.n_rows DESC, c.l_suppkey
+    LIMIT 20
+    """,
+)
+def q_key_skew_report_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (operators/scale.py key_skew_report):
+    the 20 heaviest l_suppkey values with row count, share of the table,
+    and ratio to the mean key load — the report that decides whether a
+    groupBy/join on this key needs salting/AQE skew handling before the
+    job runs at 100 TB. One key-count shuffle + a single-row broadcast of
+    the totals + an ordered limit (TakeOrderedAndProject); integer counts
+    with one final IEEE division per derived column, so the whole report
+    hash-oracles."""
+    from scraping_jobsdb_spark.operators.scale import key_skew_report
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return key_skew_report(li, ["l_suppkey"], k=20)
+
+
 @_register("bpe_learned_merges", oracle=None)
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE vocabulary training (operators/textops.py bpe_train — the
@@ -7431,21 +7518,28 @@ _GATE_PRIORITY = [
     "explode_outer_null_preserving",
     "array_set_ops_pack",
     "gaps_and_islands",
-    # (e) oldest r3 cohort, family-coverage picks (scalar_json_pack ceded
-    # its draft slot to embedding_ann_index_txn_lifecycle: the JSON-scalar
-    # family keeps fresh evidence via variant_json_surface r4 and the
-    # in-window scalar packs)
+    # (e) oldest r3 cohort + new-r6 first-evidence picks. Draft-slot
+    # cessions (each ceded query was full-registry driver_check-verified
+    # this round, and its family keeps in-window or fresh evidence):
+    # scalar_json_pack → embedding_ann_index_txn_lifecycle (JSON family:
+    # variant_json_surface r4 + in-window scalar packs);
+    # multimodal_binary_features → order_flow_pagerank (multimodal family:
+    # two r5-green stage queries);
+    # latest_event_per_user → bloom_prefilter_supplier_revenue (windowed
+    # keyed-update family: window_distribution_pack, window_range_frame,
+    # gaps_and_islands, scd2 all in-window);
+    # events_hourly_tumbling → bpe_learned_merges (event-time family:
+    # events_hourly_streaming went green r5).
+    # salted_groupby_skewed (r3) ceded to key_skew_report_suppkey (new r6,
+    # never-evidenced — same skew-tooling family; the salted form was
+    # full-registry driver_check-verified this round and stays benched)
     "impute_interval_merge",
-    "latest_event_per_user",
-    "events_hourly_tumbling",
     "doc_winnowing_fingerprints",
-    "salted_groupby_skewed",
+    "key_skew_report_suppkey",
     "cdc_appends_since_txn",
-    # order_flow_pagerank (new r6, integer-exact PageRank) takes the slot
-    # multimodal_binary_features (r3) held in an earlier draft of this
-    # window: the multimodal family keeps fresh in-window-equivalent
-    # evidence via its two r5-green stage queries (frame_sample, resize)
     "order_flow_pagerank",
+    "bloom_prefilter_supplier_revenue",
+    "bpe_learned_merges",
 ]
 
 

@@ -192,6 +192,11 @@ FORBIDDEN = [
     # numpy matmul per block pair, still never a planner product node
     ("embedding_neardup_pairs_exact_gemm", "CartesianProduct"),
     ("embedding_neardup_pairs_exact_gemm", "BroadcastNestedLoopJoin"),
+    # bloom pre-filter join: map-side literal-bitset filter + one equi-join —
+    # no product node, and no row-Python (the membership test is expressions)
+    ("bloom_prefilter_supplier_revenue", "CartesianProduct"),
+    ("bloom_prefilter_supplier_revenue", "BroadcastNestedLoopJoin"),
+    ("bloom_prefilter_supplier_revenue", "BatchEvalPython"),
 ]
 
 

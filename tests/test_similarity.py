@@ -1136,3 +1136,74 @@ def test_ann_index_txn_add_stream_delete_timetravel(spark, tmp_path):
     assert n_files is not None
     assert not codes_t._manifest().get("dvs")  # compaction dropped the DVs
     assert probe(p_inc) == want
+
+
+def test_ann_batch_probe_equals_per_query_both_layouts(spark, tmp_path):
+    """The batch scorers must be ROW-IDENTICAL to the per-query forms on
+    both index layouts: same probe cells, bit-identical ADC scores (the
+    batch path computes each query's lookup table with the same
+    Python-float arithmetic _adc_score bakes into literals, and accumulates
+    subspace terms in the same left-assoc order), shared top-k/refine tail.
+    The batch plan is O(1) in query count — one pruned scan + one broadcast
+    join instead of Q unioned subplans."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_topk,
+        ann_index_topk_batch,
+        ann_index_txn_topk,
+        ann_index_txn_topk_batch,
+        pq_train,
+        write_ann_index,
+        write_ann_index_txn,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _seed_centroids(emb, 10, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    query = emb.filter(F.col("vec_id") < 20)  # 20 queries
+
+    p_plain = str(tmp_path / "bp")
+    write_ann_index(emb, p_plain, codebook, centroids=cents)
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(
+            spark, p_plain, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk_batch(
+            spark, p_plain, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    assert a == b and len(a) == 100
+
+    p_txn = str(tmp_path / "bt")
+    write_ann_index_txn(emb, p_txn, codebook, centroids=cents, target_files=8)
+    c = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_txn_topk(
+            spark, p_txn, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    d = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_txn_topk_batch(
+            spark, p_txn, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    assert c == d == a  # layouts AND scorers all agree
+
+    # no-refine path too (pure ADC ranks)
+    e = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(spark, p_plain, query, n_probe=3, k=5).collect()
+    )
+    f_ = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk_batch(spark, p_plain, query, n_probe=3, k=5).collect()
+    )
+    assert e == f_

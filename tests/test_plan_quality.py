@@ -244,8 +244,16 @@ def test_seeding_never_single_partition_window(spark):
 
 def test_coverage_doc_matches_registry():
     """COVERAGE.md is the document the correctness gate is audited against;
-    it must be regenerated in the same commit as any registry change."""
+    it must be regenerated in the same commit as any registry change.
+
+    The comparison is pinned to the evidence round RECORDED IN THE DOC: the
+    driver writes CORRECTNESS_r{N+1}.json after the builder's final commit,
+    so comparing against a render over ALL artifacts made a clean checkout
+    pytest-red at the start of every round (r5 and r6 verdicts). Registry
+    drift (queries added/removed/re-documented) still fails — only
+    newer-than-the-doc driver artifacts are tolerated."""
     import importlib.util
+    import re
     from pathlib import Path
 
     repo = Path(__file__).resolve().parents[1]
@@ -254,6 +262,13 @@ def test_coverage_doc_matches_registry():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    assert (repo / "COVERAGE.md").read_text() == mod.render(), (
+    doc = (repo / "COVERAGE.md").read_text()
+    m = re.search(r"Evidence through round (\d+)", doc)
+    assert m, "COVERAGE.md predates the evidence-round header — regenerate"
+    doc_round = int(m.group(1))
+    assert doc_round <= mod.max_artifact_round(), (
+        "COVERAGE.md claims a round with no artifact"
+    )
+    assert doc == mod.render(max_round=doc_round), (
         "COVERAGE.md is stale — run scripts/gen_coverage.py"
     )

@@ -1,9 +1,13 @@
 """Benchmark runner (driver contract).
 
 Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints small
+self-contained JSON lines: per-query timing chunks (~15 queries each,
+oldest-first so a tail capture keeps the newest) followed by ONE summary
+line {"metric": "headline_queries_total", "value": total_sec, "unit":
+"sec", "sf": ..., "query_count": ..., "canary_start/mid/end": ...}.
+The complete result is also written to ``BENCH_SELF.json`` (committed),
+because the driver's stdout capture keeps only a ~2 KB tail.
 
 Each query is fully materialized through the noop sink (forces the whole
 plan — scan, shuffle, agg — without paying driver-side collect/serialization,
@@ -146,6 +150,10 @@ BENCH_QUERIES = [
     "bpe_learned_merges",
     "bloom_prefilter_supplier_revenue",
     "key_skew_report_suppkey",
+    # --- round 7 additions (keep appending, never reorder) ---
+    "order_flow_pagerank_redistribute",
+    "bpe_corpus_tokenize",
+    "semantic_dedup_embeddings",
 ]
 
 
@@ -173,10 +181,29 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Drift canary (VERDICT r6 Wrong #2): one fixed query timed at the
+    # start, middle, and end of the sweep. The suite total has drifted
+    # uniformly round-over-round on UNCHANGED code (r4→r5 1.06×, r5→r6
+    # 1.15×) — if the canary's end/start ratio tracks that drift, the cause
+    # is single-JVM session aging (code cache / GC pressure growing with
+    # the suite), not plan regressions.
+    def _canary() -> float:
+        q = REGISTRY["pricing_summary"]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    canary = {"canary_start": _canary()}
+
     # min of 2 runs per query: steady-state timing (the deployed posture of a
     # long-running cluster), robust to one-off GC/compilation hiccups.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i == len(BENCH_QUERIES) // 2:
+            canary["canary_mid"] = _canary()
         q = REGISTRY[name]
         best = float("inf")
         for _ in range(2):
@@ -184,35 +211,53 @@ def main() -> None:
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    canary["canary_end"] = _canary()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Key order matters for the driver's TAIL capture of this line: with 77+
-    # per-query entries the front of the line can be truncated, so the scalar
-    # summary fields ("metric"/"value"/"unit"/"sf") go AFTER the big
-    # "queries" dict — whatever is cut, the headline total survives
-    # (BENCH_r04.json lost its parsed total to the old front-placement).
-    # Within "queries", newest-first: the append-only BENCH_QUERIES order is
-    # reversed at print time so truncation eats this round's additions (which
-    # get fresh scrutiny anyway) instead of the long-stable round-1 cohort.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
-    print(
+
+    # The full result also lands in BENCH_SELF.json at the repo root (a
+    # committed artifact): the driver's stdout capture keeps only a ~2 KB
+    # TAIL, which cannot hold 100+ per-query timings no matter how the
+    # lines are arranged — BENCH_r05/r06 each lost ~40 queries' numbers.
+    self_path = Path(__file__).resolve().parent / "BENCH_SELF.json"
+    self_path.write_text(
         json.dumps(
             {
-                "queries": {n: timings[n] for n in reversed(BENCH_QUERIES)},
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
-            }
+                "query_count": len(timings),
+                **canary,
+                "queries": timings,
+            },
+            indent=1,
         )
+        + "\n"
     )
-    # The big line above is front-truncated by the driver's tail capture once
-    # the per-query dict outgrows the buffer, which makes the WHOLE line
-    # unparseable (BENCH_r04/r05 both recorded parsed: null despite the
-    # headline total's text surviving). Emit a second, short, self-contained
-    # JSON line carrying the summary: whatever happens to the big line, this
-    # one parses.
+
+    # stdout: SMALL self-contained JSON lines, ~15 queries each, so any
+    # line that survives the tail capture parses on its own. Chunks are
+    # ordered OLDEST-first so the lines nearest the end of stdout — the
+    # ones the tail keeps — carry the NEWEST queries (this round's
+    # additions, the ones needing driver scrutiny; r6's newest-first single
+    # line sacrificed exactly those). The one-line summary with the canary
+    # scalars goes last: whatever else is cut, it parses.
+    chunk = 15
+    for ci in range(0, len(BENCH_QUERIES), chunk):
+        names = BENCH_QUERIES[ci : ci + chunk]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_chunk",
+                    "i": ci // chunk,
+                    "sf": sf_val,
+                    "queries": {n: timings[n] for n in names},
+                }
+            )
+        )
     print(
         json.dumps(
             {
@@ -221,6 +266,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "query_count": len(timings),
+                **canary,
             }
         )
     )

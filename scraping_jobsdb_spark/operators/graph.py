@@ -237,6 +237,7 @@ def pagerank(
     scale: int = 1_000_000,
     src: str = "src",
     dst: str = "dst",
+    dangling: str = "leak",
 ) -> DataFrame:
     """INTEGER-EXACT PageRank over a directed edge list — fixed-iteration
     power method with every arithmetic step in scaled integers, so the
@@ -253,11 +254,19 @@ def pagerank(
     — the classic d=0.85 update with floor division at the two points
     floats would round. Truncation loss per node per iteration is < 1000
     micro-units (outdeg remainder + the DIV 1000), far below any ranking
-    gap of interest, and deterministic. Dangling nodes (outdeg 0) leak
-    their damped mass — the uniform-redistribution correction is a global
-    scalar and deliberately omitted so every value is a pure function of
-    the node's in-neighborhood; document order ("who outranks whom")
-    matches the standard formulation on non-degenerate graphs.
+    gap of interest, and deterministic.
+
+    ``dangling``: how nodes with outdeg 0 are treated. ``"leak"`` (default,
+    the oracle-friendly form) drops their damped mass, keeping every value
+    a pure function of the node's in-neighborhood — rank order matches the
+    standard formulation on non-degenerate graphs but can differ on graphs
+    with sinks. ``"redistribute"`` adds the standard uniform correction:
+    each iteration the danglers' total rank ``D`` is ONE integer global
+    scalar (a 1-row aggregate broadcast into the update — no driver
+    round-trip), and every node receives ``D div N`` extra incoming mass —
+    still integer-exact and repartition-stable, and it matches the
+    textbook/NetworkX formulation within truncation error (pinned by a
+    sink-graph test).
 
     Scale shape: one groupBy(src) for out-degrees, then per iteration ONE
     join of the rank frame with the (static, re-usable) edge list and ONE
@@ -272,6 +281,10 @@ def pagerank(
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     if not 0 <= damping_milli <= 1000:
         raise ValueError(f"damping_milli must be in [0, 1000], got {damping_milli}")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
+        )
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .localCheckpoint()
@@ -285,6 +298,12 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    if dangling == "redistribute":
+        # danglers are static (outdeg never changes); N is a driver
+        # constant computed once so the per-node share stays a pure
+        # integer expression
+        danglers = nodes.join(outdeg, "node", "left_anti").localCheckpoint()
+        n_nodes = nodes.count()
     rank = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     base = ((1000 - damping_milli) * scale)
     for _ in range(iterations):
@@ -298,15 +317,38 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("contrib"))
         )
-        rank = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.expr(
-                    f"(CAST({base} AS BIGINT)"
-                    f" + {damping_milli} * coalesce(contrib, 0)) div 1000"
-                ).alias("rank"),
+        if dangling == "redistribute":
+            # ONE global integer scalar per iteration: the danglers' total
+            # rank, shared uniformly (D div N per node). Rides the plan as
+            # a broadcast 1-row cross join — no driver round-trip.
+            dmass = F.broadcast(
+                rank.join(danglers, "node", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0)).alias("__dm")
+                )
             )
-            .localCheckpoint()
-        )
+            share = f"(__dm div {n_nodes})"
+            rank = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(dmass)
+                .select(
+                    "node",
+                    F.expr(
+                        f"(CAST({base} AS BIGINT) + {damping_milli}"
+                        f" * (coalesce(contrib, 0) + {share})) div 1000"
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        else:
+            rank = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.expr(
+                        f"(CAST({base} AS BIGINT)"
+                        f" + {damping_milli} * coalesce(contrib, 0)) div 1000"
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
     return rank

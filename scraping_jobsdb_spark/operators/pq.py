@@ -505,10 +505,16 @@ def _adc_rank_refine_batch(
             probe_pairs.append((qid, cell))
 
     all_cells = sorted({c for _, c in probe_pairs})
+    # Derive both id types from the actual frames (the per-query form is
+    # id-type-agnostic; hard-coding bigint here broke string-id corpora —
+    # ADVICE r6). Query ids and corpus ids may even differ in type.
+    qidt = dict(query.dtypes)[id_col]
+    codes_df = codes_for_cells(all_cells)
+    cidt = dict(codes_df.dtypes)[id_col]
     qp = F.broadcast(
-        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+        spark.createDataFrame(probe_pairs, f"query_id {qidt}, cell int")
     )
-    pairs = codes_for_cells(all_cells).join(qp, "cell")
+    pairs = codes_df.join(qp, "cell")
 
     offs_np = np.asarray(offs[:-1], dtype=np.int64)
 
@@ -527,9 +533,8 @@ def _adc_rank_refine_batch(
             out["pq_score"] = acc
             yield out[out["query_id"] != out[id_col]]
 
-    idt = "bigint"
     scored = pairs.select("query_id", id_col, "codes").mapInPandas(
-        score, f"query_id {idt}, {id_col} {idt}, pq_score double"
+        score, f"query_id {qidt}, {id_col} {cidt}, pq_score double"
     )
     return _topk_refine_tail(
         scored, k, refine_factor, refine_with, query, id_col, vec_col
@@ -840,17 +845,32 @@ def _load_index_sides_txn(spark, path: str, version: int | None = None):
     """Driver-side side tables from their TxnTables (same per-subspace
     reconstruction as ``_load_index_sides``). ``version`` pins the CODES
     version only — the quantizer is frozen after training by contract
-    (add-after-train), so current side tables describe every version."""
+    (add-after-train), so version-1 side tables describe every codes
+    version. A RETRAINED-in-place quantizer (side tables at version > 1)
+    breaks that contract for historical probes: old codes would silently
+    decode against the new codebook — so a time-travel request under
+    retrained sides raises instead of returning wrong neighbors
+    (ADVICE r6)."""
     import os
 
     from scraping_jobsdb_spark.sources.txn import TxnTable
 
+    cent_t = TxnTable(spark, os.path.join(path, "centroids"))
+    cb_t = TxnTable(spark, os.path.join(path, "codebook"))
+    if version is not None and (cent_t.version() > 1 or cb_t.version() > 1):
+        raise ValueError(
+            f"{path}: time-travel probe (version={version}) under a "
+            "RETRAINED quantizer — the centroids/codebook tables have "
+            "commits after index creation, so historical codes no longer "
+            "decode under the current side tables. Probe the current "
+            "version, or rebuild the index at a fresh path per training."
+        )
     cent_rows = [
         (int(r.cell), [float(x) for x in r.centroid])
-        for r in TxnTable(spark, os.path.join(path, "centroids")).read().collect()
+        for r in cent_t.read().collect()
     ]
     by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in TxnTable(spark, os.path.join(path, "codebook")).read().collect():
+    for r in cb_t.read().collect():
         by_sub.setdefault(r.subspace, {})[r.cell] = [float(x) for x in r.centroid]
     m = 1 + max(by_sub)
     codebook = []
@@ -942,9 +962,8 @@ def ann_index_txn_maintain(
     is the DV GC). No-op under the thresholds; returns the new file count
     or None."""
     t = _annx_codes(spark, path)
-    m = t._manifest()
-    n_dvs = len({d for fs in (m.get("dvs") or {}).values() for d in fs})
-    if len(m["files"]) <= max_files and n_dvs <= max_dv_files:
+    n_files, n_dvs = t.snapshot_file_counts()
+    if n_files <= max_files and n_dvs <= max_dv_files:
         return None
     return t.zorder_by(
         ["cell"],

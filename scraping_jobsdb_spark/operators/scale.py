@@ -191,8 +191,12 @@ def bloom_prefilter_join(
     from scraping_jobsdb_spark.operators.sketches import probe_positions
 
     key = F.col(on).cast("string")
+    # NULL small-side keys never match an inner/left_semi join, so dropping
+    # them before probe collection is semantics-preserving — and required:
+    # md5(NULL) yields NULL positions that would crash the int() pack below.
     pos_rows = (
-        small.select(
+        small.filter(F.col(on).isNotNull())
+        .select(
             F.explode(F.array(*probe_positions(key, probes, bits))).alias("p")
         )
         .distinct()

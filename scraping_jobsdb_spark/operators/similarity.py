@@ -51,6 +51,7 @@ __all__ = [
     "quantized_cosine_topk",
     "label_centroids",
     "nearest_centroid_classify",
+    "semantic_dedup_keep_list",
 ]
 
 
@@ -387,10 +388,10 @@ def embedding_neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    rows_per_band: int = 2,
+    rows_per_band: int = 8,
     n_bands: int | None = None,
     target_miss: float = 1e-7,
-    arrow_signatures: bool = False,
+    arrow_signatures: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH banding + exact
     cosine filter — the bucketed form of ``embedding_neardup_pairs``: same
@@ -425,7 +426,13 @@ def embedding_neardup_pairs_lsh(
     identical JVM-side code; banding only prunes, so the OUTPUT pair set is
     unchanged either way (float-rounding sign flips at a plane boundary
     merely perturb which band catches a pair — the ≤ target_miss bound is
-    over the plane ensemble and unaffected)."""
+    over the plane ensemble and unaffected).
+
+    Defaults are the DEPLOYED posture (r7, was 2/False): ``rows_per_band=8``
+    — 2-bit signatures put ~n/4 of an isotropic corpus in every bucket, i.e.
+    prune nothing — and ``arrow_signatures=True``, the measured-fast
+    signature kernel. ``rows_per_band=2`` + the expression path remain
+    supported (the r=2/expression parity tests pin them)."""
     import math
 
     if n_bands is None:
@@ -1418,4 +1425,79 @@ def nearest_centroid_classify(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],
         best.getField("lbl").cast("int").alias("pred_label"),
+    )
+
+
+def semantic_dedup_keep_list(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize_dp: int = 9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    assign every vector to its nearest-centroid CELL, compute exact cosines
+    only WITHIN each cell, and drop any vector that has a more-senior
+    (lower-id) near-duplicate (quantized cosine ≥ ``threshold``) in its
+    cell. Returns (id, cell, keep boolean), one row per corpus vector.
+
+    Scale shape — the reason SemDeDup beats pairwise dedup at web scale:
+    the cell assignment is a ZERO-SHUFFLE map over driver-baked centroid
+    literals (``nearest_centroid_classify``), and the quadratic pairwise
+    step is confined to an EQUI-JOIN on cell — Σ|cell|² work instead of
+    |corpus|², with the cell count the knob that bounds the blow-up (the
+    paper uses ~50k k-means cells for 5B embeddings; size cells to
+    thousands of vectors). Within-cell pairs carry vectors once per side
+    of one hash join keyed on the cell id; the drop rule ("a smaller
+    similar id exists in my cell") is intentionally NON-transitive — every
+    verdict depends only on in-cell pairs, making the whole operator a
+    pure composition of joins/aggregates (hash-oracle-able, unlike the
+    connected-components keep rule of ``dedup_keep_list``, and the same
+    admission rule the fingerprint index uses).
+
+    Determinism: cosines quantize to ``quantize_dp`` decimals BEFORE the
+    threshold compare and the argmin tie-breaks on the lowest label — the
+    engine-wide rule that keeps ulp drift from flipping verdicts across
+    engines/partitionings.
+    """
+    carried = corpus.withColumn("__sdd_vec", F.col(vec_col))
+    assigned = nearest_centroid_classify(
+        carried,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+        quantize_dp=quantize_dp,
+        carry_cols=["__sdd_vec"],
+    ).select(
+        F.col(id_col), F.col("pred_label").alias("cell"), F.col("__sdd_vec")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell", F.col("__sdd_vec").alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cell", F.col("__sdd_vec").alias("__vb")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), quantize_dp)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
     )

@@ -46,6 +46,7 @@ __all__ = [
     "containment_verdict",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_encode",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -1080,15 +1081,21 @@ def bpe_train(
     corpus-sized reduction — lowercase, tokenize, aggregate to DISTINCT
     WORDS WITH COUNTS (the same first shuffle as bpe_pair_counts; output is
     vocabulary-sized). The merge loop then runs DRIVER-SIDE over that
-    collected histogram: every iteration's pair recount touches only the
-    vocabulary (and with the standard incremental trick, only words
-    containing the just-merged pair), which is megabytes — shipping it back
-    through a Spark job per merge would pay per-iteration scheduling for
-    kilobyte-scale arithmetic. Same driver-side-tiny-state exception as
-    k-means centroids and PQ codebooks. Deterministic: integer counts,
-    ties broken by lexicographic pair order — so the merge table is a pure
-    function of the corpus (pinned by a golden-corpus test; not
-    SQL-oracle-able because the recurrence is iterative).
+    collected histogram with the standard INCREMENTAL recount (Sennrich's
+    update_pair_statistics): pair counts are built once, and each merge
+    touches only the words that CONTAIN the merged pair (an inverted
+    pair→word index finds them), subtracting their old adjacent-pair
+    contributions and adding the rewritten ones. Full-recount cost O(vocab)
+    per merge becomes O(affected words) — the 10–50× that makes 10k-merge
+    vocabularies feasible (VERDICT r6 item 5); a 1000-merge train is
+    pinned bounded-time, and equality with the naive full-recount loop is
+    pinned at small n. Shipping the histogram back through a Spark job per
+    merge would pay per-iteration scheduling for kilobyte-scale arithmetic
+    — same driver-side-tiny-state exception as k-means centroids and PQ
+    codebooks. Deterministic: integer counts, ties broken by lexicographic
+    pair order — so the merge table is a pure function of the corpus
+    (pinned by a golden-corpus test; not SQL-oracle-able because the
+    recurrence is iterative).
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -1100,18 +1107,29 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("wc"))
         .collect()
     )
-    # vocabulary as symbol tuples: chars + word-end marker
-    vocab: dict[tuple[str, ...], int] = {}
-    for r in word_rows:
-        vocab[tuple(r.w) + ("</w>",)] = r.wc
+    # vocabulary as (symbol list, count) entries; wid = stable word handle
+    # for the inverted index (symbol tuples mutate as merges apply)
+    words: list[list] = [[list(r.w) + ["</w>"], r.wc] for r in word_rows]
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+
+    def _account(wid: int, syms: list[str], wc: int, sign: int) -> None:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            c = counts.get(p, 0) + sign * wc
+            if c:
+                counts[p] = c
+            else:
+                counts.pop(p, None)
+            if sign > 0:
+                where.setdefault(p, set()).add(wid)
+
+    for wid, (syms, wc) in enumerate(words):
+        _account(wid, syms, wc, +1)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, wc in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + wc
         if not counts:
             break
         # argmax: count desc, then lexicographic pair — deterministic
@@ -1119,20 +1137,109 @@ def bpe_train(
         (left, right), c = best
         merges.append((rank, left, right, c))
         merged = left + right
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for syms, wc in vocab.items():
+        # rewrite ONLY the words containing the merged pair; the index may
+        # hold stale wids (a word rewritten since it last contained p), so
+        # re-verify adjacency during the rewrite scan
+        for wid in sorted(where.pop((left, right), ())):
+            syms, wc = words[wid]
             out = []
             i = 0
+            hit = False
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
                     out.append(merged)
                     i += 2
+                    hit = True
                 else:
                     out.append(syms[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + wc
-        vocab = new_vocab
+            if not hit:
+                continue  # stale index entry
+            _account(wid, syms, wc, -1)
+            words[wid][0] = out
+            _account(wid, out, wc, +1)
+        # the merged pair's own count is now fully retired by the rewrites
+        counts.pop((left, right), None)
 
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table to a corpus — the OTHER half of the
+    tokenizer (``bpe_train`` learns the merges; this is the part that runs
+    at corpus scale on every training batch). Returns
+    (id_col, tokens array<string>, n_tokens).
+
+    Scale shape (what makes this the 100 TB form): the expensive symbol
+    rewriting happens ONCE PER DISTINCT WORD, not once per occurrence — a
+    distinct-word aggregate (vocabulary-sized, the same first shuffle as
+    bpe_train), one Arrow-batched encode over that vocabulary, then an
+    equi-join back to (doc, position) and a JVM-side ordered reassembly
+    (collect_list of (pos, toks) structs → array_sort → flatten; no Python
+    touches corpus-sized data a second time). The merge table rides the
+    UDF closure once per task — it is vocabulary-sized (KBs), the same
+    driver-side-tiny-state exception as PQ codebooks.
+
+    Encoding replays training exactly: merges apply in ascending rank
+    order, each with the same left-to-right scan ``bpe_train`` uses, so a
+    word of the training corpus encodes to precisely the symbols training
+    left it with (pinned by test) — a pair of rank r is built only from
+    symbols produced by merges < r, so ascending-rank replay is the greedy
+    min-rank apply."""
+    spark = docs.sparkSession
+    merge_list = [(str(left), str(right)) for left, right in merges]
+
+    pos_words = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = pos_words.select("w").distinct()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks_out = []
+            for w in pdf["w"]:
+                syms = list(w) + ["</w>"]
+                for left, right in merge_list:
+                    if len(syms) < 2:
+                        break
+                    out = []
+                    i = 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                toks_out.append(syms)
+            yield pd.DataFrame({"w": pdf["w"], "toks": toks_out})
+
+    encoded = vocab.mapInPandas(encode, "w string, toks array<string>")
+    return (
+        pos_words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
     )

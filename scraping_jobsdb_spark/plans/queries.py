@@ -3027,6 +3027,186 @@ def q_order_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5).select("node", "rank")
 
 
+def _pagerank_redistribute_oracle() -> str:
+    """The redistribute variant's unrolled CTEs: each iteration adds ONE
+    integer global scalar — the danglers' total rank divided by |nodes| —
+    to every node's incoming mass before the damped update, byte-for-byte
+    the arithmetic of ``pagerank(dangling="redistribute")``. On this graph
+    every supplier is a sink (suppliers never appear as src), so the
+    variant meaningfully diverges from the leaky default."""
+    steps = ",".join(
+        f"""
+    pr{k} AS (
+      SELECT n.node,
+             CAST((150 * 1000000
+                   + 850 * (COALESCE(c.contrib, 0) + s.share)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes n
+      CROSS JOIN (
+          SELECT (SELECT COALESCE(SUM(p.rank), 0) FROM pr{k - 1} p
+                  WHERE p.node NOT IN (SELECT node FROM outdeg))
+                 // (SELECT COUNT(*) FROM nodes) AS share
+      ) s
+      LEFT JOIN (
+          SELECT e.dst AS node, SUM(p.rank // o.d) AS contrib
+          FROM pr{k - 1} p
+          JOIN outdeg o ON o.node = p.node
+          JOIN edges e ON e.src = p.node
+          GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        for k in range(1, 6)
+    )
+    return (
+        """
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges
+    ),
+    outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+        + steps
+        + """
+    SELECT node, rank FROM pr5
+    """
+    )
+
+
+@_register(
+    "order_flow_pagerank_redistribute", oracle=_pagerank_redistribute_oracle()
+)
+def q_order_flow_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDARD-formulation PageRank (operators/graph.py pagerank,
+    ``dangling="redistribute"`` — VERDICT r6 item 7) on the same
+    customer→supplier graph as ``order_flow_pagerank``: every supplier is
+    a sink there, so the leaky default and the textbook form genuinely
+    rank differently — this query pins the textbook form against DuckDB.
+    The correction stays integer-exact: the danglers' total rank is ONE
+    global scalar per iteration (a 1-row broadcast cross join, no driver
+    round-trip), shared as ``D div N`` — so the full rank vector still
+    value-hashes across engines and partitionings."""
+    from scraping_jobsdb_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5, dangling="redistribute").select(
+        "node", "rank"
+    )
+
+
+@_register(
+    "semantic_dedup_embeddings",
+    oracle="""
+    WITH coords AS (
+        SELECT label, i,
+               CAST(SUM(CAST(embedding[i] AS DECIMAL(30,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i
+    ), cents AS (
+        SELECT label, list(m ORDER BY i) AS centroid FROM coords GROUP BY label
+    ), corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_concat([embedding[1]::DOUBLE + 0.5],
+                           embedding[2:]::DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+        SELECT e.vec_id, c.label AS cand,
+               ROUND(list_cosine_similarity(e.embedding, c.centroid), 9) AS cos
+        FROM corpus e CROSS JOIN cents c
+    ), cells AS (
+        SELECT vec_id, cand AS cell FROM (
+            SELECT vec_id, cand, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cand
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), drops AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN corpus ea ON ea.vec_id = a.vec_id
+        JOIN corpus eb ON eb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(ea.embedding, eb.embedding), 9)
+              >= 0.9
+    )
+    SELECT c.vec_id, c.cell, (d.id_b IS NULL) AS keep
+    FROM cells c LEFT JOIN drops d ON d.id_b = c.vec_id
+    """,
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.py semantic_dedup_keep_list) over the corpus
+    with injected perturbed near-dups: per-label Rocchio centroids define
+    the cells (zero-shuffle driver-baked assignment), exact cosines run
+    ONLY within cells (equi-join on cell — Σ|cell|² work, never corpus²),
+    and a vector is dropped when a lower-id in-cell near-duplicate
+    (quantized cosine ≥ 0.9) exists. The whole pipeline — cell assignment
+    argmin, in-cell pair generation, keep verdicts — is one composition of
+    joins/aggregates with 9-dp-quantized floats, so it HASH-ORACLES
+    against DuckDB end to end (the non-iterative sibling of
+    dedup_pipeline_end_to_end's connected-components rule, and the
+    embedding analogue of incremental_indexed_dedup's admission rule)."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        label_centroids,
+        semantic_dedup_keep_list,
+    )
+
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    near = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(near)
+    cents = label_centroids(emb, dim=64)
+    return semantic_dedup_keep_list(corpus, cents, threshold=0.9)
+
+
+@_register("bpe_corpus_tokenize", oracle=None)
+def q_bpe_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer: train a BPE merge table on the corpus
+    (``bpe_train``, incremental recount) and APPLY it back to every
+    document (``bpe_encode``) — the full train→encode loop a pretraining
+    pipeline runs. The apply side is the 100 TB-relevant half: symbol
+    rewriting happens once per DISTINCT word (vocabulary-sized Arrow
+    stage), reassembled per document with a JVM-side ordered flatten.
+    Rows-only: the merge recurrence is iterative (not SQL-expressible);
+    train↔encode consistency and the reassembly order are pinned by
+    tests/test_scale_ops.py. Output: (doc_id, n_tokens, tok_head) with
+    tok_head the first 12 subword tokens space-joined (driver-
+    canonicalizable string form of the array column)."""
+    from scraping_jobsdb_spark.operators.textops import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges=30).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 12), " ").alias("tok_head"),
+    )
+
+
 @_register("dedup_pipeline_end_to_end", oracle=None)
 def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup dedup pipeline in one plan: corpus (+injected
@@ -7443,103 +7623,84 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-6 window (registry 177, window 50). Evidence ages going in (the
-# latest-evidence join over CORRECTNESS_r01–r05; COVERAGE.md's freshness
-# column): 5 queries NEVER driver-evidenced (registered after the r5
-# window froze), 28 queries whose latest green row is r2 (three rounds
-# stale — the r5 verdict's Missing #1 names exactly this cohort), 45 at
-# r3, and one red r5 row (reference_pipeline_e2e — driver canonicalizer
-# choked on its array<string> column; fixed this round by serializing it).
-# Priorities:
-# (a) the r5 red row, re-checked on the fixed serialization;
-# (b) the 5 never-evidenced late r5 registrations (all driver_check-green
-#     locally in r5 AND judge-verified) — first driver evidence;
-# (c) new/renamed/changed this round: sequence_packing_per_shard (new —
-#     the sharded scale path of pack_sequences), embedding_neardup_pairs
-#     (now the PROMOTED sign-LSH plan, r5 verdict item 6),
-#     embedding_neardup_pairs_exact_gemm (the blocked-GEMM form under its
-#     new verification-only name), simhash_neardup_pairs (call site now
-#     passes max_bucket=256 explicitly — library default reverted to
-#     None per ADVICE), incremental_indexed_dedup (fpindex probe gained
-#     the exclude_self_ids replay guard), embedding_ann_index_topk +
-#     embedding_ivfpq_topk + embedding_pq_topk (pq.py codebook loader /
-#     pq_encode generalized to ragged codebooks);
-# (d) all 28 r2-stale queries — the entire three-round-old cohort;
-# (e) remaining slots to the oldest r3 cohort, picked for family
-#     coverage: the flagship impute MERGE, latest-wins keyed update,
-#     JSON scalars, batch event-time windows, winnowing fingerprints,
-#     skew salting, CDC-since (one of the four r5 bench-drift queries),
-#     and the multimodal Arrow pipeline.
+# Round-7 window (registry 183, window 50). Evidence ages going in (the
+# latest-evidence join over CORRECTNESS_r01-r06): r6 closed the entire
+# r2-stale cohort and went 50/50 green; the oldest remaining debt is the
+# 40-query r3-latest cohort (VERDICT r6 Missing #2 / next-round item 2),
+# then 47 at r4. Priorities:
+# (a) the 2 NEW r7 registrations (order_flow_pagerank_redistribute -- the
+#     standard-formulation PageRank, fully oracled; bpe_corpus_tokenize --
+#     the train->encode tokenizer loop, rows-only);
+# (b) queries whose code paths CHANGED this round: bpe_learned_merges
+#     (bpe_train's recount is now incremental), bloom_prefilter_supplier_
+#     revenue (NULL small-side keys filtered before probe collection),
+#     embedding_ann_index_txn_lifecycle (_load_index_sides_txn gained the
+#     retrain guard; maintain goes through the public file-count accessor);
+# (c) ALL 40 r3-stale queries -- led by the five r6 slot-ceders
+#     (latest_event_per_user, events_hourly_tumbling, scalar_json_pack,
+#     multimodal_binary_features, salted_groupby_skewed), per the verdict;
+# (d) remaining 5 slots to r4 entries: the two never-re-benched drift
+#     watch-list queries (stats_regression_pack,
+#     cdc_row_changes_bucketed_txn) and three family picks
+#     (winnowing_containment_pairs, merge_upsert_txn); variant_json_surface
+#     ceded its draft slot to the third new r7 registration
+#     (semantic_dedup_embeddings — first-evidence priority; the JSON family
+#     keeps in-window evidence via scalar_json_pack).
 _GATE_PRIORITY = [
-    # (a) r5's one red row, now driver-canonicalizable
-    "reference_pipeline_e2e",
-    # (b) never driver-evidenced
-    "product_type_profit",
-    "txn_replace_where_backfill",
-    "txn_update_where",
-    "txn_mor_update",
-    "txn_deletion_vectors",
-    # (c) new / renamed / changed code paths this round
-    "sequence_packing_per_shard",
-    "embedding_neardup_pairs",
-    "embedding_neardup_pairs_exact_gemm",
-    "simhash_neardup_pairs",
-    "incremental_indexed_dedup",
-    "embedding_ann_index_topk",
-    "embedding_ann_index_txn_lifecycle",
-    "embedding_ivfpq_topk",
-    "embedding_pq_topk",
-    # (d) the 28 r2-stale queries (latest green row three rounds old)
-    "dq_aggregate_checks",
-    "conditional_aggregates",
-    "dq_bounds_observed",
-    "disjunctive_pred_revenue",
-    "window_distribution_pack",
-    "window_range_frame",
-    "pivot_priority_by_status",
-    "grouping_sets_status_priority",
-    "percentile_part_sizes",
-    "array_hof_pack",
-    "scalar_string_distance_pack",
-    "scalar_date_arith_pack",
-    "explode_token_positions",
-    "pandas_udf_token_count",
-    "regexp_extract_all_pack",
-    "argmin_supplier_per_part",
-    "suppliers_with_heavy_shipments",
-    "inactive_wealthy_customers",
-    "term_document_frequency",
-    "join_full_outer_reconcile",
-    "scd2_supplier_balances",
-    "unpivot_quality_metrics",
-    "scalar_map_pack",
-    "try_cast_error_safe_pack",
-    "decontamination_exact_overlap",
-    "explode_outer_null_preserving",
-    "array_set_ops_pack",
-    "gaps_and_islands",
-    # (e) oldest r3 cohort + new-r6 first-evidence picks. Draft-slot
-    # cessions (each ceded query was full-registry driver_check-verified
-    # this round, and its family keeps in-window or fresh evidence):
-    # scalar_json_pack → embedding_ann_index_txn_lifecycle (JSON family:
-    # variant_json_surface r4 + in-window scalar packs);
-    # multimodal_binary_features → order_flow_pagerank (multimodal family:
-    # two r5-green stage queries);
-    # latest_event_per_user → bloom_prefilter_supplier_revenue (windowed
-    # keyed-update family: window_distribution_pack, window_range_frame,
-    # gaps_and_islands, scd2 all in-window);
-    # events_hourly_tumbling → bpe_learned_merges (event-time family:
-    # events_hourly_streaming went green r5).
-    # salted_groupby_skewed (r3) ceded to key_skew_report_suppkey (new r6,
-    # never-evidenced — same skew-tooling family; the salted form was
-    # full-registry driver_check-verified this round and stays benched)
-    "impute_interval_merge",
-    "doc_winnowing_fingerprints",
-    "key_skew_report_suppkey",
-    "cdc_appends_since_txn",
-    "order_flow_pagerank",
-    "bloom_prefilter_supplier_revenue",
+    # (a) new this round
+    "order_flow_pagerank_redistribute",
+    "bpe_corpus_tokenize",
+    "semantic_dedup_embeddings",
+    # (b) changed code paths
     "bpe_learned_merges",
+    "bloom_prefilter_supplier_revenue",
+    "embedding_ann_index_txn_lifecycle",
+    # (c) the 40-query r3-stale cohort (oldest evidence debt)
+    "latest_event_per_user",
+    "events_hourly_tumbling",
+    "scalar_json_pack",
+    "multimodal_binary_features",
+    "salted_groupby_skewed",
+    "asof_join_latest_state",
+    "cdc_row_changes_txn",
+    "count_distinct_pagination",
+    "cross_join_param_grid",
+    "customer_order_histogram",
+    "dedup_pipeline_end_to_end",
+    "deterministic_sample_split",
+    "embedding_ivf_topk",
+    "embedding_kmeans_cells",
+    "embedding_quantized_topk",
+    "events_session_streaming",
+    "events_session_window",
+    "events_sliding_streaming",
+    "events_sliding_windows",
+    "events_stream_stream_join",
+    "events_streaming_dedup",
+    "events_user_zscore",
+    "funnel_click_to_purchase",
+    "group_share_threshold",
+    "large_order_customers",
+    "llm_corpus_prep",
+    "minhash_neardup_pairs",
+    "multimodal_corpus_prep",
+    "pricing_summary",
+    "promo_revenue_ratio",
+    "range_join_followups",
+    "robust_stats_mad",
+    "scalar_misc_pack",
+    "small_quantity_revenue",
+    "sorted_page_offset",
+    "stratified_sample_per_lang",
+    "tfidf_top_terms",
+    "top_revenue_suppliers",
+    "value_histogram_bins",
+    "window_moving_average",
+    # (d) r4 picks: drift watch-list + family coverage
+    "stats_regression_pack",
+    "cdc_row_changes_bucketed_txn",
+    "winnowing_containment_pairs",
+    "merge_upsert_txn",
 ]
 
 

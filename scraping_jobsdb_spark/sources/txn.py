@@ -543,6 +543,18 @@ class TxnTable:
     def history(self) -> list[dict[str, Any]]:
         return [self._manifest(v) for v in range(1, self.version() + 1)]
 
+    def snapshot_file_counts(self, version: int | None = None) -> tuple[int, int]:
+        """(data files, active deletion-vector parquets) referenced by the
+        snapshot — the PUBLIC compaction-pressure gauge. ``maybe_compact``'s
+        trigger rule is exactly ``files > max_files or dvs > max_dv_files``
+        over these two numbers; external maintenance loops (e.g. the ANN
+        index's zorder-aware compactor) should read them here rather than
+        re-deriving from the raw manifest, so the trigger can never drift
+        from the table's own."""
+        m = self._manifest(version)
+        n_dvs = len({d for fs in (m.get("dvs") or {}).values() for d in fs})
+        return len(m["files"]), n_dvs
+
     # ----------------------------------------------------------------- data
 
     @staticmethod
@@ -2009,10 +2021,9 @@ class TxnTable:
             # below n_buckets, so a threshold under it would otherwise
             # trigger a full-table rewrite on EVERY call, forever
             return None
-        m = self._manifest()
-        n_dvs = len({d for fs in (m.get("dvs") or {}).values() for d in fs})
+        n_files, n_dvs = self.snapshot_file_counts()
         dv_over = max_dv_files is not None and n_dvs > max_dv_files
-        if len(m["files"]) <= max_files and not dv_over:
+        if n_files <= max_files and not dv_over:
             return None
         # The post-compact count must come in UNDER the threshold, or the
         # policy churns: the bare compact() default (session parallelism,

@@ -1207,3 +1207,179 @@ def test_ann_batch_probe_equals_per_query_both_layouts(spark, tmp_path):
         for r in ann_index_topk_batch(spark, p_plain, query, n_probe=3, k=5).collect()
     )
     assert e == f_
+
+
+def test_ann_batch_probe_string_ids(spark, tmp_path):
+    """The batch scorer derives id types from the frames (ADVICE r6: it
+    hard-coded bigint, breaking string-id corpora despite the per-query
+    form being type-agnostic). Parity must hold for a string-id index on
+    both the plain and txn layouts, refine and no-refine."""
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_topk,
+        ann_index_topk_batch,
+        ann_index_txn_topk,
+        ann_index_txn_topk_batch,
+        pq_train,
+        write_ann_index,
+        write_ann_index_txn,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+
+    base = load_table(spark, SF_SMOKE, "embeddings")
+    emb = base.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _seed_centroids(base, 10, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    query = emb.orderBy("vec_id").limit(10)
+
+    p_plain = str(tmp_path / "sp")
+    write_ann_index(emb, p_plain, codebook, centroids=cents)
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(
+            spark, p_plain, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk_batch(
+            spark, p_plain, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    assert a == b and len(a) == 50
+    assert all(isinstance(q, str) and isinstance(v, str) for q, v, _ in a)
+    f_ = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk_batch(spark, p_plain, query, n_probe=3, k=5).collect()
+    )
+    e = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_topk(spark, p_plain, query, n_probe=3, k=5).collect()
+    )
+    assert e == f_
+
+    p_txn = str(tmp_path / "st")
+    write_ann_index_txn(emb, p_txn, codebook, centroids=cents, target_files=8)
+    c = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_txn_topk(
+            spark, p_txn, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    d = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_txn_topk_batch(
+            spark, p_txn, query, n_probe=3, k=5, refine_factor=4, refine_with=emb
+        ).collect()
+    )
+    assert c == d == a
+
+
+def test_ann_txn_timetravel_rejects_retrained_quantizer(spark, tmp_path):
+    """A time-travel probe under RETRAINED side tables would silently
+    decode historical codes against the new codebook (ADVICE r6) — the
+    loader must raise instead. Current-version probes keep working, and
+    the codes table's public file-count accessor matches the manifest."""
+    import pytest
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_txn_topk,
+        pq_train,
+        write_ann_index_txn,
+    )
+    from scraping_jobsdb_spark.operators.similarity import _seed_centroids
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _seed_centroids(emb, 10, "vec_id", "embedding").selectExpr(
+        "CAST(vec_id AS INT) AS cell",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS centroid",
+    )
+    p = str(tmp_path / "rt")
+    write_ann_index_txn(emb, p, codebook, centroids=cents, target_files=4)
+    query = emb.filter(F.col("vec_id") < 3)
+    codes_t = TxnTable(spark, str(tmp_path / "rt" / "codes"))
+    v1 = codes_t.version()
+
+    # pristine quantizer: time travel works
+    pre = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ann_index_txn_topk(spark, p, query, k=5, version=v1).collect()
+    )
+    assert len(pre) == 15
+
+    # public accessor agrees with the manifest
+    n_files, n_dvs = codes_t.snapshot_file_counts()
+    assert n_files == len(codes_t._manifest()["files"]) and n_dvs == 0
+
+    # "retrain in place": any commit to a side table after creation
+    cent_t = TxnTable(spark, str(tmp_path / "rt" / "centroids"))
+    cent_t.overwrite(cent_t.read())
+    with pytest.raises(ValueError, match="RETRAINED"):
+        ann_index_txn_topk(spark, p, query, k=5, version=v1)
+    # current-version probe still allowed (caller owns retrain protocol)
+    assert ann_index_txn_topk(spark, p, query, k=5).count() == 15
+
+
+def test_semantic_dedup_keep_list_semantics(spark):
+    """Hand-checkable SemDeDup verdicts: (1) a lower-id in-cell near-dup
+    drops the higher id; (2) near-identical vectors in DIFFERENT cells are
+    both kept (the rule is in-cell only, by design); (3) the drop rule is
+    non-transitive pairwise (every id with ANY smaller similar in-cell id
+    drops); (4) one row per input vector, repartition-stable."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        semantic_dedup_keep_list,
+    )
+
+    # two well-separated cells on the x/y axes
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "label int, centroid array<double>",
+    )
+    rows = [
+        (1, [1.0, 0.01, 0.0]),   # cell 0 senior
+        (2, [1.0, 0.011, 0.0]),  # ~dup of 1, same cell -> dropped
+        (3, [1.0, 0.012, 0.0]),  # ~dup of 1 AND 2 -> dropped
+        (4, [0.0, 1.0, 0.01]),   # cell 1 senior
+        (5, [0.0, 1.0, 0.011]),  # ~dup of 4, same cell -> dropped
+        (6, [0.7, 0.714, 0.0]),  # near the cell boundary, unique -> kept
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_keep_list(corpus, cents, threshold=0.99).collect()
+    }
+    assert len(got) == 6
+    assert got[1] == (0, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (1, True)
+    assert got[5] == (1, False)
+    assert got[6][1] is True
+
+    # cross-cell near-identical pair: both kept (in-cell rule only)
+    rows2 = [
+        (10, [0.708, 0.706, 0.0]),  # argmin ties/boundary: cell by cosine
+        (11, [0.706, 0.708, 0.0]),
+    ]
+    corpus2 = spark.createDataFrame(rows2, "vec_id bigint, embedding array<double>")
+    got2 = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_keep_list(corpus2, cents, threshold=0.9).collect()
+    }
+    assert got2[10] == (0, True) and got2[11] == (1, True)
+
+    # repartition-stable (quantized cosines, no RNG)
+    got_rp = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_keep_list(
+            corpus.repartition(7), cents, threshold=0.99
+        ).collect()
+    }
+    assert got_rp == got

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "order_flow_pagerank_redistribute",
     "bpe_corpus_tokenize",
     "semantic_dedup_embeddings",
+    "doc_text_normalize",
 ]
 
 

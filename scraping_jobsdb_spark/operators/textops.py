@@ -47,6 +47,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_encode",
+    "normalize_text",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -1243,3 +1244,42 @@ def bpe_encode(
         )
         .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Text canonicalization for fingerprint/dedup pipelines: Unicode NFC
+    normalization → C0-control strip (keeping tab/newline for the collapse
+    step) → ASCII-whitespace-run collapse → space trim, in that fixed
+    order. Decomposed sequences ("e" + U+0301) and their precomposed forms
+    ("é") canonicalize to the SAME bytes, so content fingerprints stop
+    splitting on the encoder that produced the text — the classic silent
+    recall leak in exact/near dedup over web corpora.
+
+    Arrow path (one vectorized pandas_udf): the JVM has no NFC expression.
+    The whitespace class is pinned to ASCII [ \\t\\n\\f\\r\\v] — NOT
+    Python's unicode-aware \\s — so the result is engine-portable
+    (DuckDB/RE2 \\s is ASCII-only; the oracle uses nfc_normalize + the
+    same two regexp_replace passes and hash-matches end to end)."""
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = _re.compile(r"[ \t\n\f\r]+")
+
+    def _norm(s):
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            t = ctrl.sub("", t)
+            return ws.sub(" ", t).strip(" ")
+
+        return s.map(one)
+
+    _norm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    f = pandas_udf(_norm, "string")
+    c = F.col(col) if isinstance(col, str) else col
+    return f(c)

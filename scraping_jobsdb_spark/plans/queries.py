@@ -3180,6 +3180,55 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_keep_list(corpus, cents, threshold=0.9)
 
 
+@_register(
+    "doc_text_normalize",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               text || '  cafe' || chr(769) || chr(7) || chr(9) || 'test  '
+                   AS text
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                              '', 'g'),
+               '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm_text
+    FROM corpus
+    """,
+)
+def q_doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (operators/textops.py normalize_text) over the
+    corpus with injected DECOMPOSED-unicode + control-char + ragged-
+    whitespace rows ("cafe" + combining U+0301, a BEL, a tab, double
+    spaces): Unicode NFC → C0-control strip → ASCII-whitespace collapse →
+    trim, the pass that runs before ``fingerprint`` so byte-level encoder
+    differences stop splitting dedup keys. The normalized STRINGS
+    hash-oracle against DuckDB's independent nfc_normalize + RE2 pipeline
+    — pinning that the Python/Arrow kernel and the portable semantics
+    (ASCII whitespace class, not Python's unicode \\s) agree cross-engine
+    end to end."""
+    from scraping_jobsdb_spark.operators.textops import normalize_text
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    messy = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit("  cafe\u0301\u0007\ttest  "),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(messy)
+    return corpus.select(
+        "doc_id", normalize_text("text").alias("norm_text")
+    )
+
+
 @_register("bpe_corpus_tokenize", oracle=None)
 def q_bpe_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END tokenizer: train a BPE merge table on the corpus
@@ -7642,15 +7691,18 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (d) remaining 5 slots to r4 entries: the two never-re-benched drift
 #     watch-list queries (stats_regression_pack,
 #     cdc_row_changes_bucketed_txn) and three family picks
-#     (winnowing_containment_pairs, merge_upsert_txn); variant_json_surface
-#     ceded its draft slot to the third new r7 registration
-#     (semantic_dedup_embeddings — first-evidence priority; the JSON family
-#     keeps in-window evidence via scalar_json_pack).
+#     (winnowing_containment_pairs); variant_json_surface and
+#     merge_upsert_txn ceded their draft slots to the third and fourth new
+#     r7 registrations (semantic_dedup_embeddings, doc_text_normalize —
+#     first-evidence priority; the JSON family keeps in-window evidence via
+#     scalar_json_pack, the txn write family via cdc_row_changes_bucketed_
+#     txn in-window plus four r6-green write-surface rows).
 _GATE_PRIORITY = [
     # (a) new this round
     "order_flow_pagerank_redistribute",
     "bpe_corpus_tokenize",
     "semantic_dedup_embeddings",
+    "doc_text_normalize",
     # (b) changed code paths
     "bpe_learned_merges",
     "bloom_prefilter_supplier_revenue",
@@ -7700,7 +7752,6 @@ _GATE_PRIORITY = [
     "stats_regression_pack",
     "cdc_row_changes_bucketed_txn",
     "winnowing_containment_pairs",
-    "merge_upsert_txn",
 ]
 
 

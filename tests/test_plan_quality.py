@@ -197,6 +197,25 @@ FORBIDDEN = [
     ("bloom_prefilter_supplier_revenue", "CartesianProduct"),
     ("bloom_prefilter_supplier_revenue", "BroadcastNestedLoopJoin"),
     ("bloom_prefilter_supplier_revenue", "BatchEvalPython"),
+    # SemDeDup: cell assignment is a pure map over driver-baked literals,
+    # the pairwise step an EQUI-join on cell — never a planner product
+    ("semantic_dedup_embeddings", "CartesianProduct"),
+    ("semantic_dedup_embeddings", "BroadcastNestedLoopJoin"),
+    ("semantic_dedup_embeddings", "BatchEvalPython"),
+    # normalization is one Arrow stage over a map-only plan: no shuffle,
+    # no row-Python
+    ("doc_text_normalize", "Exchange hashpartitioning"),
+    ("doc_text_normalize", "Join"),
+    ("doc_text_normalize", "BatchEvalPython"),
+    # BPE encode: the rewrite runs on the DISTINCT-word vocabulary (one
+    # Arrow stage), never row-Python over corpus-sized data
+    ("bpe_corpus_tokenize", "BatchEvalPython"),
+    ("bpe_corpus_tokenize", "CartesianProduct"),
+    # redistribute PageRank: per-iteration equi-joins + one 1-row broadcast
+    # scalar — a BNLJ appears ONLY for that single-row side, so forbid the
+    # true product node and row-Python
+    ("order_flow_pagerank_redistribute", "CartesianProduct"),
+    ("order_flow_pagerank_redistribute", "BatchEvalPython"),
 ]
 
 

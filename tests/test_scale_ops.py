@@ -1674,3 +1674,42 @@ def test_key_skew_report_values(spark):
         key_skew_report(df, ["k"], k=0)
     with pytest.raises(ValueError, match="non-empty"):
         key_skew_report(df, [], k=5)
+
+
+def test_normalize_text_unicode_and_controls(spark):
+    """normalize_text: decomposed sequences canonicalize to precomposed
+    (NFC), C0 controls strip, ASCII whitespace runs collapse, NBSP (unicode
+    whitespace) is PRESERVED (the class is pinned ASCII for engine
+    portability), NULL passes through, and fingerprints of decomposed vs
+    precomposed forms converge after normalization."""
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint,
+        normalize_text,
+    )
+
+    decomposed = "cafe" + chr(769)          # e + combining acute
+    precomposed = "caf" + chr(233)          # é
+    rows = [
+        (1, "  a\tb\r\nc  "),
+        (2, decomposed + chr(7) + " x"),
+        (3, precomposed + " x"),
+        (4, "a" + chr(160) + "b"),          # NBSP kept (not ASCII ws)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = df.select("id", normalize_text("text").alias("n"))
+    got = {r.id: r.n for r in out.collect()}
+    assert got[1] == "a b c"
+    assert got[2] == got[3] == precomposed + " x"
+    assert got[4] == "a" + chr(160) + "b"
+    assert got[5] is None
+
+    # the dedup payoff: fingerprints agree only AFTER normalization
+    fps = df.filter(F.col("id").isin(2, 3)).select(
+        "id",
+        fingerprint("text").alias("raw_fp"),
+        fingerprint(normalize_text("text")).alias("norm_fp"),
+    ).collect()
+    by_id = {r.id: r for r in fps}
+    assert by_id[2].raw_fp != by_id[3].raw_fp
+    assert by_id[2].norm_fp == by_id[3].norm_fp

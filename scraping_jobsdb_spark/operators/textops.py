@@ -1188,14 +1188,20 @@ def bpe_encode(
     UDF closure once per task — it is vocabulary-sized (KBs), the same
     driver-side-tiny-state exception as PQ codebooks.
 
-    Encoding replays training exactly: merges apply in ascending rank
-    order, each with the same left-to-right scan ``bpe_train`` uses, so a
-    word of the training corpus encodes to precisely the symbols training
-    left it with (pinned by test) — a pair of rank r is built only from
-    symbols produced by merges < r, so ascending-rank replay is the greedy
-    min-rank apply."""
+    Encoding replays training exactly, via the GREEDY MIN-RANK apply (the
+    GPT-2 tokenizer's algorithm): repeatedly merge the lowest-rank pair
+    present in the word (same left-to-right scan ``bpe_train`` uses) until
+    none applies. This equals ascending-rank replay of the full merge
+    table — a pair of rank r is built only from symbols produced by merges
+    < r, so the lowest applicable rank is always the next training rewrite
+    that would touch the word — but costs O(|word|²) pair-set scans per
+    word instead of O(n_merges × |word|): a 30k-merge vocabulary applies
+    at the same per-word cost as a 30-merge one. Training-state equality
+    is pinned by test."""
     spark = docs.sparkSession
-    merge_list = [(str(left), str(right)) for left, right in merges]
+    ranks = {
+        (str(left), str(right)): i for i, (left, right) in enumerate(merges)
+    }
 
     pos_words = docs.select(
         F.col(id_col),
@@ -1206,29 +1212,37 @@ def bpe_encode(
     def encode(batches):
         import pandas as pd
 
+        def one(w):
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, syms[i], syms[i + 1])
+                if best is None:
+                    break
+                _, left, right = best
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
         for pdf in batches:
-            toks_out = []
-            for w in pdf["w"]:
-                syms = list(w) + ["</w>"]
-                for left, right in merge_list:
-                    if len(syms) < 2:
-                        break
-                    out = []
-                    i = 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == left
-                            and syms[i + 1] == right
-                        ):
-                            out.append(left + right)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                toks_out.append(syms)
-            yield pd.DataFrame({"w": pdf["w"], "toks": toks_out})
+            yield pd.DataFrame(
+                {"w": pdf["w"], "toks": [one(w) for w in pdf["w"]]}
+            )
 
     encoded = vocab.mapInPandas(encode, "w string, toks array<string>")
     return (

@@ -1438,6 +1438,35 @@ def test_bpe_train_incremental_equals_naive_and_scales(spark):
     counts_seq = [r.pair_count for r in big]
     assert all(c > 0 for c in counts_seq)
 
+    # greedy min-rank ENCODE under the 1000-merge table == ascending-rank
+    # full replay (the regime the greedy algorithm exists for), word-level
+    from scraping_jobsdb_spark.operators.textops import bpe_encode
+
+    big_merges = [(r.left, r.right) for r in big]
+    sample_words = [r.w for r in word_rows[:25]]
+    enc = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(
+            spark.createDataFrame(
+                list(enumerate(sample_words)), "doc_id bigint, text string"
+            ),
+            big_merges,
+        ).collect()
+    }
+    for i, w in enumerate(sample_words):
+        syms = list(w) + ["</w>"]
+        for l, r in big_merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == (l, r):
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        assert enc[i] == syms, (w, enc[i], syms)
+
 
 def test_bpe_encode_replays_training_and_reassembles(spark):
     """bpe_encode applies the learned merge table: (1) a training-corpus

@@ -1383,3 +1383,33 @@ def test_semantic_dedup_keep_list_semantics(spark):
         ).collect()
     }
     assert got_rp == got
+
+
+def test_semantic_dedup_with_kmeans_cells_drops_injected(spark):
+    """The production composition: kmeans_fit centroids (not the oracle
+    query's label-derived ones) feed semantic_dedup_keep_list. Injected
+    exact duplicates land in the same cell as their source by construction
+    (identical vectors ⇒ identical argmin) and must be dropped; their
+    lower-id sources must be kept."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_keep_list,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    cents = kmeans_fit(emb, n_centroids=8, max_iter=3).select(
+        F.col("cell").alias("label"), "centroid"
+    )
+    got = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_keep_list(corpus, cents, threshold=0.999).collect()
+    }
+    assert len(got) == corpus.count()
+    for i in range(20):
+        assert got[i][1] is True, i              # source kept
+        assert got[i + 100000][1] is False       # duplicate dropped
+        assert got[i][0] == got[i + 100000][0]   # same cell

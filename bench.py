@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "bpe_corpus_tokenize",
     "semantic_dedup_embeddings",
     "doc_text_normalize",
+    "events_ohlc_hourly",
 ]
 
 

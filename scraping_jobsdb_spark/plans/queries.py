@@ -1112,6 +1112,66 @@ def q_events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series DOWNSAMPLING to hourly OHLC bars (open/high/low/close +
+    count) per event type — the classic resample an events store serves,
+    and the registry's ``min_by``/``max_by`` surface: open and close are
+    ONE ordered-argmin aggregate each (no self-join, no second window
+    pass), tie-broken on the unique (ts, event_id) pair so the bar is a
+    pure function of the data at any partitioning. All four prices are
+    RAW stored doubles (no arithmetic), so the result hash-oracles
+    exactly; the plan is a single map-side-combined hash aggregate —
+    per-bucket state is O(1), the shape that downsamples a 100 TB event
+    stream in one shuffle. Oracle mirrors via two ROW_NUMBER lanes
+    (DuckDB's arg_min takes one ordering value; the window form pins the
+    identical total order)."""
+    ev = load_table(spark, sf_dir, "events")
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", order_key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+    )
+
+
+@_register(
     "events_session_window",
     oracle="""
     WITH flagged AS (
@@ -7688,21 +7748,24 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) ALL 40 r3-stale queries -- led by the five r6 slot-ceders
 #     (latest_event_per_user, events_hourly_tumbling, scalar_json_pack,
 #     multimodal_binary_features, salted_groupby_skewed), per the verdict;
-# (d) remaining 5 slots to r4 entries: the two never-re-benched drift
+# (d) remaining slots to r4 entries: the two never-re-benched drift
 #     watch-list queries (stats_regression_pack,
-#     cdc_row_changes_bucketed_txn) and three family picks
-#     (winnowing_containment_pairs); variant_json_surface and
-#     merge_upsert_txn ceded their draft slots to the third and fourth new
-#     r7 registrations (semantic_dedup_embeddings, doc_text_normalize —
-#     first-evidence priority; the JSON family keeps in-window evidence via
-#     scalar_json_pack, the txn write family via cdc_row_changes_bucketed_
-#     txn in-window plus four r6-green write-surface rows).
+#     cdc_row_changes_bucketed_txn). Three r4 picks ceded draft slots to
+#     the NEW r7 registrations (first-evidence priority):
+#     variant_json_surface -> semantic_dedup_embeddings (JSON family keeps
+#     in-window evidence via scalar_json_pack); merge_upsert_txn ->
+#     doc_text_normalize (txn writes: cdc_row_changes_bucketed_txn
+#     in-window + four r6-green write-surface rows);
+#     winnowing_containment_pairs -> events_ohlc_hourly (winnowing family:
+#     doc_winnowing_fingerprints in-window, dedup_pipeline_winnowing
+#     benched + r4-green).
 _GATE_PRIORITY = [
     # (a) new this round
     "order_flow_pagerank_redistribute",
     "bpe_corpus_tokenize",
     "semantic_dedup_embeddings",
     "doc_text_normalize",
+    "events_ohlc_hourly",
     # (b) changed code paths
     "bpe_learned_merges",
     "bloom_prefilter_supplier_revenue",
@@ -7751,7 +7814,6 @@ _GATE_PRIORITY = [
     # (d) r4 picks: drift watch-list + family coverage
     "stats_regression_pack",
     "cdc_row_changes_bucketed_txn",
-    "winnowing_containment_pairs",
 ]
 
 

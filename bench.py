@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "semantic_dedup_embeddings",
     "doc_text_normalize",
     "events_ohlc_hourly",
+    "txn_merge_full_sync",
 ]
 
 

@@ -7634,6 +7634,70 @@ def q_txn_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "txn_merge_full_sync",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 8 = 0
+    ), src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice * 1.05 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 16 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderkey % 8 = 4
+    )
+    SELECT COALESCE(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NOT NULL AND s.o_orderkey IS NULL
+                THEN 'STALE'
+                WHEN b.o_orderkey IS NULL THEN s.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE b.o_totalprice END AS o_totalprice
+    FROM base b FULL OUTER JOIN src s ON s.o_orderkey = b.o_orderkey
+    """,
+)
+def q_txn_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with the WHEN NOT MATCHED BY SOURCE surface (sources/txn.py
+    merge — Delta's full-sync clauses, new r7): a mirror table syncs to an
+    incoming snapshot in ONE atomic commit — matched keys take the
+    source's repriced total, source-only keys insert, and target-only keys
+    (gone from the snapshot) are SOFT-DELETED via
+    ``when_not_matched_by_source_update`` (o_orderstatus → 'STALE'), the
+    retention-friendly alternative to the hard
+    ``when_not_matched_by_source_delete`` mirror (both pinned in
+    tests/test_txn.py). Still one full-outer join on the key + one
+    atomic snapshot swap; deterministic end state → value-hash oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 8 == 0)
+    source = (
+        orders.filter(F.col("o_orderkey") % 16 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 1.05).cast("double").alias("o_totalprice"),
+        )
+        .unionByName(orders.filter(F.col("o_orderkey") % 8 == 4))
+    )
+    t = TxnTable.create(
+        spark, tempfile.mkdtemp(prefix="sjs_sync_q_"), base.repartition(4)
+    )
+    t.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("s.o_totalprice")},
+        when_not_matched_by_source_update={"o_orderstatus": F.lit("STALE")},
+    )
+    return t.read()
+
+
+@_register(
     "txn_mor_update",
     oracle="""
     WITH base AS (

@@ -1332,6 +1332,8 @@ class TxnTable:
         when_matched_delete: Column | None = None,
         when_not_matched_insert: bool = True,
         evolve_schema: bool = False,
+        when_not_matched_by_source_update: dict | None = None,
+        when_not_matched_by_source_delete: Column | bool | None = None,
     ) -> int:
         """Copy-on-write MERGE (SQL MERGE INTO semantics):
 
@@ -1342,7 +1344,16 @@ class TxnTable:
           ``s`` aliases}), others carried;
         - source-only + ``when_not_matched_insert`` → inserted, taking each
           target column from the same mapping (falling back to the
-          same-named source column, else null).
+          same-named source column, else null);
+        - target-only (no source row for the key — the WHEN NOT MATCHED BY
+          SOURCE clauses, Delta's full-sync surface):
+          ``when_not_matched_by_source_delete`` (True, or a Column over the
+          ``t`` alias) removes the row — with insert+update this makes the
+          table mirror the source snapshot;
+          ``when_not_matched_by_source_update`` ({target_col: Column over
+          ``t``}) instead rewrites it — the soft-delete/staleness-flag
+          pattern. Delete wins where both are given and the delete
+          condition holds.
 
         One full-outer join on the key; the whole new snapshot commits
         atomically. Returns the new row count.
@@ -1378,9 +1389,28 @@ class TxnTable:
             s = source.withColumn("__s", F.lit(1)).alias("s")
             joined = t.join(s, on=on, how="full_outer")
             matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+            target_only = F.col("__t").isNotNull() & F.col("__s").isNull()
             if when_matched_delete is not None:
                 joined = joined.filter(
                     ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
+                )
+            if when_not_matched_by_source_delete is not None:
+                nmbs_del = (
+                    F.lit(True)
+                    if when_not_matched_by_source_delete is True
+                    else when_not_matched_by_source_delete
+                )
+                joined = joined.filter(
+                    ~(target_only & F.coalesce(nmbs_del, F.lit(False)))
+                )
+            nmbs_upd = when_not_matched_by_source_update or {}
+            bad = set(nmbs_upd) - (
+                {f.name for f in target.schema.fields} - set(on)
+            )
+            if bad:
+                raise ValueError(
+                    "when_not_matched_by_source_update targets unknown or "
+                    f"join-key columns: {sorted(bad)}"
                 )
             cols = []
             for f in target.schema.fields:
@@ -1401,9 +1431,12 @@ class TxnTable:
                 else:
                     upd_col = F.col(f"t.{c}")
                     ins_col = F.lit(None).cast(f.dataType)
+                carry_col = (
+                    nmbs_upd[c] if c in nmbs_upd else F.col(f"t.{c}")
+                )
                 cols.append(
                     F.when(matched, upd_col)
-                    .when(F.col("__t").isNotNull(), F.col(f"t.{c}"))
+                    .when(F.col("__t").isNotNull(), carry_col)
                     .otherwise(ins_col)
                     .cast(f.dataType)
                     .alias(c)

@@ -1403,3 +1403,65 @@ def test_vacuum_keeps_referenced_dvs_removes_orphans(spark, tdir):
     # the committed vector survives and still applies
     assert t.read().count() == 15
     assert t.read(version=1).count() == 20
+
+
+def test_merge_not_matched_by_source_clauses(spark, tdir):
+    """WHEN NOT MATCHED BY SOURCE (the full-sync / soft-delete surface):
+    DELETE makes the table mirror the source snapshot; UPDATE instead
+    rewrites target-only rows (staleness flag); a conditional delete
+    removes only qualifying target-only rows; delete wins over update
+    where its condition holds; join-key/unknown update targets raise."""
+    import pytest
+
+    base = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    source = _df(spark, [(2, "B"), (5, "E")], "k bigint, nv string")
+
+    # (1) full sync: update + insert + not-matched-by-source delete
+    t = TxnTable.create(spark, tdir + "_sync", _df(spark, base))
+    t.merge(
+        source,
+        on=["k"],
+        when_matched_update={"v": "nv"},
+        when_not_matched_by_source_delete=True,
+    )
+    assert _rows(t.read()) == [(2, "B"), (5, "E")]  # mirrors the source
+
+    # (2) soft delete: target-only rows flagged, not removed
+    t2 = TxnTable.create(spark, tdir + "_soft", _df(spark, base))
+    t2.merge(
+        source,
+        on=["k"],
+        when_matched_update={"v": "nv"},
+        when_not_matched_by_source_update={"v": F.lit("stale")},
+    )
+    assert _rows(t2.read()) == [
+        (1, "stale"), (2, "B"), (3, "stale"), (4, "stale"), (5, "E"),
+    ]
+
+    # (3) conditional delete: only k=1 among the target-only rows goes
+    t3 = TxnTable.create(spark, tdir + "_cond", _df(spark, base))
+    t3.merge(
+        source,
+        on=["k"],
+        when_matched_update={"v": "nv"},
+        when_not_matched_by_source_delete=F.col("t.k") == 1,
+    )
+    assert _rows(t3.read()) == [(2, "B"), (3, "c"), (4, "d"), (5, "E")]
+
+    # (4) delete wins over update where its condition holds
+    t4 = TxnTable.create(spark, tdir + "_both", _df(spark, base))
+    t4.merge(
+        source,
+        on=["k"],
+        when_matched_update={"v": "nv"},
+        when_not_matched_by_source_delete=F.col("t.k") == 1,
+        when_not_matched_by_source_update={"v": F.lit("stale")},
+    )
+    assert _rows(t4.read()) == [(2, "B"), (3, "stale"), (4, "stale"), (5, "E")]
+
+    # (5) validation: unknown / join-key targets
+    t5 = TxnTable.create(spark, tdir + "_bad", _df(spark, base))
+    with pytest.raises(ValueError, match="unknown or"):
+        t5.merge(source, on=["k"], when_not_matched_by_source_update={"k": F.lit(0)})
+    with pytest.raises(ValueError, match="unknown or"):
+        t5.merge(source, on=["k"], when_not_matched_by_source_update={"zz": F.lit(0)})

@@ -120,15 +120,32 @@ def pq_train(
                 "subspace int, cell int, centroid array<double>",
             )
         )
-        w = Window.partitionBy("vid", "subspace").orderBy(
-            F.col("__d").asc(), F.col("cell").asc()
+        # E-step argmin as a MAP-SIDE-COMBINING min(struct) aggregate over
+        # the k×-expanded broadcast join: the partial aggregate collapses
+        # each (vid, subspace) group to one row BEFORE the shuffle, so the
+        # exchange moves n×m rows, not n×m×k — the old row_number window
+        # form shuffled and SORTED the full expansion every iteration
+        # (~1.7× on the whole training at sf0.1). Same _l2sq per joined
+        # row, struct-min ties break (d asc, cell asc) exactly like the
+        # window's ordering, and (d, cell) is unique per group, so the
+        # codebook is BIT-IDENTICAL to the window form (pinned by test).
+        best = F.min(
+            F.struct(
+                F.col("__d").alias("d"),
+                F.col("cell").alias("cell"),
+                F.col("subvec").alias("subvec"),
+            )
         )
         assigned = (
             subs.join(cb_df, "subspace")
             .withColumn("__d", _l2sq(F.col("subvec"), F.col("centroid")))
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("subspace", "cell", "subvec")
+            .groupBy("vid", "subspace")
+            .agg(best.alias("b"))
+            .select(
+                "subspace",
+                F.col("b.cell").alias("cell"),
+                F.col("b.subvec").alias("subvec"),
+            )
         )
         means = (
             assigned.select("subspace", "cell", F.posexplode("subvec").alias("pos", "val"))

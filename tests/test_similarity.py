@@ -1413,3 +1413,78 @@ def test_semantic_dedup_with_kmeans_cells_drops_injected(spark):
         assert got[i][1] is True, i              # source kept
         assert got[i + 100000][1] is False       # duplicate dropped
         assert got[i][0] == got[i + 100000][0]   # same cell
+
+
+def test_pq_train_minstruct_equals_window_form(spark):
+    """pq_train's E-step is a map-side-combining min(struct) aggregate
+    (r7: the old row_number-window form shuffled and sorted the full
+    k-expanded join every iteration). The codebook must be BIT-IDENTICAL
+    to the window formulation — same _l2sq, same (d asc, cell asc)
+    tie-break — reimplemented here as the reference."""
+    from pyspark.sql import Window
+
+    from scraping_jobsdb_spark.operators.pq import _l2sq, _subvectors, pq_train
+
+    m, k, iters, dim = 4, 8, 3, 64
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = pq_train(emb, m=m, k=k, max_iter=iters, dim=dim)
+
+    # reference: identical seeding + the old window-argmin E-step
+    width = dim // m
+    subs = _subvectors(
+        emb.select(F.col("vec_id"), F.col("embedding")), "embedding", m, dim
+    ).select(F.col("vec_id").alias("vid"), "subspace", "subvec")
+    n = emb.count()
+    stride = max(1, n // max(1, k * 4))
+    seeded = (
+        subs.filter(F.pmod(F.xxhash64(F.col("vid")), F.lit(stride)) == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("subspace").orderBy(F.col("vid"))
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .select("subspace", (F.col("__rn") - 1).alias("cell"), "subvec")
+    )
+    cb = {(r.subspace, r.cell): [float(x) for x in r.subvec] for r in seeded.collect()}
+    for j in range(m):
+        first = cb.get((j, 0), [0.0] * width)
+        for c in range(k):
+            cb.setdefault((j, c), first)
+    for _ in range(iters):
+        cb_df = F.broadcast(
+            spark.createDataFrame(
+                [(j, c, v) for (j, c), v in sorted(cb.items())],
+                "subspace int, cell int, centroid array<double>",
+            )
+        )
+        w = Window.partitionBy("vid", "subspace").orderBy(
+            F.col("__d").asc(), F.col("cell").asc()
+        )
+        assigned = (
+            subs.join(cb_df, "subspace")
+            .withColumn("__d", _l2sq(F.col("subvec"), F.col("centroid")))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("subspace", "cell", "subvec")
+        )
+        means = (
+            assigned.select(
+                "subspace", "cell", F.posexplode("subvec").alias("pos", "val")
+            )
+            .groupBy("subspace", "cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("subspace", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select(
+                "subspace", "cell", F.transform("pm", lambda s: s.mean).alias("centroid")
+            )
+        )
+        updated = {
+            (r.subspace, r.cell): [float(x) for x in r.centroid]
+            for r in means.collect()
+        }
+        cb = {key: updated.get(key, prev) for key, prev in cb.items()}
+    ref = [[cb[(j, c)] for c in range(k)] for j in range(m)]
+    assert got == ref

@@ -938,11 +938,25 @@ def kmeans_fit(
             "cell",
             cosine(F.col(vec_col), F.col("centroid")).alias("__cos"),
         )
-        w = _W.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("cell"))
+        # argmax as a MAP-SIDE-COMBINING min(struct) aggregate (the r7
+        # pq_train E-step fix): the partial aggregate collapses each id's
+        # k candidates before the shuffle — the old row_number window
+        # shuffled and sorted the full k× expansion every round. min of
+        # (-cos, cell, vec) == the window's (cos desc, cell asc) order
+        # (cosine is NaN-free here: zero norms are guarded), and
+        # (cos, cell) is unique per id — centroids BIT-IDENTICAL to the
+        # window form (pinned by test).
+        best = F.min(
+            F.struct(
+                (-F.col("__cos")).alias("negcos"),
+                F.col("cell").alias("cell"),
+                F.col(vec_col).alias("vec"),
+            )
+        )
         assigned = (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("cell", vec_col)
+            scored.groupBy(id_col)
+            .agg(best.alias("b"))
+            .select(F.col("b.cell").alias("cell"), F.col("b.vec").alias(vec_col))
         )
         new_cents = (
             assigned.select(

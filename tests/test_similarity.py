@@ -1488,3 +1488,57 @@ def test_pq_train_minstruct_equals_window_form(spark):
         cb = {key: updated.get(key, prev) for key, prev in cb.items()}
     ref = [[cb[(j, c)] for c in range(k)] for j in range(m)]
     assert got == ref
+
+
+def test_kmeans_minstruct_equals_window_form(spark):
+    """kmeans_fit's assignment is a map-side-combining min(struct)
+    aggregate (r7, same fix as pq_train): centroids must be BIT-IDENTICAL
+    to the old row_number-window argmax — reimplemented here as the
+    reference."""
+    from pyspark.sql import Window as _W
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        _seed_centroids,
+        cosine,
+        kmeans_fit,
+    )
+
+    k, iters = 8, 3
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r.cell: list(r.centroid)
+        for r in kmeans_fit(emb, n_centroids=k, max_iter=iters).collect()
+    }
+
+    seeded = _seed_centroids(emb, k, "vec_id", "embedding").select(
+        F.col("embedding").cast("array<double>").alias("centroid")
+    )
+    cents = [(i, list(r.centroid)) for i, r in enumerate(seeded.collect())]
+    for _ in range(iters):
+        cent_df = F.broadcast(
+            spark.createDataFrame(cents, "cell int, centroid array<double>")
+        )
+        scored = emb.crossJoin(cent_df).select(
+            "vec_id",
+            "embedding",
+            "cell",
+            cosine(F.col("embedding"), F.col("centroid")).alias("__cos"),
+        )
+        w = _W.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cell"))
+        assigned = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("cell", "embedding")
+        )
+        new_cents = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mean"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s.mean).alias("centroid"))
+        )
+        updated = {r.cell: [float(x) for x in r.centroid] for r in new_cents.collect()}
+        cents = [(c, updated.get(c, prev)) for c, prev in cents]
+    ref = {c: v for c, v in cents}
+    assert got == ref

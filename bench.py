@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "doc_text_normalize",
     "events_ohlc_hourly",
     "txn_merge_full_sync",
+    "events_ohlc_streaming",
 ]
 
 

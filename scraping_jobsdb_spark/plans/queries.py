@@ -1233,6 +1233,46 @@ def q_events_hourly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(hourly_event_counts_stream(spark, sf_dir), spark)
 
 
+@_register(
+    "events_ohlc_streaming",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           COUNT(*) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_events_ohlc_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 + the r7 OHLC downsampler THROUGH Structured Streaming: the
+    identical min_by/max_by windowed aggregation as the batch
+    events_ohlc_hourly, executed file source → watermark → AvailableNow →
+    memory sink and checked against the SAME batch SQL oracle — pinning
+    that ordered-argmin aggregates (one (key, value) state pair per group)
+    hold the batch/streaming plan-parity contract like the sum/count
+    family does."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        ohlc_bars_stream,
+        run_stream_to_memory,
+    )
+
+    return run_stream_to_memory(ohlc_bars_stream(spark, sf_dir), spark)
+
+
 # ---------------------------------------------------------------------------
 # Scalar function packs (§2.6, F1-F16)
 # ---------------------------------------------------------------------------

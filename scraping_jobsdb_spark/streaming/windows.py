@@ -27,6 +27,7 @@ from ..sources.tables import normalize_event_ts
 __all__ = [
     "events_file_stream",
     "hourly_event_counts_stream",
+    "ohlc_bars_stream",
     "sliding_value_totals_stream",
     "session_counts_stream",
     "click_purchase_stream_join",
@@ -74,6 +75,36 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "total_value",
+        )
+    )
+
+
+def ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming plan: hourly OHLC bars per event type — identical logical
+    aggregation to the batch q_events_ohlc_hourly (min_by/max_by keyed on
+    the unique (ts, event_id) pair run fine inside a watermarked streaming
+    agg: ordered-argmin state is one (key, value) pair per group), so the
+    same DuckDB oracle checks both."""
+    stream = events_file_stream(spark, sf_dir)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", order_key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", order_key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
         )
     )
 

@@ -40,6 +40,23 @@ def test_streaming_hourly_equals_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_streaming_ohlc_equals_batch(spark):
+    """Ordered-argmin aggregates (min_by/max_by on the unique (ts,
+    event_id) key) hold the batch/streaming parity contract: the streamed
+    hourly OHLC bars equal the batch registry query row-for-row."""
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.streaming.windows import (
+        ohlc_bars_stream,
+        run_stream_to_memory,
+    )
+
+    streamed = run_stream_to_memory(ohlc_bars_stream(spark, SF_SMOKE), spark)
+    batch = REGISTRY["events_ohlc_hourly"].spark_fn(spark, SF_SMOKE)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
 def test_stateful_running_totals_equals_batch(spark):
     """applyInPandasWithState over one AvailableNow drain == batch groupBy."""
     import os

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "events_ohlc_hourly",
     "txn_merge_full_sync",
     "events_ohlc_streaming",
+    "doc_bigram_perplexity",
 ]
 
 

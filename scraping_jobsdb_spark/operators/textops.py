@@ -41,6 +41,7 @@ __all__ = [
     "bm25_rank",
     "decontaminate_ngram_overlap",
     "unigram_surprisal",
+    "bigram_surprisal",
     "dedup_segments_global",
     "incremental_containment_filter",
     "containment_verdict",
@@ -1297,3 +1298,68 @@ def normalize_text(col: Column | str) -> Column:
     f = pandas_udf(_norm, "string")
     c = F.col(col) if isinstance(col, str) else col
     return f(c)
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under the corpus's own add-one-
+    smoothed bigram model — the CCNet/KenLM-style perplexity filter one
+    level up from ``unigram_surprisal``: it scores word ORDER, so shuffled
+    or templated text that unigram stats can't see scores high. For doc D,
+    mean over adjacent pairs (p, w) of
+    ``-ln((c(p, w) + 1) / (ctx(p) + V))`` with ``c`` the corpus bigram
+    count, ``ctx(p) = Σ_w c(p, w)`` the context total (derived from the
+    SAME aggregate, no second corpus pass), and ``V`` the corpus
+    vocabulary size (the add-one denominator). Docs with < 2 tokens have
+    no bigrams and drop out. Output: (id, n_bigrams, surprisal_nats).
+
+    Shape: one MAP-ONLY bigram build per doc (the zip-with-tail trick from
+    bpe_pair_counts — no per-position self-join), one (prev, cur) count
+    aggregate, a context rollup of that SAME table, then the scoring join
+    back onto the doc bigram stream keyed on the bigram (hash join; the
+    model may exceed broadcast comfort at corpus scale) and a per-doc
+    aggregate. Determinism: same 9-dp-round + DECIMAL(30,9) sum rule as
+    unigram_surprisal (ln is the one non-IEEE-portable op; everything
+    before it is exact integer-derived division)."""
+    t = tokens(F.lower(F.col(text_col)))
+    grams = docs.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
+    grams = grams.localCheckpoint()  # model AND scoring join consume it
+
+    bc = grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    bc = bc.localCheckpoint()  # context rollup AND scoring join consume it
+    ctx = bc.groupBy("prev").agg(F.sum("bc").alias("ctx"))
+    v = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .agg(F.count_distinct("w"))
+        .first()[0]
+    )
+    scored = (
+        grams.join(bc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .select(
+            id_col,
+            F.round(
+                -F.log(
+                    (F.col("bc") + F.lit(1)).cast("double")
+                    / (F.col("ctx") + F.lit(int(v))).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(30,9)")
+            .alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("__s").cast("double") / F.count(F.lit(1))).alias("surprisal_nats"),
+    )

@@ -5206,6 +5206,58 @@ def q_leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+    ), bc AS (
+        SELECT prev, cur, COUNT(*) AS bc FROM grams GROUP BY prev, cur
+    ), ctx AS (
+        SELECT prev, SUM(bc) AS ctx FROM bc GROUP BY prev
+    ), vocab AS (
+        SELECT COUNT(DISTINCT term) AS v FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        )
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(-ln((b.bc + 1)
+                              / CAST(c.ctx + (SELECT v FROM vocab) AS DOUBLE)),
+                          9) AS DECIMAL(30,9)) AS s
+        FROM grams g
+        JOIN bc b ON b.prev = g.prev AND b.cur = g.cur
+        JOIN ctx c ON c.prev = g.prev
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity filter (operators/textops.py bigram_surprisal —
+    the CCNet/KenLM-style quality score, new r7): per-doc mean surprisal
+    under the corpus's own add-one-smoothed bigram model. One level up
+    from ``doc_unigram_surprisal``: it scores word ORDER, catching
+    shuffled/templated text unigram stats can't see. Map-only bigram build
+    (zip-with-tail, no per-position self-join), one (prev, cur) count
+    aggregate whose context rollup is derived from the SAME table, hash
+    join back onto the bigram stream, per-doc aggregate. Per-token nats
+    rounded to 9 dp then DECIMAL-summed (the engine's ln-portability
+    rule) → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import bigram_surprisal
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return bigram_surprisal(docs)
+
+
+@_register(
     "doc_unigram_surprisal",
     oracle="""
     WITH toks AS (

@@ -216,6 +216,19 @@ FORBIDDEN = [
     # true product node and row-Python
     ("order_flow_pagerank_redistribute", "CartesianProduct"),
     ("order_flow_pagerank_redistribute", "BatchEvalPython"),
+    # OHLC bars: ONE map-side-combined hash aggregate — no window pass,
+    # no join, no row-Python
+    ("events_ohlc_hourly", "Window"),
+    ("events_ohlc_hourly", "Join"),
+    ("events_ohlc_hourly", "BatchEvalPython"),
+    # full-sync MERGE: one full-outer equi-join, never a product node
+    ("txn_merge_full_sync", "CartesianProduct"),
+    ("txn_merge_full_sync", "BroadcastNestedLoopJoin"),
+    # bigram LM: map-only gram build (zip-with-tail) + equi-joins — no
+    # per-position self-product, no window, no row-Python
+    ("doc_bigram_perplexity", "CartesianProduct"),
+    ("doc_bigram_perplexity", "Window"),
+    ("doc_bigram_perplexity", "BatchEvalPython"),
 ]
 
 

@@ -1742,3 +1742,44 @@ def test_normalize_text_unicode_and_controls(spark):
     by_id = {r.id: r for r in fps}
     assert by_id[2].raw_fp != by_id[3].raw_fp
     assert by_id[2].norm_fp == by_id[3].norm_fp
+
+
+def test_bigram_surprisal_scores_word_order(spark):
+    """The property that justifies the bigram model over unigram stats:
+    a document whose words are REORDERED (same unigram histogram) scores
+    strictly higher mean bigram surprisal than the natural corpus text it
+    came from, while unigram surprisal cannot tell them apart. Also: docs
+    with < 2 tokens drop out, and n_bigrams == n_tokens - 1."""
+    from scraping_jobsdb_spark.operators.textops import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # natural corpus + one doc with its words reversed (id 900000)
+    target = docs.filter(F.col("doc_id") == 1).select(
+        F.lit(900000).cast("bigint").alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.trim(F.lower("text")), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(target).unionByName(
+        spark.createDataFrame([(900001, "single")], "doc_id bigint, text string")
+    )
+    big = {r.doc_id: (r.n_bigrams, r.surprisal_nats) for r in bigram_surprisal(corpus).collect()}
+    uni = {r.doc_id: r.surprisal_nats for r in unigram_surprisal(corpus).collect()}
+
+    natural = big[1][1]
+    reversed_score = big[900000][1]
+    assert reversed_score > natural, (reversed_score, natural)
+    # unigram model is order-blind: same tokens => (nearly) same score
+    # (identical up to lowercasing differences; doc 1 text is compared
+    # against its own lowered reversal)
+    assert abs(uni[900000] - uni[1]) < 0.2
+    # single-token doc has no bigrams
+    assert 900001 not in big
+    # n_bigrams = n_tokens - 1 for the synthetic doc
+    n_toks = corpus.filter(F.col("doc_id") == 900000).select(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    ).first()[0]
+    assert big[900000][0] == n_toks - 1

@@ -170,16 +170,11 @@ def pq_train(
     ]
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebook: list[list[list[float]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, codes array<int>): map-only argmin against the literal codebook —
-    no join, no shuffle; the codebook rides the plan as constants. Ragged
-    codebooks (sub-codebooks of differing length) are legal: each subspace
-    argmins over its OWN cell list."""
+def _codes_expr(codebook: list[list[list[float]]], vec_col: str):
+    """The ``codes array<int>`` expression: per-subspace map-only argmin
+    against the literal codebook. Ragged codebooks (sub-codebooks of
+    differing length) are legal: each subspace argmins over its OWN cell
+    list."""
     m = len(codebook)
     width = len(codebook[0][0])
 
@@ -201,8 +196,92 @@ def pq_encode(
             )
         )["c"]
 
+    return F.array(*[best_cell(j) for j in range(m)])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): map-only argmin against the literal codebook —
+    no join, no shuffle; the codebook rides the plan as constants."""
     return corpus.select(
-        F.col(id_col), F.array(*[best_cell(j) for j in range(m)]).alias("codes")
+        F.col(id_col), _codes_expr(codebook, vec_col).alias("codes")
+    )
+
+
+def _encode_with_cell(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    cent_rows,
+    id_col: str,
+    vec_col: str,
+    arrow: bool = True,
+) -> DataFrame:
+    """(id, codes, cell) in ONE map-only pass. PQ codes and the IVF cell
+    assignment are both pure functions of the row — the pre-r7 shape
+    derived them as two frames and equi-joined them back on the id, paying
+    a full shuffle join (plus a second scan) for nothing. Every index
+    write/add path goes through here.
+
+    ``arrow=True`` (default) computes both in ONE Arrow-batched numpy
+    kernel — per subspace a blocked (n, k) squared-distance argmin, plus
+    one (n, cells) cosine matmul — instead of m×k interpreted Catalyst
+    folds per row (the LSH-signature lesson: HOF folds evaluate
+    per-element; measured ~2× on the whole index write at sf0.1).
+    Tie-breaks match the expression form exactly (np.argmin keeps the
+    FIRST minimum = lowest cell; centroid ids are processed sorted), and
+    the zero-norm guards mirror ``_cell_expr``; codes/cells agree with the
+    expression path on the gate corpus (pinned by test). The expression
+    form remains for plans that must stay whole-stage-JVM."""
+    if not arrow:
+        return df.select(
+            F.col(id_col),
+            _codes_expr(codebook, vec_col).alias("codes"),
+            _cell_expr(cent_rows, vec_col).alias("cell"),
+        )
+    import numpy as np
+
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    m = len(codebook)
+    width = len(codebook[0][0])
+    sub_cents = [np.asarray(codebook[j], dtype=np.float64) for j in range(m)]
+    cents = sorted((int(c), list(map(float, v))) for c, v in cent_rows)
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.vstack([v for _, v in cents]).astype(np.float64)
+    cnorm = np.sqrt((C * C).sum(1))
+    cnorm[cnorm == 0.0] = 1.0
+    idt = dict(df.dtypes)[id_col]
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                sub = X[:, j * width : (j + 1) * width]
+                d = ((sub[:, None, :] - sub_cents[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = np.argmin(d, axis=1)
+            vn = np.maximum(np.sqrt((X * X).sum(1)), 1e-12)
+            cos = (X @ C.T) / (vn[:, None] * cnorm[None, :])
+            cells = cell_ids[np.argmax(cos, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": [r.tolist() for r in codes],
+                    "cell": cells,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, f"{id_col} {idt}, codes array<int>, cell int"
     )
 
 
@@ -595,10 +674,7 @@ def ivfpq_topk(
     hash-stride seeding. Returns (query_id, vec_id, rank), deterministic
     under (score desc, id) total order."""
     cent_rows = _centroid_rows(corpus, n_centroids, id_col, vec_col, centroids)
-    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
-        corpus.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
-        id_col,
-    )
+    coded = _encode_with_cell(corpus, codebook, cent_rows, id_col, vec_col)
     q_rows = query.select(id_col, vec_col).collect()
     return _adc_rank_refine(
         lambda cells: coded.filter(F.col("cell").isin(cells)),
@@ -635,10 +711,7 @@ def write_ann_index(
 
     spark = corpus.sparkSession
     cent_rows = _centroid_rows(corpus, n_centroids, id_col, vec_col, centroids)
-    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
-        corpus.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
-        id_col,
-    )
+    coded = _encode_with_cell(corpus, codebook, cent_rows, id_col, vec_col)
     coded.write.partitionBy("cell").mode("overwrite").parquet(
         os.path.join(path, "codes")
     )
@@ -715,14 +788,7 @@ def ann_index_add(
     if dedupe_ids:
         existing = spark.read.parquet(os.path.join(path, "codes")).select(id_col)
         new_vectors = new_vectors.join(existing, id_col, "left_anti")
-    coded = pq_encode(
-        new_vectors, codebook, id_col=id_col, vec_col=vec_col
-    ).join(
-        new_vectors.select(
-            F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")
-        ),
-        id_col,
-    )
+    coded = _encode_with_cell(new_vectors, codebook, cent_rows, id_col, vec_col)
     coded.write.partitionBy("cell").mode("append").parquet(
         os.path.join(path, "codes")
     )
@@ -825,10 +891,7 @@ def write_ann_index_txn(
 
     spark = corpus.sparkSession
     cent_rows = _centroid_rows(corpus, n_centroids, id_col, vec_col, centroids)
-    coded = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col).join(
-        corpus.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
-        id_col,
-    )
+    coded = _encode_with_cell(corpus, codebook, cent_rows, id_col, vec_col)
     parted = (
         coded.repartitionByRange(target_files, "cell")
         if target_files
@@ -919,12 +982,7 @@ def ann_index_txn_add(
     t = _annx_codes(spark, path)
     if dedupe_ids:
         new_vectors = new_vectors.join(t.read().select(id_col), id_col, "left_anti")
-    coded = pq_encode(new_vectors, codebook, id_col=id_col, vec_col=vec_col).join(
-        new_vectors.select(
-            F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")
-        ),
-        id_col,
-    )
+    coded = _encode_with_cell(new_vectors, codebook, cent_rows, id_col, vec_col)
     t.append(coded.repartitionByRange("cell"))
     return t.version()
 
@@ -944,10 +1002,7 @@ def ann_index_txn_add_stream_batch(
     growth over an embedding stream. Returns code rows appended (0 for a
     recognized replay)."""
     cent_rows, codebook = _load_index_sides_txn(spark, path)
-    coded = pq_encode(batch, codebook, id_col=id_col, vec_col=vec_col).join(
-        batch.select(F.col(id_col), _cell_expr(cent_rows, vec_col).alias("cell")),
-        id_col,
-    )
+    coded = _encode_with_cell(batch, codebook, cent_rows, id_col, vec_col)
     return _annx_codes(spark, path).stream_epoch_append(
         coded.repartitionByRange("cell"), app_id, epoch_id
     )

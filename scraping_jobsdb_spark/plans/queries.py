@@ -7888,14 +7888,20 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-7 window (registry 183, window 50). Evidence ages going in (the
+# Round-7 window (registry 189, window 50). Evidence ages going in (the
 # latest-evidence join over CORRECTNESS_r01-r06): r6 closed the entire
 # r2-stale cohort and went 50/50 green; the oldest remaining debt is the
 # 40-query r3-latest cohort (VERDICT r6 Missing #2 / next-round item 2),
 # then 47 at r4. Priorities:
-# (a) the 2 NEW r7 registrations (order_flow_pagerank_redistribute -- the
-#     standard-formulation PageRank, fully oracled; bpe_corpus_tokenize --
-#     the train->encode tokenizer loop, rows-only);
+# (a) 5 of the 8 NEW r7 registrations (first-evidence priority):
+#     order_flow_pagerank_redistribute (standard-formulation PageRank,
+#     fully oracled), bpe_corpus_tokenize (train->encode tokenizer loop,
+#     rows-only), semantic_dedup_embeddings (SemDeDup, fully oracled),
+#     doc_text_normalize (NFC canonicalization, fully oracled),
+#     events_ohlc_hourly (min_by/max_by downsampling, fully oracled).
+#     The three registered after the window froze -- txn_merge_full_sync,
+#     events_ohlc_streaming, doc_bigram_perplexity, all oracled and
+#     driver_check-green locally -- lead the r8 window;
 # (b) queries whose code paths CHANGED this round: bpe_learned_merges
 #     (bpe_train's recount is now incremental), bloom_prefilter_supplier_
 #     revenue (NULL small-side keys filtered before probe collection),

@@ -1542,3 +1542,33 @@ def test_kmeans_minstruct_equals_window_form(spark):
         cents = [(c, updated.get(c, prev)) for c, prev in cents]
     ref = {c: v for c, v in cents}
     assert got == ref
+
+
+def test_encode_with_cell_arrow_equals_expression(spark):
+    """The Arrow numpy encode+assign kernel (r7, the index write/add hot
+    path) must produce the same (codes, cell) as the Catalyst expression
+    form on the gate corpus: np.argmin/argmax keep the FIRST extremum =
+    lowest cell, mirroring the struct-min tie-break, and the zero-norm
+    guards match _cell_expr."""
+    from scraping_jobsdb_spark.operators.pq import (
+        _centroid_rows,
+        _encode_with_cell,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = pq_train(emb, m=8, k=16, max_iter=3)
+    cents = _centroid_rows(emb, 10, "vec_id", "embedding", None)
+    a = {
+        r.vec_id: (list(r.codes), r.cell)
+        for r in _encode_with_cell(
+            emb, cb, cents, "vec_id", "embedding", arrow=True
+        ).collect()
+    }
+    e = {
+        r.vec_id: (list(r.codes), r.cell)
+        for r in _encode_with_cell(
+            emb, cb, cents, "vec_id", "embedding", arrow=False
+        ).collect()
+    }
+    assert a == e and len(a) == emb.count()

@@ -778,16 +778,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: deterministic hash-stride centroid
-    seeding, assign corpus rows to their nearest centroid (map-only vs
-    broadcast centroids), probe the ``n_probe`` nearest centroid cells per
-    query. At scale the corpus is written partitioned by ``cell`` so a probe
-    prunes to n_probe/n_centroids of the data.
+    seeding, assign corpus rows to their nearest centroid, probe the
+    ``n_probe`` nearest centroid cells per query. At scale the corpus is
+    written partitioned by ``cell`` so a probe prunes to
+    n_probe/n_centroids of the data.
 
-    ``centroids`` (cell int, centroid array) — e.g. from ``kmeans_fit`` —
-    replaces the hash-stride seeding with trained cells (better-balanced
-    buckets → better recall at the same n_probe)."""
+    ``centroids`` (cell, centroid array) — e.g. from ``kmeans_fit`` or a
+    renamed ``label_centroids`` — replaces the hash-stride seeding with
+    trained cells (better-balanced buckets → better recall at the same
+    n_probe).
+
+    Scale shape: the centroid table is codebook-scale, so cell assignment
+    is a ZERO-SHUFFLE map over driver-baked centroid literals (struct-min
+    argmin, the ``nearest_centroid_classify`` pattern — previously this
+    was a crossJoin + per-row window, i.e. an n×k shuffle and sort for a
+    pure per-row function). The probe side stays a |queries|×k window
+    (tiny). In-cell scoring is one equi-join on cell with the probed
+    queries auto-broadcast.
+
+    ``quantize_dp``: when set, every ranked cosine (cell argmin, probe
+    ranking, final top-k) is rounded to that many decimals BEFORE
+    comparison with ties to the lowest cell/id — the engine's cross-engine
+    determinism rule, making the output value-hash oracle-able when the
+    centroids themselves are oracle-derivable (see
+    plans/queries.py::embedding_ivf_topk)."""
     from pyspark.sql import Window
 
     if centroids is not None:
@@ -798,27 +815,61 @@ def ivf_topk(
         cents = _seed_centroids(corpus, n_centroids, id_col, vec_col).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
         )
-    # assign: nearest centroid per corpus vector (argmax cosine)
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            vec_col,
-            "cent_id",
-            cosine(F.col(vec_col), F.col("cent_vec")).alias("ccos"),
-        )
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("ccos").desc(), F.col("cent_id")
-                )
-            ),
-        )
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+
+    def _q(c: Column) -> Column:
+        return F.round(c, quantize_dp) if quantize_dp is not None else c
+
+    # assign: nearest centroid per corpus vector (argmax cosine) as a pure
+    # map expression over driver-baked centroid literals — zero shuffle.
+    # dot/(vn*cn) reproduces cosine() bit-for-bit: same sequential fold
+    # order, same IEEE ops (Python's left-fold sum == the Spark aggregate).
+    cent_rows = sorted(
+        (r[0], [float(x) for x in r[1]]) for r in cents.collect()
     )
-    # probe cells per query
+    vn = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        F.lit(1e-12),
+    )
+    staged = corpus.select(id_col, vec_col, vn.alias("__vn"))
+
+    def _ccos(cvec: list[float]) -> Column:
+        import math
+
+        # plain left-fold sum, NOT fsum: mirrors the sequential fold order
+        # of cosine() / DuckDB's list norm (the nearest_centroid_classify
+        # recipe, hash-green at the gate since r5)
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in cvec]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return _q(dot / (F.col("__vn") * F.lit(cn)))
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-_ccos(cvec)).alias("d"), F.lit(cid).alias("cell"))
+                for cid, cvec in cent_rows
+            ]
+        )
+    )
+    assigned = staged.select(
+        id_col, vec_col, best.getField("cell").alias("cell")
+    )
+    # probe cells per query (|queries| × n_centroids rows — negligible)
     q = query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     probed = (
         q.crossJoin(F.broadcast(cents))
@@ -826,7 +877,7 @@ def ivf_topk(
             "query_id",
             "qvec",
             "cent_id",
-            cosine(F.col("qvec"), F.col("cent_vec")).alias("ccos"),
+            _q(cosine(F.col("qvec"), F.col("cent_vec"))).alias("ccos"),
         )
         .withColumn(
             "r",
@@ -843,7 +894,9 @@ def ivf_topk(
         assigned.join(probed, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
-            "query_id", id_col, cosine(F.col(vec_col), F.col("qvec")).alias("cos")
+            "query_id",
+            id_col,
+            _q(cosine(F.col(vec_col), F.col("qvec"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col))

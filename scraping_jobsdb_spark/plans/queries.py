@@ -1063,16 +1063,88 @@ def q_embedding_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_np(emb, query, k=10)
 
 
-@_register("embedding_ivf_topk", oracle=None)
+@_register(
+    "embedding_ivf_topk",
+    oracle="""
+    WITH coords AS (
+        SELECT label, i,
+               CAST(SUM(CAST(embedding[i] AS DECIMAL(30,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i
+    ), cents AS (
+        SELECT label AS cell, list(m ORDER BY i) AS centroid
+        FROM coords GROUP BY label
+    ), assigned AS (
+        SELECT vec_id, embedding, cell
+        FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid), 9) DESC, c.cell
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probed AS (
+        SELECT query_id, qvec, cell
+        FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.centroid), 9) DESC, c.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id IN (0, 100, 200)
+        ) WHERE rn <= 3
+    ), scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            p.qvec::DOUBLE[]), 9) AS cos
+        FROM assigned a JOIN probed p USING (cell)
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, vec_id, rank
+    FROM (
+        SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id
+        ) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (the 100 TB scale path: corpus
-    partitioned by centroid cell, probes prune the scan). Approximate →
-    rows-only check; recall vs brute force asserted in tests."""
-    from scraping_jobsdb_spark.operators.similarity import ivf_topk
+    partitioned by centroid cell, probes prune the scan to
+    n_probe/n_centroids of the data). HASH-ORACLED since r8 (r7 verdict
+    item 5): the cells are the per-label decimal-exact Rocchio centroids
+    (the ``nearest_centroid_confusion`` recipe, SQL-derivable), cell
+    assignment runs as a zero-shuffle map over driver-baked centroid
+    literals, and every ranked cosine (assignment argmin, probe ranking,
+    in-cell top-k) quantizes to 9 dp with ties to the lowest cell/id —
+    so the ENTIRE pruning path (assign → probe → in-cell exact scoring)
+    is value-checked against DuckDB, not just row-counted. Trained
+    (kmeans_fit) and hash-stride-seeded centroid variants stay covered by
+    the recall + parity tests in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        ivf_topk,
+        label_centroids,
+    )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = label_centroids(emb, dim=64).select(
+        F.col("label").alias("cell"), "centroid"
+    )
     query = emb.filter(F.col("vec_id").isin(0, 100, 200))
-    return ivf_topk(emb, query, n_centroids=10, n_probe=3, k=10)
+    return ivf_topk(
+        emb.select("vec_id", "embedding"),
+        query,
+        n_probe=3,
+        k=10,
+        centroids=cents,
+        quantize_dp=9,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7888,94 +7960,88 @@ def q_txn_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-7 window (registry 189, window 50). Evidence ages going in (the
-# latest-evidence join over CORRECTNESS_r01-r06): r6 closed the entire
-# r2-stale cohort and went 50/50 green; the oldest remaining debt is the
-# 40-query r3-latest cohort (VERDICT r6 Missing #2 / next-round item 2),
-# then 47 at r4. Priorities:
-# (a) 5 of the 8 NEW r7 registrations (first-evidence priority):
-#     order_flow_pagerank_redistribute (standard-formulation PageRank,
-#     fully oracled), bpe_corpus_tokenize (train->encode tokenizer loop,
-#     rows-only), semantic_dedup_embeddings (SemDeDup, fully oracled),
-#     doc_text_normalize (NFC canonicalization, fully oracled),
-#     events_ohlc_hourly (min_by/max_by downsampling, fully oracled).
-#     The three registered after the window froze -- txn_merge_full_sync,
-#     events_ohlc_streaming, doc_bigram_perplexity, all oracled and
-#     driver_check-green locally -- lead the r8 window;
-# (b) queries whose code paths CHANGED this round: bpe_learned_merges
-#     (bpe_train's recount is now incremental), bloom_prefilter_supplier_
-#     revenue (NULL small-side keys filtered before probe collection),
-#     embedding_ann_index_txn_lifecycle (_load_index_sides_txn gained the
-#     retrain guard; maintain goes through the public file-count accessor);
-# (c) ALL 40 r3-stale queries -- led by the five r6 slot-ceders
-#     (latest_event_per_user, events_hourly_tumbling, scalar_json_pack,
-#     multimodal_binary_features, salted_groupby_skewed), per the verdict;
-# (d) remaining slots to r4 entries: the two never-re-benched drift
-#     watch-list queries (stats_regression_pack,
-#     cdc_row_changes_bucketed_txn). Three r4 picks ceded draft slots to
-#     the NEW r7 registrations (first-evidence priority):
-#     variant_json_surface -> semantic_dedup_embeddings (JSON family keeps
-#     in-window evidence via scalar_json_pack); merge_upsert_txn ->
-#     doc_text_normalize (txn writes: cdc_row_changes_bucketed_txn
-#     in-window + four r6-green write-surface rows);
-#     winnowing_containment_pairs -> events_ohlc_hourly (winnowing family:
-#     doc_winnowing_fingerprints in-window, dedup_pipeline_winnowing
-#     benched + r4-green).
+# Round-8 window (registry 189, window 50). Evidence ages going in (the
+# latest-evidence join over CORRECTNESS_r01-r07): r7 went 50/50 green and
+# cleared the whole r3-stale cohort; the histogram is now r4:45 / r5:45 /
+# r6:47 / r7:50, with exactly three oracled queries never driver-evidenced
+# (registered after the r7 window froze). 3 + 2 + 45 = 50 exactly:
+# (a) the 3 NEVER-EVIDENCED late-r7 registrations (VERDICT r7 item 1):
+#     txn_merge_full_sync (WHEN NOT MATCHED BY SOURCE -- the only MERGE
+#     clause family member without a driver row), events_ohlc_streaming
+#     (streaming OHLC twin), doc_bigram_perplexity (bigram-LM quality
+#     filter). All fully oracled.
+# (b) the 2 drift watch-list queries whose code paths r7 touched most
+#     (VERDICT r7 item 7): bpe_learned_merges (greedy min-rank encode
+#     change), embedding_ann_index_txn_lifecycle (Arrow encode+assign
+#     fusion). Re-evidenced even though their rows are r7-fresh.
+# (c) ALL 45 queries whose latest green row is r4 -- the oldest remaining
+#     evidence cohort (VERDICT r7 item 1 "then the 45-query r4-stale
+#     cohort"), led by the three r7 slot-ceders variant_json_surface,
+#     merge_upsert_txn, winnowing_containment_pairs, then alphabetical.
+#     After this window, no query's evidence is older than r5.
+# Note: embedding_ivf_topk (rows-only r7) was CONVERTED to fully-oracled
+# this round (VERDICT r7 item 5, label-centroid cells + 9 dp quantized
+# ranking) and takes the window's last slot so the IVF pruning path gets
+# its first value-level driver row (rows-only drops 15 -> 14). To make
+# room, approx_distinct_sketch is the ONE r4 query held over to lead r9:
+# its distinct-count-sketch family keeps THREE sibling rows in this window
+# (hll_portable_registers, hll_mergeable_sketches, kmv_distinct_sketches)
+# and the query itself is the thin approx_count_distinct wrapper -- the
+# lowest-information re-check in the cohort.
 _GATE_PRIORITY = [
-    # (a) new this round
-    "order_flow_pagerank_redistribute",
-    "bpe_corpus_tokenize",
-    "semantic_dedup_embeddings",
-    "doc_text_normalize",
-    "events_ohlc_hourly",
-    # (b) changed code paths
+    # (a) never driver-evidenced (late-r7 registrations)
+    "txn_merge_full_sync",
+    "events_ohlc_streaming",
+    "doc_bigram_perplexity",
+    # (b) drift watch-list (r7-touched code paths)
     "bpe_learned_merges",
-    "bloom_prefilter_supplier_revenue",
     "embedding_ann_index_txn_lifecycle",
-    # (c) the 40-query r3-stale cohort (oldest evidence debt)
-    "latest_event_per_user",
-    "events_hourly_tumbling",
-    "scalar_json_pack",
-    "multimodal_binary_features",
-    "salted_groupby_skewed",
-    "asof_join_latest_state",
-    "cdc_row_changes_txn",
-    "count_distinct_pagination",
-    "cross_join_param_grid",
-    "customer_order_histogram",
-    "dedup_pipeline_end_to_end",
-    "deterministic_sample_split",
+    # (c) the 45-query r4-stale cohort -- slot-ceders first
+    "variant_json_surface",
+    "merge_upsert_txn",
+    "winnowing_containment_pairs",
+    "asof_join_forward_window",
+    "bloom_point_lookup_txn",
+    "bm25_doc_ranking",
+    "cdc_apply_changes_txn",
+    "cms_term_frequencies",
+    "decontamination_ngram_overlap",
+    "dedup_keep_best_quality",
+    "dedup_pipeline_winnowing",
+    "doc_chunking",
+    "doc_pii_redaction",
+    "doc_repetition_stats",
+    "doc_segment_dedup_global",
+    "doc_top_ngrams",
+    "doc_unigram_surprisal",
+    "embedding_int8_cosine_topk",
+    "embedding_topk_np",
+    "events_daily_gap_fill",
+    "events_time_weighted_value",
+    "fuzzy_join_supplier_names",
+    "gopher_quality_flags",
+    "hll_mergeable_sketches",
+    "hll_portable_registers",
+    "incremental_mv_refresh",
+    "kmv_distinct_sketches",
+    "leakage_safe_split_stats",
+    "market_share_by_year",
+    "minhash_portable_neardup_pairs",
+    "mixture_weighted_corpus_sample",
+    "nation_volume_shipping",
+    "quality_top_fraction_per_lang",
+    "quantile_hash_sample",
+    "recursive_event_chains",
+    "regional_supplier_volume",
+    "retention_cohorts",
+    "scalar_date_pack",
+    "shipping_priority_top10",
+    "skew_join_salted",
+    "sole_supplier_orders",
+    "term_postings_index",
+    "token_budget_sample_per_lang",
+    "weighted_sample_by_length",
     "embedding_ivf_topk",
-    "embedding_kmeans_cells",
-    "embedding_quantized_topk",
-    "events_session_streaming",
-    "events_session_window",
-    "events_sliding_streaming",
-    "events_sliding_windows",
-    "events_stream_stream_join",
-    "events_streaming_dedup",
-    "events_user_zscore",
-    "funnel_click_to_purchase",
-    "group_share_threshold",
-    "large_order_customers",
-    "llm_corpus_prep",
-    "minhash_neardup_pairs",
-    "multimodal_corpus_prep",
-    "pricing_summary",
-    "promo_revenue_ratio",
-    "range_join_followups",
-    "robust_stats_mad",
-    "scalar_misc_pack",
-    "small_quantity_revenue",
-    "sorted_page_offset",
-    "stratified_sample_per_lang",
-    "tfidf_top_terms",
-    "top_revenue_suppliers",
-    "value_histogram_bins",
-    "window_moving_average",
-    # (d) r4 picks: drift watch-list + family coverage
-    "stats_regression_pack",
-    "cdc_row_changes_bucketed_txn",
 ]
 
 

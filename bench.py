@@ -159,6 +159,13 @@ BENCH_QUERIES = [
     "txn_merge_full_sync",
     "events_ohlc_streaming",
     "doc_bigram_perplexity",
+    # --- round 8 additions (keep appending, never reorder) ---
+    # SemDeDup at production cell counts (kmeans k ~ corpus/50, broadcast
+    # argmin assignment) — the row that shows the cell-count knob bounding
+    # the in-cell quadratic, vs the 10-label-cell gate sibling above
+    "semantic_dedup_kmeans_cells",
+    # the IVF pruning path on its new fully-oracled form
+    "embedding_ivf_topk",
 ]
 
 

@@ -1503,6 +1503,7 @@ def semantic_dedup_keep_list(
     vec_col: str = "embedding",
     label_col: str = "label",
     quantize_dp: int = 9,
+    assign: str = "literal",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication"):
@@ -1512,36 +1513,90 @@ def semantic_dedup_keep_list(
     cell. Returns (id, cell, keep boolean), one row per corpus vector.
 
     Scale shape — the reason SemDeDup beats pairwise dedup at web scale:
-    the cell assignment is a ZERO-SHUFFLE map over driver-baked centroid
-    literals (``nearest_centroid_classify``), and the quadratic pairwise
-    step is confined to an EQUI-JOIN on cell — Σ|cell|² work instead of
-    |corpus|², with the cell count the knob that bounds the blow-up (the
-    paper uses ~50k k-means cells for 5B embeddings; size cells to
-    thousands of vectors). Within-cell pairs carry vectors once per side
-    of one hash join keyed on the cell id; the drop rule ("a smaller
-    similar id exists in my cell") is intentionally NON-transitive — every
-    verdict depends only on in-cell pairs, making the whole operator a
-    pure composition of joins/aggregates (hash-oracle-able, unlike the
-    connected-components keep rule of ``dedup_keep_list``, and the same
-    admission rule the fingerprint index uses).
+    the cell assignment is map-only over broadcast centroids, and the
+    quadratic pairwise step is confined to an EQUI-JOIN on cell —
+    Σ|cell|² work instead of |corpus|², with the cell count the knob that
+    bounds the blow-up (the paper uses ~50k k-means cells for 5B
+    embeddings; size cells to thousands of vectors). Within-cell pairs
+    carry vectors once per side of one hash join keyed on the cell id; the
+    drop rule ("a smaller similar id exists in my cell") is intentionally
+    NON-transitive — every verdict depends only on in-cell pairs, making
+    the whole operator a pure composition of joins/aggregates
+    (hash-oracle-able, unlike the connected-components keep rule of
+    ``dedup_keep_list``, and the same admission rule the fingerprint
+    index uses).
+
+    ``assign`` picks the argmin implementation, same result either way:
+
+    - ``"literal"`` (default): zero-shuffle struct-min over driver-baked
+      centroid literals (``nearest_centroid_classify``). Right for
+      codebook-scale k (≲100 cells): no exchange at all, whole-stage
+      codegen. Beyond that the generated expression (k × dim literals)
+      outgrows codegen limits.
+    - ``"broadcast"``: broadcast-join the centroid table and take a
+      map-side-combining min(struct) aggregate per id (the kmeans_fit
+      E-step shape, r7's argmin pattern). One shuffle of n id-keyed rows;
+      k is unbounded. The production posture for k ∝ corpus/cell_size —
+      SemDeDup's k≫labels regime (r7 verdict item 4) — where centroids
+      come from ``kmeans_fit`` on a FIXED-SIZE sample (the faiss training
+      recipe: train cost stays O(sample × k), corpus-sized stages stay
+      O(n) + Σ|cell|²).
+
+    Both paths quantize the assignment cosine to ``quantize_dp`` decimals
+    before the argmin and tie-break on the lowest cell id, so
+    literal≡broadcast bit-for-bit (pinned in tests).
 
     Determinism: cosines quantize to ``quantize_dp`` decimals BEFORE the
     threshold compare and the argmin tie-breaks on the lowest label — the
     engine-wide rule that keeps ulp drift from flipping verdicts across
     engines/partitionings.
     """
+    if assign not in ("literal", "broadcast"):
+        raise ValueError(f"assign must be 'literal' or 'broadcast', got {assign!r}")
     carried = corpus.withColumn("__sdd_vec", F.col(vec_col))
-    assigned = nearest_centroid_classify(
-        carried,
-        centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-        label_col=label_col,
-        quantize_dp=quantize_dp,
-        carry_cols=["__sdd_vec"],
-    ).select(
-        F.col(id_col), F.col("pred_label").alias("cell"), F.col("__sdd_vec")
-    )
+    if assign == "broadcast":
+        cent_df = F.broadcast(
+            centroids.select(
+                F.col(label_col).alias("__cell"),
+                F.col("centroid").cast("array<double>").alias("__cent"),
+            )
+        )
+        scored = carried.crossJoin(cent_df).select(
+            id_col,
+            "__sdd_vec",
+            "__cell",
+            F.round(
+                cosine(F.col(vec_col), F.col("__cent")), quantize_dp
+            ).alias("__qcos"),
+        )
+        best = F.min(
+            F.struct(
+                (-F.col("__qcos")).alias("negcos"),
+                F.col("__cell").alias("cell"),
+                F.col("__sdd_vec").alias("vec"),
+            )
+        ).alias("__best")
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(best)
+            .select(
+                F.col(id_col),
+                F.col("__best.cell").cast("int").alias("cell"),
+                F.col("__best.vec").alias("__sdd_vec"),
+            )
+        )
+    else:
+        assigned = nearest_centroid_classify(
+            carried,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
+            quantize_dp=quantize_dp,
+            carry_cols=["__sdd_vec"],
+        ).select(
+            F.col(id_col), F.col("pred_label").alias("cell"), F.col("__sdd_vec")
+        )
     a = assigned.select(
         F.col(id_col).alias("id_a"), "cell", F.col("__sdd_vec").alias("__va")
     )

@@ -3352,6 +3352,56 @@ def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_keep_list(corpus, cents, threshold=0.9)
 
 
+@_register("semantic_dedup_kmeans_cells", oracle=None)
+def q_semantic_dedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its PRODUCTION-centroid regime (r7 verdict item 4 — the
+    gate sibling ``semantic_dedup_embeddings`` uses 10 label cells for SQL
+    oracle-ability, which leaves the in-cell quadratic fat): cells come
+    from ``kmeans_fit`` at k ≈ corpus/50 trained on a FIXED-SIZE
+    deterministic hash-sample (the faiss recipe — training cost O(sample
+    × k), never corpus-sized), and assignment runs the ``broadcast``
+    argmin path (map-side-combining min(struct) over the broadcast
+    centroid table — unbounded k, unlike the driver-baked literal
+    expression which outgrows codegen past ~100 cells). Exact cosines
+    only within cells: Σ|cell|² stays ~n·cell_size as the corpus grows
+    because k scales WITH n — the knob the 10-cell gate shape cannot
+    demonstrate (BENCH_SCALING.json measures this at sf0.1→sf1.0).
+    Injected exact duplicates (every 7th vector, higher id) land in the
+    SAME cell as their original by construction (identical vector ⇒
+    identical argmin) and must all be dropped — asserted in
+    tests/test_similarity.py along with literal≡broadcast parity and
+    verdict stability under cell refinement. kmeans is iterative →
+    rows-only at the driver; the operator's join/aggregate composition is
+    hash-oracled via the label-cell sibling."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_keep_list,
+    )
+
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    n = corpus.count()
+    k = max(10, n // 50)
+    # fixed-size training sample: deterministic md5 hash-filter (map-only —
+    # no sort/limit; at 100 TB this is the same one-in-m admission the
+    # sketches use), capped so training is O(sample × k) regardless of n
+    mod = max(1, n // 5000)
+    sample = corpus.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % mod
+        == 0
+    )
+    cents = kmeans_fit(sample, n_centroids=k, max_iter=3)
+    return semantic_dedup_keep_list(
+        corpus, cents, threshold=0.9, label_col="cell", assign="broadcast"
+    )
+
+
 @_register(
     "doc_text_normalize",
     oracle="""

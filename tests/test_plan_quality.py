@@ -229,6 +229,18 @@ FORBIDDEN = [
     ("doc_bigram_perplexity", "CartesianProduct"),
     ("doc_bigram_perplexity", "Window"),
     ("doc_bigram_perplexity", "BatchEvalPython"),
+    # --- round 8 additions ---
+    # SemDeDup production regime (kmeans cells, broadcast argmin): the
+    # centroid side is codebook-scale (a BNLJ on that literal-bounded side
+    # is fine, the true product node is not), dedup pairs are an equi-join
+    # on cell, no row-Python anywhere
+    ("semantic_dedup_kmeans_cells", "CartesianProduct"),
+    ("semantic_dedup_kmeans_cells", "BatchEvalPython"),
+    # IVF top-k (oracled form): cell assignment is a pure map over
+    # driver-baked centroid literals — the only nested-loop side is the
+    # 3-row query × k centroid probe; never a true product, no row-Python
+    ("embedding_ivf_topk", "CartesianProduct"),
+    ("embedding_ivf_topk", "BatchEvalPython"),
 ]
 
 

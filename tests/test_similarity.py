@@ -1415,6 +1415,71 @@ def test_semantic_dedup_with_kmeans_cells_drops_injected(spark):
         assert got[i][0] == got[i + 100000][0]   # same cell
 
 
+def test_semantic_dedup_broadcast_assign_parity_and_cell_knob(spark):
+    """The r7-verdict item 4 evidence for SemDeDup's k≫labels regime:
+
+    1. ``assign="broadcast"`` (min(struct) over the broadcast centroid
+       table — the unbounded-k path) returns EXACTLY the literal-baked
+       result on the same kmeans cells.
+    2. Clear-duplicate verdicts are stable under cell refinement: exact
+       duplicates are dropped (and their sources kept) at k=8 AND at
+       k=40 — refining cells re-partitions the corpus but cannot split an
+       identical-vector pair, so the operator's useful output survives
+       the knob that controls its cost.
+    3. The knob controls the quadratic term superlinearly: Σ|cell|²
+       (the in-cell pair budget) at k=40 is < half its k=8 value on this
+       corpus — the cost argument for scaling k with the corpus instead
+       of holding 10 label cells (measured at sf0.1→sf1.0 in
+       BENCH_SCALING.json).
+    """
+    from scraping_jobsdb_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_keep_list,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    dupes = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+
+    results = {}
+    pair_budget = {}
+    for k in (8, 40):
+        cents = kmeans_fit(emb, n_centroids=k, max_iter=3).cache()
+        lit = {
+            r.vec_id: (r.cell, r.keep)
+            for r in semantic_dedup_keep_list(
+                corpus, cents, threshold=0.999, label_col="cell"
+            ).collect()
+        }
+        bc = {
+            r.vec_id: (r.cell, r.keep)
+            for r in semantic_dedup_keep_list(
+                corpus,
+                cents,
+                threshold=0.999,
+                label_col="cell",
+                assign="broadcast",
+            ).collect()
+        }
+        assert lit == bc, f"literal != broadcast at k={k}"
+        results[k] = lit
+        sizes = {}
+        for cell, _keep in lit.values():
+            sizes[cell] = sizes.get(cell, 0) + 1
+        pair_budget[k] = sum(s * s for s in sizes.values())
+        cents.unpersist()
+
+    for k, got in results.items():
+        for i in range(25):
+            assert got[i][1] is True, (k, i)
+            assert got[i + 100000][1] is False, (k, i)
+            assert got[i][0] == got[i + 100000][0], (k, i)
+
+    assert pair_budget[40] < pair_budget[8] / 2, pair_budget
+
+
 def test_pq_train_minstruct_equals_window_form(spark):
     """pq_train's E-step is a map-side-combining min(struct) aggregate
     (r7: the old row_number-window form shuffled and sorted the full

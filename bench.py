@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "semantic_dedup_kmeans_cells",
     # the IVF pruning path on its new fully-oracled form
     "embedding_ivf_topk",
+    # unigram-LM tokenizer family (SentencePiece sibling of the BPE rows)
+    "unigram_seed_candidates",
+    "unigram_corpus_tokenize",
 ]
 
 

@@ -1261,6 +1261,264 @@ def bpe_encode(
     )
 
 
+def unigram_seed_candidates(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    k: int = 300,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training, step 1 (Kudo, "Subword Regularization:
+    Improving Neural Network Translation Models with Multiple Subword
+    Candidates" — the SentencePiece unigram model): the seed vocabulary is
+    the corpus's most frequent substrings of length ≤ ``max_piece_len``,
+    weighted by word frequency. Returns the top-``k`` as
+    (piece, piece_count).
+
+    Scale shape (the same reduction discipline as ``bpe_pair_counts``):
+    the corpus collapses to DISTINCT WORDS WITH COUNTS first (one shuffle,
+    vocabulary-sized); substrings explode only off that word table
+    (second shuffle, piece-vocab-sized); top-k is an ordered limit
+    (TakeOrderedAndProject, no global sort). All-integer counts with
+    lexicographic tie-break → value-hash oracle-able."""
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pieces = words.select(
+        "wc",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len), F.length("w") - i + 1
+                            ),
+                        ),
+                        lambda l: F.col("w").substr(i, l),
+                    ),
+                )
+            )
+        ).alias("piece"),
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("wc").alias("piece_count"))
+        .orderBy(F.col("piece_count").desc(), "piece")
+        .limit(k)
+    )
+
+
+def _viterbi_segment(
+    word: str,
+    logp: dict,
+    max_piece_len: int,
+    unk_logprob: float,
+) -> list:
+    """Best unigram segmentation of ``word`` under piece log-probs.
+
+    Shared by trainer E-step and encoder so encode ≡ training segmentation
+    by construction. Deterministic: maximize total logprob; ties prefer
+    the LONGER last piece, then the lexicographically smaller piece. A
+    character absent from the vocabulary scores ``unk_logprob`` and is
+    emitted as itself (full coverage, no <unk> collapse — fingerprinting
+    downstream wants the bytes)."""
+    n = len(word)
+    # dp[i] = (best_score, seg_as_tuple) for word[:i]
+    NEG = float("-inf")
+    best_score = [NEG] * (n + 1)
+    best_prev = [None] * (n + 1)  # (start, piece)
+    best_score[0] = 0.0
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_piece_len), end):
+            if best_score[start] == NEG:
+                continue
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start == 1:
+                    lp = unk_logprob
+                else:
+                    continue
+            cand = best_score[start] + lp
+            cur = best_score[end]
+            if cand > cur:
+                better = True
+            elif cand == cur and best_prev[end] is not None:
+                plen = end - best_prev[end][0]
+                better = (end - start) > plen or (
+                    (end - start) == plen and piece < best_prev[end][1]
+                )
+            else:
+                better = False
+            if better:
+                best_score[end] = cand
+                best_prev[end] = (start, piece)
+    out = []
+    i = n
+    while i > 0:
+        start, piece = best_prev[i]
+        out.append(piece)
+        i = start
+    out.reverse()
+    return out
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    vocab_size: int = 120,
+    num_iters: int = 3,
+    max_piece_len: int = 4,
+    seed_multiplier: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece's model, Kudo 2018),
+    the probabilistic sibling of ``bpe_train``: seed a large candidate
+    vocabulary from frequent substrings, then EM — E-step: Viterbi-best
+    segmentation of every word under current piece probabilities; M-step:
+    re-estimate probabilities from segmentation counts — and finally prune
+    to ``vocab_size`` keeping every seen single character (full coverage).
+    Returns (piece, logprob, piece_count).
+
+    Architecture (same 100 TB discipline as ``bpe_train``,
+    textops.py:1069): Spark performs the ONE corpus-sized reduction —
+    lowercase, tokenize, aggregate to distinct words with counts — and the
+    EM loop runs driver-side over that vocabulary-sized histogram (the
+    driver-side-tiny-state exception: shipping KB-scale arithmetic through
+    a Spark job per iteration would pay scheduling, not compute; the seed
+    step itself is also available distributed as
+    ``unigram_seed_candidates`` — the oracled form). Simplifications vs
+    full SentencePiece, documented deliberately: Viterbi hard-EM instead
+    of lattice forward-backward (the standard "hard-EM" variant), and
+    final top-count pruning instead of loss-ranked iterative pruning.
+    Deterministic end to end: integer seed counts with lexicographic
+    ties, fixed iteration count, and the shared ``_viterbi_segment``
+    tie-break; not SQL-oracle-able (iterative), property-pinned in
+    tests/test_scale_ops.py."""
+    import math
+
+    if vocab_size < 1 or num_iters < 1:
+        raise ValueError("vocab_size and num_iters must be >= 1")
+    word_rows = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .collect()
+    )
+    # sorted: collect() order is partition-dependent, and float SUM order
+    # must be pinned for bit-stable logprobs across runs/partitionings
+    words = sorted((r.w, int(r.wc)) for r in word_rows)
+
+    # seed: top (vocab_size * seed_multiplier) substrings + all single chars
+    seed_counts: dict = {}
+    for w, wc in words:
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                seed_counts[p] = seed_counts.get(p, 0) + wc
+    singles = {p for p in seed_counts if len(p) == 1}
+    ranked = sorted(seed_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {p for p, _ in ranked[: vocab_size * seed_multiplier]} | singles
+
+    logp = {}
+    total = sum(seed_counts[p] for p in sorted(vocab))
+    for p in sorted(vocab):
+        logp[p] = math.log(seed_counts[p] / total)
+
+    counts: dict = {}
+    for _ in range(num_iters):
+        counts = {}
+        unk = min(logp.values()) - 10.0
+        for w, wc in words:
+            for piece in _viterbi_segment(w, logp, max_piece_len, unk):
+                counts[piece] = counts.get(piece, 0) + wc
+        # coverage floor: every single char survives with count >= 1
+        for p in singles:
+            counts[p] = counts.get(p, 0) + 1
+        total = sum(c for _, c in sorted(counts.items()))
+        logp = {p: math.log(c / total) for p, c in sorted(counts.items())}
+
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(0, vocab_size - len(singles))]
+    kept = {p: counts[p] for p in sorted(singles)} | dict(multi)
+    total = sum(c for _, c in sorted(kept.items()))
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        sorted(
+            (p, math.log(c / total), c) for p, c in kept.items()
+        ),
+        "piece string, logprob double, piece_count bigint",
+    )
+
+
+def unigram_lm_encode(
+    docs: DataFrame,
+    pieces: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Apply a trained unigram-LM vocabulary to a corpus — Viterbi-best
+    segmentation per word (the deterministic n_best=1 SentencePiece
+    decode). Returns (id_col, tokens array<string>, n_tokens).
+
+    Scale shape is ``bpe_encode``'s exactly: segmentation runs ONCE PER
+    DISTINCT WORD (one Arrow stage over the vocabulary-sized distinct-word
+    table), equi-join back to (doc, position), JVM-side ordered reassembly
+    (collect_list(struct(pos,toks)) → array_sort → flatten). The piece
+    table rides the closure (vocabulary-sized, KBs). Uses the SAME
+    ``_viterbi_segment`` as the trainer's E-step, so encoding the training
+    corpus reproduces training segmentations exactly (pinned in tests).
+
+    ``pieces``: list of (piece, logprob) rows, e.g.
+    ``[(r.piece, r.logprob) for r in unigram_lm_train(...).collect()]``."""
+    spark = docs.sparkSession
+    logp = {str(p): float(lp) for p, lp in pieces}
+    unk = min(logp.values()) - 10.0
+
+    pos_words = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab = pos_words.select("w").distinct()
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "toks": [
+                        _viterbi_segment(w, logp, max_piece_len, unk)
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    encoded = vocab.mapInPandas(encode, "w string, toks array<string>")
+    return (
+        pos_words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Text canonicalization for fingerprint/dedup pipelines: Unicode NFC
     normalization → C0-control strip (keeping tab/newline for the collapse

@@ -1,0 +1,2087 @@
+"""Correlated-aggregate / decision-support shapes (TPC-H Q2/Q11/Q13/Q15/
+Q17/Q20/Q22 analogs), PageRank, SemDeDup, text normalization, OHLC.
+
+Registry chunk split from plans/queries.py (registration order is
+preserved by the import sequence in plans/queries.py; the gate window is
+re-applied there). Unused imports are part of the shared chunk header.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.dedup import dedup_exact, dedup_first
+from scraping_jobsdb_spark.operators.incremental import new_rows
+from scraping_jobsdb_spark.operators.merge import coalesce_merge
+from scraping_jobsdb_spark.plans._shared import _dsum, _dsum_sql, _register
+from scraping_jobsdb_spark.sources.tables import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate / decision-support shapes (TPC-H Q2/Q11/Q13/Q15/Q17/
+# Q20/Q22 analogs) — thresholds rewritten into decimal-exact cross products
+# so predicate membership can't flip on float rounding.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "argmin_supplier_per_part",
+    oracle="""
+    SELECT l_partkey, s_suppkey, s_acctbal
+    FROM (
+        SELECT l.l_partkey, s.s_suppkey, s.s_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.l_partkey ORDER BY s.s_acctbal, s.s_suppkey
+               ) AS rn
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ) WHERE rn = 1
+    """,
+)
+def q_argmin_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin join-back: per part, the supplying supplier
+    with the lowest account balance (suppkey tiebreak). Distinct
+    (part, supp) pairs first — one dedup shuffle — then a broadcast of the
+    supplier dim and a per-part ranking window."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    joined = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    w = Window.partitionBy("l_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "s_suppkey", "s_acctbal")
+    )
+
+
+@_register(
+    "group_share_threshold",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(spend AS DOUBLE) AS spend
+    FROM per_cust
+    WHERE spend * 1000 > (SELECT SUM(CAST(o_totalprice AS DECIMAL(30,4))) FROM orders)
+    """,
+)
+def q_group_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped fraction-of-total HAVING: customers holding > 0.1%
+    of global spend. The global total is a scalar subquery (one extra
+    reduce, broadcast into the filter); the threshold compare is
+    decimal-exact (spend*1000 > total, no float division)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(30,4)")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(dec).alias("spend"))
+    total = o.agg(F.sum(dec).alias("total"))
+    return (
+        per_cust.join(F.broadcast(total))
+        .filter(F.col("spend") * 1000 > F.col("total"))
+        .select("o_custkey", F.col("spend").cast("double").alias("spend"))
+    )
+
+
+@_register(
+    "customer_order_histogram",
+    oracle="""
+    WITH counts AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM counts GROUP BY n_orders
+    """,
+)
+def q_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregate: orders per customer (left join
+    keeps zero-order customers; COUNT(col) skips their NULLs), then the
+    distribution of those counts. Two shuffles, the second on a tiny
+    domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return counts.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@_register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                   AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue
+    FROM rev WHERE revenue = (SELECT MAX(revenue) FROM rev)
+    """,
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped max-equality selection: supplier(s) with the maximum
+    revenue. Equality against a decimal-exact aggregate is sound (both
+    engines compute the identical decimal); with doubles this query would be
+    the canonical cross-engine flake."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+        ).alias("revenue")
+    )
+    top = rev.agg(F.max("revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("revenue") == F.col("max_rev"))
+        .select("l_suppkey", F.col("revenue").cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "small_quantity_revenue",
+    oracle="""
+    WITH stats AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(30,4))) AS qsum,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+               AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN stats s ON l.l_partkey = s.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(30,4)) * 2 * s.n < s.qsum
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter: lineitems below half
+    their part's average quantity. The correlated subquery is de-correlated
+    into aggregate + self-join (what Catalyst/DuckDB both do); the
+    ``qty < avg/2`` compare is rewritten ``2·qty·n < sum`` so it stays in
+    exact decimal arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(30,4)")
+    stats = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(qdec).alias("qsum"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.p_key)
+        .filter(qdec * 2 * F.col("n") < F.col("qsum"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "suppliers_with_heavy_shipments",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,4))) > 500
+    )
+    """,
+)
+def q_suppliers_with_heavy_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped IN over an aggregate-thresholded subquery: suppliers
+    whose shipped quantity exceeds a threshold. Semi-join against the
+    (small) qualifying-key set — broadcast."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("q"))
+        .filter(F.col("q") > 500)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+
+
+@_register(
+    "inactive_wealthy_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_inactive_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped NOT EXISTS: positive-balance customers who never
+    ordered — the anti-join form of the reference's new-rows idiom (J1)
+    applied to decision support."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_acctbal")
+
+
+@_register(
+    "term_document_frequency",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split_regex(trim(text), '\\s+')))
+                   AS term
+        FROM documents
+    )
+    SELECT term, COUNT(*) AS doc_freq
+    FROM toks GROUP BY term
+    HAVING COUNT(*) >= 50
+    """,
+)
+def q_term_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency table (the IDF denominator and the stopword-mining
+    primitive): distinct terms per doc → explode → count per term, thresholded
+    to the common-term tail. One shuffle on term; at corpus scale the
+    distinct-per-doc step is map-side and the term key is zipf-skewed —
+    exactly the shape salted_groupby handles if a term goes hot."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dftbl AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (ln(((SELECT COUNT(*) + 1 FROM documents))::DOUBLE
+                           / (dftbl.df + 1)) + 1.0) AS raw_score
+        FROM tf JOIN dftbl USING (term)
+    )
+    SELECT doc_id, term, ROUND(raw_score, 6) AS score, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY raw_score DESC, term
+        ) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. The ranking itself is cross-engine
+    stable: scores are tf * (ln((N+1)/(df+1)) + 1) over integer (tf, df),
+    so equal scores come from equal (tf, df) pairs and the (score desc,
+    term) window breaks them identically everywhere; the reported score is
+    rounded to 6 decimals so last-ulp ln() differences can't break the
+    value hash. Plan: token explode → per-(doc,term) TF → term DF
+    (broadcast) → score → per-doc ranking window."""
+    from scraping_jobsdb_spark.operators.textops import tfidf_top_terms
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return tfidf_top_terms(docs, k=3).withColumn("score", F.round("score", 6))
+
+
+@_register(
+    "doc_winnowing_fingerprints",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM documents
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), sel AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints, CAST(SUM(h) AS BIGINT) AS fp_sum
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): per-doc count and
+    integer checksum of the selected k-gram hashes (k=8, window w=4). The
+    polynomial hash is exact 64-bit integer arithmetic, so the oracle
+    recomputes the identical fingerprint set from the formula — a full
+    value-hash check of a sketching operator, which float-based sketches
+    (HLL, simhash-over-xxhash) can't offer. Operator: operators/textops.py
+    winnowing_fingerprints — JVM transform/ascii hashing, one doc_id
+    shuffle for the window-min, one row per doc out."""
+    from scraping_jobsdb_spark.operators.textops import winnowing_fingerprints
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return winnowing_fingerprints(docs, k=8, w=4)
+
+
+@_register(
+    "doc_pii_redaction",
+    oracle=r"""
+    WITH salted AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@example.com from 10.0.'
+                    || (doc_id % 256) || '.7 call +1 555 0123 45' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{2,4}', '<PHONE>', 'g'
+           ) AS text_redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+               '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{2,4}')) AS BIGINT)
+               AS n_phone
+    FROM salted
+    """,
+)
+def q_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/textops.py redact_pii): every document gets
+    a deterministically-injected email, IPv4, and phone number (derived
+    from doc_id so every row differs), then the redaction pass replaces all
+    three classes and counts matches per class. Map-only JVM regex work —
+    no shuffle, no UDF — and the patterns are Java-regex/RE2-portable, so
+    the DuckDB oracle reproduces the redacted text BYTE-FOR-BYTE: a full
+    value-hash check of the compliance pass itself."""
+    from scraping_jobsdb_spark.operators.textops import redact_pii
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555 0123 45"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "text_redacted",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ip").cast("bigint").alias("n_ip"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+    )
+
+
+@_register(
+    "doc_repetition_stats",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), posn AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS i FROM w
+    ), g AS (
+        SELECT doc_id,
+               ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+        FROM posn
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct_grams
+    FROM g GROUP BY doc_id
+    """,
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile (operators/textops.py
+    repetition_stats): total vs distinct word trigrams per doc — the
+    Gopher-style duplicate-gram quality signal. Spark builds grams with
+    the posexplode+lead single-window shape (one doc_id shuffle, nothing
+    quadratic); the oracle rebuilds them from the split array. Integer
+    counts only, so the check is engine-exact."""
+    from scraping_jobsdb_spark.operators.textops import repetition_stats
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return repetition_stats(docs, n=3)
+
+
+@_register(
+    "doc_top_ngrams",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), posn AS (
+        SELECT doc_id, ws, unnest(range(0, len(ws) - 2)) AS i FROM w
+    ), g AS (
+        SELECT doc_id,
+               ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+        FROM posn
+    ), counts AS (
+        SELECT gram, COUNT(*) AS n_occurrences FROM g GROUP BY gram
+    )
+    SELECT gram, n_occurrences, rank FROM (
+        SELECT gram, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram) AS rank
+        FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams (operators/textops.py top_ngrams):
+    the boilerplate detector feeding stop-gram lists. Physical shape is the
+    scalable one — partial-aggregated gram counts, then
+    TakeOrderedAndProject for the cut (per-partition top-k, no global
+    sort), then ranking over the ≤20 survivors. Deterministic under the
+    (count desc, gram) total order."""
+    from scraping_jobsdb_spark.operators.textops import top_ngrams
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return top_ngrams(docs, n=3, k=20)
+
+
+@_register(
+    "token_budget_sample_per_lang",
+    oracle=r"""
+    WITH weighted AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), running AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running
+        FROM weighted
+    )
+    SELECT doc_id, lang, n_tokens FROM running WHERE running <= 5000
+    """,
+)
+def q_token_budget_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.py
+    token_budget_sample): per language, keep documents in deterministic
+    md5 order until a 5000-token budget is exhausted — the "N tokens per
+    language" pretraining-recipe primitive. One shuffle on the stratum
+    key; the kept set is a pure function of the data (hash order + integer
+    running sum), so the oracle reproduces it row-for-row."""
+    from scraping_jobsdb_spark.operators.sampling import token_budget_sample
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs, ["lang"], "doc_id", "n_tokens", budget=5000
+    )
+
+
+@_register(
+    "doc_chunking",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents
+    ), st AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0) + 1, 24)) AS start
+        FROM w
+    )
+    SELECT doc_id,
+           start // 24 AS chunk_id,
+           CAST(least(len(ws) - start, 32) AS BIGINT) AS n_words,
+           array_to_string(list_slice(ws, start + 1, start + 32), ' ')
+               AS chunk_text
+    FROM st
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (operators/textops.py
+    chunk_documents, 32-word chunks, 8-word overlap): the context-window
+    prep pass for long documents. Map-only — split, start sequence,
+    posexplode, slice — one scan pass, no shuffle, no UDF; the oracle
+    rebuilds every chunk from the same split array and the value hash
+    covers the chunk text byte-for-byte."""
+    from scraping_jobsdb_spark.operators.textops import chunk_documents
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+@_register(
+    "winnowing_containment_pairs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b, s.shared_fp,
+           sa.n_fp AS fp_a, sb.n_fp AS fp_b
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.doc_id
+    JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    """,
+)
+def q_winnowing_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join over winnowing fingerprints: pairs whose shared
+    selected-gram count covers ≥80% of the smaller document's fingerprint
+    set, over the corpus with deterministically-injected near-dups (every
+    10th doc re-appended minus its last word — the same injection as the
+    MinHash query, here with a FULLY value-hash-checkable answer because
+    the sketch is integer-exact and the threshold is applied by
+    cross-multiplication). One equi-join on the fingerprint hash with a
+    stop-gram df guard — LSH-banding economics, deterministic result."""
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return fingerprint_containment_pairs(
+        docs.unionByName(near), threshold_milli=800, k=8, w=4, max_df=50
+    )
+
+
+@_register("approx_distinct_sketch", oracle=None)
+def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (the 100 TB cardinality path): HyperLogLog distinct
+    users + approximate value percentiles per event_type. Rows-only (sketch
+    estimates are engine-specific by design); relative-error bounds vs the
+    exact answers are asserted in tests/test_similarity.py.
+
+    Output is scalar columns only (no array columns): the driver's result
+    canonicalizer sorts via pandas, which cannot sort list-valued cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), 10000).alias("value_p50"),
+        F.percentile_approx("value", F.lit(0.9), 10000).alias("value_p90"),
+    )
+
+
+@_register("hll_mergeable_sketches", oracle=None)
+def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (the sketch-once, merge-cheaply
+    pattern that makes 100 TB cardinality reporting affordable): per
+    (event_type, day) partial HLL sketches of user_id, then a per-type
+    re-aggregation that UNIONS the binary sketches instead of rescanning
+    the data — `hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`
+    (Apache DataSketches, built into Spark 3.5+). Rows-only in the gate
+    (sketch internals are engine-specific); tests assert the
+    merge-invariance law — union-of-partials estimates EXACTLY equal the
+    single-shot sketch — and a 5% error bound vs exact distinct counts."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .select("event_type", "est_users", "n_partials")
+    )
+
+
+@_register(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH evens AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), third AS (
+        SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(e.o_orderkey, t.o_orderkey) AS o_orderkey,
+           e.o_totalprice, t.o_orderpriority
+    FROM evens e FULL OUTER JOIN third t ON e.o_orderkey = t.o_orderkey
+    """,
+)
+def q_join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (completes the join family beyond the reference's
+    J1–J4): reconcile two partial views of a key space, keeping rows unique
+    to either side. The reconcile shape backs table-diff/sync operators."""
+    o = load_table(spark, sf_dir, "orders")
+    evens = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    third = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("t_orderkey"), "o_orderpriority"
+    )
+    return (
+        evens.join(third, evens.o_orderkey == third.t_orderkey, "full_outer")
+        .select(
+            F.coalesce("o_orderkey", "t_orderkey").alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+
+
+@_register(
+    "cross_join_param_grid",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny dims — the parameter-grid generator (the
+    reference's 11 keywords × 8 salary bands fan-out, ``scrape_url.py:12-34``,
+    became a cross-joined parameter DataFrame in the ingest pipeline).
+    Broadcast-nested-loop; only ever used with bounded sides."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@_register(
+    "neardup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS id FROM edges
+    ), reach(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id, MIN(label) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the embedding near-dup
+    pair graph (component = min reachable id). Spark side is iterative
+    min-label propagation (operators/graph.py — Spark has no recursive SQL);
+    the oracle is DuckDB's WITH RECURSIVE transitive closure. The pairwise →
+    cluster step is what turns LSH candidates into an actionable keep/drop
+    list."""
+    from scraping_jobsdb_spark.operators.graph import connected_components
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked,
+    )
+
+    pairs = embedding_neardup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), 0.5
+    )
+    return connected_components(pairs)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration integer PageRank (the recursive-CTE form
+    diverges: a RIGHT JOIN's NULL-iteration group re-enters the working
+    table forever) — one CTE per iteration, byte-for-byte the arithmetic
+    of ``operators/graph.py pagerank``."""
+    steps = ",".join(
+        f"""
+    pr{k} AS (
+      SELECT n.node,
+             CAST((150 * 1000000 + 850 * COALESCE(c.contrib, 0)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(p.rank // o.d) AS contrib
+          FROM pr{k - 1} p
+          JOIN outdeg o ON o.node = p.node
+          JOIN edges e ON e.src = p.node
+          GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        for k in range(1, 6)
+    )
+    return (
+        """
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges
+    ),
+    outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+        + steps
+        + """
+    SELECT node, rank FROM pr5
+    """
+    )
+
+
+@_register("order_flow_pagerank", oracle=_pagerank_oracle())
+def q_order_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-EXACT PageRank (operators/graph.py pagerank) over the
+    customer→supplier order-flow graph (distinct (o_custkey, l_suppkey)
+    edges): 5 power-method iterations, d=0.85, every step in scaled-integer
+    arithmetic with floor division — so the full rank vector is
+    bit-identical across engines and partitionings and HASH-ORACLES against
+    DuckDB's unrolled 5-CTE formulation (floating-point PageRank can never
+    value-hash: float addition isn't associative, so the shuffle order
+    changes low bits). Iterative-algorithm posture matches
+    connected_components: per iteration one join with the checkpointed
+    static edge list + one aggregate on dst (the Pregel message pass),
+    rank lineage truncated per round via localCheckpoint."""
+    from scraping_jobsdb_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5).select("node", "rank")
+
+
+def _pagerank_redistribute_oracle() -> str:
+    """The redistribute variant's unrolled CTEs: each iteration adds ONE
+    integer global scalar — the danglers' total rank divided by |nodes| —
+    to every node's incoming mass before the damped update, byte-for-byte
+    the arithmetic of ``pagerank(dangling="redistribute")``. On this graph
+    every supplier is a sink (suppliers never appear as src), so the
+    variant meaningfully diverges from the leaky default."""
+    steps = ",".join(
+        f"""
+    pr{k} AS (
+      SELECT n.node,
+             CAST((150 * 1000000
+                   + 850 * (COALESCE(c.contrib, 0) + s.share)) // 1000
+                  AS BIGINT) AS rank
+      FROM nodes n
+      CROSS JOIN (
+          SELECT (SELECT COALESCE(SUM(p.rank), 0) FROM pr{k - 1} p
+                  WHERE p.node NOT IN (SELECT node FROM outdeg))
+                 // (SELECT COUNT(*) FROM nodes) AS share
+      ) s
+      LEFT JOIN (
+          SELECT e.dst AS node, SUM(p.rank // o.d) AS contrib
+          FROM pr{k - 1} p
+          JOIN outdeg o ON o.node = p.node
+          JOIN edges e ON e.src = p.node
+          GROUP BY e.dst
+      ) c ON c.node = n.node
+    )"""
+        for k in range(1, 6)
+    )
+    return (
+        """
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst AS node FROM edges
+    ),
+    outdeg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),"""
+        + steps
+        + """
+    SELECT node, rank FROM pr5
+    """
+    )
+
+
+@_register(
+    "order_flow_pagerank_redistribute", oracle=_pagerank_redistribute_oracle()
+)
+def q_order_flow_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDARD-formulation PageRank (operators/graph.py pagerank,
+    ``dangling="redistribute"`` — VERDICT r6 item 7) on the same
+    customer→supplier graph as ``order_flow_pagerank``: every supplier is
+    a sink there, so the leaky default and the textbook form genuinely
+    rank differently — this query pins the textbook form against DuckDB.
+    The correction stays integer-exact: the danglers' total rank is ONE
+    global scalar per iteration (a 1-row broadcast cross join, no driver
+    round-trip), shared as ``D div N`` — so the full rank vector still
+    value-hashes across engines and partitionings."""
+    from scraping_jobsdb_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5, dangling="redistribute").select(
+        "node", "rank"
+    )
+
+
+@_register(
+    "semantic_dedup_embeddings",
+    oracle="""
+    WITH coords AS (
+        SELECT label, i,
+               CAST(SUM(CAST(embedding[i] AS DECIMAL(30,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i
+    ), cents AS (
+        SELECT label, list(m ORDER BY i) AS centroid FROM coords GROUP BY label
+    ), corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_concat([embedding[1]::DOUBLE + 0.5],
+                           embedding[2:]::DOUBLE[]) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+        SELECT e.vec_id, c.label AS cand,
+               ROUND(list_cosine_similarity(e.embedding, c.centroid), 9) AS cos
+        FROM corpus e CROSS JOIN cents c
+    ), cells AS (
+        SELECT vec_id, cand AS cell FROM (
+            SELECT vec_id, cand, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cand
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), drops AS (
+        SELECT DISTINCT b.vec_id AS id_b
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN corpus ea ON ea.vec_id = a.vec_id
+        JOIN corpus eb ON eb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(ea.embedding, eb.embedding), 9)
+              >= 0.9
+    )
+    SELECT c.vec_id, c.cell, (d.id_b IS NULL) AS keep
+    FROM cells c LEFT JOIN drops d ON d.id_b = c.vec_id
+    """,
+)
+def q_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.py semantic_dedup_keep_list) over the corpus
+    with injected perturbed near-dups: per-label Rocchio centroids define
+    the cells (zero-shuffle driver-baked assignment), exact cosines run
+    ONLY within cells (equi-join on cell — Σ|cell|² work, never corpus²),
+    and a vector is dropped when a lower-id in-cell near-duplicate
+    (quantized cosine ≥ 0.9) exists. The whole pipeline — cell assignment
+    argmin, in-cell pair generation, keep verdicts — is one composition of
+    joins/aggregates with 9-dp-quantized floats, so it HASH-ORACLES
+    against DuckDB end to end (the non-iterative sibling of
+    dedup_pipeline_end_to_end's connected-components rule, and the
+    embedding analogue of incremental_indexed_dedup's admission rule)."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        label_centroids,
+        semantic_dedup_keep_list,
+    )
+
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    near = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.5)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(near)
+    cents = label_centroids(emb, dim=64)
+    return semantic_dedup_keep_list(corpus, cents, threshold=0.9)
+
+
+@_register("semantic_dedup_kmeans_cells", oracle=None)
+def q_semantic_dedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its PRODUCTION-centroid regime (r7 verdict item 4 — the
+    gate sibling ``semantic_dedup_embeddings`` uses 10 label cells for SQL
+    oracle-ability, which leaves the in-cell quadratic fat): cells come
+    from ``kmeans_fit`` at k ≈ corpus/50 trained on a FIXED-SIZE
+    deterministic hash-sample (the faiss recipe — training cost O(sample
+    × k), never corpus-sized), and assignment runs the ``broadcast``
+    argmin path (map-side-combining min(struct) over the broadcast
+    centroid table — unbounded k, unlike the driver-baked literal
+    expression which outgrows codegen past ~100 cells). Exact cosines
+    only within cells: Σ|cell|² stays ~n·cell_size as the corpus grows
+    because k scales WITH n — the knob the 10-cell gate shape cannot
+    demonstrate (BENCH_SCALING.json measures this at sf0.1→sf1.0).
+    Injected exact duplicates (every 7th vector, higher id) land in the
+    SAME cell as their original by construction (identical vector ⇒
+    identical argmin) and must all be dropped — asserted in
+    tests/test_similarity.py along with literal≡broadcast parity and
+    verdict stability under cell refinement. kmeans is iterative →
+    rows-only at the driver; the operator's join/aggregate composition is
+    hash-oracled via the label-cell sibling."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup_keep_list,
+    )
+
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    n = corpus.count()
+    k = max(10, n // 50)
+    # fixed-size training sample: deterministic md5 hash-filter (map-only —
+    # no sort/limit; at 100 TB this is the same one-in-m admission the
+    # sketches use), capped so training is O(sample × k) regardless of n
+    mod = max(1, n // 5000)
+    sample = corpus.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % mod
+        == 0
+    )
+    cents = kmeans_fit(sample, n_centroids=k, max_iter=3)
+    return semantic_dedup_keep_list(
+        corpus, cents, threshold=0.9, label_col="cell", assign="broadcast"
+    )
+
+
+@_register(
+    "doc_text_normalize",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               text || '  cafe' || chr(769) || chr(7) || chr(9) || 'test  '
+                   AS text
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                              '', 'g'),
+               '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm_text
+    FROM corpus
+    """,
+)
+def q_doc_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (operators/textops.py normalize_text) over the
+    corpus with injected DECOMPOSED-unicode + control-char + ragged-
+    whitespace rows ("cafe" + combining U+0301, a BEL, a tab, double
+    spaces): Unicode NFC → C0-control strip → ASCII-whitespace collapse →
+    trim, the pass that runs before ``fingerprint`` so byte-level encoder
+    differences stop splitting dedup keys. The normalized STRINGS
+    hash-oracle against DuckDB's independent nfc_normalize + RE2 pipeline
+    — pinning that the Python/Arrow kernel and the portable semantics
+    (ASCII whitespace class, not Python's unicode \\s) agree cross-engine
+    end to end."""
+    from scraping_jobsdb_spark.operators.textops import normalize_text
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    messy = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit("  cafe\u0301\u0007\ttest  "),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(messy)
+    return corpus.select(
+        "doc_id", normalize_text("text").alias("norm_text")
+    )
+
+
+@_register("bpe_corpus_tokenize", oracle=None)
+def q_bpe_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer: train a BPE merge table on the corpus
+    (``bpe_train``, incremental recount) and APPLY it back to every
+    document (``bpe_encode``) — the full train→encode loop a pretraining
+    pipeline runs. The apply side is the 100 TB-relevant half: symbol
+    rewriting happens once per DISTINCT word (vocabulary-sized Arrow
+    stage), reassembled per document with a JVM-side ordered flatten.
+    Rows-only: the merge recurrence is iterative (not SQL-expressible);
+    train↔encode consistency and the reassembly order are pinned by
+    tests/test_scale_ops.py. Output: (doc_id, n_tokens, tok_head) with
+    tok_head the first 12 subword tokens space-joined (driver-
+    canonicalizable string form of the array column)."""
+    from scraping_jobsdb_spark.operators.textops import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges=30).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 12), " ").alias("tok_head"),
+    )
+
+
+@_register("dedup_pipeline_end_to_end", oracle=None)
+def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline in one plan: corpus (+injected
+    near-dups) → MinHash-LSH candidate pairs → connected components → keep
+    list → surviving corpus. Rows-only (seeded hashing upstream); the
+    injected-duplicate removal property is asserted in
+    tests/test_similarity.py. This is the operator composition a training-
+    data pipeline actually runs."""
+    from scraping_jobsdb_spark.operators.graph import dedup_keep_list
+    from scraping_jobsdb_spark.operators.similarity import minhash_candidate_pairs
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text", k=32, bands=8)
+    drops = dedup_keep_list(pairs).filter(~F.col("keep")).select(
+        F.col("id").alias("doc_id")
+    )
+    return corpus.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
+@_register(
+    "dedup_pipeline_winnowing",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+    """,
+)
+def q_dedup_pipeline_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship dedup composition with a FULL value-hash oracle: corpus
+    (+injected near-dups) → winnowing-fingerprint containment pairs
+    (integer-exact, operators/textops.py) → pointer-jumping connected
+    components → keep list → surviving corpus. Same pipeline shape as
+    ``dedup_pipeline_end_to_end`` but the candidate stage is deterministic
+    in any engine, so the ENTIRE composition is oracle-checkable — the
+    oracle recomputes the fingerprint containment join and resolves
+    clusters with a recursive CTE (min reachable id), which must agree
+    bit-for-bit with the distributed pointer-jumping loop."""
+    from scraping_jobsdb_spark.operators.graph import dedup_keep_list
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = fingerprint_containment_pairs(
+        corpus, threshold_milli=800, k=8, w=4, max_df=50
+    )
+    drops = dedup_keep_list(pairs).filter(~F.col("keep")).select(
+        F.col("id").alias("doc_id")
+    )
+    return corpus.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
+@_register(
+    "asof_join_latest_state",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id, p.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each click annotated with the
+    user's latest purchase value at-or-before it. Spark: union-sort trick —
+    one shuffle, last(ignorenulls) carry-forward, no candidate explosion.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["value"]
+    ).withColumnRenamed("asof_value", "asof_value")
+
+
+@_register(
+    "asof_join_forward_window",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           CASE WHEN p.ts IS NOT NULL
+                     AND epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN p.value END AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_join_forward_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (operators/temporal.py): each
+    click annotated with the user's NEXT purchase value at-or-after it,
+    nulled when that purchase is more than an hour out — the
+    pandas-merge_asof(direction='forward', tolerance=...) surface,
+    distributed. Same union-sort single-shuffle scan as the backward form
+    (timestamp order reversed); the tolerance is a map post-pass on the
+    carried right timestamp. Purchases pre-aggregate to one row per
+    (user, ts) so the nearest-match tie is unambiguous in both engines.
+    Oracle: DuckDB's native ASOF LEFT JOIN with the inequality flipped."""
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "ts",
+        ["value"],
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+
+
+@_register(
+    "range_join_followups",
+    oracle="""
+    SELECT a.user_id, a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch(b.ts) >= epoch(a.ts) + 1
+     AND epoch(b.ts) <= epoch(a.ts) + 300
+    GROUP BY a.user_id, a.ts, b.ts
+    """,
+)
+def q_range_join_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (operators/temporal.py): events followed by
+    another event of the same user within (1s, 5min]. Spark: bucket-banded
+    equi-join (3 shifted copies) + exact refinement — candidates bounded by
+    bucket occupancy instead of the per-user cross product."""
+    from scraping_jobsdb_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return range_join(ev, ev, "user_id", "ts", "ts", 1, 300)
+
+
+@_register(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 stream-stream inner join (clicks × following purchases within
+    10 min, both sides watermarked so join state is evictable) drained with
+    AvailableNow — same result set as the batch interval join the oracle
+    runs."""
+    from scraping_jobsdb_spark.streaming.windows import (
+        click_purchase_stream_join,
+        run_stream_to_memory,
+    )
+
+    return run_stream_to_memory(
+        click_purchase_stream_join(spark, sf_dir), spark, output_mode="append"
+    )
+
+
+@_register(
+    "scd2_supplier_balances",
+    oracle="""
+    WITH current AS (
+        SELECT s_suppkey, s_acctbal, TIMESTAMP '2024-01-01' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM supplier
+    ), incoming AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 3 = 0 THEN s_acctbal + 100 ELSE s_acctbal END
+                   AS s_acctbal,
+               TIMESTAMP '2024-02-01' AS valid_from
+        FROM supplier
+    ),
+    closed AS (
+        SELECT c.s_suppkey, c.s_acctbal, c.valid_from,
+               CASE WHEN i.s_acctbal IS DISTINCT FROM c.s_acctbal
+                    THEN i.valid_from ELSE c.valid_to END AS valid_to,
+               CASE WHEN i.s_acctbal IS DISTINCT FROM c.s_acctbal
+                    THEN FALSE ELSE c.is_current END AS is_current
+        FROM current c LEFT JOIN incoming i ON i.s_suppkey = c.s_suppkey
+    ),
+    inserts AS (
+        SELECT i.s_suppkey, i.s_acctbal, i.valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        FROM incoming i JOIN current c ON c.s_suppkey = i.s_suppkey
+        WHERE i.s_acctbal IS DISTINCT FROM c.s_acctbal
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM inserts
+    """,
+)
+def q_scd2_supplier_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators/merge.py): a balance change closes the
+    open version at the incoming effective date and opens a new one;
+    unchanged keys produce no spurious versions. One join + one anti-join,
+    full-table rewrite — no row-level updates."""
+    from scraping_jobsdb_spark.operators.merge import scd2_merge
+
+    s = load_table(spark, sf_dir, "supplier")
+    current = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    incoming = s.select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.col("s_acctbal") + 100)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+        F.lit("2024-02-01").cast("timestamp").alias("valid_from"),
+    )
+    return scd2_merge(
+        current, incoming, ["s_suppkey"], ["s_acctbal"], "valid_from"
+    )
+
+
+@_register(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id) AS first_click
+        FROM events
+    )
+    SELECT user_id,
+           MIN(first_click) AS first_click,
+           MIN(CASE WHEN event_type = 'purchase' AND ts > first_click THEN ts END)
+               AS first_purchase_after
+    FROM seq GROUP BY user_id
+    HAVING MIN(first_click) IS NOT NULL
+    """,
+)
+def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / sequence detection: per user, the first click and the first
+    purchase strictly after it (NULL = never converted) — the two-step
+    funnel primitive, one window + one aggregate, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    seq = ev.withColumn(
+        "first_click",
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.min("first_click").alias("first_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase_after"),
+        )
+        .filter(F.col("first_click").isNotNull())
+    )
+
+
+@_register(
+    "value_histogram_bins",
+    oracle="""
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 500 THEN 11
+                ELSE CAST(floor(value / 50) AS BIGINT) + 1 END AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS bin_total
+    FROM events GROUP BY bin
+    """,
+)
+def q_value_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (10 bins over [0, 500)):
+    the one-pass distribution profile used by DQ dashboards and skew
+    detection — groups on the computed bin, decimal-exact totals."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10)))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "bin_total"
+            ),
+        )
+    )
+
+
+@_register(
+    "unpivot_quality_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_bal,
+               CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM m
+    UNION ALL
+    SELECT c_nationkey, 'total_bal', total_bal FROM m
+    UNION ALL
+    SELECT c_nationkey, 'max_bal', max_bal FROM m
+    """,
+)
+def q_unpivot_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of pivot_priority_by_status): wide
+    per-nation metrics → long (nation, metric, value) rows via
+    ``DataFrame.unpivot`` — one Expand node, no self-union of scans. The
+    long form is what metric stores and DQ dashboards ingest."""
+    c = load_table(spark, sf_dir, "customer")
+    m = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
+    return m.unpivot(
+        ["c_nationkey"],
+        ["n_customers", "total_bal", "max_bal"],
+        "metric",
+        "value",
+    )
+
+
+@_register(
+    "scalar_map_pack",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderkey,
+               MAP(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS props
+        FROM orders
+    )
+    SELECT o_orderkey,
+           props['status'][1] AS status_val,
+           array_to_string(map_keys(props), ',') AS key_list,
+           CAST(cardinality(props) AS INT) AS n_keys
+    FROM m
+    """,
+)
+def q_scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar operations (the typed form of the reference's JSON
+    props blob, F4): construct from arrays, point lookup, key enumeration,
+    cardinality — all JVM-side map expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    props = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    return o.select(
+        "o_orderkey",
+        props.getItem("status").alias("status_val"),
+        F.array_join(F.map_keys(props), ",").alias("key_list"),
+        F.size(F.map_keys(props)).cast("int").alias("n_keys"),
+    )
+
+
+@_register(
+    "embedding_int8_cosine_topk",
+    oracle=r"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, x -> abs(x)))
+                        / 127.0, 1e-12) AS scale
+        FROM embeddings
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x / scale) AS INTEGER)) AS codes
+        FROM s
+    ), n AS (
+        SELECT vec_id, codes,
+               CAST(list_sum(list_transform(codes,
+                    c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS n2
+        FROM q8
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               ROUND(
+                   CAST(list_dot_product(c.codes, q.codes) AS DOUBLE)
+                   / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))),
+                   9) AS qcos
+        FROM n c JOIN n q ON q.vec_id IN (0, 100, 200)
+        WHERE c.vec_id != q.vec_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_embedding_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 in the INT8-QUANTIZED domain (operators/similarity.py
+    quantized_cosine_topk): scores come from the codes alone — the
+    per-vector scales cancel in the cosine, so every sum is a
+    small-integer sum and the score is one IEEE-exact √√×÷ chain. The
+    first fully value-hash-oracled member of the int8 family (its float
+    dequantize sibling stays rows-only): ranks re-derived exactly by
+    DuckDB from the same round(x/scale) codes. Broadcast query set, one
+    corpus scan, per-query window."""
+    from scraping_jobsdb_spark.operators.similarity import quantized_cosine_topk
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return quantized_cosine_topk(emb, query, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@_register("embedding_quantized_topk", oracle=None)
+def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized embeddings (quantize → dequantize →
+    exact search): the 4×-smaller storage path for billion-vector corpora.
+    Rows-only (quantization error is by design); recall vs the float-exact
+    top-k is asserted in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    deq = dequantize_embeddings_int8(quantize_embeddings_int8(emb))
+    query = deq.filter(F.col("vec_id").isin(0, 100, 200))
+    return brute_force_topk(deq, query, k=10).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@_register(
+    "scalar_misc_pack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS odd_key,
+           xor(o_orderkey, 21) AS xored,
+           CAST(o_orderkey * 8 AS BIGINT) AS shifted,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+           LEAST(o_totalprice, 100000.0) AS capped,
+           GREATEST(o_totalprice, 1000.0) AS floored
+    FROM orders
+    """,
+)
+def q_scalar_misc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 closing pack: bitwise ops (bucket/shard math), NULLIF/COALESCE
+    normalization (the engine's empty-string→NULL fix generalized),
+    LEAST/GREATEST clamping — all codegen built-ins."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("odd_key"),
+        k.bitwiseXOR(F.lit(21)).alias("xored"),
+        F.shiftleft(k, 3).cast("bigint").alias("shifted"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.least("o_totalprice", F.lit(100000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored"),
+    )
+
+
+@_register(
+    "window_moving_average",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS ma3,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING
+           ) AS next_or_self
+    FROM orders
+    """,
+)
+def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 bounded frames both directions: trailing 3-row moving average
+    (decimal-exact) and a following-frame last_value — the smoothing /
+    look-ahead window shapes. Total order (date, key) keeps frames
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ma = base.rowsBetween(-2, Window.currentRow)
+    nxt = base.rowsBetween(Window.currentRow, 1)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)")).over(ma).cast("double")
+            / F.count(F.lit(1)).over(ma)
+        ).alias("ma3"),
+        F.last("o_orderkey").over(nxt).alias("next_or_self"),
+    )
+
+
+@_register("embedding_kmeans_cells", oracle=None)
+def q_embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd's, 5 rounds) over the embedding corpus,
+    emitting per-cell sizes — the IVF centroid trainer (similarity.py).
+    Iterative float algorithm → rows-only; quantizer-improvement property
+    asserted in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.similarity import cosine, kmeans_fit
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cents = kmeans_fit(emb, n_centroids=8, max_iter=5)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", cosine(F.col("embedding"), F.col("centroid")).alias("c")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cell"))
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@_register(
+    "sorted_page_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def q_sorted_page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 keyset pagination: page 3 of a 50-row listing under a total
+    order (price desc, key tiebreak) via offset+limit. Spark still plans a
+    single TakeOrderedAndProject of offset+limit rows — no global sort
+    materialization. (At scale prefer keyset predicates over deep offsets;
+    this declares the operator, the docstring declares the caveat.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )
+
+
+@_register(
+    "try_cast_error_safe_pack",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_rank,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS status_num,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM orders
+    """,
+)
+def q_try_cast_error_safe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 error-safe casts: TRY_CAST yields NULL instead of failing on
+    malformed input — the principled form of the reference's empty-string
+    sentinel + post-cast cleanup (``ParseHtml.py:65-71``, ``utils.py:44-47``).
+    'N-priority' strings fail to int (NULL); their leading digit succeeds."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_to_number("o_orderpriority", F.lit("999")).cast("int").alias("prio_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_rank"),
+        F.col("o_orderstatus").try_cast("double").alias("status_num"),
+        F.col("o_orderkey").cast("string").try_cast("bigint").alias("key_roundtrip"),
+    )
+
+
+@_register(
+    "deterministic_sample_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0a'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def q_deterministic_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split (~4%/4%/92% via md5-prefix bands):
+    the reproducible sampling a training pipeline needs — membership is a
+    pure function of the id, so re-runs, engines, and partitionings all
+    agree, and adding documents never reshuffles existing splits (unlike
+    seeded ``df.sample``, whose membership depends on partition layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = docs.select(
+        "doc_id",
+        F.when(pfx < "0a", "test").when(pfx < "14", "val").otherwise("train").alias(
+            "split"
+        ),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@_register(
+    "multimodal_corpus_prep",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id, source, text,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), deduped AS (
+        -- sha256 over the text == sha256 over its utf-8 bytes (what the
+        -- engine digests); this DuckDB build's sha256 binds VARCHAR only
+        SELECT doc_id, source, n_bytes FROM (
+            SELECT doc_id, source, n_bytes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sha256(text) ORDER BY doc_id
+                   ) AS rn
+            FROM media
+        ) WHERE rn = 1
+    ), quality AS (
+        SELECT * FROM deduped WHERE n_bytes BETWEEN 50 AND 5000
+    ), capped AS (
+        SELECT doc_id, source, n_bytes FROM (
+            SELECT doc_id, source, n_bytes,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rk
+            FROM quality
+        ) WHERE rk <= 50
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM capped GROUP BY source
+    """,
+)
+def q_multimodal_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal corpus prep over opaque binary payloads (the
+    utf-8 bytes of each document standing in for image/audio content, as in
+    the other multimodal stages): content-digest exact dedup (first doc_id
+    per sha256 wins), size-window quality gate, deterministic per-source
+    cap (operators/sampling.py stratified_exact_sample), per-source rollup.
+    The binary-pipeline composition story — every stage the digest/decode/
+    sample operators provide, chained and value-hash-verified. Two window
+    shuffles + one aggregate; the payloads never leave the JVM (digest and
+    length are built-ins), which is exactly how a 100 TB media crawl should
+    run its metadata passes."""
+    from scraping_jobsdb_spark.operators.sampling import stratified_exact_sample
+
+    media = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.encode("text", "utf-8").alias("content"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    w = Window.partitionBy(F.sha2("content", 256)).orderBy("doc_id")
+    deduped = (
+        media.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_bytes")
+    )
+    quality = deduped.filter(F.col("n_bytes").between(50, 5000))
+    capped = stratified_exact_sample(quality, ["source"], "doc_id", 50)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@_register(
+    "stratified_sample_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 20
+    """,
+)
+def q_stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): exactly 20
+    documents per language, ranked by (md5(doc_id), doc_id) within each
+    stratum — the balanced per-class subset / per-language cap primitive of
+    a corpus pipeline. Unlike seeded df.sample, membership is a pure
+    function of the data (engine- and partitioning-independent), which is
+    what makes it value-hash-checkable at all. One shuffle on the stratum
+    key."""
+    from scraping_jobsdb_spark.operators.sampling import stratified_exact_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return stratified_exact_sample(docs, ["lang"], "doc_id", 20)
+
+
+@_register(
+    "decontamination_exact_overlap",
+    oracle="""
+    WITH bench AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 100 = 0
+    ), train AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 100 <> 0
+    )
+    SELECT t.doc_id
+    FROM train t
+    WHERE t.fp IN (SELECT fp FROM bench)
+    """,
+)
+def q_decontamination_exact_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (exact tier): training docs whose
+    whitespace/case-normalized fingerprint collides with the held-out
+    benchmark set (every 100th doc plays the benchmark) — the semi-join that
+    runs before every training corpus ships. The benchmark side is tiny →
+    broadcast; at scale the near-dup tier (MinHash pairs restricted to
+    train×bench) layers on the same shape."""
+    from scraping_jobsdb_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    return train.join(F.broadcast(bench), "fp", "left_semi").select("doc_id")
+
+
+@_register(
+    "explode_outer_null_preserving",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               CASE WHEN o_custkey % 7 = 0 THEN []
+                    ELSE [o_custkey % 3, o_custkey % 5] END AS tags
+        FROM (SELECT DISTINCT o_custkey FROM orders)
+    )
+    SELECT g.o_custkey, u.tag
+    FROM g LEFT JOIN (
+        SELECT o_custkey, UNNEST(tags) AS tag FROM g
+    ) u USING (o_custkey)
+    """,
+)
+def q_explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 null-preserving fan-out: explode_outer keeps parents with empty
+    arrays as a NULL-element row (plain explode silently drops them — the
+    classic lost-rows bug in link-extraction pipelines). Every 7th customer
+    gets an empty tag set."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    g = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_custkey") % 7 == 0, F.array().cast("array<bigint>")
+        ).otherwise(
+            F.array(F.col("o_custkey") % 3, F.col("o_custkey") % 5)
+        ).alias("tags"),
+    )
+    return g.select("o_custkey", F.explode_outer("tags").alias("tag"))
+
+
+@_register(
+    "array_set_ops_pack",
+    oracle="""
+    WITH g AS (
+        SELECT l_orderkey,
+               list_sort(list_distinct(list(l_partkey % 10))) AS a,
+               list_sort(list_distinct(list(l_suppkey % 10))) AS b
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+               AS common,
+           COALESCE(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+               AS a_only,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS unioned
+    FROM g
+    """,
+)
+def q_array_set_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / union) over per-order bucket
+    sets — the token-set operations behind Jaccard and vocabulary diffing,
+    emitted sorted+joined so the comparison is representation-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list(F.col("l_partkey") % 10))).alias("a"),
+        F.array_sort(F.array_distinct(F.collect_list(F.col("l_suppkey") % 10))).alias("b"),
+    )
+    j = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+    return g.select(
+        "l_orderkey",
+        j(F.array_sort(F.array_intersect("a", "b"))).alias("common"),
+        j(F.array_sort(F.array_except("a", "b"))).alias("a_only"),
+        j(F.array_sort(F.array_union("a", "b"))).alias("unioned"),
+    )
+
+
+@_register(
+    "robust_stats_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, QUANTILE_CONT(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           MIN(med.m) AS median_value,
+           QUANTILE_CONT(abs(e.value - med.m), 0.5) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: median absolute deviation per event type — the
+    outlier-detection primitive that survives the heavy tails mean/stddev
+    DQ checks choke on. Two aggregates; the per-group median broadcasts back
+    into the deviation pass. Double interpolation is identical arithmetic in
+    both engines (same operands → same doubles)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("m").alias("median_value"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), 0.5).alias("mad"),
+        )
+    )
+
+
+@_register(
+    "gaps_and_islands",
+    oracle="""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey FROM orders
+    ), tagged AS (
+        SELECT o_orderkey,
+               o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey) AS island
+        FROM keys
+    )
+    SELECT MIN(o_orderkey) AS island_start,
+           MAX(o_orderkey) AS island_end,
+           COUNT(*) AS island_size
+    FROM tagged GROUP BY island
+    """,
+)
+def q_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive keys via the
+    value-minus-row_number identity — the streak/contiguity primitive behind
+    retention streaks, missing-id audits, and compaction planning. One sort
+    + one aggregate."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    w = Window.orderBy("o_orderkey")
+    tagged = o.withColumn(
+        "island", F.col("o_orderkey") - F.row_number().over(w)
+    )
+    return tagged.groupBy("island").agg(
+        F.min("o_orderkey").alias("island_start"),
+        F.max("o_orderkey").alias("island_end"),
+        F.count(F.lit(1)).alias("island_size"),
+    ).drop("island")
+
+

@@ -1,0 +1,1129 @@
+"""Scale operators: point lookups, sketches, quality flags, sampling
+families, skew handling, incremental dedup.
+
+Registry chunk split from plans/queries.py (registration order is
+preserved by the import sequence in plans/queries.py; the gate window is
+re-applied there). Unused imports are part of the shared chunk header.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.dedup import dedup_exact, dedup_first
+from scraping_jobsdb_spark.operators.incremental import new_rows
+from scraping_jobsdb_spark.operators.merge import coalesce_merge
+from scraping_jobsdb_spark.plans._shared import _dsum, _dsum_sql, _register
+from scraping_jobsdb_spark.sources.tables import fan_out, load_table
+
+@_register(
+    "bloom_point_lookup_txn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderkey = 4200
+    """,
+)
+def q_bloom_point_lookup_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup (sources/txn.py:read_point): create a
+    bloom-indexed txn table over a hash-distributed orders slice, append a
+    second commit, then answer ``o_orderkey = 4200`` scanning only the
+    files whose per-file Bloom filter may contain the key — the
+    Delta-style point-lookup index for exactly the layout where min/max
+    stats prune nothing (hash-distributed writes span the whole key range
+    in every file). The query asserts the prune actually bit (< half the
+    snapshot's files survive) before returning, so the gate row is
+    evidence of skipping, not just of filtering."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slice_rem(rem: int) -> DataFrame:
+        # repartition → hash-distributed files: every file spans the whole
+        # key range, the worst case for min/max and the case blooms exist for
+        return (
+            orders.filter((F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == rem))
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartition(8)
+        )
+
+    t = TxnTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="sjs_bloom_q_"),
+        slice_rem(0),
+        bloom_cols=["o_orderkey"],
+        bloom_bits=65536,
+    )
+    t.append(slice_rem(1))
+    total = len(t._manifest()["files"])
+    kept = len(t.bloom_pruned_files("o_orderkey", 4200))
+    assert kept < total / 2, f"bloom prune ineffective: {kept}/{total}"
+    return t.read_point("o_orderkey", 4200)
+
+
+@_register(
+    "stats_regression_pack",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(xd AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(yd AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(xd * xd AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(yd * yd AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(xd * yd AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+        FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n AS DOUBLE), 9) AS intercept,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr
+    FROM s
+    """,
+)
+def q_stats_regression_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept and Pearson correlation per return flag —
+    computed from EXACT sufficient statistics instead of Spark's
+    order-dependent corr()/regr_*() aggregates: inputs snap to
+    DECIMAL(12,2) (exact — quantity is integral, price has 2 decimals),
+    the products and six sums stay in the decimal domain
+    (order-independent; never a double→decimal cast of an inexact product,
+    which rounds engine-dependently — the bug this query's first draft
+    had), and the derivation is a fixed tree of IEEE exactly-rounded ops
+    (+,-,*,/,sqrt). The statistics are partition-order-independent by
+    construction; outputs round to 9 dp because a DECIMAL sum whose scaled
+    integer exceeds 2^53 double-rounds through some engines'
+    decimal→double cast (observed in DuckDB: int128→double then /10^scale
+    — two roundings, last-ulp drift). The one-pass sufficient-stats shape
+    is also the scale answer: one aggregate, no second scan, mergeable
+    across shards."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,6)"
+    xd = F.col("l_quantity").cast("decimal(12,2)")
+    yd = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd.cast(dec)).cast("double").alias("sx"),
+        F.sum(yd.cast(dec)).cast("double").alias("sy"),
+        F.sum((xd * xd).cast(dec)).cast("double").alias("sxx"),
+        F.sum((yd * yd).cast(dec)).cast("double").alias("syy"),
+        F.sum((xd * yd).cast(dec)).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 9).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 9).alias("corr"),
+    )
+
+
+@_register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, value,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)) * (nt - t)) AS DOUBLE)
+               / CAST(SUM(nt - t) AS DOUBLE) AS twa_value,
+           CAST(SUM(nt - t) AS BIGINT) AS observed_seconds
+    FROM w WHERE nt IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(nt - t) > 0
+    """,
+)
+def q_events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean (operators/temporal.py:time_weighted_mean): per
+    user, the average of ``value`` weighted by how long each observation
+    was the user's latest — the piecewise-constant-signal statistic a
+    plain AVG gets wrong whenever events arrive in bursts. One (user, ts)
+    window + one aggregate; value x duration sums through DECIMAL so the
+    mean is engine-exact."""
+    from scraping_jobsdb_spark.operators.temporal import time_weighted_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_weighted_mean(
+        ev, ["user_id"], "ts", "value", order_tiebreak="event_id"
+    )
+    return out.filter(F.col("observed_seconds") > 0)
+
+
+@_register(
+    "weighted_sample_by_length",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 1) / 4294967297.0) / n_chars, 9) AS priority
+    FROM documents WHERE n_chars > 0
+    ORDER BY priority DESC, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py:
+    weighted_priority_sample): 50 documents with inclusion probability
+    proportional to length — Efraimidis–Spirakis priorities from an
+    md5-uniform draw, so the weighted pick is a pure function of the data
+    (engine-reproducible, unlike every RNG sampler). Map-only priorities +
+    TakeOrderedAndProject; priorities rounded to 9 dp before ranking on
+    both sides."""
+    from scraping_jobsdb_spark.operators.sampling import weighted_priority_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_priority_sample(docs, "doc_id", "n_chars", k=50)
+
+
+@_register(
+    "cms_term_frequencies",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ), seeds AS (
+        SELECT unnest(generate_series(0, 3)) AS seed
+    ), cells AS (
+        SELECT seed,
+               CAST(('0x' || substr(md5(term), 1 + 7 * seed, 7)) AS BIGINT)
+                   % 256 AS bucket,
+               COUNT(*) AS n
+        FROM toks, seeds
+        GROUP BY 1, 2
+    ), probes(term) AS (
+        VALUES ('the'), ('data'), ('table'), ('spark'), ('merge'),
+               ('window'), ('batch'), ('scan'), ('agg'), ('zzz-absent')
+    ), probe_cells AS (
+        SELECT p.term, s.seed,
+               CAST(('0x' || substr(md5(p.term), 1 + 7 * s.seed, 7)) AS BIGINT)
+                   % 256 AS bucket
+        FROM probes p, seeds s
+    )
+    SELECT pc.term, MIN(COALESCE(c.n, 0)) AS est_n
+    FROM probe_cells pc LEFT JOIN cells c USING (seed, bucket)
+    GROUP BY pc.term
+    """,
+)
+def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py): build a 4×256 counter
+    table over every corpus term in one aggregate, then answer ten
+    point-frequency probes (including a never-seen term) from the sketch
+    alone. The frequency-sketch sibling of hll_mergeable_sketches — and
+    unlike binary-blob sketches, the DataFrame representation with an
+    md5-derived hash makes the ENTIRE sketch engine-portable, so the gate
+    verifies the estimates hash-exactly against DuckDB re-deriving the
+    same sketch. Estimates are upper bounds by construction (asserted as
+    a property in tests/test_scale_ops.py)."""
+    from scraping_jobsdb_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    sketch = cms_build(terms, "term", width=256, depth=4)
+    probes = spark.createDataFrame(
+        [(t,) for t in ("the", "data", "table", "spark", "merge",
+                        "window", "batch", "scan", "agg", "zzz-absent")],
+        "term string",
+    )
+    return cms_estimate(sketch, probes, "term", width=256, depth=4)
+
+
+@_register(
+    "decontamination_ngram_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        FROM tok, LATERAL unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), test_g AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+    ), train_g AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 <> 0
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_grams
+    FROM train_g JOIN test_g USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination (operators/textops.py:
+    decontaminate_ngram_overlap): train docs (doc_id % 10 != 0) sharing any
+    verbatim 8-word passage with the benchmark slice (doc_id % 10 == 0) —
+    the passage-level contamination sweep the exact-fingerprint form
+    (decontamination_exact_overlap) can't see. Benchmark gram set
+    broadcasts; the corpus is never shuffled on gram."""
+    from scraping_jobsdb_spark.operators.textops import decontaminate_ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return decontaminate_ngram_overlap(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=8,
+    )
+
+
+@_register(
+    "incremental_mv_refresh",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders WHERE o_orderkey % 4 < 3
+    GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (sources/mv.py): build the
+    per-status order rollup from a txn table, then fold two later append
+    commits in via the manifest delta — each refresh aggregates ONLY the
+    newly-added files and combines with the dimension-sized view state,
+    never rescanning the base. The final view must equal the one-shot SQL
+    aggregate over everything ingested — the MV maintenance invariant.
+    This is the at-scale replacement for the reference's cron-recomputed
+    summary SQL (airflow/dags/scrape_url.py re-aggregates the whole table
+    every run). dsum keeps the running revenue in DECIMAL(30,4) so the
+    incremental total is bit-identical to the batch one."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slice_rem(rem: int) -> DataFrame:
+        return orders.filter(F.col("o_orderkey") % 4 == rem).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+
+    src_path = tempfile.mkdtemp(prefix="sjs_mv_src_")
+    view_path = tempfile.mkdtemp(prefix="sjs_mv_view_")
+    table = TxnTable.create(spark, src_path, slice_rem(0))
+    mv = IncrementalAggView(
+        spark,
+        src_path,
+        view_path,
+        group_cols=["o_orderstatus"],
+        measures={
+            "n_orders": ("count", None),
+            "revenue": ("dsum", "o_totalprice"),
+            "min_price": ("min", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+    )
+    mv.refresh()  # full build at v1
+    table.append(slice_rem(1))
+    table.append(slice_rem(2))
+    mv.refresh()  # folds exactly the two appended file sets
+    return mv.read().select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        "min_price",
+        "max_price",
+    )
+
+
+@_register(
+    "bm25_doc_ranking",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS dl,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x = 'spark')) AS tf0,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x = 'merge')) AS tf1,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x = 'vector')) AS tf2
+        FROM documents WHERE text IS NOT NULL
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+               SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM base
+    )
+    SELECT b.doc_id, CAST(b.dl AS BIGINT) AS dl,
+           ROUND(
+               ln(1 + (s.n_docs - s.df0 + 0.5) / (s.df0 + 0.5))
+                 * b.tf0 * 2.2 / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / (s.sum_dl / s.n_docs)))
+             + ln(1 + (s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5))
+                 * b.tf1 * 2.2 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / (s.sum_dl / s.n_docs)))
+             + ln(1 + (s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5))
+                 * b.tf2 * 2.2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / (s.sum_dl / s.n_docs))),
+           9) AS bm25
+    FROM base b CROSS JOIN stats s
+    ORDER BY bm25 DESC, b.doc_id LIMIT 25
+    """,
+)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/textops.py:bm25_rank): top-25
+    documents for the 3-term query (spark, merge, vector) with k1=1.2,
+    b=0.75 — the ranking-grade retrieval scorer next to tfidf_top_terms'
+    per-doc profiling. One pass over the corpus: map-only per-term tf +
+    doc length, a 1-row global stats aggregate broadcast back, map-only
+    scoring, TakeOrderedAndProject top-k. Scores rounded to 9 dp before
+    ranking on BOTH sides so libm/summation-order ulps can't flip a rank
+    (contract shared with embedding_topk_np)."""
+    from scraping_jobsdb_spark.operators.textops import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bm25_rank(docs, ("spark", "merge", "vector"), k=25)
+
+
+@_register(
+    "doc_segment_dedup_global",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents
+    ), posn AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws) - 1, 0) + 1, 3)) AS start
+        FROM w
+    ), seg AS (
+        SELECT doc_id, start // 3 AS seg_id,
+               array_to_string(ws[start + 1 : start + 3], ' ') AS seg
+        FROM posn
+    ), kept AS (
+        SELECT doc_id, seg_id, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_id)
+                   AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_id) AS text_dedup,
+           COUNT(*) AS n_segments_kept
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def q_doc_segment_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus exact line dedup (operators/textops.py
+    dedup_segments_global): every document is cut into 3-word segments,
+    only the globally-first occurrence of each distinct segment survives
+    (total order: doc_id, position), and documents are reassembled from
+    their survivors — fully-duplicated documents vanish. With the
+    synthetic corpus' small vocabulary most segments collide, so the
+    operator does heavy real work here. Map-only segmentation, one
+    shuffle on the segment for the first-occurrence window, one on doc_id
+    to reassemble; deterministic, so the rebuilt text is value-hash
+    checked byte-for-byte."""
+    from scraping_jobsdb_spark.operators.textops import dedup_segments_global
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return dedup_segments_global(docs, segment_words=3)
+
+
+@_register(
+    "quality_top_fraction_per_lang",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t, text
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+            ROUND(
+              0.4 * (CASE WHEN len(t) >= 10 AND len(t) <= 100000
+                          THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (CASE WHEN len(list_filter(t, x -> lower(x) IN
+                              ('the','a','an','of','and','or','is','to','in')))
+                              / len(t)
+                              BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                              / length(text)), 9) AS quality
+        FROM toks
+    ), ranked AS (
+        SELECT doc_id, lang, quality,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY quality DESC, doc_id)
+                   AS rank_in_group,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    )
+    SELECT doc_id, lang, quality, rank_in_group
+    FROM ranked WHERE rank_in_group <= CEIL(n * 0.5)
+    """,
+)
+def q_quality_top_fraction_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-language quality cut (operators/sampling.py
+    top_fraction_per_group): keep the best half of each language by the
+    composite quality score, ranked under a (score desc, doc_id) total
+    order. The score is quantized to 9 dp on BOTH sides before ranking
+    (the cross-engine double-ulp contract shared with bm25/embedding_topk_np)
+    so near-equal scores cannot rank differently. One shuffle on lang;
+    rank and group count share a single Window exec."""
+    from scraping_jobsdb_spark.operators.sampling import top_fraction_per_group
+    from scraping_jobsdb_spark.operators.textops import quality_score
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    scored = docs.select(
+        "doc_id", "lang", F.round(quality_score("text"), 9).alias("quality")
+    )
+    return top_fraction_per_group(
+        scored, ["lang"], F.col("quality"), 0.5, ["doc_id"]
+    )
+
+
+@_register(
+    "skew_join_salted",
+    oracle=f"""
+    WITH dim(event_type, weight) AS (
+        VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+               ('signup', 2.0), ('error', 0.25)
+    )
+    SELECT e.event_type, CAST(d.weight AS DOUBLE) AS weight,
+           COUNT(*) AS n_events, {_dsum_sql('e.value')} AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.weight
+    """,
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread dimension join (operators/scale.py salted_join): events
+    join a 5-row weight dimension on event_type — a key whose cardinality
+    (5) is far below the task count, so an unsalted shuffle join lands the
+    whole fact table on 5 tasks. The salt (derived from every big-side
+    column, so it varies WITHIN a key) fans each hot key over 8 tasks; the
+    dimension replicates once per salt. Row-for-row identical to the plain
+    join — the oracle IS the plain join — aggregated per type with a
+    decimal-exact value sum."""
+    from scraping_jobsdb_spark.operators.scale import salted_join
+
+    events = fan_out(load_table(spark, sf_dir, "events"))
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+         ("signup", 2.0), ("error", 0.25)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(events, dim, on=["event_type"], n_salts=8)
+    return joined.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("sum_value"),
+    )
+
+
+@_register(
+    "incremental_batch_dedup",
+    oracle=r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM all_docs
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), fps_c AS (
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), fps_b AS (
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 = 0 OR doc_id >= 20000
+    ), stop AS (
+        SELECT h FROM fps_c GROUP BY h HAVING COUNT(*) > 50
+    ), pruned_c AS (
+        SELECT doc_id, h FROM fps_c
+        WHERE h NOT IN (SELECT h FROM stop)
+    ), pruned_b AS (
+        SELECT doc_id, h FROM fps_b
+        WHERE h NOT IN (SELECT h FROM stop)
+    ), sizes_b AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned_b GROUP BY doc_id
+    ), shared AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pruned_b b JOIN pruned_c c ON b.h = c.h
+        GROUP BY 1, 2
+    ), dup AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM shared s JOIN sizes_b z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp
+        GROUP BY 1
+    ), batch AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    )
+    SELECT b.doc_id,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM batch b
+    LEFT JOIN sizes_b z ON b.doc_id = z.doc_id
+    LEFT JOIN dup d ON b.doc_id = d.bid
+    """,
+)
+def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup (operators/textops.py
+    incremental_containment_filter): a NEW batch (every 5th document, plus
+    injected near-dups of corpus docs minus their last word) is scored
+    against the EXISTING corpus by winnowing-fingerprint containment —
+    the content-level generalization of the reference's per-run
+    "skip already-scraped ids" anti-join (airflow/dags/scrape_url.py).
+    One equi-join on the gram hash between batch fingerprints and the
+    stop-gram-pruned corpus index; all-integer thresholding, so the
+    verdict frame (n_fp, n_dup_of, kept per batch doc) is value-hash
+    exact."""
+    from scraping_jobsdb_spark.operators.textops import (
+        incremental_containment_filter,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch_new = docs.filter(F.col("doc_id") % 5 == 0)
+    near = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return incremental_containment_filter(
+        batch_new.unionByName(near), corpus,
+        threshold_milli=800, k=8, w=4, max_df=50,
+    )
+
+
+@_register(
+    "incremental_indexed_dedup",
+    oracle=r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM all_docs
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), fps_c AS (       -- index state at probe 1: the original corpus
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), fps_b1 AS (      -- batch 1: every 5th document
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 = 0
+    ), fps_b2 AS (      -- batch 2: injected near-dups (+20000 ids)
+        SELECT doc_id, h FROM fps WHERE doc_id >= 20000
+    ), stop1 AS (
+        SELECT h FROM fps_c GROUP BY h HAVING COUNT(*) > 50
+    ), pc1 AS (
+        SELECT doc_id, h FROM fps_c WHERE h NOT IN (SELECT h FROM stop1)
+    ), pb1 AS (
+        SELECT doc_id, h FROM fps_b1 WHERE h NOT IN (SELECT h FROM stop1)
+    ), sz1 AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pb1 GROUP BY doc_id
+    ), sh1 AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pb1 b JOIN pc1 c ON b.h = c.h GROUP BY 1, 2
+    ), dup1 AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM sh1 s JOIN sz1 z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp GROUP BY 1
+    ), fps_c2 AS (      -- index state at probe 2: corpus UNION batch 1
+        SELECT doc_id, h FROM fps_c UNION ALL SELECT doc_id, h FROM fps_b1
+    ), stop2 AS (
+        SELECT h FROM fps_c2 GROUP BY h HAVING COUNT(*) > 50
+    ), pc2 AS (
+        SELECT doc_id, h FROM fps_c2 WHERE h NOT IN (SELECT h FROM stop2)
+    ), pb2 AS (
+        SELECT doc_id, h FROM fps_b2 WHERE h NOT IN (SELECT h FROM stop2)
+    ), sz2 AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pb2 GROUP BY doc_id
+    ), sh2 AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pb2 b JOIN pc2 c ON b.h = c.h GROUP BY 1, 2
+    ), dup2 AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM sh2 s JOIN sz2 z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp GROUP BY 1
+    ), b1 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), b2 AS (
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    )
+    SELECT b.doc_id, 1 AS batch_no,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM b1 b
+    LEFT JOIN sz1 z ON b.doc_id = z.doc_id
+    LEFT JOIN dup1 d ON b.doc_id = d.bid
+    UNION ALL
+    SELECT b.doc_id, 2 AS batch_no,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM b2 b
+    LEFT JOIN sz2 z ON b.doc_id = z.doc_id
+    LEFT JOIN dup2 d ON b.doc_id = d.bid
+    """,
+)
+def q_incremental_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX posture of incremental-crawl dedup
+    (operators/fpindex.py FingerprintIndex — the composition of the txn
+    layer, the incremental-MV layer, and the winnowing dedup family): the
+    corpus is fingerprinted ONCE into a transactional (doc_id, h) index
+    with an incrementally-maintained per-gram document-frequency view;
+    then two successive batches probe the STORED index — batch 1 (every
+    5th document) is scored and admitted via add() (append + O(delta+view)
+    DF refresh, no corpus re-fingerprint), and batch 2 (injected
+    near-dups) is scored against the UPDATED index. The batch fingerprint
+    sets are broadcast, so each probe streams map-side over the index
+    scan — zero corpus-sized shuffles, cost independent of corpus size.
+    The oracle recomputes both index states declaratively; kept/n_dup_of
+    verdicts are integer-exact, so the whole two-batch ingest sequence is
+    value-hash oracled."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    idx = FingerprintIndex.create(
+        spark, tempfile.mkdtemp(prefix="sjs_fpidx_q_"), corpus,
+        k=8, w=4, max_df=50,
+    )
+    v1 = idx.probe(batch1, threshold_milli=800).withColumn(
+        "batch_no", F.lit(1).cast("int")
+    )
+    idx.add(batch1)
+    v2 = idx.probe(batch2, threshold_milli=800).withColumn(
+        "batch_no", F.lit(2).cast("int")
+    )
+    return v1.unionByName(v2).select(
+        "doc_id", "batch_no", "n_fp", "n_dup_of", "kept"
+    )
+
+
+@_register(
+    "dedup_keep_best_quality",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t, text
+        FROM corpus
+    ), scored AS (
+        SELECT doc_id,
+            ROUND(
+              0.4 * (CASE WHEN len(t) >= 10 AND len(t) <= 100000
+                          THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (CASE WHEN len(list_filter(t, x -> lower(x) IN
+                              ('the','a','an','of','and','or','is','to','in')))
+                              / len(t)
+                              BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+            + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                              / length(text)), 9) AS quality
+        FROM toks
+    ), ranked AS (
+        SELECT c.id AS doc_id, c.component, s.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY s.quality DESC, c.id) AS rn
+        FROM comp c JOIN scored s ON c.id = s.doc_id
+    )
+    SELECT doc_id, component, quality, rn = 1 AS keep FROM ranked
+    """,
+)
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (operators/graph.py
+    dedup_keep_best): winnowing containment pairs over the corpus with
+    injected truncated near-dups → connected components → keep the
+    HIGHEST-quality member of each cluster (9dp-quantized composite score,
+    smaller id on ties) instead of the smallest id. The injected near-dups
+    are truncated copies, so quality-aware selection — unlike min-id —
+    systematically retains the fuller original. Fully value-hash checked:
+    clusters re-resolved by the oracle's recursive CTE, the argmax by a
+    window under the same total order."""
+    from scraping_jobsdb_spark.operators.graph import dedup_keep_best
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+        quality_score,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = fingerprint_containment_pairs(
+        corpus, threshold_milli=800, k=8, w=4, max_df=50
+    )
+    scores = corpus.select(
+        "doc_id", F.round(quality_score("text"), 9).alias("quality")
+    )
+    return dedup_keep_best(
+        pairs, scores, id_col="doc_id", score_col="quality"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@_register(
+    "hll_portable_registers",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), rows_ AS (
+        SELECT event_type AS scope, h % 256 AS bucket,
+               CASE WHEN (h >> 8) = 0 THEN 53
+                    ELSE 53 - length(bin(h >> 8)) END AS rho
+        FROM h
+    ), per_type AS (
+        SELECT scope, bucket, MAX(rho) AS rho FROM rows_ GROUP BY 1, 2
+    ), merged AS (
+        SELECT '__all__' AS scope, bucket, MAX(rho) AS rho
+        FROM per_type GROUP BY bucket
+    )
+    SELECT scope, CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+    FROM per_type
+    UNION ALL
+    SELECT scope, CAST(bucket AS BIGINT) AS bucket, CAST(rho AS BIGINT) AS rho
+    FROM merged
+    """,
+)
+def q_hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketches.py hll_build /
+    hll_merge): one register sketch of distinct users per event_type, plus
+    the '__all__' sketch obtained by MERGING the five per-type sketches —
+    which the oracle checks against DuckDB deriving the global registers
+    directly from the rows, verifying the HLL merge law itself hash-exactly.
+    Unlike the DataSketches-blob form (hll_mergeable_sketches, rows-only by
+    necessity), the md5-derived register table is integer-exact in any
+    engine — the distinct-count sibling of the fully-oracled CMS. Estimates
+    (with small-range linear counting) live in hll_estimate and are
+    accuracy-asserted in tests; the gate hashes only integers."""
+    from scraping_jobsdb_spark.operators.sketches import hll_build, hll_merge
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    per_type = hll_build(ev, "user_id", p=8, group_cols=["event_type"])
+    merged = hll_merge(per_type.select("bucket", "rho")).select(
+        F.lit("__all__").alias("scope"), "bucket", "rho"
+    )
+    return per_type.select(
+        F.col("event_type").alias("scope"), "bucket", "rho"
+    ).unionByName(merged)
+
+
+@_register(
+    "minhash_portable_neardup_pairs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+    ), posn AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s
+        FROM posn
+    ), perms AS (
+        SELECT unnest(generate_series(0, 15)) AS p
+    ), hv AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(
+                   md5(CASE WHEN p < 4 THEN s
+                            ELSE s || ':' || CAST(p // 4 AS VARCHAR) END),
+                   1 + 7 * (p % 4), 7)) AS BIGINT) AS hp
+        FROM sh, perms
+    ), sig AS (
+        SELECT doc_id, p, MIN(hp) AS m FROM hv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+        FROM sig GROUP BY doc_id, p // 4
+    ), sized AS (
+        SELECT band, key FROM bandkeys
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandkeys a
+    JOIN sized USING (band, key)
+    JOIN bandkeys b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with md5-portable permutations
+    (operators/similarity.py minhash_candidate_pairs_portable) over the
+    corpus with injected truncated near-dups — the FIRST fully value-hash
+    oracled LSH candidate set in the engine (the xxhash64 form stays the
+    100 TB hot path and remains rows-only: its seeds are Spark-internal).
+    16 permutations from hash-once-per-block md5 windows, 4 bands × 4
+    rows, one shuffle on (band, band-key), max_bucket=64 expansion guard;
+    DuckDB re-derives signatures, bands, buckets, and pairs identically."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        minhash_candidate_pairs_portable,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return minhash_candidate_pairs_portable(
+        docs.unionByName(near), "doc_id", "text",
+        k=16, bands=4, shingle_n=3, max_bucket=64,
+    )
+
+
+@_register(
+    "kmv_distinct_sketches",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS v
+        FROM events
+    ), ranked AS (
+        SELECT event_type AS scope, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk
+        FROM h
+    ), per_type AS (
+        SELECT scope, v FROM ranked WHERE rk <= 64
+    ), merged AS (
+        SELECT DISTINCT v FROM per_type
+    ), merged_ranked AS (
+        SELECT '__all__' AS scope, v, ROW_NUMBER() OVER (ORDER BY v) AS rk
+        FROM merged
+    )
+    SELECT scope, v FROM per_type
+    UNION ALL
+    SELECT scope, v FROM merged_ranked WHERE rk <= 64
+    """,
+)
+def q_kmv_distinct_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketches (operators/sketches.py kmv_build/kmv_merge):
+    the k=64 smallest md5-60bit values of the distinct users per event_type,
+    plus the '__all__' union sketch obtained by MERGING the five — verified
+    against DuckDB deriving the union's minima directly, so the KMV merge
+    law is oracle-checked like the HLL one. KMV completes the portable
+    sketch family (CMS: frequencies, HLL: distinct counts, KMV: distinct
+    counts of SET EXPRESSIONS — the retained values are comparable across
+    sketches, enabling intersection estimates HLL cannot give; see
+    kmv_intersection_estimate + tests). Grouped build is the map-side
+    WindowGroupLimit top-k; everything hashed is integer."""
+    from scraping_jobsdb_spark.operators.sketches import kmv_build, kmv_merge
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    per_type = kmv_build(ev, "user_id", k=64, group_cols=["event_type"])
+    merged = kmv_merge(64, per_type.select("v")).select(
+        F.lit("__all__").alias("scope"), "v"
+    )
+    return per_type.select(
+        F.col("event_type").alias("scope"), "v"
+    ).unionByName(merged)
+
+
+@_register(
+    "simhash_portable_neardup_pairs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM corpus
+    ), hv AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ), bitsv AS (
+        SELECT doc_id, unnest(range(0, 60)) AS b, h FROM hv
+    ), votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM bitsv GROUP BY 1, 2
+    ), fpbits AS (
+        SELECT doc_id, b, CASE WHEN s > 0 THEN 1 ELSE 0 END AS v FROM votes
+    ), chunks AS (
+        SELECT doc_id, 3 - (b // 15) AS chunk,
+               SUM(v << CAST(b % 15 AS INTEGER)) AS cval
+        FROM fpbits GROUP BY 1, 2
+    ), small AS (
+        SELECT chunk, cval FROM chunks
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 256
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM chunks a
+        JOIN small USING (chunk, cval)
+        JOIN chunks b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(CASE WHEN fa.v <> fb.v THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hamming
+        FROM pairs p
+        JOIN fpbits fa ON fa.doc_id = p.id_a
+        JOIN fpbits fb ON fb.doc_id = p.id_b AND fb.b = fa.b
+        GROUP BY 1, 2
+    ) WHERE hamming <= 3
+    """,
+)
+def q_simhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates with md5-portable token hashes
+    (operators/similarity.py simhash_candidate_pairs_portable) over the
+    corpus with injected truncated near-dups: 60-bit fingerprints from
+    per-token bit votes, 4×15-bit bands (Hamming ≤ 3 guaranteed banded by
+    pigeonhole), one (chunk, value) shuffle, exact Hamming verified on the
+    candidate stream. With this the whole near-dup candidate family —
+    winnowing containment, MinHash-LSH, SimHash — has a fully value-hash
+    oracled member; the xxhash64 forms remain the hot path. The oracle
+    re-derives votes bit-by-bit and distances from the bit tables."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        simhash_candidate_pairs_portable,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return simhash_candidate_pairs_portable(
+        docs.unionByName(near), "doc_id", "text"
+    ).filter(F.col("hamming") <= 3)
+
+

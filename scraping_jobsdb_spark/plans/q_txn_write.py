@@ -1,0 +1,980 @@
+"""Transactional table layer (sources/txn.py): MERGE/CDC/time-travel
+write surface + corpus-prep compositions.
+
+Registry chunk split from plans/queries.py (registration order is
+preserved by the import sequence in plans/queries.py; the gate window is
+re-applied there). Unused imports are part of the shared chunk header.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.dedup import dedup_exact, dedup_first
+from scraping_jobsdb_spark.operators.incremental import new_rows
+from scraping_jobsdb_spark.operators.merge import coalesce_merge
+from scraping_jobsdb_spark.plans._shared import _dsum, _dsum_sql, _register
+from scraping_jobsdb_spark.sources.tables import fan_out, load_table
+
+# ---------------------------------------------------------------------------
+# Transactional table layer (sources/txn.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "merge_upsert_txn",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), source AS (
+        SELECT o_orderkey, o_custkey,
+               o_totalprice + 1000.0 AS new_price, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT t.o_orderkey, t.o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                ELSE t.o_totalprice END AS o_totalprice,
+           t.o_orderstatus
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_custkey % 7 = 0)
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.new_price, s.o_orderstatus
+    FROM source s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def q_merge_upsert_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE (J2/A3 unified, sources/txn.py): build a txn table
+    from a deterministic orders slice, MERGE a source slice into it —
+    matched rows update their price (or delete when the source custkey % 7
+    hits), unmatched source rows insert — and return the committed snapshot.
+    The reference's UPDATE…FROM + ON CONFLICT semantics
+    (``sql/impute_salary_update_parsed_jobs_table.sql:1-7``,
+    ``sql/scrape_url_insert_data.sql:1-4``) in one atomic copy-on-write
+    commit. Exercises the real write path: data files + manifest land under
+    a scratch dir, the read is the published snapshot. The table is
+    BUCKETED on the merge key (manifest-recorded write distribution):
+    the target side of the MERGE's full-outer join arrives pre-hashed, so
+    the join exchanges only the source — one shuffle per merge instead of
+    two, the dominant saving for a repeatedly-upserted keyed table
+    (plan-pinned in tests/test_txn.py)."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+        "o_orderstatus",
+    )
+    table = TxnTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="sjs_merge_q_"),
+        target,
+        bucket_by=["o_orderkey"],
+        n_buckets=8,
+    )
+    table.merge(
+        source,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "new_price"},
+        when_matched_delete=F.col("s.o_custkey") % 7 == 0,
+    )
+    return table.read()
+
+
+@_register(
+    "cdc_row_changes_txn",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS new_price
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), v2 AS (
+        SELECT t.o_orderkey, t.o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM v1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_custkey % 11 = 0)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.new_price
+        FROM src s LEFT JOIN v1 t ON s.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS _change_type
+    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'insert' AS _change_type
+    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+    """,
+)
+def q_cdc_row_changes_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between txn-table snapshots (sources/txn.py
+    ``read_row_changes``): build v1 from a deterministic orders slice, MERGE
+    a second slice (update matched, delete when custkey % 11 hits, insert
+    unmatched) to make v2, then emit the v1→v2 change feed — every update
+    surfaces as its delete+insert pair. The oracle recomputes both
+    snapshots in SQL and diffs them with EXCEPT ALL, the same multiset
+    semantics as the engine's exceptAll form. This is the downstream-sync
+    edge the reference lacks entirely (its pipelines re-export full CSVs,
+    ``airflow/dags/export_to_csv.py:12-26``); at 100 TB shipping the delta
+    is the only viable feed."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 500.0).alias("new_price"),
+    )
+    table = TxnTable.create(spark, tempfile.mkdtemp(prefix="sjs_cdc_q_"), v1)
+    from_version = table.version()
+    table.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "new_price"},
+        when_matched_delete=F.col("s.o_custkey") % 11 == 0,
+    )
+    return table.read_row_changes(from_version)
+
+
+@_register(
+    "cdc_row_changes_bucketed_txn",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS new_price
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), v2 AS (
+        SELECT t.o_orderkey, t.o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM v1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_custkey % 11 = 0)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_custkey, s.new_price
+        FROM src s LEFT JOIN v1 t ON s.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, 'delete' AS _change_type
+    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'insert' AS _change_type
+    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+    """,
+)
+def q_cdc_row_changes_bucketed_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same v1→MERGE→v2 change feed as ``cdc_row_changes_txn``, on a
+    table BUCKETED by the merge key — which switches ``read_row_changes``
+    onto its co-bucketed physical path: per-bucket multiplicity counts and
+    a co-partitioned full-outer join, ZERO global exchange (plan-pinned in
+    tests/test_txn.py), instead of the two-scan exceptAll that shuffles
+    both snapshots on all columns. Identical oracle as the unbucketed
+    query: bucketing is a physical layout, never a semantic change — and
+    this row proves it with a value hash."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 500.0).alias("new_price"),
+    )
+    table = TxnTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="sjs_cdc_qb_"),
+        v1,
+        bucket_by=["o_orderkey"],
+        n_buckets=8,
+    )
+    from_version = table.version()
+    table.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "new_price"},
+        when_matched_delete=F.col("s.o_custkey") % 11 == 0,
+    )
+    return table.read_row_changes(from_version)
+
+
+@_register(
+    "cdc_apply_changes_txn",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), src AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 500.0 AS new_price
+        FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT t.o_orderkey, t.o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM v1 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_custkey % 11 = 0)
+    UNION ALL
+    SELECT s.o_orderkey, s.o_custkey, s.new_price
+    FROM src s LEFT JOIN v1 t ON s.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL
+    """,
+)
+def q_cdc_apply_changes_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full replication loop, value-hash checked end to end: table A
+    takes a MERGE (update/delete/insert), its v1→v2 row-change feed is
+    READ (``read_row_changes``) and APPLIED (``apply_changes``) to an
+    independent copy B created from v1 — and B must now equal A@v2, which
+    the oracle recomputes directly in SQL. Ship the delta, not the table:
+    the downstream-sync shape that replaces the reference's full-CSV
+    re-exports at any scale where re-shipping the table is unthinkable."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 500.0).alias("new_price"),
+    )
+    a = TxnTable.create(spark, tempfile.mkdtemp(prefix="sjs_cdc_a_"), v1)
+    b = TxnTable.create(spark, tempfile.mkdtemp(prefix="sjs_cdc_b_"), v1)
+    from_version = a.version()
+    a.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={"o_totalprice": "new_price"},
+        when_matched_delete=F.col("s.o_custkey") % 11 == 0,
+    )
+    b.apply_changes(a.read_row_changes(from_version))
+    return b.read()
+
+
+@_register(
+    "cdc_appends_since_txn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 1 OR o_orderkey % 7 = 2
+    """,
+)
+def q_cdc_appends_since_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only CDC (``read_appends_since``): checkpoint a version, keep
+    committing appends, poll exactly the new rows — the incremental-consumer
+    contract. Two appends after the checkpointed create must surface both
+    slices and nothing from the base. File-precise (the manifest delta IS
+    the row delta for append commits) — zero compute, zero write-path cost,
+    vs the snapshot-diff form in ``cdc_row_changes_txn``."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = TxnTable.create(spark, tempfile.mkdtemp(prefix="sjs_cdcapp_q_"), base)
+    checkpoint = table.version()
+    for rem in (1, 2):
+        table.append(
+            orders.filter(F.col("o_orderkey") % 7 == rem).select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+        )
+    return table.read_appends_since(checkpoint)
+
+
+@_register(
+    "dq_bounds_observed",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {_dsum_sql('o_totalprice')} AS total_spend
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_dq_bounds_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5, zero-extra-pass form: DQ metrics ride the SAME job as the real
+    aggregate via ``df.observe`` (operators/checks.py:observed) — at 100 TB a
+    separate checking pass doubles the scan bill, so the engine's canonical
+    DQ shape is in-flight observation. The bounds/null assertions
+    (bounds_check semantics on o_totalprice, null_check on o_custkey) raise
+    on violation after the action; the returned frame is the per-status
+    rollup the job computed."""
+    import uuid as _uuid
+
+    from scraping_jobsdb_spark.operators.checks import observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    obsd, handle = observed(
+        orders,
+        f"dq_gate_{_uuid.uuid4().hex[:8]}",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_custkeys": F.sum(F.col("o_custkey").isNull().cast("int")),
+            "min_price": F.min("o_totalprice"),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    out = obsd.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        _dsum("o_totalprice").alias("total_spend"),
+    )
+    out.count()  # one action: the metrics ride this job
+    m = handle.get()
+    if m["null_custkeys"] != 0 or m["min_price"] < 0 or m["n_rows"] == 0:
+        raise AssertionError(f"DQ gate failed: {m}")
+    return out
+
+
+@_register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS sha16
+    FROM documents
+    """,
+)
+def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end to end: a binary content
+    column (utf-8 bytes of the document text standing in for an opaque
+    payload) crosses into Python as Arrow batches via mapInPandas — the
+    exact decode-stage shape of operators/multimodal.py (pruned projection,
+    per-row failure isolation) — and the Python side's computed features
+    (byte length, sha256 prefix) are verified against DuckDB computing the
+    same from the text. Proves the binary-column round trip through Arrow
+    byte-for-byte, not just rows-only."""
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "sha16": []}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                out["doc_id"].append(did)
+                try:
+                    b = bytes(content)
+                    out["n_bytes"].append(len(b))
+                    out["sha16"].append(hashlib.sha256(b).hexdigest()[:16])
+                except Exception:  # per-row isolation, as in multimodal.py
+                    out["n_bytes"].append(None)
+                    out["sha16"].append(None)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, "doc_id bigint, n_bytes bigint, sha16 string")
+
+
+@_register(
+    "multimodal_resize_stage",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS blen
+        FROM documents
+        WHERE text IS NOT NULL
+    )
+    SELECT doc_id AS media_id,
+           4 AS width,
+           4 AS height,
+           CAST(
+               8 + least(
+                   greatest(1, (blen * 16) // ((2 + doc_id % 7) * (3 + doc_id % 5))),
+                   blen
+               ) AS BIGINT
+           ) AS n_bytes
+    FROM d
+    """,
+)
+def q_multimodal_resize_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-resize stage (operators/multimodal.py:resize_images) run
+    end to end against an oracle: media payloads are built JVM-side from the
+    documents table — a big-endian (w,h) header via unhex(lpad(hex(.)))
+    packing plus the utf-8 text bytes as the 'pixel' body — and the real
+    mapInPandas resize stage (pruned projection, per-row failure isolation)
+    applies the deterministic stand-in resizer. DuckDB mirrors the resizer's
+    arithmetic (area-proportional byte keep, floor division) on the same
+    source, so the header construction, the Arrow binary crossing, and the
+    Python resize arithmetic are all value-hash verified. The real-codec
+    hook stays injectable; only the codec itself is faked (none ships in
+    this runtime)."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        fake_image_resizer,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def be32(c: Column) -> Column:
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    w = (F.lit(2) + F.col("doc_id") % 7).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(be32(w), be32(h), F.encode("text", "utf-8")).alias("content"),
+    )
+    resized = resize_images(media, 4, 4, resizer=fake_image_resizer)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("content").cast("bigint").alias("n_bytes"),
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           sha256(text || ':' || CAST(f AS VARCHAR)) AS frame_hex
+    FROM documents, generate_series(0, 3, 2) AS g(f)
+    WHERE text IS NOT NULL
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sampling stage (operators/multimodal.py:
+    sample_video_frames) run end to end against an oracle: each document
+    becomes a fake 4-frame video — header (n_frames, frame_len) + four
+    32-byte frames, where frame f is the sha256 digest of 'text:f', all
+    constructed JVM-side (sha2 → unhex → concat) — then the real
+    mapInPandas generator-UDTF stage splits the payload per its header and
+    keeps every 2nd frame. Emitting hex(frame) lets DuckDB state the
+    expected frame bytes as the sha256 hex it can compute directly, so the
+    binary fan-out (one video row → kept-frame rows) is verified
+    byte-for-byte without blob slicing in the oracle."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        fake_frame_splitter,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def be32(v: int) -> Column:
+        return F.unhex(F.lit(f"{v:08x}"))
+
+    def frame(f: int) -> Column:
+        return F.unhex(
+            F.sha2(F.concat(F.col("text"), F.lit(f":{f}")), 256)
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            be32(4), be32(32), frame(0), frame(1), frame(2), frame(3)
+        ).alias("content"),
+    )
+    frames = sample_video_frames(media, every_n=2, splitter=fake_frame_splitter)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+@_register("embedding_pq_topk", oracle=None)
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): train an m=8, k=16
+    codebook, encode the corpus to 8-byte code arrays, ADC-score via literal
+    lookup tables, exact-cosine re-rank of the top 4k candidates. The
+    memory-scale rung of the ANN ladder (codes are 32x smaller than float32
+    vectors). Approximate → rows-only; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    codes = pq_encode(emb, codebook)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return pq_topk(codes, codebook, query, k=10, refine_with=emb, refine_factor=4)
+
+
+@_register("embedding_ivfpq_topk", oracle=None)
+def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.py ivfpq_topk): the composed FAISS-IVFADC
+    shape — map-expression cell assignment (no crossJoin, no window
+    shuffle), fused encode+assign scan, driver-baked probe lists that
+    become partition pruning on a cell-partitioned codes table, ADC over
+    the probed 3/10 cells only, exact-cosine re-rank of the top 4k. The
+    scale path that replaces the exact GEMM near-dup at 100×. Approximate →
+    rows-only; recall + determinism asserted in tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.pq import ivfpq_topk, pq_train
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return ivfpq_topk(
+        emb, query, codebook, n_centroids=10, n_probe=3, k=10, refine_factor=4
+    )
+
+
+@_register("reference_pipeline_e2e", oracle=None)
+def q_reference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN end-to-end path (SURVEY §3.1-3.3) as one run:
+    ingest (param-grid fan-out → rate-limited fetch via mapInPandas →
+    link explode → exactly-once raw memberships → dedup → catalog
+    anti-join → detail fetch → date-partitioned lake write) → parse
+    (HTML extraction over lake docs not yet parsed) → impute (salary
+    intervals MERGEd into the parsed table) — against the deterministic
+    offline site (sources/fake_site.py), exactly as the e2e pytest drives
+    it. Returns the final parsed-and-imputed table. Independent of sf_dir
+    by construction (the corpus is the fake site's); registered rows-only
+    so the driver and bench exercise the composed pipeline every round —
+    the reference's Airflow DAG surface (airflow/dags/scrape_url.py,
+    parse_html.py, impute SQL) had only pytest evidence before."""
+    import tempfile
+    from datetime import date as _date
+
+    from scraping_jobsdb_spark.pipelines.impute import impute
+    from scraping_jobsdb_spark.pipelines.ingest import ingest
+    from scraping_jobsdb_spark.pipelines.parse import parse
+    from scraping_jobsdb_spark.sources.fake_site import fake_transport
+    from scraping_jobsdb_spark.sources.txn import read_table_any
+
+    base = tempfile.mkdtemp(prefix="sjs_ref_e2e_")
+    ingest(
+        spark,
+        fake_transport,
+        lake_path=f"{base}/lake",
+        raw_path=f"{base}/raw",
+        catalog_path=f"{base}/catalog",
+        run_date=_date(2026, 8, 13),
+        fetch_partitions=8,
+    )
+    parse(spark, f"{base}/lake", f"{base}/parsed")
+    impute(spark, f"{base}/raw", f"{base}/parsed")
+    # The driver's pandas canonicalizer cannot sort list columns, so the
+    # array<string> job_functions column is serialized to a joined string
+    # (the same workaround term_postings_index uses for its posting list;
+    # also the reference's own CSV-export serialization, pipelines/export.py).
+    return read_table_any(spark, f"{base}/parsed").withColumn(
+        "job_functions", F.array_join("job_functions", ";")
+    )
+
+
+@_register("embedding_ann_index_topk", oracle=None)
+def q_embedding_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN index probe (operators/pq.py write_ann_index +
+    ann_index_topk): the IVF-PQ index materialized as a cell-PARTITIONED
+    codes table plus two codebook-scale side tables, then queried — each
+    query's probe list bakes into a ``cell IN (...)`` predicate, so
+    partition pruning restricts the scan to n_probe of n_centroids
+    directories; unprobed cell files are never listed or opened
+    (PartitionFilters plan-asserted in tests/test_similarity.py). Exercises
+    the driver on the pruned-read path itself, not just the in-memory twin
+    (row-identical to ivfpq_topk under a shared quantizer — tested).
+    Approximate by design → rows-only; recall + determinism + pruning
+    asserted in pytest."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_topk,
+        pq_train,
+        write_ann_index,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    path = tempfile.mkdtemp(prefix="sjs_ann_q_")
+    write_ann_index(emb, path, codebook, n_centroids=10)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return ann_index_topk(
+        spark, path, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+    )
+
+
+@_register("embedding_ann_index_txn_lifecycle", oracle=None)
+def q_embedding_ann_index_txn_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRANSACTIONAL ANN index, full lifecycle in one plan (operators/pq.py
+    write_ann_index_txn family — the production posture of the persisted
+    index): train on the corpus, build the index over HALF of it as one
+    atomic commit, admit the other half via add-after-train (a second
+    atomic commit), MoR-DELETE a slice of vectors (a deletion vector — no
+    cell data rewritten; the embedding-store GDPR path), then probe. The
+    probe reads the union of per-cell manifest-stats-pruned scans
+    (read_pruned: unprobed cells' files never open — the txn equivalent of
+    partition pruning) with the DV overlay hiding deleted vectors.
+    Approximate scores by design → rows-only; add-equals-rebuild,
+    epoch-idempotent streaming admission, delete/time-travel semantics,
+    and file skipping all asserted in tests/test_similarity.py."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_txn_add,
+        ann_index_txn_delete,
+        ann_index_txn_topk,
+        pq_train,
+        write_ann_index_txn,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    codebook = pq_train(emb, m=8, k=16, max_iter=4)
+    path = tempfile.mkdtemp(prefix="sjs_annx_q_")
+    write_ann_index_txn(
+        emb.filter(F.col("vec_id") % 2 == 0), path, codebook, n_centroids=10
+    )
+    ann_index_txn_add(spark, path, emb.filter(F.col("vec_id") % 2 == 1))
+    ann_index_txn_delete(spark, path, F.col("vec_id") % 97 == 3)
+    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
+    return ann_index_txn_topk(
+        spark, path, query, n_probe=3, k=10, refine_factor=4, refine_with=emb
+    )
+
+
+@_register(
+    "llm_corpus_prep",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), quality AS (
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM corpus
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
+          AND length(text) >= 20
+    ), deduped AS (
+        SELECT doc_id, text, n_tokens FROM (
+            SELECT doc_id, text, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    ), bench AS (
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents WHERE doc_id % 100 = 0
+    ), clean AS (
+        SELECT d.doc_id, d.n_tokens
+        FROM deduped d
+        WHERE d.doc_id % 100 <> 0
+          AND md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))
+              NOT IN (SELECT fp FROM bench)
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0a' THEN 'test'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14' THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM clean GROUP BY 1
+    """,
+)
+def q_llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data pipeline end to end, fully oracle-checked:
+    ingest (with injected duplicates) → quality filter (token/char floors) →
+    exact content dedup (keep lowest id) → decontamination against the
+    benchmark fingerprint set → content-hash train/val/test split →
+    per-split corpus stats. Composes dedup_exact, the textops token counter,
+    the decontamination anti-join, and the md5-band split — each stage
+    individually gate-green, the composition verified here as one plan.
+    Scale shape: two hash shuffles (dedup digest, final split agg) and one
+    broadcast semi-join (the tiny benchmark fingerprint set); everything
+    else is map-side."""
+    from scraping_jobsdb_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    quality = corpus.withColumn(
+        "n_tokens", token_count("text").cast("bigint")
+    ).filter((F.col("n_tokens") >= 5) & (F.length("text") >= 20))
+    deduped = dedup_first(
+        quality.withColumn("__digest", F.md5("text")), ["__digest"], ["doc_id"]
+    ).drop("__digest")
+    norm_fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    bench = (
+        docs.filter(F.col("doc_id") % 100 == 0).select(norm_fp.alias("fp")).distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 100 != 0)
+        .withColumn("fp", norm_fp)
+        .join(F.broadcast(bench), on="fp", how="left_anti")
+    )
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = clean.select(
+        "doc_id",
+        "n_tokens",
+        F.when(pfx < "0a", "test").when(pfx < "14", "val").otherwise("train").alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@_register(
+    "term_postings_index",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM toks GROUP BY term
+    """,
+)
+def q_term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the sorted posting
+    list (serialized as a comma-joined string: the driver's pandas
+    canonicalizer cannot sort list-valued cells — the approx_distinct_
+    sketch lesson — and a delimited string hashes identically everywhere).
+    The retrieval-side artifact BM25/TF-IDF consume; one distinct + one
+    aggregate shuffle, postings sorted under a total order so the index
+    is byte-deterministic at any partitioning. At 100 TB the posting list
+    per common term is large — this shape streams it through
+    sort_array(collect_list) per term; terms are the shuffle key, so skew
+    tooling (stop-term filters, max_df guards — see top_ngrams/winnowing)
+    applies upstream."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).distinct()
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+    )
+
+
+@_register(
+    "leakage_safe_split_stats",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM corpus
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), rare AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 50
+    ), pruned AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN rare USING (h)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pruned GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fp
+        FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT s.id_a, s.id_b
+        FROM shared s
+        JOIN sizes sa ON s.id_a = sa.doc_id
+        JOIN sizes sb ON s.id_b = sb.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * least(sa.n_fp, sb.n_fp)
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    ), assign AS (
+        SELECT c.doc_id, COALESCE(p.component, c.doc_id) AS cluster_id
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+    ), tagged AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '0a'
+                        THEN 'test'
+                    WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < '14'
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM assign
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+)
+def q_leakage_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware splitting (operators/sampling.py:leakage_safe_split):
+    near-dup CLUSTERS are the unit of train/val/test assignment, so two
+    near-copies can never straddle an eval boundary — the leakage that a
+    per-document hash split silently permits. Same injected-near-dup
+    corpus and containment-pair stage as dedup_pipeline_winnowing; the
+    oracle re-resolves clusters with a recursive CTE and re-derives the
+    cluster-hash bands, verifying the per-split counts hash-exactly. The
+    no-straddle invariant itself is asserted as a property test."""
+    from scraping_jobsdb_spark.operators.sampling import leakage_safe_split
+    from scraping_jobsdb_spark.operators.textops import (
+        fingerprint_containment_pairs,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    pairs = fingerprint_containment_pairs(
+        corpus, threshold_milli=800, k=8, w=4, max_df=50
+    )
+    tagged = leakage_safe_split(corpus, pairs)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@_register(
+    "doc_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+    ), bc AS (
+        SELECT prev, cur, COUNT(*) AS bc FROM grams GROUP BY prev, cur
+    ), ctx AS (
+        SELECT prev, SUM(bc) AS ctx FROM bc GROUP BY prev
+    ), vocab AS (
+        SELECT COUNT(DISTINCT term) AS v FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        )
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(-ln((b.bc + 1)
+                              / CAST(c.ctx + (SELECT v FROM vocab) AS DOUBLE)),
+                          9) AS DECIMAL(30,9)) AS s
+        FROM grams g
+        JOIN bc b ON b.prev = g.prev AND b.cur = g.cur
+        JOIN ctx c ON c.prev = g.prev
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM perplexity filter (operators/textops.py bigram_surprisal —
+    the CCNet/KenLM-style quality score, new r7): per-doc mean surprisal
+    under the corpus's own add-one-smoothed bigram model. One level up
+    from ``doc_unigram_surprisal``: it scores word ORDER, catching
+    shuffled/templated text unigram stats can't see. Map-only bigram build
+    (zip-with-tail, no per-position self-join), one (prev, cur) count
+    aggregate whose context rollup is derived from the SAME table, hash
+    join back onto the bigram stream, per-doc aggregate. Per-token nats
+    rounded to 9 dp then DECIMAL-summed (the engine's ln-portability
+    rule) → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import bigram_surprisal
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return bigram_surprisal(docs)
+
+
+@_register(
+    "doc_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ), model AS (
+        SELECT term, COUNT(*) AS tc FROM toks GROUP BY term
+    ), total AS (
+        SELECT CAST(SUM(tc) AS DOUBLE) AS tt FROM model
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(-ln(m.tc / (SELECT tt FROM total)), 9)
+                    AS DECIMAL(30,9)) AS s
+        FROM toks t JOIN model m USING (term)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (operators/textops.py:unigram_surprisal):
+    per-doc mean surprisal under the corpus's own unigram model — low =
+    boilerplate of common words, high = rare-word noise; both tails are
+    quality-filter cuts. TF-IDF's plan family (one term aggregate,
+    broadcast model join, per-doc aggregate); per-token nats rounded to
+    9 dp then DECIMAL-summed so the mean is engine-exact."""
+    from scraping_jobsdb_spark.operators.textops import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return unigram_surprisal(docs)
+
+

@@ -71,6 +71,8 @@ REQUIRED = [
     ("bpe_merge_candidates", "TakeOrderedAndProject"),
     # Q9 star: the part dimension leg broadcasts
     ("product_type_profit", "BroadcastHashJoin"),
+    # unigram seed top-k is an ordered limit, never a global sort
+    ("unigram_seed_candidates", "TakeOrderedAndProject"),
 ]
 
 FORBIDDEN = [
@@ -241,6 +243,14 @@ FORBIDDEN = [
     # 3-row query × k centroid probe; never a true product, no row-Python
     ("embedding_ivf_topk", "CartesianProduct"),
     ("embedding_ivf_topk", "BatchEvalPython"),
+    # unigram seed: distinct-words reduction + substring explode +
+    # ordered limit — no window, no join anywhere
+    ("unigram_seed_candidates", "Window"),
+    ("unigram_seed_candidates", "Join"),
+    # unigram encode: ONE Arrow stage over the distinct-word table,
+    # never row-Python, never a product
+    ("unigram_corpus_tokenize", "BatchEvalPython"),
+    ("unigram_corpus_tokenize", "CartesianProduct"),
 ]
 
 

@@ -1783,3 +1783,132 @@ def test_bigram_surprisal_scores_word_order(spark):
         F.size(F.split(F.trim(F.lower("text")), r"\s+"))
     ).first()[0]
     assert big[900000][0] == n_toks - 1
+
+
+def test_unigram_seed_candidates_matches_python_reference(spark):
+    """The distributed substring-seed aggregate equals a plain Python
+    reference over the same corpus (counts weighted by word frequency,
+    pieces of length <= max_piece_len, top-k by (count desc, piece))."""
+    from scraping_jobsdb_spark.operators.textops import unigram_seed_candidates
+
+    rows = [
+        (1, "spark table scan fast"),
+        (2, "spark table scan fast fast"),
+        (3, "hash join hash join spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    ref: dict = {}
+    words: dict = {}
+    for _, t in rows:
+        for w in t.lower().split():
+            words[w] = words.get(w, 0) + 1
+    for w, wc in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(3, len(w) - i) + 1):
+                p = w[i : i + l]
+                ref[p] = ref.get(p, 0) + wc
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    got = [
+        (r.piece, r.piece_count)
+        for r in unigram_seed_candidates(df, max_piece_len=3, k=25).collect()
+    ]
+    assert got == expect
+
+
+def test_unigram_lm_train_coverage_determinism_likelihood(spark):
+    """Trainer properties: (1) every corpus character survives pruning
+    (full coverage — any string segments); (2) training is a pure function
+    of the corpus (two runs, different partitioning, identical piece
+    table); (3) hard-EM corpus likelihood under the returned model is
+    non-decreasing with more iterations; (4) frequent multi-char pieces
+    win vocabulary slots."""
+    import math
+
+    from scraping_jobsdb_spark.operators.textops import (
+        _viterbi_segment,
+        unigram_lm_train,
+    )
+
+    rows = [
+        (i, "sharding shard shards resharding spark sparking sparked")
+        for i in range(6)
+    ] + [(10, "joins join joined joining rejoin")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    t1 = unigram_lm_train(df, vocab_size=40, num_iters=2)
+    t2 = unigram_lm_train(df.repartition(7), vocab_size=40, num_iters=2)
+    p1 = sorted((r.piece, r.logprob, r.piece_count) for r in t1.collect())
+    p2 = sorted((r.piece, r.logprob, r.piece_count) for r in t2.collect())
+    assert p1 == p2  # determinism incl. float logprobs
+
+    chars = {c for _, t in rows for c in t.lower() if not c.isspace()}
+    vocab = {p for p, _, _ in p1}
+    assert chars <= vocab  # coverage
+    assert any(len(p) > 1 for p in vocab)  # learned multi-char pieces
+
+    def corpus_ll(piece_rows):
+        logp = {p: lp for p, lp, _ in piece_rows}
+        unk = min(logp.values()) - 10.0
+        ll = 0.0
+        for _, t in rows:
+            for w in t.lower().split():
+                ll += sum(
+                    logp.get(s, unk)
+                    for s in _viterbi_segment(w, logp, 4, unk)
+                )
+        return ll
+
+    lls = []
+    for iters in (1, 2, 4):
+        t = unigram_lm_train(df, vocab_size=40, num_iters=iters)
+        lls.append(
+            corpus_ll([(r.piece, r.logprob, r.piece_count) for r in t.collect()])
+        )
+    assert lls[0] <= lls[1] + 1e-9 and lls[1] <= lls[2] + 1e-9, lls
+
+
+def test_unigram_lm_encode_equals_train_segmentation(spark):
+    """Encoding the training corpus reproduces the trainer's own E-step
+    segmentations (shared _viterbi_segment), reassembled in word order;
+    token concatenation restores each word's characters exactly (no-unk
+    coverage); unseen characters pass through as themselves."""
+    from scraping_jobsdb_spark.operators.textops import (
+        _viterbi_segment,
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    rows = [
+        (1, "partition partitions partitioned"),
+        (2, "repartition partition shuffle shuffles"),
+        (3, "shuffle partition broadcast"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pieces = unigram_lm_train(df, vocab_size=30, num_iters=2)
+    plist = [(r.piece, r.logprob) for r in pieces.collect()]
+    logp = dict(plist)
+    unk = min(logp.values()) - 10.0
+
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in unigram_lm_encode(df, plist).collect()
+    }
+    for doc_id, text in rows:
+        expect = [
+            s
+            for w in text.lower().split()
+            for s in _viterbi_segment(w, logp, 4, unk)
+        ]
+        assert got[doc_id] == expect, doc_id
+        assert "".join(got[doc_id]) == text.lower().replace(" ", "")
+
+    unseen = spark.createDataFrame(
+        [(9, "partition zq")], "doc_id bigint, text string"
+    )
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in unigram_lm_encode(unseen, plist).collect()
+    }[9]
+    assert "".join(toks) == "partitionzq"

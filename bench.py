@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     # unigram-LM tokenizer family (SentencePiece sibling of the BPE rows)
     "unigram_seed_candidates",
     "unigram_corpus_tokenize",
+    # WordPiece completes the tokenizer triad (BPE / unigram / WordPiece)
+    "wordpiece_corpus_tokenize",
+    # RAG retrieval: BM25 + dense cosine fused by reciprocal-rank fusion
+    "hybrid_rrf_retrieval",
+    # CCNet perplexity head/middle/tail corpus split
+    "doc_perplexity_buckets",
 ]
 
 

@@ -1623,3 +1623,81 @@ def semantic_dedup_keep_list(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------------ hybrid RRF
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: tuple[str, ...],
+    query_vec_id: int,
+    k_each: int = 100,
+    k_out: int = 25,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR'09): fuse a lexical BM25 ranking and a dense
+    cosine ranking of the same corpus by summing 1/(rrf_k + rank) over
+    the legs a document appears in, and return the fused top-``k_out``.
+    The standard RAG-retrieval composition — each leg is an operator the
+    engine already ships (``textops.bm25_rank``,
+    ``similarity.brute_force_topk_np``); this adds only the fusion.
+
+    Scale shape: each leg is one corpus scan ending in a per-partition
+    top-k (TakeOrderedAndProject / windowed row_number over the broadcast
+    query) — the corpus is never shuffled on a data-sized key. The fusion
+    itself joins two ≤``k_each``-row frames (driver-small, broadcast), so
+    its cost is independent of corpus size; at 100 TB the legs dominate
+    and both are embarrassingly parallel single passes.
+
+    Determinism (hash-oracle contract): both legs already quantize their
+    scores to 9 dp before ranking with id tie-breaks, so the integer
+    ranks are cross-engine stable; 1/(rrf_k+rank) on integer ranks is
+    exactly reproducible IEEE math, rounded to 9 dp for a stable string
+    form. A document absent from a leg contributes 0 and reports rank 0
+    (never NULL — keeps the pandas dtype integral on both engines).
+    Output: (doc_id, lex_rank, dense_rank, rrf_score).
+    """
+    from pyspark.sql import Window
+
+    from scraping_jobsdb_spark.operators.textops import bm25_rank
+
+    lex = bm25_rank(docs, query_terms, k=k_each, id_col=doc_id_col)
+    # re-derive the explicit rank on the tiny (<= k_each) limited frame
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col))
+    lex_ranked = lex.select(
+        F.col(doc_id_col).alias("__lex_id"),
+        F.row_number().over(w_lex).cast("bigint").alias("lex_rank"),
+    )
+    query = emb.filter(F.col(vec_id_col) == query_vec_id)
+    dense_ranked = (
+        brute_force_topk_np(emb, query, k=k_each, id_col=vec_id_col)
+        .select(
+            F.col(vec_id_col).alias("__dense_id"),
+            F.col("rank").cast("bigint").alias("dense_rank"),
+        )
+    )
+    fused = lex_ranked.join(
+        dense_ranked,
+        lex_ranked["__lex_id"] == dense_ranked["__dense_id"],
+        "full_outer",
+    ).select(
+        F.coalesce("__lex_id", "__dense_id").alias(doc_id_col),
+        F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce("dense_rank", F.lit(0)).cast("bigint").alias("dense_rank"),
+    )
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r) > 0, F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.withColumn(
+            "rrf_score",
+            F.round(contrib("lex_rank") + contrib("dense_rank"), 9),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(doc_id_col))
+        .limit(k_out)
+    )

@@ -1621,3 +1621,198 @@ def bigram_surprisal(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("__s").cast("double") / F.count(F.lit(1))).alias("surprisal_nats"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data": score each
+    document under a language model, split the corpus into head / middle /
+    tail at the perplexity tertiles, keep the head). The LM here is the
+    engine's own add-one-smoothed corpus bigram model
+    (``bigram_surprisal``), so the operator is self-contained.
+
+    Scale shape: the tertile thresholds are ONE 1-row exact-percentile
+    aggregate over the per-doc score table (at 100 TB swap in
+    ``percentile_approx`` — same plan, bounded memory), broadcast back via
+    a cross join; bucket assignment is then map-only. No global sort, no
+    NTILE single-reducer window.
+
+    Determinism: per-doc surprisal follows the ln-portability rule (9 dp
+    per-token rounding, DECIMAL sums); linear-interpolated percentiles of
+    identical doubles agree across engines to the ulp, and every doc's
+    score sits strictly between adjacent interpolation anchors, so the
+    ``<=`` bucket comparisons are cross-engine stable. Output one row per
+    bucket: (bucket, n_docs, n_bigrams, min_nats, max_nats) with the nats
+    rounded to 9 dp.
+    """
+    scored = bigram_surprisal(docs, text_col=text_col, id_col=id_col)
+    cuts = scored.agg(
+        F.expr(
+            "percentile(surprisal_nats, array(CAST(1 AS DOUBLE)/3,"
+            " CAST(2 AS DOUBLE)/3))"
+        ).alias("__cuts")
+    ).select(
+        F.col("__cuts")[0].alias("__c1"), F.col("__cuts")[1].alias("__c2")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("surprisal_nats") <= F.col("__c1"), F.lit("head"))
+        .when(F.col("surprisal_nats") <= F.col("__c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.round(F.min("surprisal_nats"), 9).alias("min_nats"),
+        F.round(F.max("surprisal_nats"), 9).alias("max_nats"),
+    )
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    max_piece_len: int = 4,
+    k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece vocabulary derivation (Wu et al., "Google's Neural Machine
+    Translation System" §4.1 — the BERT tokenizer's vocab): position-aware
+    subword pieces, word-initial vs continuation (the ``##`` forms),
+    scored by corpus-weighted substring frequency, top-``k`` plus ALL
+    single-character pieces so every corpus word is segmentable (no [UNK]
+    by construction — the coverage guarantee the greedy encoder relies
+    on).
+
+    Pieces are keyed (raw, initial) — NOT by the ``##`` display string —
+    so a corpus word that itself starts with '#' cannot alias a
+    continuation piece. Scale shape mirrors ``unigram_seed_candidates``:
+    ONE corpus-sized reduction to distinct words with counts, substrings
+    explode off the vocabulary-sized word table, top-k is an ordered
+    limit. Output: (raw, initial, piece, piece_count) with ``piece`` the
+    display form.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pieces = words.select(
+        "wc",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len), F.length("w") - i + 1
+                            ),
+                        ),
+                        lambda l: F.struct(
+                            F.col("w").substr(i, l).alias("raw"),
+                            (i == F.lit(1)).alias("initial"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(F.col("p.raw").alias("raw"), F.col("p.initial").alias("initial"), "wc")
+    counted = pieces.groupBy("raw", "initial").agg(
+        F.sum("wc").alias("piece_count")
+    )
+    topk = counted.orderBy(
+        F.col("piece_count").desc(), F.col("initial").desc(), "raw"
+    ).limit(k)
+    chars = counted.filter(F.length("raw") == 1)
+    return (
+        topk.unionByName(chars)
+        .distinct()
+        .select(
+            "raw",
+            "initial",
+            F.when(F.col("initial"), F.col("raw"))
+            .otherwise(F.concat(F.lit("##"), F.col("raw")))
+            .alias("piece"),
+            "piece_count",
+        )
+    )
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding (the BERT tokenizer's
+    apply step) under a learned vocabulary of ``(raw, initial)`` pairs.
+    At each position take the LONGEST vocab piece matching (word-initial
+    table at position 0, continuation table after); a position with no
+    match collapses the word to [UNK] (unreachable under
+    ``wordpiece_vocab``'s single-char coverage guarantee).
+
+    Scale shape is ``bpe_encode``'s: segmentation runs ONCE PER DISTINCT
+    WORD (one Arrow pass over the vocabulary-sized distinct-word table,
+    the vocab riding the closure — KBs), then an equi-join back to
+    (doc, position) and the JVM-side ordered reassembly; no Python touches
+    corpus-sized data a second time. Greedy longest-match is a pure
+    function of (word, vocab) → deterministic, and expressible as a
+    precomputed best-match-per-suffix table + linear walk, which is
+    exactly how the DuckDB oracle replays it (recursive CTE over the
+    suffix table). Output: (id_col, tokens array<string>, n_tokens).
+    """
+    spark = docs.sparkSession
+    initial_set = {raw for raw, ini in vocab if ini}
+    cont_set = {raw for raw, ini in vocab if not ini}
+    max_i = max((len(r) for r in initial_set), default=1)
+    max_c = max((len(r) for r in cont_set), default=1)
+
+    pos_words = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    vocab_words = pos_words.select("w").distinct()
+
+    def encode(batches):
+        import pandas as pd
+
+        def one(w):
+            out, pos, n = [], 0, len(w)
+            while pos < n:
+                table, cap = (
+                    (initial_set, max_i) if pos == 0 else (cont_set, max_c)
+                )
+                for l in range(min(cap, n - pos), 0, -1):
+                    cand = w[pos : pos + l]
+                    if cand in table:
+                        out.append(cand if pos == 0 else "##" + cand)
+                        pos += l
+                        break
+                else:
+                    return ["[UNK]"]
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"w": pdf["w"], "toks": [one(w) for w in pdf["w"]]}
+            )
+
+    encoded = vocab_words.mapInPandas(encode, "w string, toks array<string>")
+    return (
+        pos_words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
+    )

@@ -1555,3 +1555,263 @@ def q_unigram_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces = unigram_lm_train(docs, vocab_size=120, num_iters=2)
     plist = [(r.piece, r.logprob) for r in pieces.collect()]
     return unigram_lm_encode(docs, plist)
+
+
+@_register(
+    "hybrid_rrf_retrieval",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS dl,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x = 'spark')) AS tf0,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x = 'merge')) AS tf1,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x = 'vector')) AS tf2
+        FROM documents WHERE text IS NOT NULL
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+               SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM base
+    ), lex AS (
+        SELECT b.doc_id,
+               ROUND(
+                   ln(1 + (s.n_docs - s.df0 + 0.5) / (s.df0 + 0.5))
+                     * b.tf0 * 2.2 / (b.tf0 + 1.2 * (0.25 + 0.75 * b.dl / (s.sum_dl / s.n_docs)))
+                 + ln(1 + (s.n_docs - s.df1 + 0.5) / (s.df1 + 0.5))
+                     * b.tf1 * 2.2 / (b.tf1 + 1.2 * (0.25 + 0.75 * b.dl / (s.sum_dl / s.n_docs)))
+                 + ln(1 + (s.n_docs - s.df2 + 0.5) / (s.df2 + 0.5))
+                     * b.tf2 * 2.2 / (b.tf2 + 1.2 * (0.25 + 0.75 * b.dl / (s.sum_dl / s.n_docs))),
+               9) AS bm25
+        FROM base b CROSS JOIN stats s
+    ), lex_ranked AS (
+        SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM lex
+        ) WHERE lex_rank <= 100
+    ), q AS (
+        SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 9) AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+    ), dense_ranked AS (
+        SELECT vec_id, dense_rank FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS dense_rank
+            FROM dense
+        ) WHERE dense_rank <= 100
+    ), fused AS (
+        SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+               CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(d.dense_rank, 0) AS BIGINT) AS dense_rank
+        FROM lex_ranked l FULL OUTER JOIN dense_ranked d ON l.doc_id = d.vec_id
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           ROUND(
+               CASE WHEN lex_rank > 0
+                    THEN CAST(1.0 AS DOUBLE) / (60 + lex_rank) ELSE 0 END
+             + CASE WHEN dense_rank > 0
+                    THEN CAST(1.0 AS DOUBLE) / (60 + dense_rank) ELSE 0 END,
+           9) AS rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 25
+    """,
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (operators/similarity.py
+    hybrid_rrf — Cormack/Clarke/Buettcher RRF, the standard RAG-retrieval
+    composition): fuse the BM25 top-100 for the 3-term query
+    (spark, merge, vector) with the dense cosine top-100 for the vec_id=0
+    query embedding as Σ 1/(60+rank), return the fused top-25. Each leg is
+    one corpus scan ending in a per-partition top-k (bm25_rank's
+    TakeOrderedAndProject; brute_force_topk_np's GEMM + windowed
+    row_number over the broadcast query) — the corpus is never shuffled on
+    a data-sized key, and the fusion joins two ≤100-row frames, so its
+    cost is corpus-size-independent. Both legs quantize scores to 9 dp
+    before ranking with id tie-breaks (the engine's shared rank-stability
+    contract), integer ranks make 1/(60+r) exactly reproducible IEEE math,
+    and a leg miss reports rank 0 (never NULL — integral pandas dtype both
+    sides) → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.similarity import hybrid_rrf
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return hybrid_rrf(
+        docs, emb, ("spark", "merge", "vector"), query_vec_id=0,
+        k_each=100, k_out=25,
+    )
+
+
+@_register(
+    "doc_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+    ), bc AS (
+        SELECT prev, cur, COUNT(*) AS bc FROM grams GROUP BY prev, cur
+    ), ctx AS (
+        SELECT prev, SUM(bc) AS ctx FROM bc GROUP BY prev
+    ), vocab AS (
+        SELECT COUNT(DISTINCT term) AS v FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+            FROM documents WHERE text IS NOT NULL
+        )
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(-ln((b.bc + 1)
+                              / CAST(c.ctx + (SELECT v FROM vocab) AS DOUBLE)),
+                          9) AS DECIMAL(30,9)) AS s
+        FROM grams g
+        JOIN bc b ON b.prev = g.prev AND b.cur = g.cur
+        JOIN ctx c ON c.prev = g.prev
+    ), perdoc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
+        FROM scored GROUP BY doc_id
+    ), cuts AS (
+        SELECT quantile_cont(surprisal_nats,
+                             [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS q
+        FROM perdoc
+    )
+    SELECT CASE WHEN surprisal_nats <= q[1] THEN 'head'
+                WHEN surprisal_nats <= q[2] THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           ROUND(MIN(surprisal_nats), 9) AS min_nats,
+           ROUND(MAX(surprisal_nats), 9) AS max_nats
+    FROM perdoc CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (operators/textops.py
+    perplexity_buckets — Wenzek et al.'s corpus split at the LM-perplexity
+    tertiles, the selection step that follows doc_bigram_perplexity's
+    scoring step). Thresholds are ONE 1-row exact-percentile aggregate
+    broadcast back over the per-doc score table (percentile_approx is the
+    drop-in at 100 TB — same plan, bounded memory); bucket assignment is
+    map-only; NO global-sort NTILE window anywhere. Per-token nats follow
+    the 9-dp + DECIMAL-sum ln-portability rule and every doc score sits
+    strictly between interpolation anchors, so the <= cuts are
+    cross-engine stable → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import perplexity_buckets
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return perplexity_buckets(docs)
+
+
+@_register(
+    "wordpiece_corpus_tokenize",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), postoks AS (
+        SELECT doc_id, i AS pos, ws[i] AS w
+        FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+        WHERE ws[i] <> ''
+    ), words AS (
+        SELECT w, COUNT(*) AS wc FROM postoks GROUP BY w
+    ), pieces AS (
+        SELECT substr(w, i, l) AS raw, (i = 1) AS initial, wc
+        FROM words,
+             unnest(range(1, length(w) + 1)) AS t(i),
+             unnest(range(1, 5)) AS u(l)
+        WHERE i + l - 1 <= length(w)
+    ), counted AS (
+        SELECT raw, initial, SUM(wc) AS cnt
+        FROM pieces GROUP BY raw, initial
+    ), topk AS (
+        SELECT raw, initial FROM counted
+        ORDER BY cnt DESC, initial DESC, raw LIMIT 200
+    ), vocab AS (
+        SELECT DISTINCT c.raw, c.initial
+        FROM counted c LEFT JOIN topk t
+          ON t.raw = c.raw AND t.initial = c.initial
+        WHERE t.raw IS NOT NULL OR length(c.raw) = 1
+    ), sufs AS (
+        SELECT w, i FROM words, unnest(range(1, length(w) + 1)) AS t(i)
+    ), best AS (
+        SELECT w, i, raw, l FROM (
+            SELECT s.w, s.i, v.raw, length(v.raw) AS l,
+                   ROW_NUMBER() OVER (PARTITION BY s.w, s.i
+                                      ORDER BY length(v.raw) DESC) AS rn
+            FROM sufs s JOIN vocab v
+              ON v.initial = (s.i = 1)
+             AND substr(s.w, s.i, length(v.raw)) = v.raw
+        ) WHERE rn = 1
+    ), seg AS (
+        SELECT w, CAST(1 AS BIGINT) AS i, CAST('' AS VARCHAR) AS out
+        FROM words
+      UNION ALL
+        SELECT s.w, s.i + b.l AS i,
+               CASE WHEN s.i = 1 THEN b.raw
+                    ELSE s.out || ' ##' || b.raw END AS out
+        FROM seg s JOIN best b ON b.w = s.w AND b.i = s.i
+    ), done AS (
+        SELECT w, out AS wp FROM seg WHERE i = length(w) + 1
+    ), perdoc AS (
+        SELECT p.doc_id, string_agg(d.wp, ' ' ORDER BY p.pos) AS pieces
+        FROM postoks p JOIN done d ON d.w = p.w
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, pieces,
+           CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_tokens
+    FROM perdoc
+    """,
+)
+def q_wordpiece_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END WordPiece tokenizer (operators/textops.py wordpiece_vocab
+    + wordpiece_encode — the BERT tokenizer), completing the tokenizer
+    triad next to BPE (merge-replay) and unigram-LM (Viterbi): derive a
+    200-piece position-aware vocabulary (+ single-char coverage, so [UNK]
+    is unreachable) from the corpus, then greedy longest-match-first
+    encode every document. Corpus-sized stages are the distinct-word
+    reduction and ONE Arrow segmentation pass over the distinct-word table
+    + JVM-side ordered reassembly (encode cost per DISTINCT word, not per
+    occurrence). Greedy longest-match is a pure function of (word, vocab),
+    so unlike the EM-trained unigram sibling this one is FULLY ORACLED:
+    DuckDB replays the segmentation as a precomputed best-match-per-suffix
+    table walked by a recursive CTE. All-string/integer output →
+    value-hash checked."""
+    from scraping_jobsdb_spark.operators.textops import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    vocab = [
+        (r.raw, r.initial)
+        for r in wordpiece_vocab(docs, max_piece_len=4, k=200)
+        .select("raw", "initial")
+        .collect()
+    ]
+    enc = wordpiece_encode(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("pieces"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -251,6 +251,18 @@ FORBIDDEN = [
     # never row-Python, never a product
     ("unigram_corpus_tokenize", "BatchEvalPython"),
     ("unigram_corpus_tokenize", "CartesianProduct"),
+    # wordpiece encode: same Arrow-per-distinct-word contract as BPE
+    ("wordpiece_corpus_tokenize", "BatchEvalPython"),
+    ("wordpiece_corpus_tokenize", "CartesianProduct"),
+    # RRF fusion: each leg ends in its own top-k; the fusion joins two
+    # <=100-row frames — never a true product, no row-Python
+    ("hybrid_rrf_retrieval", "CartesianProduct"),
+    ("hybrid_rrf_retrieval", "BatchEvalPython"),
+    # CCNet bucketing: thresholds are ONE 1-row percentile aggregate
+    # broadcast back — never a global-sort NTILE window, no row-Python
+    ("doc_perplexity_buckets", "Window"),
+    ("doc_perplexity_buckets", "BatchEvalPython"),
+    ("doc_perplexity_buckets", "CartesianProduct"),
 ]
 
 

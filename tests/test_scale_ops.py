@@ -1912,3 +1912,130 @@ def test_unigram_lm_encode_equals_train_segmentation(spark):
         for r in unigram_lm_encode(unseen, plist).collect()
     }[9]
     assert "".join(toks) == "partitionzq"
+
+
+# ------------------------------------------------------- round-8: wordpiece
+
+
+def test_wordpiece_roundtrip_coverage_and_parity(spark):
+    """Greedy longest-match WordPiece: (a) stripping '##' and concatenating
+    a word's pieces reproduces the word exactly (single-char coverage makes
+    [UNK] unreachable), and (b) the distributed encode matches a pure-Python
+    replay of the same greedy algorithm under the same vocab."""
+    from scraping_jobsdb_spark.operators.textops import (
+        tokens,
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    vocab = [
+        (r.raw, r.initial)
+        for r in wordpiece_vocab(docs, max_piece_len=4, k=200)
+        .select("raw", "initial")
+        .collect()
+    ]
+    initial = {r for r, i in vocab if i}
+    cont = {r for r, i in vocab if not i}
+    max_i = max(len(r) for r in initial)
+    max_c = max(len(r) for r in cont)
+
+    def greedy(w):
+        out, pos = [], 0
+        while pos < len(w):
+            table, cap = (initial, max_i) if pos == 0 else (cont, max_c)
+            for l in range(min(cap, len(w) - pos), 0, -1):
+                if w[pos : pos + l] in table:
+                    out.append(
+                        w[pos : pos + l] if pos == 0 else "##" + w[pos : pos + l]
+                    )
+                    pos += l
+                    break
+            else:  # pragma: no cover - coverage guarantee
+                return ["[UNK]"]
+        return out
+
+    enc = {
+        r.doc_id: list(r.tokens)
+        for r in wordpiece_encode(docs, vocab).collect()
+    }
+    words = {
+        r.doc_id: [w for w in r.ws if w]
+        for r in docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+        ).collect()
+    }
+    assert set(enc) == {d for d, ws in words.items() if ws}
+    for doc_id, ws in words.items():
+        if not ws:
+            continue
+        expect = [p for w in ws for p in greedy(w)]
+        assert enc[doc_id] == expect, f"doc {doc_id}: distributed != replay"
+        assert "[UNK]" not in enc[doc_id]
+        # roundtrip: pieces re-concatenate to the original words
+        rebuilt, cur = [], ""
+        for p in enc[doc_id]:
+            if p.startswith("##"):
+                cur += p[2:]
+            else:
+                if cur:
+                    rebuilt.append(cur)
+                cur = p
+        rebuilt.append(cur)
+        assert rebuilt == ws, f"doc {doc_id}: roundtrip broke"
+
+
+# ------------------------------------------------------ round-8: hybrid RRF
+
+
+def test_hybrid_rrf_scores_and_membership(spark):
+    """RRF fusion invariants: every fused doc came from a leg, the score is
+    exactly sum(1/(60+rank)) over legs hit, ordering is (score desc, id),
+    and a doc in BOTH legs outranks the same ranks split across docs."""
+    from scraping_jobsdb_spark.operators.similarity import hybrid_rrf
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = hybrid_rrf(
+        docs, emb, ("spark", "merge", "vector"), query_vec_id=0,
+        k_each=50, k_out=20,
+    ).collect()
+    assert 0 < len(out) <= 20
+    scores = []
+    for r in out:
+        assert r.lex_rank > 0 or r.dense_rank > 0
+        expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.dense_rank) if r.dense_rank else 0.0
+        )
+        assert abs(r.rrf_score - round(expect, 9)) < 1e-12
+        scores.append((r.rrf_score, r.doc_id))
+    ordered = sorted(scores, key=lambda t: (-t[0], t[1]))
+    assert scores == ordered
+
+
+# ------------------------------------------- round-8: perplexity bucketing
+
+
+def test_perplexity_buckets_partition_corpus(spark):
+    """CCNet head/middle/tail: the buckets PARTITION the scored corpus
+    (counts sum to the per-doc table's size) and are value-ordered —
+    head's max surprisal <= middle's min, middle's max <= tail's min."""
+    from scraping_jobsdb_spark.operators.textops import (
+        bigram_surprisal,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    buckets = {r.bucket: r for r in perplexity_buckets(docs).collect()}
+    assert set(buckets) == {"head", "middle", "tail"}
+    n_scored = bigram_surprisal(docs).count()
+    assert sum(r.n_docs for r in buckets.values()) == n_scored
+    assert buckets["head"].max_nats <= buckets["middle"].min_nats
+    assert buckets["middle"].max_nats <= buckets["tail"].min_nats
+    # tertiles: no bucket is off by more than 1 from n/3 on the small corpus
+    for r in buckets.values():
+        assert abs(r.n_docs - n_scored / 3) <= max(2, 0.05 * n_scored)

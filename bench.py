@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "hybrid_rrf_retrieval",
     # CCNet perplexity head/middle/tail corpus split
     "doc_perplexity_buckets",
+    # JL +-1 random projection (embedding compression upstream of ANN)
+    "embedding_random_projection",
 ]
 
 

@@ -1701,3 +1701,64 @@ def hybrid_rrf(
         .orderBy(F.col("rrf_score").desc(), F.col(doc_id_col))
         .limit(k_out)
     )
+
+
+def random_projection_int(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a fixed ±1 sign
+    matrix (Achlioptas, "Database-friendly random projections": a
+    Rademacher matrix preserves pairwise distances in expectation like a
+    Gaussian one, with integer-only arithmetic) — the embedding-compression
+    lever upstream of ANN indexing: project d→out_dim once, search the
+    short vectors, re-rank survivors in the full space.
+
+    ENGINE-PORTABLE and hash-oracle-able by construction: the input is
+    first int8-quantized (``quantize_embeddings_int8`` — the established
+    exact-integer recipe), the sign s(i, j) = 1 - 2·(md5("i:j") first hex
+    digit mod 2) is a pure function any engine reproduces, and each output
+    component is an exact BIGINT sum Σ_i codes[i]·s(i,j) — no double ever
+    crosses the gate. Map-only: one codegen'd transform/aggregate over the
+    scan, a posexplode to (id, dim, proj); no shuffle, no UDF, cost linear
+    in rows × d × out_dim. The sign matrix is never materialized — it is
+    recomputed from md5 inside the expression, so nothing rides closures
+    or broadcasts.
+    """
+    q = quantize_embeddings_int8(emb, vec_col=vec_col, id_col=id_col)
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(1), F.size("codes")),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.col("codes")[i - 1].cast("bigint")
+            * (
+                F.lit(1)
+                - F.lit(2)
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    i.cast("string"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 2
+                )
+            ),
+        ),
+    )
+    return q.select(
+        F.col(id_col), F.posexplode(proj).alias("dim", "proj")
+    ).select(id_col, F.col("dim").cast("bigint").alias("dim"), "proj")

@@ -1815,3 +1815,45 @@ def q_wordpiece_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", " ").alias("pieces"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@_register(
+    "embedding_random_projection",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, x -> abs(x)))
+                        / 127.0, 1e-12) AS scale
+        FROM embeddings
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x / scale) AS INTEGER)) AS codes
+        FROM s
+    )
+    SELECT vec_id, j AS dim,
+           CAST(list_sum(list_transform(range(1, len(codes) + 1),
+                i -> CAST(codes[i] AS BIGINT) *
+                     (1 - 2 * (CAST(('0x' || substr(md5(
+                          CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+                          1, 1)) AS BIGINT) % 2))))
+                AS BIGINT) AS proj
+    FROM q8, unnest(range(0, 16)) AS t(j)
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→16
+    (operators/similarity.py random_projection_int — Achlioptas's
+    database-friendly Rademacher matrix): the embedding-compression lever
+    upstream of ANN (project once, search short vectors, re-rank
+    survivors full-width). Int8-quantize first (the int8 family's exact
+    recipe), signs recomputed from md5("i:j") inside the expression (the
+    matrix is never materialized — nothing rides closures), every output
+    an exact BIGINT sum → fully value-hash oracled. Map-only codegen over
+    one scan + posexplode; no shuffle, no UDF."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        random_projection_int,
+    )
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return random_projection_int(emb, out_dim=16)

@@ -75,6 +75,14 @@ FAMILIES = [
     "dedup_keep_best_quality",
     # SemDeDup, production cell regime (k ~ n/50, broadcast argmin)
     "semantic_dedup_kmeans_cells",
+    # WordPiece end-to-end (distinct-word reduction + Arrow segmentation)
+    "wordpiece_corpus_tokenize",
+    # RRF hybrid retrieval (two corpus-scan legs + tiny fusion join)
+    "hybrid_rrf_retrieval",
+    # CCNet perplexity tertile split (bigram LM + 1-row percentile)
+    "doc_perplexity_buckets",
+    # JL random projection (map-only codegen, no shuffle)
+    "embedding_random_projection",
 ]
 
 
@@ -139,6 +147,12 @@ def main() -> None:
         sys.exit(
             f"scale-up data missing at {BIG_DIR} — run scripts/gen_scale_data.py"
         )
+    # optional: name families on argv to run ONLY those and merge the new
+    # rows into an existing BENCH_SCALING.json (late-round additions don't
+    # re-pay the whole sweep)
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    families = only or FAMILIES
+    run_e2e = not only
     spark = get_spark(app_name="bench_scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -159,7 +173,7 @@ def main() -> None:
         "data_factor": 10,
         "families": {},
     }
-    for name in FAMILIES:
+    for name in families:
         t_base = _time(lambda: _run_registry(spark, name, BASE_DIR))
         t_big = _time(lambda: _run_registry(spark, name, BIG_DIR))
         ratio = round(t_big / t_base, 2) if t_base > 0 else None
@@ -171,17 +185,27 @@ def main() -> None:
         }
         print(f"{name}: {t_base}s -> {t_big}s  ({ratio}x)", flush=True)
 
-    # e2e pipeline at 1x vs 10x param grid (corpus-independent of sf dirs)
-    t_base = _time(lambda: _reference_pipeline(spark, 1), min_runs=1)
-    t_big = _time(lambda: _reference_pipeline(spark, 10), min_runs=1)
-    ratio = round(t_big / t_base, 2)
-    out["families"]["reference_pipeline_10x_grid"] = {
-        "t_base_s": t_base,
-        "t_big_s": t_big,
-        "ratio": ratio,
-        "super_linear": bool(ratio > 12),
-    }
-    print(f"reference_pipeline_10x_grid: {t_base}s -> {t_big}s ({ratio}x)", flush=True)
+    if run_e2e:
+        # e2e pipeline at 1x vs 10x param grid (corpus-independent of sf dirs)
+        t_base = _time(lambda: _reference_pipeline(spark, 1), min_runs=1)
+        t_big = _time(lambda: _reference_pipeline(spark, 10), min_runs=1)
+        ratio = round(t_big / t_base, 2)
+        out["families"]["reference_pipeline_10x_grid"] = {
+            "t_base_s": t_base,
+            "t_big_s": t_big,
+            "ratio": ratio,
+            "super_linear": bool(ratio > 12),
+        }
+        print(f"reference_pipeline_10x_grid: {t_base}s -> {t_big}s ({ratio}x)", flush=True)
+
+    if only:
+        prior_path = REPO / "BENCH_SCALING.json"
+        if prior_path.exists():
+            prior = json.loads(prior_path.read_text())
+            merged = prior.get("families", {})
+            merged.update(out["families"])
+            prior["families"] = merged
+            out = prior
 
     flagged = sorted(
         n for n, v in out["families"].items() if v["super_linear"]

@@ -263,6 +263,12 @@ FORBIDDEN = [
     ("doc_perplexity_buckets", "Window"),
     ("doc_perplexity_buckets", "BatchEvalPython"),
     ("doc_perplexity_buckets", "CartesianProduct"),
+    # JL projection: map-only codegen over one scan + generate — the md5
+    # sign matrix is recomputed inside the expression; nothing shuffles,
+    # joins, or crosses into Python
+    ("embedding_random_projection", "Exchange hashpartitioning"),
+    ("embedding_random_projection", "Join"),
+    ("embedding_random_projection", "BatchEvalPython"),
 ]
 
 

@@ -2039,3 +2039,55 @@ def test_perplexity_buckets_partition_corpus(spark):
     # tertiles: no bucket is off by more than 1 from n/3 on the small corpus
     for r in buckets.values():
         assert abs(r.n_docs - n_scored / 3) <= max(2, 0.05 * n_scored)
+
+
+# -------------------------------------------- round-8: random projection
+
+
+def test_random_projection_preserves_neighborhood_order(spark):
+    """JL property (statistical, deterministic here since the sign matrix
+    is fixed): squared distances in the 16-dim projected space correlate
+    strongly with the int8-domain distances in the original 64-dim space,
+    and the projection is a pure function (re-run identical)."""
+    import numpy as np
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        quantize_embeddings_int8,
+        random_projection_int,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(80)
+    codes = {
+        r.vec_id: np.array(r.codes, dtype=np.float64)
+        for r in quantize_embeddings_int8(emb).collect()
+    }
+
+    def corr(out_dim):
+        rows = random_projection_int(emb, out_dim=out_dim).collect()
+        assert {r.dim for r in rows} == set(range(out_dim))
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r.vec_id, [0] * out_dim)[r.dim] = r.proj
+        ids = sorted(by_id)
+        d_orig, d_proj = [], []
+        for a in ids[:40]:
+            for b in ids[:40]:
+                if a < b:
+                    d_orig.append(float(np.sum((codes[a] - codes[b]) ** 2)))
+                    pa = np.array(by_id[a], dtype=np.float64)
+                    pb = np.array(by_id[b], dtype=np.float64)
+                    d_proj.append(float(np.sum((pa - pb) ** 2)))
+        return np.corrcoef(d_orig, d_proj)[0, 1], by_id
+
+    r16, by_id = corr(16)
+    r48, _ = corr(48)
+    assert r16 > 0.3, f"16-dim projection decorrelated: r={r16:.3f}"
+    # the JL lever: more output dims => tighter distance preservation
+    assert r48 > r16, f"r48={r48:.3f} !> r16={r16:.3f}"
+    assert r48 > 0.6, f"48-dim projection decorrelated: r={r48:.3f}"
+    # determinism: identical on re-run (fixed md5 sign matrix)
+    again = {
+        (r.vec_id, r.dim): r.proj
+        for r in random_projection_int(emb, out_dim=16).collect()
+    }
+    assert all(again[(v, d)] == by_id[v][d] for v in by_id for d in range(16))

@@ -1762,3 +1762,64 @@ def random_projection_int(
     return q.select(
         F.col(id_col), F.posexplode(proj).alias("dim", "proj")
     ).select(id_col, F.col("dim").cast("bigint").alias("dim"), "proj")
+
+
+def kmeans_fit_local(
+    sample: DataFrame,
+    n_centroids: int = 10,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sample_rows: int = 200_000,
+) -> DataFrame:
+    """Lloyd's k-means trained DRIVER-SIDE over a BOUNDED sample — the
+    faiss recipe (faiss's Clustering trains on a fixed-size subsample of
+    the corpus regardless of corpus size; only ASSIGNMENT is distributed).
+    The DataFrame-iterative ``kmeans_fit`` pays 2 Spark jobs per round,
+    which is the right shape when training data is corpus-sized; when the
+    caller already holds a fixed-size sample (SemDeDup cell training, IVF
+    coarse quantizers), the whole E/M loop is a few numpy GEMMs over at
+    most ``max_sample_rows`` × dim floats — milliseconds, zero jobs after
+    the one sample collect. Raises if the sample exceeds the cap: the
+    collect must stay tiny-by-construction (the codebook/centroid
+    exception to the no-driver-materialization rule).
+
+    Semantics mirror ``kmeans_fit``: hash-stride seeding via
+    ``_seed_centroids``, cosine assignment with ties to the lowest cell
+    id, per-cell ARITHMETIC-mean update, empty cells carry the previous
+    centroid. Deterministic: collected rows are re-sorted by id before
+    any summation, so partition order can't reorder float sums. Returns
+    (cell int, centroid array<double>).
+    """
+    import numpy as np
+
+    n = sample.count()
+    if n > max_sample_rows:
+        raise ValueError(
+            f"kmeans_fit_local: sample has {n} rows > cap {max_sample_rows}"
+            " — thin the sample or use the distributed kmeans_fit"
+        )
+    rows = sample.select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[0])
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    xn[xn == 0] = 1.0
+    Xn = X / xn
+    seeded = _seed_centroids(sample, n_centroids, id_col, vec_col).select(
+        F.col(vec_col).cast("array<double>").alias("centroid")
+    )
+    C = np.array([list(r.centroid) for r in seeded.collect()], dtype=np.float64)
+    k = C.shape[0]
+    for _ in range(max_iter):
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        sims = Xn @ (C / cn).T  # (n, k)
+        assign = np.argmax(sims, axis=1)  # ties -> lowest cell id
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return sample.sparkSession.createDataFrame(
+        [(int(i), [float(v) for v in C[i]]) for i in range(k)],
+        "cell int, centroid array<double>",
+    )

@@ -1005,7 +1005,7 @@ def q_semantic_dedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame
     rows-only at the driver; the operator's join/aggregate composition is
     hash-oracled via the label-cell sibling."""
     from scraping_jobsdb_spark.operators.similarity import (
-        kmeans_fit,
+        kmeans_fit_local,
         semantic_dedup_keep_list,
     )
 
@@ -1027,7 +1027,10 @@ def q_semantic_dedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long") % mod
         == 0
     )
-    cents = kmeans_fit(sample, n_centroids=k, max_iter=3)
+    # training is DRIVER-SIDE numpy over the bounded sample (the faiss
+    # recipe — kmeans_fit_local raises if the sample outgrows its cap);
+    # only the corpus-sized assignment below is distributed
+    cents = kmeans_fit_local(sample, n_centroids=k, max_iter=3)
     return semantic_dedup_keep_list(
         corpus, cents, threshold=0.9, label_col="cell", assign="broadcast"
     )

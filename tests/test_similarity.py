@@ -1637,3 +1637,48 @@ def test_encode_with_cell_arrow_equals_expression(spark):
         ).collect()
     }
     assert a == e and len(a) == emb.count()
+
+
+def test_kmeans_fit_local_matches_contract(spark):
+    """Driver-side bounded-sample trainer (the faiss recipe): returns
+    exactly k cells, deterministic across re-runs (collected rows re-sorted
+    by id before any float sum), refuses corpus-sized samples, and the
+    SemDeDup composition over its cells still drops every injected exact
+    duplicate (that invariant holds for ANY centroid set — identical
+    vectors share an argmin)."""
+    import pytest as _pytest
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        kmeans_fit_local,
+        semantic_dedup_keep_list,
+    )
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit_local(emb, n_centroids=8, max_iter=3)
+    rows = {r.cell: list(r.centroid) for r in cents.collect()}
+    assert sorted(rows) == list(range(8))
+    again = {
+        r.cell: list(r.centroid)
+        for r in kmeans_fit_local(
+            emb.repartition(7), n_centroids=8, max_iter=3
+        ).collect()
+    }
+    assert again == rows, "trainer must not depend on partitioning"
+    with _pytest.raises(ValueError):
+        kmeans_fit_local(emb, n_centroids=8, max_sample_rows=10)
+    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    verdicts = semantic_dedup_keep_list(
+        corpus, cents, threshold=0.9, label_col="cell", assign="broadcast"
+    )
+    dropped = {
+        r.vec_id for r in verdicts.filter(~F.col("keep")).collect()
+    }
+    injected = {r.vec_id for r in dups.select("vec_id").collect()}
+    assert injected <= dropped, "every injected exact dup must drop"

@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "doc_perplexity_buckets",
     # JL +-1 random projection (embedding compression upstream of ANN)
     "embedding_random_projection",
+    # contrastive hard-negative mining + MRL truncated first-pass retrieval
+    "embedding_hard_negatives",
+    "embedding_matryoshka_topk",
 ]
 
 

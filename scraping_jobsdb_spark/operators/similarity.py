@@ -1823,3 +1823,101 @@ def kmeans_fit_local(
         [(int(i), [float(v) for v in C[i]]) for i in range(k)],
         "cell int, centroid array<double>",
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-negatives
+    upgrade every embedding-model pipeline runs — e.g. DPR/SimCSE style):
+    for each anchor, the top-``k`` most-similar corpus vectors with a
+    DIFFERENT label — semantically close yet wrong, exactly the examples a
+    contrastive loss learns most from.
+
+    One corpus scan against the broadcast anchor set, label-mismatch filter
+    BEFORE the ranking window (the filter prunes map-side; no post-ranking
+    patch-up), per-anchor windowed top-k. Cosines are quantized to 9 dp
+    before the (cos desc, id) ranking — the engine's shared rank-stability
+    contract — so the output (query_id, vec_id, neg_label, rank) is
+    cross-engine deterministic and hash-oracle-able.
+    """
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col("query_id"))
+            & (F.col(label_col) != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 9).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "neg_label", "rank")
+    )
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    query_ids: tuple[int, ...],
+    prefix_dim: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prefix-truncated cosine top-k (Kusupati et al., "Matryoshka
+    Representation Learning": MRL-trained embeddings rank nearly as well
+    from their first ``prefix_dim`` coordinates, so retrieval runs a cheap
+    truncated first pass and re-ranks survivors full-width). This is the
+    first pass: slice every vector to its prefix, renormalized cosine
+    (cosine renormalizes by construction), broadcast-query window top-k.
+
+    Same plan as the full-width ``brute_force_topk`` but the scan moves
+    ``prefix_dim/d`` of the bytes through the score expression — at 100 TB
+    the savings is the point (64→16 dims = 4× less compute per candidate).
+    9-dp quantized ranking with id tie-breaks → hash-oracle-able.
+    """
+    from pyspark.sql import Window
+
+    sliced = emb.select(
+        id_col, F.slice(F.col(vec_col), 1, prefix_dim).alias("__pv")
+    )
+    q = sliced.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__pv").alias("qvec")
+    )
+    scored = (
+        sliced.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col("__pv"), F.col("qvec")), 9).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )

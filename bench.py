@@ -180,6 +180,14 @@ BENCH_QUERIES = [
     # contrastive hard-negative mining + MRL truncated first-pass retrieval
     "embedding_hard_negatives",
     "embedding_matryoshka_topk",
+    # naive-Bayes quality classifier, trained AND scored in one job
+    "quality_classifier_nb",
+    # DSIR hashed-unigram importance resampling (target-vs-raw log ratio)
+    "dsir_importance_sample",
+    # C4-style boilerplate SPAN removal (frequent-trigram strike + rebuild)
+    "doc_boilerplate_removal",
+    # XLM-R temperature-resampled language mixture (largest remainder)
+    "temperature_mixture_corpus",
 ]
 
 

@@ -426,3 +426,82 @@ def epochs_expand(
         .drop("__n", "__over")
         .withColumn("repeat_idx", F.col("repeat_idx").cast("bigint"))
     )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-resampled group mixture (the XLM-R / mT5 multilingual
+    recipe: sample group g with probability ∝ share_g^α, α<1 flattening
+    the head so low-resource groups are upsampled relative to their raw
+    share). Allocates an exact ``budget``-document quota across groups by
+    the LARGEST-REMAINDER method over q_g = n_g^α / Σ n_h^α, then picks
+    each group's quota deterministically in md5(id) order (the engine's
+    layout-independent sampling order — re-runs, engines and
+    partitionings all agree, unlike seeded df.sample).
+
+    Scale shape: group shares are ONE tiny aggregate (|groups| rows); the
+    quota arithmetic runs in windows over that |groups|-row frame (the
+    single-partition window is over groups, never rows); selection is one
+    rank window on the natural group shuffle + a broadcast quota join.
+    No corpus-sized driver collect, no global sort.
+
+    Determinism: n_g^α is the one irrational — quotas are rounded to 9 dp
+    and carried as DECIMAL(30,9) before the floor/remainder split, so the
+    largest-remainder ranking (remainder desc, group) is exact decimal
+    arithmetic cross-engine. Output one row per group:
+    (group, n_docs, alloc, n_sampled, id_checksum).
+    """
+    shares = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    q = (
+        F.lit(float(budget))
+        * F.pow(F.col("n").cast("double"), F.lit(alpha))
+        / F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).over(wall)
+    )
+    quota = shares.select(
+        group_col,
+        "n",
+        F.round(q, 9).cast("decimal(30,9)").alias("q9"),
+    ).select(
+        group_col,
+        "n",
+        F.floor("q9").cast("bigint").alias("base"),
+        (F.col("q9") - F.floor("q9")).alias("rem"),
+    )
+    wrem = Window.orderBy(F.col("rem").desc(), F.col(group_col))
+    alloc = quota.select(
+        group_col,
+        "n",
+        "base",
+        F.row_number().over(wrem).alias("__rr"),
+        (F.lit(budget) - F.sum("base").over(wall)).alias("__extra"),
+    ).select(
+        group_col,
+        F.col("n").alias("n_docs"),
+        (
+            F.col("base")
+            + F.when(F.col("__rr") <= F.col("__extra"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    wpick = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    picked = (
+        docs.select(group_col, id_col)
+        .withColumn("__rk", F.row_number().over(wpick))
+        .join(F.broadcast(alloc), group_col)
+        .filter(F.col("__rk") <= F.col("alloc"))
+    )
+    return (
+        picked.groupBy(group_col, "n_docs", "alloc")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(id_col).alias("id_checksum"),
+        )
+        .select(group_col, "n_docs", "alloc", "n_sampled", "id_checksum")
+    )

@@ -1816,3 +1816,264 @@ def wordpiece_encode(
         )
         .select(id_col, "tokens", F.size("tokens").alias("n_tokens"))
     )
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-and-score a naive-Bayes bag-of-words quality classifier in one
+    distributed pass — the CCNet/LLaMA-style "does this look like the
+    high-quality reference corpus?" filter (fastText's job in those
+    pipelines), expressed as pure relational algebra so both the training
+    counts and the scores are value-hash oracle-able.
+
+    Model: multinomial NB with add-one smoothing. Per token t,
+    ``w(t) = ln((c_pos(t)+1)/(N_pos+V)) - ln((c_neg(t)+1)/(N_neg+V))``
+    with N_class the class token total and V the corpus vocabulary;
+    ``prior = ln(d_pos) - ln(d_neg)`` over document counts. A document's
+    log-odds score is ``prior + Σ_t tf(d,t)·w(t)``; predicted ⇔ score > 0.
+
+    Scale shape: ONE corpus tokenize feeding (a) the per-(doc, token) tf
+    aggregate (token explode, doc-token-keyed shuffle) and (b) the
+    class-conditional token counts derived from that SAME tf table (token-
+    keyed shuffle producing a VOCABULARY-sized weight table — MBs even at
+    a 10M-token vocab, broadcast back, never reshuffling the corpus); the
+    1-row (N_pos, N_neg, V, priors) statistics ride a broadcast cross
+    join. Scoring is a map-side broadcast join + one doc-keyed aggregate.
+    Nothing corpus-sized crosses the driver.
+
+    Determinism: w(t) and the prior are rounded to 9 dp and carried as
+    DECIMAL(30,9) (the engine's ln-portability rule); tf·w products and
+    the per-doc sum are then exact decimal arithmetic, so partial-
+    aggregation order cannot perturb the score and the `> 0` prediction
+    boundary is cross-engine exact. Output: (id, label, score, predicted).
+    """
+    toks = docs.select(
+        F.col(id_col), label.alias("label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "label", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf = tf.localCheckpoint()  # training counts AND scoring both consume it
+
+    cls = tf.groupBy("tok").agg(
+        F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("label"), F.col("tf")).otherwise(0)).alias("cn"),
+    )
+    stats = tf.agg(
+        F.sum(F.when(F.col("label"), F.col("tf")).otherwise(0)).alias("np"),
+        F.sum(F.when(~F.col("label"), F.col("tf")).otherwise(0)).alias("nn"),
+        F.count_distinct("tok").alias("v"),
+        F.count_distinct(F.when(F.col("label"), F.col(id_col))).alias("dp"),
+        F.count_distinct(F.when(~F.col("label"), F.col(id_col))).alias("dn"),
+    )
+    weights = cls.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.round(
+            F.log((F.col("cp") + 1).cast("double") / (F.col("np") + F.col("v")))
+            - F.log((F.col("cn") + 1).cast("double") / (F.col("nn") + F.col("v"))),
+            9,
+        ).cast("decimal(18,9)").alias("w"),  # 18,9: tf(10,0)*w stays scale-9
+    )
+    prior = stats.select(
+        F.round(F.log(F.col("dp").cast("double")) - F.log(F.col("dn").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("prior")
+    )
+    scored = (
+        tf.join(F.broadcast(weights), "tok")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("tf").cast("decimal(10,0)") * F.col("w")).alias("__s"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "label",
+            # cast the sum back down before adding the prior: (38,9)+(18,9)
+            # would overflow precision 38 and silently drop the 9th decimal
+            (F.col("prior") + F.col("__s").cast("decimal(30,9)"))
+            .cast("double")
+            .alias("score"),
+            (
+                (F.col("prior") + F.col("__s").cast("decimal(30,9)")) > 0
+            ).alias("predicted"),
+        )
+    )
+    return scored
+
+
+def dsir_importance_topk(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by the
+    log importance ratio of a hashed-unigram bag-of-words model fitted to
+    a TARGET (high-quality) subset vs the RAW corpus, then keep the top-k.
+    ``log w(d) = Σ_b c(d,b)·(ln p̂_target(b) - ln p̂_raw(b))`` over hashed
+    feature buckets b, with add-one smoothing over the n_buckets space.
+
+    Hashing is the engine's portable md5 recipe (same construction as
+    minhash_portable / simhash_portable): bucket = 60-bit md5 prefix mod
+    n_buckets, bit-identical in any engine with md5.
+
+    Scale shape: one tokenize+hash map pass → a (doc, bucket) count
+    aggregate (the only corpus-sized shuffle); the two distribution
+    vectors are n_buckets-row aggregates OF THAT SAME TABLE (no second
+    corpus pass), joined back as a broadcast; per-doc scores are one
+    doc-keyed aggregate and the cut is TakeOrderedAndProject (per-
+    partition top-k, no global sort). Nothing corpus-sized hits the
+    driver.
+
+    Determinism: per-bucket log-ratios rounded to 9 dp and carried as
+    DECIMAL(30,9), count·ratio products and the per-doc sum exact decimal
+    (ln-portability rule); the top-k cut ranks under the (score desc, id)
+    total order. Output: (id, score, rank), rank 1..k.
+    """
+    h60 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    toks = docs.select(
+        F.col(id_col), target.alias("__t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    db = toks.select(
+        id_col, "__t", (h60 % n_buckets).alias("b")
+    ).groupBy(id_col, "__t", "b").agg(F.count(F.lit(1)).alias("c"))
+    db = db.localCheckpoint()  # model AND scoring both consume it
+
+    dist = db.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    tot = db.agg(
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(0)).alias("nt"),
+        F.sum("c").alias("nr"),
+    )
+    ratios = dist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.lit(n_buckets))
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.lit(n_buckets))
+            ),
+            9,
+        ).cast("decimal(18,9)").alias("r"),  # 18,9: c(10,0)*r stays scale-9
+    )
+    scored = (
+        db.join(F.broadcast(ratios), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c").cast("decimal(10,0)") * F.col("r"))
+            .cast("double")
+            .alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.select(
+        id_col, "score", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+
+
+def boilerplate_span_removal(
+    docs: DataFrame,
+    min_df: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate SPAN removal (the C4/RefinedWeb step after
+    boilerplate *detection*): any word-trigram occurring in ≥ min_df
+    distinct documents is boilerplate, every token position covered by an
+    occurrence of a boilerplate trigram is struck from its document, and
+    the document is reassembled from the survivors in original order.
+    Differs from dedup_segments_global (which KEEPS each segment's first
+    occurrence) — boilerplate is removed from every document including
+    the first, matching C4's "citation needed"/navigation-chrome rule.
+
+    Scale shape: map-only posexplode + zip-shifted trigram build (no
+    per-position self-join), ONE gram-keyed doc-frequency aggregate whose
+    survivors (the boilerplate list — tiny by construction: grams
+    repeated across ≥ min_df docs) broadcast back as a semi join onto the
+    occurrence stream; covered positions fan out ×3 map-side; survivors
+    are a (doc, pos)-keyed anti join and reassembly is one doc-keyed
+    aggregate with JVM-side array_sort (never a Python round-trip).
+    Fully-stripped documents survive as empty strings via the final
+    left join onto the per-doc token counts.
+
+    Exact — no floating point anywhere; (doc, pos) is a total order, so
+    reassembly is deterministic. Output: (id, n_tokens, n_removed, clean_text).
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    base = docs.select(F.col(id_col), t.alias("__t"))
+    pos = base.select(
+        id_col, F.posexplode("__t").alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    pos = pos.localCheckpoint()  # trigram build AND anti join consume it
+
+    # guard: sequence(0, -1) would COUNT DOWN in Spark, not return empty
+    starts = F.when(
+        F.size("__t") >= 3, F.sequence(F.lit(0), F.size("__t") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    tri = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(
+                        " ",
+                        F.col("__t")[i],
+                        F.col("__t")[i + 1],
+                        F.col("__t")[i + 2],
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    tri = tri.localCheckpoint()  # df-count AND coverage join consume it
+
+    freq = tri.groupBy("gram").agg(
+        F.count_distinct(id_col).alias("df")
+    ).filter(F.col("df") >= min_df).select("gram")
+    covered = (
+        tri.join(F.broadcast(freq), "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.array(F.col("start"), F.col("start") + 1, F.col("start") + 2)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    surv = pos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = surv.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    counts = pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return counts.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

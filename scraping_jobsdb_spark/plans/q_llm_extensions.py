@@ -1932,3 +1932,223 @@ def q_embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return matryoshka_topk(emb, (0, 100, 200), prefix_dim=16, k=10)
+
+
+@_register(
+    "quality_classifier_nb",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS label, t.tok
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE t.tok != ''
+    ), tf AS (
+        SELECT doc_id, label, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+    ), cls AS (
+        SELECT tok,
+               SUM(CASE WHEN label THEN tf ELSE 0 END) AS cp,
+               SUM(CASE WHEN NOT label THEN tf ELSE 0 END) AS cn
+        FROM tf GROUP BY tok
+    ), stats AS (
+        SELECT SUM(CASE WHEN label THEN tf ELSE 0 END) AS np,
+               SUM(CASE WHEN NOT label THEN tf ELSE 0 END) AS nn,
+               COUNT(DISTINCT tok) AS v,
+               COUNT(DISTINCT CASE WHEN label THEN doc_id END) AS dp,
+               COUNT(DISTINCT CASE WHEN NOT label THEN doc_id END) AS dn
+        FROM tf
+    ), weights AS (
+        SELECT tok,
+               CAST(ROUND(ln((cp + 1) / CAST(np + v AS DOUBLE))
+                          - ln((cn + 1) / CAST(nn + v AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM cls, stats
+    ), prior AS (
+        SELECT CAST(ROUND(ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)), 9)
+                    AS DECIMAL(30,9)) AS p
+        FROM stats
+    ), sums AS (
+        SELECT doc_id, label, SUM(CAST(tf AS DECIMAL(10,0)) * w) AS s
+        FROM tf JOIN weights USING (tok) GROUP BY 1, 2
+    )
+    SELECT doc_id, label,
+           CAST(p + s AS DOUBLE) AS score,
+           (p + s) > 0 AS predicted
+    FROM sums, prior
+    """,
+)
+def q_quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier, trained AND scored in one job
+    (operators/textops.py nb_quality_scores — the relational stand-in for
+    the fastText quality filter CCNet/LLaMA pipelines train against a
+    reference corpus; here the proxy label is lang='en'). Class-
+    conditional token counts and the vocabulary-sized log-odds weight
+    table derive from ONE (doc, token) tf aggregate; scoring is a
+    broadcast weight join + doc-keyed decimal sum. Per-token weights
+    rounded to 9 dp then DECIMAL-summed (the ln-portability rule), so the
+    score and the >0 decision boundary are cross-engine exact → fully
+    value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import nb_quality_scores
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return nb_quality_scores(docs, label=F.col("lang") == "en")
+
+
+@_register(
+    "dsir_importance_sample",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS t, tk.tok
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tk(tok)
+        WHERE tk.tok != ''
+    ), db AS (
+        SELECT doc_id, t,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS b,
+               COUNT(*) AS c
+        FROM toks GROUP BY 1, 2, 3
+    ), dist AS (
+        SELECT b,
+               SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+               SUM(c) AS cr
+        FROM db GROUP BY b
+    ), tot AS (
+        SELECT SUM(CASE WHEN t THEN c ELSE 0 END) AS nt, SUM(c) AS nr FROM db
+    ), ratios AS (
+        SELECT b,
+               CAST(ROUND(ln((ct + 1) / CAST(nt + 256 AS DOUBLE))
+                          - ln((cr + 1) / CAST(nr + 256 AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS r
+        FROM dist, tot
+    ), scored AS (
+        SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(10,0)) * r) AS DOUBLE) AS score
+        FROM db JOIN ratios USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 100
+    """,
+)
+def q_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/textops.py
+    dsir_importance_topk — Xie et al. 2023's hashed-unigram data
+    selection: score raw documents by the log importance ratio of a
+    target-corpus bag-of-words model vs the raw-corpus model, keep the
+    top slice; target here is the lang='en' subset). Buckets are the
+    engine's portable 60-bit md5 hash mod 256; both distribution vectors
+    are 256-row aggregates of the SAME (doc, bucket) count table; the cut
+    is TakeOrderedAndProject. 9-dp DECIMAL log-ratios, exact decimal
+    sums → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import dsir_importance_topk
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return dsir_importance_topk(
+        docs, target=F.col("lang") == "en", n_buckets=256, k=100
+    )
+
+
+@_register(
+    "doc_boilerplate_removal",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+        FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+        WHERE ws[i] != ''
+    ), tri AS (
+        SELECT doc_id, i - 1 AS start,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+        FROM toks, unnest(range(1, len(ws) - 1)) AS t(i)
+    ), freq AS (
+        SELECT gram FROM tri GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 4
+    ), covered AS (
+        SELECT DISTINCT t.doc_id, t.start + d.d AS pos
+        FROM tri t JOIN freq USING (gram),
+             (SELECT unnest([0, 1, 2]) AS d) AS d
+    ), surv AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos p ANTI JOIN covered c
+          ON p.doc_id = c.doc_id AND p.pos = c.pos
+    ), rebuilt AS (
+        SELECT doc_id, COUNT(*) AS kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM surv GROUP BY doc_id
+    ), counts AS (
+        SELECT doc_id, COUNT(*) AS n_tokens FROM pos GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.n_tokens,
+           c.n_tokens - COALESCE(r.kept, 0) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM counts c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate SPAN removal (operators/textops.py
+    boilerplate_span_removal — the C4/RefinedWeb step AFTER detection:
+    strike every token position covered by a corpus-frequent trigram from
+    EVERY document, first occurrence included — vs dedup_segments_global
+    which keeps firsts — and reassemble survivors in order). One gram-
+    keyed doc-frequency aggregate, broadcast semi join of the tiny
+    boilerplate list onto the occurrence stream, (doc, pos) anti join,
+    JVM-side ordered reassembly. Integer/string-only → exact, fully
+    value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import boilerplate_span_removal
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return boilerplate_span_removal(docs, min_df=4)
+
+
+@_register(
+    "temperature_mixture_corpus",
+    oracle=r"""
+    WITH shares AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), quota AS (
+        SELECT lang, n,
+               CAST(ROUND(100 * pow(n, 0.5) / SUM(pow(n, 0.5)) OVER (), 9)
+                    AS DECIMAL(30,9)) AS q9
+        FROM shares
+    ), split AS (
+        SELECT lang, n, CAST(FLOOR(q9) AS BIGINT) AS base,
+               q9 - FLOOR(q9) AS rem
+        FROM quota
+    ), alloc AS (
+        SELECT lang, n AS n_docs,
+               base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+                                <= 100 - SUM(base) OVER ()
+                           THEN 1 ELSE 0 END AS alloc
+        FROM split
+    ), ranked AS (
+        SELECT d.lang, d.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d
+    )
+    SELECT a.lang, a.n_docs, CAST(a.alloc AS BIGINT) AS alloc,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rk <= a.alloc
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_temperature_mixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled language mixture (operators/sampling.py
+    temperature_mixture_sample — the XLM-R/mT5 α=0.5 recipe: per-language
+    budget ∝ share^α, flattening the head so low-resource languages are
+    upsampled; exact 100-doc budget via largest-remainder allocation over
+    9-dp DECIMAL quotas, members picked in md5(id) order). The quota
+    arithmetic windows over the 5-row language frame; selection is one
+    rank window on the natural lang shuffle + a broadcast quota join →
+    fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.sampling import temperature_mixture_sample
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "lang"))
+    return temperature_mixture_sample(docs, group_col="lang", alpha=0.5, budget=100)

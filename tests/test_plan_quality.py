@@ -73,6 +73,8 @@ REQUIRED = [
     ("product_type_profit", "BroadcastHashJoin"),
     # unigram seed top-k is an ordered limit, never a global sort
     ("unigram_seed_candidates", "TakeOrderedAndProject"),
+    # DSIR top-k cut is per-partition partial top-k, never a global sort
+    ("dsir_importance_sample", "TakeOrderedAndProject"),
 ]
 
 FORBIDDEN = [
@@ -275,6 +277,26 @@ FORBIDDEN = [
     ("embedding_hard_negatives", "BatchEvalPython"),
     ("embedding_matryoshka_topk", "CartesianProduct"),
     ("embedding_matryoshka_topk", "BatchEvalPython"),
+    # NB classifier: the 1-row stats / prior sides ride broadcast joins (a
+    # BNLJ on those literal-bounded sides is fine); the vocabulary-sized
+    # weight table broadcasts; nothing crosses into row-Python
+    ("quality_classifier_nb", "CartesianProduct"),
+    ("quality_classifier_nb", "BatchEvalPython"),
+    # DSIR: 256-bucket ratio table + 1-row totals broadcast back onto the
+    # (doc, bucket) counts — never a true product, no row-Python
+    ("dsir_importance_sample", "CartesianProduct"),
+    ("dsir_importance_sample", "BatchEvalPython"),
+    # boilerplate removal: gram doc-frequency aggregate + broadcast semi
+    # join + (doc, pos) anti join + JVM-side array_sort reassembly — no
+    # product, no Python, no window anywhere
+    ("doc_boilerplate_removal", "CartesianProduct"),
+    ("doc_boilerplate_removal", "BatchEvalPython"),
+    ("doc_boilerplate_removal", "Window"),
+    # temperature mixture: quota windows run over the 5-row language frame,
+    # selection is one rank window + broadcast quota join — no product, no
+    # row-Python
+    ("temperature_mixture_corpus", "CartesianProduct"),
+    ("temperature_mixture_corpus", "BatchEvalPython"),
 ]
 
 

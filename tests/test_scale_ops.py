@@ -2091,3 +2091,134 @@ def test_random_projection_preserves_neighborhood_order(spark):
         for r in random_projection_int(emb, out_dim=16).collect()
     }
     assert all(again[(v, d)] == by_id[v][d] for v in by_id for d in range(16))
+
+
+def test_nb_classifier_separates_marker_tokens(spark):
+    """NB train+score on a synthetic corpus with class-pure marker tokens:
+    docs dominated by positive markers score > 0, negative-marker docs
+    score < 0, and flipping the label column (anti-)symmetrically negates
+    the score (weights and prior both flip sign exactly up to the 9-dp
+    rounding of each term)."""
+    from scraping_jobsdb_spark.operators.textops import nb_quality_scores
+
+    rows = []
+    for i in range(12):
+        rows.append((i, "good clean prose text here", True))
+    for i in range(12, 20):
+        rows.append((i, "spam junk spam junk noise", False))
+    # held-out mixtures: mostly-good and mostly-bad
+    rows.append((100, "good clean prose junk", True))
+    rows.append((101, "spam junk noise clean", False))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lab boolean")
+
+    scored = {
+        r.doc_id: r
+        for r in nb_quality_scores(docs, label=F.col("lab")).collect()
+    }
+    assert scored[0].score > 0 and scored[0].predicted
+    assert scored[12].score < 0 and not scored[12].predicted
+    assert scored[100].score > 0  # 3 good markers vs 1 bad
+    assert scored[101].score < 0  # 3 bad markers vs 1 good
+
+    flipped = {
+        r.doc_id: r.score
+        for r in nb_quality_scores(docs, label=~F.col("lab")).collect()
+    }
+    for i, r in scored.items():
+        # each 9-dp-rounded term can contribute <= 1e-9 asymmetry
+        assert abs(r.score + flipped[i]) < 1e-6, (i, r.score, flipped[i])
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """DSIR importance ranking on a planted vocabulary split: documents
+    written in the target subset's vocabulary outrank documents written in
+    the background vocabulary, monotonically in the target-token fraction."""
+    from scraping_jobsdb_spark.operators.textops import dsir_importance_topk
+
+    rows = []
+    for i in range(10):  # target domain: A-vocabulary
+        rows.append((i, "alpha beta gamma delta alpha beta", True))
+    for i in range(10, 40):  # background: B-vocabulary
+        rows.append((i, "omega psi chi phi omega psi", False))
+    # held-out probes (all background-labelled): varying target fraction
+    rows.append((100, "alpha beta gamma delta", False))
+    rows.append((101, "alpha beta chi phi", False))
+    rows.append((102, "omega psi chi phi", False))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+
+    ranked = {
+        r.doc_id: r.rank
+        for r in dsir_importance_topk(
+            docs, target=F.col("t"), n_buckets=64, k=50
+        ).collect()
+    }
+    assert ranked[100] < ranked[101] < ranked[102]
+
+
+def test_boilerplate_span_removal_laws(spark):
+    """Boilerplate removal strikes every occurrence of a corpus-frequent
+    trigram (first occurrence included — the contract that separates it
+    from dedup_segments_global), keeps infrequent text in original order,
+    empties fully-boilerplate docs, and conserves token counts."""
+    from scraping_jobsdb_spark.operators.textops import boilerplate_span_removal
+
+    bp = "subscribe to newsletter"
+    rows = [
+        (1, f"{bp} unique one two"),
+        (2, f"three four {bp}"),
+        (3, f"five {bp} six"),
+        (4, bp),                      # fully boilerplate
+        (5, "entirely fresh content words"),
+        (6, "a b"),                   # shorter than a trigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in boilerplate_span_removal(docs, min_df=3).collect()}
+
+    assert out[1].clean_text == "unique one two"
+    assert out[2].clean_text == "three four"
+    assert out[3].clean_text == "five six"   # order preserved around the cut
+    assert out[4].clean_text == "" and out[4].n_removed == out[4].n_tokens
+    assert out[5].clean_text == "entirely fresh content words"
+    assert out[6].clean_text == "a b" and out[6].n_removed == 0
+    for r in out.values():
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert r.n_tokens == kept + r.n_removed, r
+
+
+def test_temperature_mixture_allocation_laws(spark):
+    """Temperature mixture: the largest-remainder allocation sums exactly
+    to the budget; α=1 reproduces proportional shares; α<1 flattens the
+    distribution (smallest group gains, largest loses, relative to α=1);
+    and the selection is deterministic across reruns."""
+    from scraping_jobsdb_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+
+    def alloc_map(alpha):
+        out = temperature_mixture_sample(
+            docs, group_col="lang", alpha=alpha, budget=40
+        ).collect()
+        return {r.lang: r for r in out}
+
+    a1 = alloc_map(1.0)
+    ah = alloc_map(0.5)
+    assert sum(r.alloc for r in a1.values()) == 40
+    assert sum(r.alloc for r in ah.values()) == 40
+    for m in (a1, ah):
+        for r in m.values():
+            assert r.n_sampled == min(r.alloc, r.n_docs), r
+    big = max(a1, key=lambda k: a1[k].n_docs)
+    small = min(a1, key=lambda k: a1[k].n_docs)
+    assert ah[small].alloc >= a1[small].alloc
+    assert ah[big].alloc <= a1[big].alloc
+    # α=1 tracks raw shares within the ±1 largest-remainder band
+    total = sum(r.n_docs for r in a1.values())
+    for r in a1.values():
+        assert abs(r.alloc - 40 * r.n_docs / total) <= 1
+    # deterministic rerun: identical checksums
+    again = alloc_map(0.5)
+    assert {k: v.id_checksum for k, v in ah.items()} == {
+        k: v.id_checksum for k, v in again.items()
+    }

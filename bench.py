@@ -188,6 +188,12 @@ BENCH_QUERIES = [
     "doc_boilerplate_removal",
     # XLM-R temperature-resampled language mixture (largest remainder)
     "temperature_mixture_corpus",
+    # per-doc unigram Shannon entropy (information-density quality scalar)
+    "doc_token_entropy",
+    # corpus-wide PMI collocations (phrase/stop-pair detector)
+    "corpus_pmi_pairs",
+    # ZCA-whitened retrieval (moments pass + driver eigh + Arrow transform)
+    "embedding_whitening_topk",
 ]
 
 

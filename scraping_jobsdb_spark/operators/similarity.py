@@ -1921,3 +1921,99 @@ def matryoshka_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
     )
+
+
+def whitening_topk(
+    emb: DataFrame,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    eps: float = 1e-3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ZCA-whitened cosine top-k retrieval (Su et al., "Whitening Sentence
+    Representations for Better Semantics and Faster Retrieval": decorrelate
+    and rescale the embedding space so cosine stops being dominated by a
+    few high-variance directions — the classic post-processing fix for
+    anisotropic encoder embeddings).
+
+    Two distributed passes, driver work bounded at O(d²):
+    1. MOMENTS: one mapInPandas pass emits per-Arrow-batch partial
+       ``(n, Σx, Σxxᵀ)`` rows (numpy GEMM per batch — d + d² doubles per
+       partition, never per row); the driver combines the ≤ n_partitions
+       partials into mean/covariance and eigendecomposes d×d (d=64 here;
+       at 100 TB the moment pass is the only corpus touch and its output
+       is KBs per partition).
+    2. TRANSFORM + RANK: the (d×d) ZCA map ``W = U·diag(1/√(λ+eps))·Uᵀ``
+       rides the closure into a second Arrow pass producing whitened
+       vectors; scoring/ranking is the engine's standard broadcast-query
+       cosine window top-k under the (score desc, id) total order.
+
+    Not SQL-oracle-able (eigendecomposition) → registered rows-only; the
+    algebraic contract (whitened covariance ≈ I, rank determinism) is
+    pinned in pytest. eps regularizes near-null eigendirections, which
+    otherwise explode under 1/√λ.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    src = emb.select(F.col(id_col), F.col(vec_col))
+
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0)],
+                    "ss": [(x.T @ x).ravel()],
+                }
+            )
+    parts = src.mapInPandas(
+        moments, "n bigint, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r.n for r in parts)
+    d = len(parts[0].s)
+    s = np.sum([np.asarray(r.s) for r in parts], axis=0)
+    ss = np.sum([np.asarray(r.ss) for r in parts], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    lam, u = np.linalg.eigh(cov)
+    wmat = (u * (1.0 / np.sqrt(lam + eps))) @ u.T
+
+    def whiten(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            wv = (x - mean) @ wmat.T
+            yield pd.DataFrame({id_col: pdf[id_col], "wvec": list(wv)})
+
+    white = src.mapInPandas(whiten, f"{id_col} bigint, wvec array<double>")
+    q = white.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("wvec").alias("qvec")
+    )
+    scored = (
+        white.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col("wvec"), F.col("qvec")), 9).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "qcos")
+    )

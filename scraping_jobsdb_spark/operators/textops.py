@@ -2077,3 +2077,116 @@ def boilerplate_span_removal(
         ),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def token_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution,
+    ``H(d) = -Σ_t (tf/n)·ln(tf/n)`` in nats — the information-density
+    quality signal: near-zero for degenerate repeated-token docs, ln(n)
+    for all-distinct docs. Complements repetition_stats (which counts
+    duplicate GRAMS) with a distribution-shape scalar, and differs from
+    unigram_surprisal (which scores docs under the CORPUS model — entropy
+    is intrinsic to the doc).
+
+    Scale shape: one (doc, token) count aggregate, the per-doc total via a
+    window over the SAME doc-keyed shuffle (no second corpus pass, no
+    join), one doc-keyed aggregate. Determinism: each term is rounded to
+    9 dp and DECIMAL(18,9)-summed (the ln-portability rule; tf/n is an
+    exact-int double division, IEEE-identical everywhere). Output:
+    (id, n_tokens, n_types, entropy_nats).
+    """
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(id_col)
+    p = F.col("c").cast("double") / F.col("__n")
+    return (
+        tf.withColumn("__n", F.sum("c").over(w))
+        .select(
+            id_col,
+            "__n",
+            F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("__term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("__term").cast("double").alias("entropy_nats"),
+        )
+    )
+
+
+def pmi_top_pairs(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k adjacent-word pairs by pointwise mutual
+    information, ``pmi(a,b) = ln(N·c(a,b) / (c_left(a)·c_right(b)))`` —
+    the collocation detector (Church & Hanks) that feeds phrase
+    vocabularies and stop-pair lists; the corpus-ranking complement to
+    bigram_surprisal's per-doc scoring. A ``min_count`` floor drops the
+    low-frequency pairs whose PMI estimates are noise.
+
+    Scale shape: map-only zip-with-tail bigram build, ONE (prev, cur)
+    count aggregate; both marginals and the 1-row total are rollups of
+    that SAME table (no second corpus pass); the cut is an ordered limit
+    (TakeOrderedAndProject — per-partition top-k, no global sort).
+
+    Determinism: pmi is computed as the overflow-proof sum of logs
+    ``ln c + ln N - ln c_l - ln c_r`` (the product form c·N exceeds int64
+    once N ~ 1e10 bigrams) over exact integer inputs, rounded to 6 dp
+    (tfidf's ln-ulp contract); ranked under (pmi desc, prev, cur).
+    Output: (prev, cur, n_pair, pmi, rank).
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    grams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("g")
+    ).select(F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
+    bc = grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    bc = bc.localCheckpoint()  # marginals AND the scored set consume it
+
+    lm = bc.groupBy("prev").agg(F.sum("c").alias("lm"))
+    rm = bc.groupBy("cur").agg(F.sum("c").alias("rm"))
+    tot = bc.agg(F.sum("c").alias("n"))
+    scored = (
+        bc.filter(F.col("c") >= min_count)
+        .join(lm, "prev")
+        .join(rm, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(F.col("c").cast("double"))
+                + F.log(F.col("n").cast("double"))
+                - F.log(F.col("lm").cast("double"))
+                - F.log(F.col("rm").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "prev", "cur")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "prev", "cur")
+    return scored.select(
+        "prev", "cur", "n_pair", "pmi",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

@@ -2152,3 +2152,105 @@ def q_temperature_mixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "lang"))
     return temperature_mixture_sample(docs, group_col="lang", alpha=0.5, budget=100)
+
+
+@_register(
+    "doc_token_entropy",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, t.tok
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE t.tok != ''
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), tot AS (
+        SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(MAX(t.n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CAST(ROUND(-(f.c / CAST(t.n AS DOUBLE))
+                                 * ln(f.c / CAST(t.n AS DOUBLE)), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+    FROM tf f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id
+    """,
+)
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy (operators/textops.py
+    token_entropy — the information-density quality scalar: near-zero for
+    degenerate repeated-token docs, ln(n) for all-distinct; intrinsic to
+    the doc, vs unigram_surprisal's corpus-model score). One (doc, token)
+    count aggregate; the per-doc total is a window over the SAME doc-keyed
+    shuffle (no join, no second pass). 9-dp DECIMAL terms, exact decimal
+    sums → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import token_entropy
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return token_entropy(docs)
+
+
+@_register(
+    "corpus_pmi_pairs",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT ws[i] AS prev, ws[i + 1] AS cur
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+    ), bc AS (
+        SELECT prev, cur, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    ), lm AS (
+        SELECT prev, SUM(c) AS lm FROM bc GROUP BY prev
+    ), rm AS (
+        SELECT cur, SUM(c) AS rm FROM bc GROUP BY cur
+    ), tot AS (
+        SELECT SUM(c) AS n FROM bc
+    ), scored AS (
+        SELECT b.prev, b.cur, b.c AS n_pair,
+               ROUND(ln(CAST(b.c AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))
+                     - ln(CAST(l.lm AS DOUBLE)) - ln(CAST(r.rm AS DOUBLE)),
+                     6) AS pmi
+        FROM bc b
+        JOIN lm l USING (prev) JOIN rm r USING (cur), tot t
+        WHERE b.c >= 5
+    )
+    SELECT prev, cur, n_pair, pmi, rank FROM (
+        SELECT prev, cur, n_pair, pmi,
+               CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, prev, cur)
+                    AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def q_corpus_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 collocations by pointwise mutual information
+    (operators/textops.py pmi_top_pairs — Church & Hanks' phrase/stop-pair
+    detector, the corpus-ranking complement to bigram_surprisal's per-doc
+    scoring; min_count=5 floors out noise estimates). One (prev, cur)
+    count aggregate; marginals and the 1-row total are rollups of that
+    SAME table; the cut is TakeOrderedAndProject. PMI is the overflow-
+    proof sum of logs over exact integers, 6-dp rounded (the tfidf ln-ulp
+    contract) → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import pmi_top_pairs
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return pmi_top_pairs(docs, min_count=5, k=20)
+
+
+@_register("embedding_whitening_topk", oracle=None)
+def q_embedding_whitening_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whitened cosine retrieval (operators/similarity.py
+    whitening_topk — Su et al.'s whitening post-processing for anisotropic
+    encoder embeddings): one mapInPandas moments pass (per-batch partial
+    (n, Σx, Σxxᵀ) — d+d² doubles per partition), driver-side d×d
+    eigendecomposition, one Arrow transform pass, then the standard
+    broadcast-query cosine window top-k in the whitened space. Rows-only
+    (eigendecomposition is not SQL-expressible); whitened-covariance ≈ I
+    and rank-determinism contracts are pinned in pytest."""
+    from scraping_jobsdb_spark.operators.similarity import whitening_topk
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return whitening_topk(emb, (0, 100, 200), k=10)

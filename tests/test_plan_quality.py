@@ -75,6 +75,10 @@ REQUIRED = [
     ("unigram_seed_candidates", "TakeOrderedAndProject"),
     # DSIR top-k cut is per-partition partial top-k, never a global sort
     ("dsir_importance_sample", "TakeOrderedAndProject"),
+    # PMI top-k cut is an ordered limit, never a global sort
+    ("corpus_pmi_pairs", "TakeOrderedAndProject"),
+    # whitening: both corpus passes are Arrow-batched (moments + transform)
+    ("embedding_whitening_topk", "MapInPandas"),
 ]
 
 FORBIDDEN = [
@@ -297,6 +301,18 @@ FORBIDDEN = [
     # row-Python
     ("temperature_mixture_corpus", "CartesianProduct"),
     ("temperature_mixture_corpus", "BatchEvalPython"),
+    # token entropy: the per-doc total is a window over the SAME doc-keyed
+    # shuffle as the tf aggregate — NO join node at all, no Python
+    ("doc_token_entropy", "Join"),
+    ("doc_token_entropy", "BatchEvalPython"),
+    # PMI: marginals and the 1-row total ride hash/broadcast joins back
+    # onto the pair counts — never a true product, no row-Python
+    ("corpus_pmi_pairs", "CartesianProduct"),
+    ("corpus_pmi_pairs", "BatchEvalPython"),
+    # whitening: the only BNLJ side is the 3-query broadcast; scoring
+    # stays JVM-side after the two Arrow passes
+    ("embedding_whitening_topk", "CartesianProduct"),
+    ("embedding_whitening_topk", "BatchEvalPython"),
 ]
 
 

@@ -83,6 +83,20 @@ FAMILIES = [
     "doc_perplexity_buckets",
     # JL random projection (map-only codegen, no shuffle)
     "embedding_random_projection",
+    # NB classifier train+score (tf agg + vocab-sized broadcast weights)
+    "quality_classifier_nb",
+    # DSIR hashed-unigram importance resampling (256-bucket model)
+    "dsir_importance_sample",
+    # boilerplate span removal (gram df agg + anti join + reassembly)
+    "doc_boilerplate_removal",
+    # temperature mixture (5-row quota frame + rank window)
+    "temperature_mixture_corpus",
+    # per-doc Shannon entropy (tf agg + same-shuffle window)
+    "doc_token_entropy",
+    # corpus PMI collocations (pair agg + marginal rollups + TOAP)
+    "corpus_pmi_pairs",
+    # ZCA whitening (Arrow moments + driver eigh + Arrow transform)
+    "embedding_whitening_topk",
 ]
 
 

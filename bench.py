@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "corpus_pmi_pairs",
     # ZCA-whitened retrieval (moments pass + driver eigh + Arrow transform)
     "embedding_whitening_topk",
+    # streaming NB quality scoring (offline fit, online stream-static score)
+    "doc_quality_streaming",
 ]
 
 

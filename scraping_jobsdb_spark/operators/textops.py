@@ -1851,6 +1851,41 @@ def nb_quality_scores(
     aggregation order cannot perturb the score and the `> 0` prediction
     boundary is cross-engine exact. Output: (id, label, score, predicted).
     """
+    tf, weights, prior = nb_train(docs, label, text_col=text_col, id_col=id_col)
+    scored = (
+        tf.join(F.broadcast(weights), "tok")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("tf").cast("decimal(10,0)") * F.col("w")).alias("__s"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            "label",
+            # cast the sum back down before adding the prior: (38,9)+(18,9)
+            # would overflow precision 38 and silently drop the 9th decimal
+            (F.col("prior") + F.col("__s").cast("decimal(30,9)"))
+            .cast("double")
+            .alias("score"),
+            (
+                (F.col("prior") + F.col("__s").cast("decimal(30,9)")) > 0
+            ).alias("predicted"),
+        )
+    )
+    return scored
+
+
+def nb_train(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The training half of ``nb_quality_scores``, exposed so other
+    consumers (the streaming scorer, exports) can reuse the fitted model:
+    returns ``(tf, weights, prior)`` — the per-(doc, token) tf table the
+    counts derive from (localCheckpointed; batch scoring reuses it), the
+    vocabulary-sized ``(tok, w DECIMAL(18,9))`` log-odds table, and the
+    1-row ``prior`` frame. Same math and determinism contract as the
+    combined operator's docstring."""
     toks = docs.select(
         F.col(id_col), label.alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
@@ -1884,25 +1919,7 @@ def nb_quality_scores(
         .cast("decimal(18,9)")
         .alias("prior")
     )
-    scored = (
-        tf.join(F.broadcast(weights), "tok")
-        .groupBy(id_col, "label")
-        .agg(F.sum(F.col("tf").cast("decimal(10,0)") * F.col("w")).alias("__s"))
-        .crossJoin(F.broadcast(prior))
-        .select(
-            id_col,
-            "label",
-            # cast the sum back down before adding the prior: (38,9)+(18,9)
-            # would overflow precision 38 and silently drop the 9th decimal
-            (F.col("prior") + F.col("__s").cast("decimal(30,9)"))
-            .cast("double")
-            .alias("score"),
-            (
-                (F.col("prior") + F.col("__s").cast("decimal(30,9)")) > 0
-            ).alias("predicted"),
-        )
-    )
-    return scored
+    return tf, weights, prior
 
 
 def dsir_importance_topk(

@@ -2254,3 +2254,61 @@ def q_embedding_whitening_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return whitening_topk(emb, (0, 100, 200), k=10)
+
+
+@_register(
+    "doc_quality_streaming",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS label, t.tok
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE t.tok != ''
+    ), tf AS (
+        SELECT doc_id, label, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+    ), cls AS (
+        SELECT tok,
+               SUM(CASE WHEN label THEN tf ELSE 0 END) AS cp,
+               SUM(CASE WHEN NOT label THEN tf ELSE 0 END) AS cn
+        FROM tf GROUP BY tok
+    ), stats AS (
+        SELECT SUM(CASE WHEN label THEN tf ELSE 0 END) AS np,
+               SUM(CASE WHEN NOT label THEN tf ELSE 0 END) AS nn,
+               COUNT(DISTINCT tok) AS v,
+               COUNT(DISTINCT CASE WHEN label THEN doc_id END) AS dp,
+               COUNT(DISTINCT CASE WHEN NOT label THEN doc_id END) AS dn
+        FROM tf
+    ), weights AS (
+        SELECT tok,
+               CAST(ROUND(ln((cp + 1) / CAST(np + v AS DOUBLE))
+                          - ln((cn + 1) / CAST(nn + v AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM cls, stats
+    ), prior AS (
+        SELECT CAST(ROUND(ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS p
+        FROM stats
+    ), sums AS (
+        SELECT doc_id, label, SUM(CAST(tf AS DECIMAL(10,0)) * w) AS s
+        FROM tf JOIN weights USING (tok) GROUP BY 1, 2
+    )
+    SELECT doc_id, label,
+           CAST(p + s AS DOUBLE) AS score,
+           (p + s) > 0 AS predicted
+    FROM sums, prior
+    """,
+)
+def q_doc_quality_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 × quality family: the batch-trained NB quality model scoring
+    the document corpus consumed as a FILE STREAM (streaming/quality.py
+    nb_scores_stream — the deployment shape of a learned quality filter in
+    continuous ingestion: offline (re)fit, online stream-static broadcast
+    scoring). Chained stateful aggregations being unsupported, the stream
+    side sums PER-OCCURRENCE weights in its one stateful aggregate —
+    bit-exact to the batch Σ tf·w because DECIMAL addition is exact. Same
+    oracle as quality_classifier_nb → streaming results hash-match the
+    batch model end to end."""
+    from scraping_jobsdb_spark.streaming.quality import nb_scores_stream
+    from scraping_jobsdb_spark.streaming.windows import run_stream_to_memory
+
+    return run_stream_to_memory(nb_scores_stream(spark, sf_dir), spark)

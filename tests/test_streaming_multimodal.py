@@ -861,3 +861,28 @@ def test_streaming_dedup_admission_rejects_cross_batch_neardups(spark, tmp_path)
     indexed = {r.doc_id for r in idx.fingerprints().select("doc_id").distinct().collect()}
     assert indexed <= admitted
     assert len(indexed) >= 0.95 * len(admitted)  # only fingerprint-less (tiny) docs may miss
+
+
+def test_streaming_nb_scores_equal_batch(spark):
+    """The streaming NB scorer (per-OCCURRENCE weight sum, one stateful
+    aggregation — chained streaming aggregations are unsupported) is
+    bit-exact to the batch scorer's Σ tf·w decimal arithmetic on the same
+    corpus and trained model."""
+    from scraping_jobsdb_spark.operators.textops import nb_quality_scores
+    from scraping_jobsdb_spark.sources.tables import fan_out
+    from scraping_jobsdb_spark.streaming.quality import nb_scores_stream
+    from scraping_jobsdb_spark.streaming.windows import run_stream_to_memory
+
+    batch = nb_quality_scores(
+        fan_out(
+            load_table(spark, SF_SMOKE, "documents").select(
+                "doc_id", "lang", "text"
+            )
+        ),
+        label=F.col("lang") == "en",
+    )
+    stream = run_stream_to_memory(nb_scores_stream(spark, SF_SMOKE), spark)
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, stream.collect()))
+    assert b == s
+    assert len(b) > 0

@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "embedding_whitening_topk",
     # streaming NB quality scoring (offline fit, online stream-static score)
     "doc_quality_streaming",
+    # per-language KL divergence from the corpus distribution
+    "lang_kl_divergence",
 ]
 
 

@@ -2207,3 +2207,65 @@ def pmi_top_pairs(
         "prev", "cur", "n_pair", "pmi",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+def lang_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group KL divergence from the corpus unigram distribution,
+    ``KL(P_g ‖ P_corpus) = Σ_t p_g(t)·ln(p_g(t)/p_c(t))`` in nats — the
+    domain-shift diagnostic a mixture designer reads before setting
+    sampling weights (a group whose distribution sits far from the corpus
+    mean dominates or starves under naive proportional sampling). MLE
+    distributions need no smoothing: every group token is in the corpus
+    vocabulary, so p_c(t) > 0 wherever p_g(t) > 0.
+
+    Scale shape: ONE (group, token) count aggregate; the corpus marginal
+    and both totals are rollups of that SAME table (no second corpus
+    pass); the marginal joins back vocabulary-sized (broadcast), group
+    totals ride a window over the same group-keyed shuffle. The log-ratio
+    is the overflow-proof sum-of-logs form (c_gt·n exceeds int64 at corpus
+    scale). Determinism: 9-dp DECIMAL(18,9) terms, exact decimal sums (the
+    ln-portability rule). Output: (group, n_tokens, n_types, kl_nats).
+    """
+    gt = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gt = gt.localCheckpoint()  # marginal AND scoring both consume it
+
+    marg = gt.groupBy("tok").agg(F.sum("c").alias("ct"))
+    tot = gt.agg(F.sum("c").alias("n"))
+    wg = Window.partitionBy("g")
+    p_g = F.col("c").cast("double") / F.col("__ng")
+    logratio = (
+        F.log(F.col("c").cast("double"))
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("__ng").cast("double"))
+        - F.log(F.col("ct").cast("double"))
+    )
+    return (
+        gt.withColumn("__ng", F.sum("c").over(wg))
+        .join(F.broadcast(marg), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            "__ng",
+            F.round(p_g * logratio, 9).cast("decimal(18,9)").alias("__term"),
+        )
+        .groupBy("g")
+        .agg(
+            F.max("__ng").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("__term").cast("double").alias("kl_nats"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

@@ -2312,3 +2312,51 @@ def q_doc_quality_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scraping_jobsdb_spark.streaming.windows import run_stream_to_memory
 
     return run_stream_to_memory(nb_scores_stream(spark, sf_dir), spark)
+
+
+@_register(
+    "lang_kl_divergence",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang AS g, t.tok
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE t.tok != ''
+    ), gt AS (
+        SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), marg AS (
+        SELECT tok, SUM(c) AS ct FROM gt GROUP BY tok
+    ), tot AS (
+        SELECT SUM(c) AS n FROM gt
+    ), ng AS (
+        SELECT g, SUM(c) AS ng FROM gt GROUP BY g
+    ), terms AS (
+        SELECT gt.g, ng.ng,
+               CAST(ROUND((gt.c / CAST(ng.ng AS DOUBLE))
+                          * (ln(CAST(gt.c AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))
+                             - ln(CAST(ng.ng AS DOUBLE))
+                             - ln(CAST(m.ct AS DOUBLE))), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM gt
+        JOIN marg m USING (tok) JOIN ng USING (g), tot t
+    )
+    SELECT g AS lang,
+           CAST(MAX(ng) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(term) AS DOUBLE) AS kl_nats
+    FROM terms GROUP BY g
+    """,
+)
+def q_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KL divergence from the corpus unigram distribution
+    (operators/textops.py lang_kl_divergence — the domain-shift diagnostic
+    read before setting mixture weights; MLE distributions, no smoothing
+    needed since group vocabularies are corpus subsets). One (lang, token)
+    aggregate; marginal/totals are rollups of the SAME table; group totals
+    ride a window over the same lang-keyed shuffle; sum-of-logs ratio
+    (overflow-proof), 9-dp DECIMAL terms, exact decimal sums → fully
+    value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import lang_kl_divergence
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    return lang_kl_divergence(docs)

@@ -313,6 +313,10 @@ FORBIDDEN = [
     # stays JVM-side after the two Arrow passes
     ("embedding_whitening_topk", "CartesianProduct"),
     ("embedding_whitening_topk", "BatchEvalPython"),
+    # KL divergence: vocab-sized marginal + 1-row total broadcast back onto
+    # the (group, token) counts — never a true product, no row-Python
+    ("lang_kl_divergence", "CartesianProduct"),
+    ("lang_kl_divergence", "BatchEvalPython"),
 ]
 
 

@@ -2311,3 +2311,32 @@ def test_whitening_covariance_and_determinism(spark):
     assert np.all(np.diag(wcov) > 0.5) and np.all(np.diag(wcov) <= 1.0 + 1e-9)
     off = wcov - np.diag(np.diag(wcov))
     assert np.max(np.abs(off)) < 0.05
+
+
+def test_lang_kl_divergence_laws(spark):
+    """KL laws: a group distributed exactly like the corpus scores ≈ 0; a
+    group concentrated on its own vocabulary scores strictly higher; KL is
+    non-negative (Gibbs) for every group."""
+    import math
+
+    from scraping_jobsdb_spark.operators.textops import lang_kl_divergence
+
+    rows = []
+    # two groups with IDENTICAL distributions => corpus == each group
+    for i in range(10):
+        rows.append((i, "same", "a b c d"))
+        rows.append((100 + i, "alike", "a b c d"))
+    # one group on a disjoint vocabulary => large divergence
+    for i in range(10):
+        rows.append((200 + i, "shifted", "x y z w"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = {r.lang: r for r in lang_kl_divergence(docs).collect()}
+    assert all(r.kl_nats >= 0 for r in out.values())
+    # 'same'/'alike' each hold 1/3 of mass on their shared vocab:
+    # p_g(t)=1/4, p_c(t)=1/6 for their tokens => KL = ln(3/2)
+    assert abs(out["same"].kl_nats - math.log(1.5)) < 1e-6
+    assert abs(out["alike"].kl_nats - out["same"].kl_nats) < 1e-9
+    # disjoint vocab: p_g=1/4 vs p_c=1/12 => KL = ln(3)
+    assert abs(out["shifted"].kl_nats - math.log(3.0)) < 1e-6
+    assert out["shifted"].kl_nats > out["same"].kl_nats
+    assert out["same"].n_tokens == 40 and out["same"].n_types == 4

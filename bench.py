@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "doc_quality_streaming",
     # per-language KL divergence from the corpus distribution
     "lang_kl_divergence",
+    # governance: k-anonymity over the (lang, source) quasi-identifiers
+    "k_anonymity_report",
+    # FineWeb-style multi-signal quality verdicts (rule+NB+entropy+LM)
+    "quality_ensemble_verdicts",
 ]
 
 

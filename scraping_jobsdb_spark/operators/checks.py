@@ -100,3 +100,27 @@ class ObservationHandle:
     def get(self) -> dict:
         """Metric values (blocks until the observed frame ran an action)."""
         return dict(self._observation.get)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity report over a quasi-identifier
+    set — the data-governance gate run before a corpus (or its metadata)
+    is shared: every combination of quasi-identifier values is an
+    equivalence class, a class smaller than ``k`` re-identifies its
+    members. Output one row per class: the quasi columns, ``class_size``,
+    ``k_anonymous`` (size ≥ k), and ``risk_rows`` (rows exposed if the
+    class is below k, else 0) — the ``SUM(risk_rows)/SUM(class_size)``
+    rollup is the dataset's re-identification risk share.
+
+    One hash aggregate on the quasi key (map-side combined); no second
+    pass, nothing driver-sized. Exact integers only → trivially
+    hash-oracle-able.
+    """
+    n = F.count(F.lit(1))
+    return df.groupBy(*quasi_cols).agg(
+        n.alias("class_size"),
+        (n >= k).alias("k_anonymous"),
+        F.when(n >= k, F.lit(0)).otherwise(n).cast("bigint").alias("risk_rows"),
+    )

@@ -2269,3 +2269,63 @@ def lang_kl_divergence(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def quality_ensemble(
+    docs: DataFrame,
+    label: Column,
+    entropy_min: float = 2.9,
+    surprisal_max: float = 3.42,
+    min_words: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-signal quality verdict (the FineWeb/Dolma curation shape: no
+    single filter decides — a RULE gate, a LEARNED classifier, an
+    INTRINSIC distribution statistic and a CORPUS-MODEL score vote, and
+    the keep verdict is their conjunction). Signals: word-count floor
+    (``min_words``), naive-Bayes prediction (``nb_quality_scores``),
+    unigram Shannon entropy ≥ ``entropy_min`` (kills degenerate repeated-
+    token docs), bigram surprisal ≤ ``surprisal_max`` (kills shuffled/
+    templated word salad the unigram signals can't see).
+
+    Composition shape: each signal is the library operator unchanged (one
+    corpus scan each), joined on the doc key — the auditable form, where a
+    signal can be re-cut without re-running the others. A fused production
+    variant would share the (doc, token) tf aggregate across the NB and
+    entropy legs; the join-on-key form is chosen here because curation
+    pipelines tune cuts far more often than they re-tokenize. Docs with
+    < 2 tokens have no bigram signal and drop (inner join), matching the
+    "too short to score" rule every real pipeline applies first.
+
+    Determinism: every signal is already cross-engine exact (decimal-sum
+    contracts of the component operators), so the literal-cut comparisons
+    and the conjunction are exact too. Output: (id, n_tokens, nb_pred,
+    entropy_nats, surprisal_nats, keep).
+    """
+    nb = nb_quality_scores(docs, label, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("predicted").alias("nb_pred")
+    )
+    ent = token_entropy(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "n_tokens", "entropy_nats"
+    )
+    sur = bigram_surprisal(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "surprisal_nats"
+    )
+    return (
+        nb.join(ent, id_col)
+        .join(sur, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "nb_pred",
+            "entropy_nats",
+            "surprisal_nats",
+            (
+                F.col("nb_pred")
+                & (F.col("n_tokens") >= min_words)
+                & (F.col("entropy_nats") >= entropy_min)
+                & (F.col("surprisal_nats") <= surprisal_max)
+            ).alias("keep"),
+        )
+    )

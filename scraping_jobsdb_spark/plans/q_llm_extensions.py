@@ -2360,3 +2360,120 @@ def q_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     return lang_kl_divergence(docs)
+
+
+@_register(
+    "k_anonymity_report",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS class_size,
+           COUNT(*) >= 5 AS k_anonymous,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 0 ELSE COUNT(*) END AS BIGINT)
+               AS risk_rows
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance k-anonymity over the (lang, source) quasi-identifier
+    pair (operators/checks.py k_anonymity_report — the release gate that
+    finds equivalence classes small enough to re-identify members; k=5).
+    One map-side-combined hash aggregate, exact integers → fully
+    value-hash oracled."""
+    from scraping_jobsdb_spark.operators.checks import k_anonymity_report
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return k_anonymity_report(docs, ["lang", "source"], k=5)
+
+
+@_register(
+    "quality_ensemble_verdicts",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS label, t.tok
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE t.tok != ''
+    ), tf AS (
+        SELECT doc_id, label, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3
+    ), cls AS (
+        SELECT tok,
+               SUM(CASE WHEN label THEN tf ELSE 0 END) AS cp,
+               SUM(CASE WHEN NOT label THEN tf ELSE 0 END) AS cn
+        FROM tf GROUP BY tok
+    ), stats AS (
+        SELECT SUM(CASE WHEN label THEN tf ELSE 0 END) AS np,
+               SUM(CASE WHEN NOT label THEN tf ELSE 0 END) AS nn,
+               COUNT(DISTINCT tok) AS v,
+               COUNT(DISTINCT CASE WHEN label THEN doc_id END) AS dp,
+               COUNT(DISTINCT CASE WHEN NOT label THEN doc_id END) AS dn
+        FROM tf
+    ), weights AS (
+        SELECT tok,
+               CAST(ROUND(ln((cp + 1) / CAST(np + v AS DOUBLE))
+                          - ln((cn + 1) / CAST(nn + v AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM cls, stats
+    ), prior AS (
+        SELECT CAST(ROUND(ln(CAST(dp AS DOUBLE)) - ln(CAST(dn AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS p
+        FROM stats
+    ), nb AS (
+        SELECT doc_id, (p + s) > 0 AS nb_pred
+        FROM (SELECT doc_id, SUM(CAST(tf AS DECIMAL(10,0)) * w) AS s
+              FROM tf JOIN weights USING (tok) GROUP BY doc_id), prior
+    ), dtot AS (
+        SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY doc_id
+    ), ent AS (
+        SELECT f.doc_id,
+               CAST(MAX(t.n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(ROUND(-(f.tf / CAST(t.n AS DOUBLE))
+                                     * ln(f.tf / CAST(t.n AS DOUBLE)), 9)
+                             AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+        FROM (SELECT doc_id, tok, tf FROM tf) f JOIN dtot t USING (doc_id)
+        GROUP BY f.doc_id
+    ), ws AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+        FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+        SELECT doc_id, a[i] AS prev, a[i + 1] AS cur
+        FROM ws, unnest(range(1, len(a))) AS t(i)
+    ), bc AS (
+        SELECT prev, cur, COUNT(*) AS bc FROM grams GROUP BY prev, cur
+    ), ctx AS (
+        SELECT prev, SUM(bc) AS ctx FROM bc GROUP BY prev
+    ), vocab AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM toks
+    ), sur AS (
+        SELECT doc_id,
+               CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
+        FROM (
+            SELECT g.doc_id,
+                   CAST(ROUND(-ln((b.bc + 1)
+                                  / CAST(c.ctx + (SELECT v FROM vocab)
+                                         AS DOUBLE)), 9)
+                        AS DECIMAL(30,9)) AS s
+            FROM grams g
+            JOIN bc b ON b.prev = g.prev AND b.cur = g.cur
+            JOIN ctx c ON c.prev = g.prev
+        ) GROUP BY doc_id
+    )
+    SELECT nb.doc_id, ent.n_tokens, nb.nb_pred,
+           ent.entropy_nats, sur.surprisal_nats,
+           (nb.nb_pred AND ent.n_tokens >= 50
+            AND ent.entropy_nats >= 2.9
+            AND sur.surprisal_nats <= 3.42) AS keep
+    FROM nb JOIN ent USING (doc_id) JOIN sur USING (doc_id)
+    """,
+)
+def q_quality_ensemble_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality verdict (operators/textops.py quality_ensemble
+    — the FineWeb/Dolma curation shape: word-count rule gate + learned NB
+    prediction + intrinsic entropy floor + corpus-model surprisal ceiling,
+    keep = conjunction). Each signal is the library operator unchanged
+    (one corpus scan each, re-cuttable independently), joined on the doc
+    key; every signal is already cross-engine exact so the literal cuts
+    and the conjunction are too → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.textops import quality_ensemble
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    return quality_ensemble(docs, label=F.col("lang") == "en")

@@ -317,6 +317,15 @@ FORBIDDEN = [
     # the (group, token) counts — never a true product, no row-Python
     ("lang_kl_divergence", "CartesianProduct"),
     ("lang_kl_divergence", "BatchEvalPython"),
+    # k-anonymity: ONE map-side-combined hash aggregate — no join, no window
+    ("k_anonymity_report", "Join"),
+    ("k_anonymity_report", "Window"),
+    ("k_anonymity_report", "BatchEvalPython"),
+    # quality ensemble: signal legs join on the doc key; the only BNLJ
+    # sides are the 1-row NB stats/prior — never a true product, no
+    # row-Python anywhere
+    ("quality_ensemble_verdicts", "CartesianProduct"),
+    ("quality_ensemble_verdicts", "BatchEvalPython"),
 ]
 
 

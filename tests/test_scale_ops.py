@@ -2340,3 +2340,42 @@ def test_lang_kl_divergence_laws(spark):
     assert abs(out["shifted"].kl_nats - math.log(3.0)) < 1e-6
     assert out["shifted"].kl_nats > out["same"].kl_nats
     assert out["same"].n_tokens == 40 and out["same"].n_types == 4
+
+
+def test_k_anonymity_report_flags_small_classes(spark):
+    """Classes below k carry their size as risk_rows; classes at/above k
+    are anonymous with zero risk."""
+    from scraping_jobsdb_spark.operators.checks import k_anonymity_report
+
+    rows = [("en", "a")] * 5 + [("en", "b")] * 2 + [("fr", "a")] * 1
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {(r.lang, r.source): r for r in k_anonymity_report(df, ["lang", "source"], k=5).collect()}
+    assert out[("en", "a")].k_anonymous and out[("en", "a")].risk_rows == 0
+    assert not out[("en", "b")].k_anonymous and out[("en", "b")].risk_rows == 2
+    assert not out[("fr", "a")].k_anonymous and out[("fr", "a")].risk_rows == 1
+    assert sum(r.class_size for r in out.values()) == 8
+
+
+def test_quality_ensemble_conjunction_and_degenerate_kill(spark):
+    """The keep verdict is exactly the conjunction of its published
+    signals, and a degenerate repeated-token doc fails the entropy floor
+    even when long enough and NB-positive."""
+    from scraping_jobsdb_spark.operators.textops import quality_ensemble
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    # degenerate: one token repeated 60x, labelled positive (lang en)
+    degen = spark.createDataFrame(
+        [(900000, "en", " ".join(["the"] * 60))], "doc_id bigint, lang string, text string"
+    )
+    out = quality_ensemble(docs.unionByName(degen), label=F.col("lang") == "en").collect()
+    by_id = {r.doc_id: r for r in out}
+    for r in out:
+        want = (
+            r.nb_pred
+            and r.n_tokens >= 50
+            and r.entropy_nats >= 2.9
+            and r.surprisal_nats <= 3.42
+        )
+        assert r.keep == want, r
+    d = by_id[900000]
+    assert d.entropy_nats == 0.0 and not d.keep and d.n_tokens == 60

@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "k_anonymity_report",
     # FineWeb-style multi-signal quality verdicts (rule+NB+entropy+LM)
     "quality_ensemble_verdicts",
+    # 1-bit sign-sketch Hamming retrieval (XOR+popcount first pass)
+    "embedding_binary_hamming_topk",
 ]
 
 

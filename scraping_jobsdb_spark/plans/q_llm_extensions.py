@@ -2477,3 +2477,50 @@ def q_quality_ensemble_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
     return quality_ensemble(docs, label=F.col("lang") == "en")
+
+
+@_register(
+    "embedding_binary_hamming_topk",
+    oracle="""
+    WITH packed AS (
+        SELECT vec_id,
+               (SELECT CAST(SUM(CASE WHEN (e.embedding::DOUBLE[])[i] > 0
+                                     THEN 1::BIGINT << (i - 1) ELSE 0 END)
+                            AS BIGINT)
+                FROM unnest(range(1, 33)) AS t(i)) AS h0,
+               (SELECT CAST(SUM(CASE WHEN (e.embedding::DOUBLE[])[i + 32] > 0
+                                     THEN 1::BIGINT << (i - 1) ELSE 0 END)
+                            AS BIGINT)
+                FROM unnest(range(1, 33)) AS t(i)) AS h1
+        FROM embeddings e
+    ), q AS (
+        SELECT vec_id AS query_id, h0 AS q0, h1 AS q1 FROM packed
+        WHERE vec_id IN (0, 100, 200)
+    ), scored AS (
+        SELECT q.query_id, p.vec_id,
+               CAST(bit_count(xor(p.h0, q.q0)) + bit_count(xor(p.h1, q.q1))
+                    AS BIGINT) AS hamming
+        FROM packed p CROSS JOIN q
+        WHERE p.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, hamming, rank FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id)
+                    AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized Hamming retrieval (operators/similarity.py
+    binary_hamming_topk — the 1-bit point on the quantization ladder:
+    zero-threshold sign bits packed into two BIGINT halves, XOR+popcount
+    distances, 32× smaller scan than float32; the hot first pass in
+    modern vector stores). Map-only packing, broadcast-query window
+    top-k, integer distances with id tie-breaks → fully value-hash
+    oracled."""
+    from scraping_jobsdb_spark.operators.similarity import binary_hamming_topk
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return binary_hamming_topk(emb, (0, 100, 200), k=10)

@@ -97,6 +97,14 @@ FAMILIES = [
     "corpus_pmi_pairs",
     # ZCA whitening (Arrow moments + driver eigh + Arrow transform)
     "embedding_whitening_topk",
+    # streaming NB scoring (stream-static broadcast, one stateful agg)
+    "doc_quality_streaming",
+    # per-language KL divergence (one (lang, token) agg + rollups)
+    "lang_kl_divergence",
+    # multi-signal quality ensemble (NB + entropy + bigram LM legs)
+    "quality_ensemble_verdicts",
+    # k-anonymity (one map-side-combined hash agg)
+    "k_anonymity_report",
 ]
 
 

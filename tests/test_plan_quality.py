@@ -326,6 +326,10 @@ FORBIDDEN = [
     # row-Python anywhere
     ("quality_ensemble_verdicts", "CartesianProduct"),
     ("quality_ensemble_verdicts", "BatchEvalPython"),
+    # 1-bit Hamming retrieval: map-only packing + 3-query broadcast side —
+    # never a true product, no Python anywhere
+    ("embedding_binary_hamming_topk", "CartesianProduct"),
+    ("embedding_binary_hamming_topk", "BatchEvalPython"),
 ]
 
 

@@ -1735,3 +1735,40 @@ def test_matryoshka_recall_monotone_in_prefix(spark):
     r16, r32, r64 = recall(16), recall(32), recall(64)
     assert r16 <= r32 <= r64, f"recall not monotone: {r16} {r32} {r64}"
     assert r64 >= 0.9, f"full-width prefix must recover the ranking: {r64}"
+
+
+def test_binary_hamming_correlates_with_cosine(spark):
+    """The 1-bit sign sketch is a retrieval signal, not noise: over the
+    corpus, pairs in a query's Hamming top-10 have higher mean exact
+    cosine than the corpus mean against that query; distance to an exact
+    duplicate is 0 and ranks first."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        binary_hamming_topk,
+        cosine,
+    )
+
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    # plant an exact duplicate of vec 0 under a new id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("bigint").alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dup)
+    top = binary_hamming_topk(corpus, (0,), k=10).collect()
+    first = min(top, key=lambda r: r.rank)
+    assert first.vec_id == 900000 and first.hamming == 0
+
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec)).select(
+        "vec_id", cosine(F.col("embedding"), F.col("qvec")).alias("cos")
+    )
+    cos_by_id = {r.vec_id: r.cos for r in scored.collect()}
+    top_ids = [r.vec_id for r in top if r.vec_id != 900000]
+    top_mean = sum(cos_by_id[i] for i in top_ids) / len(top_ids)
+    corpus_mean = sum(cos_by_id.values()) / len(cos_by_id)
+    assert top_mean > corpus_mean, (top_mean, corpus_mean)

@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "quality_ensemble_verdicts",
     # 1-bit sign-sketch Hamming retrieval (XOR+popcount first pass)
     "embedding_binary_hamming_topk",
+    # warehouse FK orphan audit (one anti-join per relationship)
+    "referential_integrity_report",
 ]
 
 

@@ -124,3 +124,44 @@ def k_anonymity_report(
         (n >= k).alias("k_anonymous"),
         F.when(n >= k, F.lit(0)).otherwise(n).cast("bigint").alias("risk_rows"),
     )
+
+
+def referential_integrity_report(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table foreign-key orphan audit — the warehouse DQ gate that
+    catches broken ingestion ordering (children landing before parents)
+    and bad backfills. ``pairs`` is a list of
+    ``(name, child_df, fk_col, parent_df, pk_col)``; the report has one
+    row per relationship: child row count, orphan count (child rows whose
+    FK has no parent — NULL FKs are not orphans, matching SQL FK
+    semantics), and the ok flag.
+
+    Each relationship is ONE left-anti join against the parent KEY
+    PROJECTION (parent scans prune to the key column; small parents
+    broadcast under AQE) plus a count — no row ever leaves the executor.
+    Exact integers → trivially hash-oracle-able.
+    """
+    from functools import reduce
+
+    reports = []
+    for name, child, fk, parent, pk in pairs:
+        total = child.select(F.count(F.lit(1)).alias("child_rows"))
+        orphans = (
+            child.filter(F.col(fk).isNotNull())
+            .join(
+                parent.select(F.col(pk).alias(fk)).distinct(),
+                fk,
+                "left_anti",
+            )
+            .select(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        reports.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "orphan_rows",
+                (F.col("orphan_rows") == 0).alias("ok"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), reports)

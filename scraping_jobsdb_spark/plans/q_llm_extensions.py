@@ -2524,3 +2524,78 @@ def q_embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return binary_hamming_topk(emb, (0, 100, 200), k=10)
+
+
+@_register(
+    "referential_integrity_report",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS relationship,
+           (SELECT COUNT(*) FROM orders) AS child_rows,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS orphan_rows,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0 AS ok
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)) = 0
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT COUNT(*) FROM customer c
+            WHERE c.c_nationkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) = 0
+    """,
+)
+def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse FK orphan audit over four relationships
+    (operators/checks.py referential_integrity_report — the DQ gate that
+    catches children-before-parents ingestion and bad backfills; NULL FKs
+    are not orphans, matching SQL FK semantics). One left-anti join per
+    relationship against the parent KEY projection (scans prune to the
+    key; small parents broadcast), exact integers → fully value-hash
+    oracled."""
+    from scraping_jobsdb_spark.operators.checks import (
+        referential_integrity_report,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return referential_integrity_report(
+        [
+            ("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem.l_orderkey -> orders", l, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.l_suppkey -> supplier", l, "l_suppkey", s, "s_suppkey"),
+            ("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+        ]
+    )

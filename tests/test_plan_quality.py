@@ -330,6 +330,10 @@ FORBIDDEN = [
     # never a true product, no Python anywhere
     ("embedding_binary_hamming_topk", "CartesianProduct"),
     ("embedding_binary_hamming_topk", "BatchEvalPython"),
+    # FK audit: anti joins against key projections + 1-row count cross
+    # joins (BNLJ on 1-row sides is fine) — never a true product, no Python
+    ("referential_integrity_report", "CartesianProduct"),
+    ("referential_integrity_report", "BatchEvalPython"),
 ]
 
 

@@ -2379,3 +2379,26 @@ def test_quality_ensemble_conjunction_and_degenerate_kill(spark):
         assert r.keep == want, r
     d = by_id[900000]
     assert d.entropy_nats == 0.0 and not d.keep and d.n_tokens == 60
+
+
+def test_referential_integrity_finds_planted_orphans(spark):
+    """A planted orphan FK is counted; NULL FKs are not orphans; clean
+    relationships report ok."""
+    from scraping_jobsdb_spark.operators.checks import (
+        referential_integrity_report,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id bigint, fk bigint"
+    )
+    out = {r.relationship: r for r in referential_integrity_report(
+        [
+            ("child.fk -> parent", child, "fk", parent, "pk"),
+            ("parent self", parent, "pk", parent, "pk"),
+        ]
+    ).collect()}
+    bad = out["child.fk -> parent"]
+    assert bad.child_rows == 4 and bad.orphan_rows == 1 and not bad.ok
+    good = out["parent self"]
+    assert good.orphan_rows == 0 and good.ok

@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "embedding_binary_hamming_topk",
     # warehouse FK orphan audit (one anti-join per relationship)
     "referential_integrity_report",
+    # daily PSI drift monitor over the event value distribution
+    "events_value_psi_daily",
 ]
 
 

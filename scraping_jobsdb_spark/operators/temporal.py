@@ -279,3 +279,80 @@ def gap_fill(
         *value_cols,
         (F.col(date_col) == F.col("__obs")).alias("is_observed"),
     )
+
+
+def value_psi_by_day(
+    events: DataFrame,
+    bin_width: float = 50.0,
+    n_bins: int = 10,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Population Stability Index per day against the earliest day's value
+    distribution — the ML-ops drift monitor
+    (``PSI_d = Σ_bins (p_d - p_base)·ln(p_d / p_base)``) that fires before
+    a downstream model quietly degrades: PSI < 0.1 is stable, 0.1–0.25
+    moderate shift, > 0.25 action. Values bin into ``n_bins`` fixed-width
+    buckets (last bucket open-ended); counts are add-one smoothed over the
+    dense (day × bin) grid so empty bins never produce ln(0).
+
+    Scale shape: ONE (day, bin) count aggregate over the stream; the dense
+    grid is a |days|-row × n_bins literal explode (tiny) left-joined onto
+    those counts; the baseline row set (n_bins rows) and day totals are
+    rollups of the SAME aggregate, broadcast back. Nothing event-sized
+    shuffles twice.
+
+    Determinism: bin = floor(value / width) is exact IEEE; per-bin terms
+    rounded to 9 dp and DECIMAL-summed (the ln-portability rule); the
+    baseline day's own PSI is exactly 0. Output: (day, n_events, psi).
+    """
+    binned = events.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.localCheckpoint()  # totals, baseline AND grid consume it
+
+    day_totals = counts.groupBy("day").agg(F.sum("c").alias("n_d"))
+    dense = (
+        day_totals.select(
+            "day", "n_d", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+        )
+        .join(counts, ["day", "bin"], "left")
+        .select("day", "n_d", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    base_day = counts.agg(F.min("day").alias("day"))
+    base = (
+        dense.join(F.broadcast(base_day), "day")
+        .select(
+            "bin",
+            F.col("c").alias("cb"),
+            F.col("n_d").alias("nb"),
+        )
+    )
+    p_d = (F.col("c") + 1).cast("double") / (F.col("n_d") + F.lit(n_bins))
+    p_b = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.lit(n_bins))
+    return (
+        dense.join(F.broadcast(base), "bin")
+        .select(
+            "day",
+            "n_d",
+            F.round((p_d - p_b) * F.log(p_d / p_b), 9)
+            .cast("decimal(18,9)")
+            .alias("__t"),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("n_d").alias("n_events"),
+            F.sum("__t").cast("double").alias("psi"),
+        )
+        # DATE→string: the cross-engine dtype contract for date outputs
+        # (Spark→pandas yields object dates, DuckDB yields datetime64)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "psi",
+        )
+    )

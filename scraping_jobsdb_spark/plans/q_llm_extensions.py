@@ -2599,3 +2599,54 @@ def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFram
             ("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
         ]
     )
+
+
+@_register(
+    "events_value_psi_daily",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin
+        FROM events
+    ), counts AS (
+        SELECT day, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+    ), day_totals AS (
+        SELECT day, SUM(c) AS n_d FROM counts GROUP BY day
+    ), grid AS (
+        SELECT d.day, d.n_d, b.bin
+        FROM day_totals d
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) AS b
+    ), dense AS (
+        SELECT g.day, g.n_d, g.bin, COALESCE(c.c, 0) AS c
+        FROM grid g
+        LEFT JOIN counts c ON c.day = g.day AND c.bin = g.bin
+    ), base AS (
+        SELECT bin, c AS cb, n_d AS nb FROM dense
+        WHERE day = (SELECT MIN(day) FROM counts)
+    ), terms AS (
+        SELECT d.day, d.n_d,
+               CAST(ROUND(((d.c + 1) / CAST(d.n_d + 10 AS DOUBLE)
+                           - (b.cb + 1) / CAST(b.nb + 10 AS DOUBLE))
+                          * ln(((d.c + 1) / CAST(d.n_d + 10 AS DOUBLE))
+                               / ((b.cb + 1) / CAST(b.nb + 10 AS DOUBLE))),
+                          9) AS DECIMAL(18,9)) AS t
+        FROM dense d JOIN base b USING (bin)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(n_d) AS BIGINT) AS n_events,
+           CAST(SUM(t) AS DOUBLE) AS psi
+    FROM terms GROUP BY day
+    """,
+)
+def q_events_value_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Population Stability Index of the event value distribution vs
+    the earliest day (operators/temporal.py value_psi_by_day — the ML-ops
+    drift monitor that fires before a downstream model degrades; add-one
+    smoothed over a dense fixed-bin grid so empty bins never ln(0)). One
+    (day, bin) aggregate; totals, grid and baseline are rollups of that
+    SAME table broadcast back. 9-dp DECIMAL terms, exact sums; the
+    baseline day reads exactly 0 → fully value-hash oracled."""
+    from scraping_jobsdb_spark.operators.temporal import value_psi_by_day
+
+    ev = fan_out(load_table(spark, sf_dir, "events").select("ts", "value"))
+    return value_psi_by_day(ev)

@@ -334,6 +334,10 @@ FORBIDDEN = [
     # joins (BNLJ on 1-row sides is fine) — never a true product, no Python
     ("referential_integrity_report", "CartesianProduct"),
     ("referential_integrity_report", "BatchEvalPython"),
+    # PSI drift: one (day, bin) aggregate; grid/baseline/totals are tiny
+    # rollups broadcast back — never a true product, no Python
+    ("events_value_psi_daily", "CartesianProduct"),
+    ("events_value_psi_daily", "BatchEvalPython"),
 ]
 
 

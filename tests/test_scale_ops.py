@@ -2402,3 +2402,24 @@ def test_referential_integrity_finds_planted_orphans(spark):
     assert bad.child_rows == 4 and bad.orphan_rows == 1 and not bad.ok
     good = out["parent self"]
     assert good.orphan_rows == 0 and good.ok
+
+
+def test_value_psi_drift_laws(spark):
+    """PSI laws: the baseline day scores exactly 0 against itself; a day
+    with the identical distribution scores ~0; a day whose values shifted
+    into different bins scores materially higher."""
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.temporal import value_psi_by_day
+
+    rows = []
+    for i in range(200):
+        rows.append((datetime(2024, 1, 1, 10, 0), float(i % 100)))   # base
+        rows.append((datetime(2024, 1, 2, 10, 0), float(i % 100)))   # same
+        rows.append((datetime(2024, 1, 3, 10, 0), 400.0 + i % 50))   # shifted
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.day: r for r in value_psi_by_day(ev).collect()}
+    assert out["2024-01-01"].psi == 0.0
+    assert abs(out["2024-01-02"].psi) < 1e-9
+    assert out["2024-01-03"].psi > 0.25  # the canonical "action" threshold
+    assert all(r.n_events == 200 for r in out.values())

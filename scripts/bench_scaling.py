@@ -105,6 +105,12 @@ FAMILIES = [
     "quality_ensemble_verdicts",
     # k-anonymity (one map-side-combined hash agg)
     "k_anonymity_report",
+    # 1-bit Hamming retrieval (map-only packing + broadcast-query top-k)
+    "embedding_binary_hamming_topk",
+    # FK orphan audit (anti joins against key projections)
+    "referential_integrity_report",
+    # PSI drift monitor (one (day, bin) agg + tiny grid rollups)
+    "events_value_psi_daily",
 ]
 
 

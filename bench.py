@@ -208,6 +208,8 @@ BENCH_QUERIES = [
     "referential_integrity_report",
     # daily PSI drift monitor over the event value distribution
     "events_value_psi_daily",
+    # last-touch revenue attribution (asof-join composition)
+    "attribution_last_touch",
 ]
 
 

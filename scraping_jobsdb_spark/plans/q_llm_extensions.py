@@ -2650,3 +2650,51 @@ def q_events_value_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = fan_out(load_table(spark, sf_dir, "events").select("ts", "value"))
     return value_psi_by_day(ev)
+
+
+@_register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH touches AS (
+        SELECT user_id, ts, arg_max(event_type, event_id) AS touch
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY user_id, ts
+    ), p AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(t.touch, 'none') AS touch_type,
+           COUNT(*) AS n_purchases,
+           {_dsum_sql('p.value')} AS attributed_value
+    FROM p ASOF LEFT JOIN touches t
+      ON p.user_id = t.user_id AND p.ts >= t.ts
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the user's
+    most recent preceding touch event (click or view), 'none' when the
+    purchase had no prior touch — the marketing-analytics composition of
+    the engine's as-of join (operators/temporal.py asof_join: one
+    union-sort shuffle, last(ignorenulls) carry, no candidate explosion)
+    with a decimal-exact revenue rollup. Touches pre-aggregate to one row
+    per (user, ts) via max_by(event_type, event_id) so equal-timestamp
+    ties resolve identically in both engines → fully value-hash
+    oracled (DuckDB replays with native ASOF LEFT JOIN + arg_max)."""
+    from scraping_jobsdb_spark.operators.temporal import asof_join
+
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    att = asof_join(purchases, touches, "user_id", "ts", "ts", ["touch"])
+    return att.groupBy(
+        F.coalesce(F.col("asof_touch"), F.lit("none")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        _dsum("value").alias("attributed_value"),
+    )

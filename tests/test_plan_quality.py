@@ -338,6 +338,10 @@ FORBIDDEN = [
     # rollups broadcast back — never a true product, no Python
     ("events_value_psi_daily", "CartesianProduct"),
     ("events_value_psi_daily", "BatchEvalPython"),
+    # attribution: the asof leg is the union-sort single-shuffle scan —
+    # never a join-node candidate explosion, no product, no Python
+    ("attribution_last_touch", "CartesianProduct"),
+    ("attribution_last_touch", "BatchEvalPython"),
 ]
 
 

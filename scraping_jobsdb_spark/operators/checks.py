@@ -23,6 +23,8 @@ __all__ = [
     "bounds_check",
     "observed",
     "ObservationHandle",
+    "k_anonymity_report",
+    "referential_integrity_report",
 ]
 
 
@@ -144,6 +146,11 @@ def referential_integrity_report(
     """
     from functools import reduce
 
+    if not pairs:
+        raise ValueError(
+            "referential_integrity_report: pairs must be non-empty "
+            "(no DataFrame to derive an empty report's session from)"
+        )
     reports = []
     for name, child, fk, parent, pk in pairs:
         total = child.select(F.count(F.lit(1)).alias("child_rows"))

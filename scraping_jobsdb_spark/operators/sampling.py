@@ -31,6 +31,7 @@ __all__ = [
     "cap_per_group",
     "pack_sequences",
     "epochs_expand",
+    "temperature_mixture_sample",
 ]
 
 
@@ -494,14 +495,24 @@ def temperature_mixture_sample(
     picked = (
         docs.select(group_col, id_col)
         .withColumn("__rk", F.row_number().over(wpick))
-        .join(F.broadcast(alloc), group_col)
+        .join(F.broadcast(alloc.select(group_col, "alloc")), group_col)
         .filter(F.col("__rk") <= F.col("alloc"))
     )
-    return (
-        picked.groupBy(group_col, "n_docs", "alloc")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(id_col).alias("id_checksum"),
-        )
-        .select(group_col, "n_docs", "alloc", "n_sampled", "id_checksum")
+    sampled = picked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(id_col).alias("id_checksum"),
+    )
+    # derive the report from ALLOC, not from picked rows: a group whose
+    # largest-remainder allocation is 0 must still appear (the documented
+    # one-row-per-group contract), with zero samples and a zero checksum
+    return alloc.join(sampled, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "alloc",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias(
+            "n_sampled"
+        ),
+        F.coalesce(F.col("id_checksum"), F.lit(0)).cast("bigint").alias(
+            "id_checksum"
+        ),
     )

@@ -52,6 +52,8 @@ __all__ = [
     "label_centroids",
     "nearest_centroid_classify",
     "semantic_dedup_keep_list",
+    "whitening_topk",
+    "binary_hamming_topk",
 ]
 
 
@@ -1977,6 +1979,12 @@ def whitening_topk(
     parts = src.mapInPandas(
         moments, "n bigint, s array<double>, ss array<double>"
     ).collect()
+    if not parts:
+        # empty input: return an empty result with the output schema, like
+        # every other *_topk operator, instead of IndexError at plan time
+        return emb.sparkSession.createDataFrame(
+            [], "query_id bigint, vec_id bigint, rank bigint, qcos double"
+        ).withColumnRenamed("vec_id", id_col)
     n = sum(r.n for r in parts)
     d = len(parts[0].s)
     s = np.sum([np.asarray(r.s) for r in parts], axis=0)

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "time_weighted_mean", "gap_fill"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "time_weighted_mean",
+    "gap_fill",
+    "value_psi_by_day",
+]
 
 
 def asof_join(
@@ -308,8 +314,15 @@ def value_psi_by_day(
     """
     binned = events.select(
         F.to_date(F.col(ts_col)).alias("day"),
-        F.least(
-            F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+        # clamp BOTH ends: without the lower clamp, negative values land in
+        # negative bins excluded from the dense grid while still inflating
+        # n_d — drift into the negative region would be invisible
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bin_width)),
+                F.lit(n_bins - 1),
+            ),
         ).cast("int").alias("bin"),
     )
     counts = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c"))

@@ -49,6 +49,14 @@ __all__ = [
     "bpe_train",
     "bpe_encode",
     "normalize_text",
+    "nb_quality_scores",
+    "nb_train",
+    "dsir_importance_topk",
+    "boilerplate_span_removal",
+    "token_entropy",
+    "pmi_top_pairs",
+    "lang_kl_divergence",
+    "quality_ensemble",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -1851,7 +1859,7 @@ def nb_quality_scores(
     aggregation order cannot perturb the score and the `> 0` prediction
     boundary is cross-engine exact. Output: (id, label, score, predicted).
     """
-    tf, weights, prior = nb_train(docs, label, text_col=text_col, id_col=id_col)
+    tf, weights, prior, _ = nb_train(docs, label, text_col=text_col, id_col=id_col)
     scored = (
         tf.join(F.broadcast(weights), "tok")
         .groupBy(id_col, "label")
@@ -1878,14 +1886,18 @@ def nb_train(
     label: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The training half of ``nb_quality_scores``, exposed so other
     consumers (the streaming scorer, exports) can reuse the fitted model:
-    returns ``(tf, weights, prior)`` — the per-(doc, token) tf table the
-    counts derive from (localCheckpointed; batch scoring reuses it), the
-    vocabulary-sized ``(tok, w DECIMAL(18,9))`` log-odds table, and the
-    1-row ``prior`` frame. Same math and determinism contract as the
-    combined operator's docstring."""
+    returns ``(tf, weights, prior, oov)`` — the per-(doc, token) tf table
+    the counts derive from (localCheckpointed; batch scoring reuses it),
+    the vocabulary-sized ``(tok, w DECIMAL(18,9))`` log-odds table, the
+    1-row ``prior`` frame, and the 1-row ``oov`` frame: the weight of a
+    token UNSEEN at fit time, ``ln(1/(N_pos+V)) - ln(1/(N_neg+V)) =
+    ln(N_neg+V) - ln(N_pos+V)`` (both class counts 0, smoothing only) —
+    what an online scorer must add per OOV occurrence instead of silently
+    dropping it. Same math and determinism contract as the combined
+    operator's docstring."""
     toks = docs.select(
         F.col(id_col), label.alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
@@ -1919,7 +1931,16 @@ def nb_train(
         .cast("decimal(18,9)")
         .alias("prior")
     )
-    return tf, weights, prior
+    oov = stats.select(
+        F.round(
+            F.log((F.col("nn") + F.col("v")).cast("double"))
+            - F.log((F.col("np") + F.col("v")).cast("double")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("oov_w")
+    )
+    return tf, weights, prior, oov
 
 
 def dsir_importance_topk(
@@ -2213,7 +2234,6 @@ def lang_kl_divergence(
     docs: DataFrame,
     group_col: str = "lang",
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group KL divergence from the corpus unigram distribution,
     ``KL(P_g ‖ P_corpus) = Σ_t p_g(t)·ln(p_g(t)/p_c(t))`` in nats — the

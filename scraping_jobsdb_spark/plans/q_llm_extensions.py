@@ -2131,12 +2131,17 @@ def q_doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rk
         FROM documents d
     )
+    , sampled AS (
+        SELECT r.lang, COUNT(*) AS n_sampled,
+               CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+        FROM ranked r JOIN alloc a USING (lang)
+        WHERE r.rk <= a.alloc
+        GROUP BY r.lang
+    )
     SELECT a.lang, a.n_docs, CAST(a.alloc AS BIGINT) AS alloc,
-           COUNT(*) AS n_sampled,
-           CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
-    FROM ranked r JOIN alloc a USING (lang)
-    WHERE r.rk <= a.alloc
-    GROUP BY 1, 2, 3
+           CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(s.id_checksum, 0) AS BIGINT) AS id_checksum
+    FROM alloc a LEFT JOIN sampled s USING (lang)
     """,
 )
 def q_temperature_mixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2442,7 +2447,13 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ctx AS (
         SELECT prev, SUM(bc) AS ctx FROM bc GROUP BY prev
     ), vocab AS (
-        SELECT COUNT(DISTINCT tok) AS v FROM toks
+        -- bigram smoothing V counts distinct tokens WITHOUT the
+        -- empty-token filter (bigram_surprisal's definition) — the
+        -- NB-side `toks` CTE is filtered, so derive V independently
+        SELECT COUNT(DISTINCT t.tok) AS v
+        FROM documents,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(tok)
+        WHERE text IS NOT NULL
     ), sur AS (
         SELECT doc_id,
                CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprisal_nats
@@ -2606,7 +2617,7 @@ def q_referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH binned AS (
         SELECT CAST(ts AS DATE) AS day,
-               CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin
+               CAST(GREATEST(0, LEAST(FLOOR(value / 50.0), 9)) AS INT) AS bin
         FROM events
     ), counts AS (
         SELECT day, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2

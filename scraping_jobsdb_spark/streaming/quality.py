@@ -43,15 +43,23 @@ def documents_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(static.schema).parquet(stream_dir)
 
 
-def nb_scores_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nb_scores_stream(
+    spark: SparkSession, sf_dir: str, stream_source: DataFrame | None = None
+) -> DataFrame:
     """Streaming NB quality scoring plan: train batch-side on the corpus
     (proxy label lang='en', identical to the batch quality_classifier_nb),
-    then score the SAME corpus consumed as a file stream. Returns the
-    streaming DataFrame; drain with ``windows.run_stream_to_memory``
-    (complete mode — the per-doc score aggregation is stateful).
+    then score documents consumed as a file stream — by default the SAME
+    corpus (so the batch oracle doubles as the streaming-parity check);
+    pass ``stream_source`` to score a different landing stream against the
+    fitted model (the real deployment shape). Returns the streaming
+    DataFrame; drain with ``windows.run_stream_to_memory`` (complete mode
+    — the per-doc score aggregation is stateful).
 
-    Output and values are identical to the batch operator's, so the batch
-    oracle doubles as the streaming-parity check.
+    Tokens UNSEEN at fit time score the NB smoothed OOV weight
+    ``ln(N_neg+V) - ln(N_pos+V)`` via a LEFT join + coalesce — an inner
+    join would silently drop OOV occurrences and make an all-OOV document
+    vanish from the scored stream entirely, exactly the junk a quality
+    gate exists to catch.
     """
     from ..operators.textops import nb_train, tokens
     from ..sources.tables import fan_out, load_table
@@ -59,22 +67,33 @@ def nb_scores_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(
         load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
-    _, weights, prior = nb_train(docs, label=F.col("lang") == "en")
-    # the prior is a batch-derived 1-row scalar; lift it into the streaming
-    # plan as a literal (a stream-static cross join would force a BNLJ into
-    # the streaming plan for one constant)
+    _, weights, prior, oov = nb_train(docs, label=F.col("lang") == "en")
+    # prior and the OOV weight are batch-derived 1-row scalars; lift them
+    # into the streaming plan as literals (a stream-static cross join would
+    # force a BNLJ into the streaming plan for one constant)
     prior_val = prior.first()[0]
+    oov_val = oov.first()[0]
 
-    stream = documents_file_stream(spark, sf_dir)
+    stream = (
+        stream_source
+        if stream_source is not None
+        else documents_file_stream(spark, sf_dir)
+    )
     occurrences = stream.select(
         F.col("doc_id"),
         (F.col("lang") == "en").alias("label"),
         F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
     ).filter(F.col("tok") != "")
     scored = (
-        occurrences.join(F.broadcast(weights), "tok")
+        occurrences.join(F.broadcast(weights), "tok", "left")
         .groupBy("doc_id", "label")
-        .agg(F.sum("w").alias("__s"))
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.col("w"), F.lit(oov_val).cast("decimal(18,9)")
+                )
+            ).alias("__s")
+        )
         .select(
             "doc_id",
             "label",

@@ -111,6 +111,8 @@ FAMILIES = [
     "referential_integrity_report",
     # PSI drift monitor (one (day, bin) agg + tiny grid rollups)
     "events_value_psi_daily",
+    # last-touch attribution (asof union-sort window over events)
+    "attribution_last_touch",
 ]
 
 

@@ -2423,3 +2423,52 @@ def test_value_psi_drift_laws(spark):
     assert abs(out["2024-01-02"].psi) < 1e-9
     assert out["2024-01-03"].psi > 0.25  # the canonical "action" threshold
     assert all(r.n_events == 200 for r in out.values())
+
+
+def test_temperature_mixture_emits_zero_alloc_groups(spark):
+    """One row per group even when a group's largest-remainder allocation
+    is 0 (tiny budget across many groups): zero samples, zero checksum —
+    never silently absent."""
+    from scraping_jobsdb_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, f"g{i % 7}") for i in range(70)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = {r.lang: r for r in temperature_mixture_sample(
+        docs, group_col="lang", alpha=0.5, budget=3
+    ).collect()}
+    assert len(out) == 7  # every group present
+    assert sum(r.alloc for r in out.values()) == 3
+    zeros = [r for r in out.values() if r.alloc == 0]
+    assert zeros, "budget 3 over 7 equal groups must zero someone out"
+    for r in zeros:
+        assert r.n_sampled == 0 and r.id_checksum == 0
+
+
+def test_psi_negative_values_are_visible_drift(spark):
+    """Negative values clamp into bin 0 (not into grid-invisible negative
+    bins): a day shifting into the negative region fires PSI."""
+    from datetime import datetime
+
+    from scraping_jobsdb_spark.operators.temporal import value_psi_by_day
+
+    rows = []
+    for i in range(200):
+        rows.append((datetime(2024, 1, 1, 10, 0), float(100 + i % 300)))
+        rows.append((datetime(2024, 1, 2, 10, 0), -50.0 - i))  # all negative
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.day: r for r in value_psi_by_day(ev).collect()}
+    assert out["2024-01-02"].n_events == 200
+    assert out["2024-01-02"].psi > 0.25, out["2024-01-02"]
+
+
+def test_referential_integrity_rejects_empty_pairs(spark):
+    import pytest as _pytest
+
+    from scraping_jobsdb_spark.operators.checks import (
+        referential_integrity_report,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        referential_integrity_report([])

@@ -1772,3 +1772,14 @@ def test_binary_hamming_correlates_with_cosine(spark):
     top_mean = sum(cos_by_id[i] for i in top_ids) / len(top_ids)
     corpus_mean = sum(cos_by_id.values()) / len(cos_by_id)
     assert top_mean > corpus_mean, (top_mean, corpus_mean)
+
+
+def test_whitening_empty_input_returns_empty(spark):
+    """An empty embeddings frame whitens to an empty result with the
+    output schema, not an IndexError at plan-build time."""
+    from scraping_jobsdb_spark.operators.similarity import whitening_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.lit(False))
+    out = whitening_topk(emb, (0,), k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "rank", "qcos"}

@@ -886,3 +886,39 @@ def test_streaming_nb_scores_equal_batch(spark):
     s = sorted(map(tuple, stream.collect()))
     assert b == s
     assert len(b) > 0
+
+
+def test_streaming_nb_scores_oov_documents(spark, tmp_path):
+    """A newly-arriving document whose vocabulary was unseen at fit time
+    must still be scored — each OOV occurrence contributes the NB smoothed
+    weight ln(N_neg+V) - ln(N_pos+V), not silently zero, and an all-OOV
+    doc must not vanish from the scored stream."""
+    from decimal import Decimal
+
+    from scraping_jobsdb_spark.operators.textops import nb_train
+    from scraping_jobsdb_spark.sources.tables import fan_out, load_table
+    from scraping_jobsdb_spark.streaming.quality import nb_scores_stream
+    from scraping_jobsdb_spark.streaming.windows import run_stream_to_memory
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    newdocs = spark.createDataFrame(
+        [(900000, "en", "zzzqqq xxyyww zzzqqq vvkkpp")],
+        "doc_id bigint, lang string, text string",
+    )
+    newdocs.coalesce(1).write.parquet(str(landing / "batch1.parquet"))
+    stream = spark.readStream.schema(newdocs.schema).parquet(
+        str(landing) + "/*"
+    )
+
+    out = run_stream_to_memory(
+        nb_scores_stream(spark, SF_SMOKE, stream_source=stream), spark
+    ).collect()
+    assert len(out) == 1 and out[0].doc_id == 900000
+
+    docs = fan_out(
+        load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    )
+    _, _, prior, oov = nb_train(docs, label=F.col("lang") == "en")
+    want = float(prior.first()[0] + Decimal(4) * oov.first()[0])
+    assert abs(out[0].score - want) < 1e-12, (out[0].score, want)

@@ -2050,7 +2050,10 @@ def boilerplate_span_removal(
     left join onto the per-doc token counts.
 
     Exact — no floating point anywhere; (doc, pos) is a total order, so
-    reassembly is deterministic. Output: (id, n_tokens, n_removed, clean_text).
+    reassembly is deterministic. Documents with no non-empty tokens have
+    nothing to strike or reassemble and drop from the output (the same
+    "too short to process" rule as bigram_surprisal's <2-token drop).
+    Output: (id, n_tokens, n_removed, clean_text).
     """
     t = tokens(F.lower(F.col(text_col)))
     base = docs.select(F.col(id_col), t.alias("__t"))

@@ -533,3 +533,105 @@ def test_epochs_expand_laws(spark, rows):
         want = int(math.floor(w)) + extra
         got = sorted(by_key.get(k, []))
         assert got == list(range(1, want + 1)), (k, w, want, got)
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(docs=corpus_strategy)
+@settings(**_SETTINGS)
+def test_boilerplate_removal_equals_python_reference(spark, docs):
+    """boilerplate_span_removal over random tiny-vocab corpora equals a
+    direct Python reference: same frequent-trigram set, same covered
+    positions, same surviving text, token conservation."""
+    from scraping_jobsdb_spark.operators.textops import boilerplate_span_removal
+
+    min_df = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in boilerplate_span_removal(df, min_df=min_df).collect()}
+
+    # Python reference
+    tris: dict[str, set[int]] = {}
+    for i, toks in enumerate(docs):
+        for s in range(len(toks) - 2):
+            tris.setdefault(" ".join(toks[s : s + 3]), set()).add(i)
+    freq = {g for g, d in tris.items() if len(d) >= min_df}
+    for i, toks in enumerate(docs):
+        covered = set()
+        for s in range(len(toks) - 2):
+            if " ".join(toks[s : s + 3]) in freq:
+                covered.update((s, s + 1, s + 2))
+        keep = [t for p, t in enumerate(toks) if p not in covered]
+        if not toks:
+            # an empty doc tokenizes to [''] which the operator filters
+            # everywhere — nothing to strike or reassemble, so it drops
+            # from the output (the documented too-short rule)
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_tokens == len(toks), (i, r)
+        assert r.n_removed == len(covered), (i, r)
+        assert r.clean_text == " ".join(keep), (i, r)
+
+
+@given(
+    groups=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=6
+    ),
+    budget=st.integers(min_value=0, max_value=25),
+    alpha=st.sampled_from([0.3, 0.5, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_temperature_mixture_equals_python_reference(spark, groups, budget, alpha):
+    """temperature_mixture_sample's allocation equals a direct Python
+    largest-remainder reference for random group sizes, budgets and
+    temperatures; every group appears; allocations sum to the budget."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from scraping_jobsdb_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = []
+    next_id = 0
+    for g, n in enumerate(groups):
+        for _ in range(n):
+            rows.append((next_id, f"g{g}"))
+            next_id += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = {r.lang: r for r in temperature_mixture_sample(
+        docs, group_col="lang", alpha=alpha, budget=budget
+    ).collect()}
+
+    # Python largest-remainder reference over 9-dp quotas
+    weights = {f"g{g}": n ** alpha for g, n in enumerate(groups)}
+    tot = sum(weights.values())
+    q9 = {
+        k: Decimal(str(budget * w / tot)).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+        for k, w in weights.items()
+    }
+    base = {k: int(v) for k, v in q9.items()}
+    rem = {k: v - base[k] for k, v in q9.items()}
+    extra = budget - sum(base.values())
+    order = sorted(rem, key=lambda k: (-rem[k], k))
+    alloc = {
+        k: base[k] + (1 if order.index(k) < extra else 0) for k in q9
+    }
+    assert len(got) == len(groups)
+    assert sum(r.alloc for r in got.values()) == budget
+    for g, n in enumerate(groups):
+        k = f"g{g}"
+        assert got[k].n_docs == n
+        assert got[k].alloc == alloc[k], (k, got[k].alloc, alloc[k], q9)
+        assert got[k].n_sampled == min(alloc[k], n)

@@ -635,3 +635,109 @@ def test_temperature_mixture_equals_python_reference(spark, groups, budget, alph
         assert got[k].n_docs == n
         assert got[k].alloc == alloc[k], (k, got[k].alloc, alloc[k], q9)
         assert got[k].n_sampled == min(alloc[k], n)
+
+
+nb_corpus_strategy = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8
+        ),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=20,
+).filter(lambda rows: any(lab for _, lab in rows) and any(not lab for _, lab in rows))
+
+
+@given(rows=nb_corpus_strategy)
+@settings(**_SETTINGS)
+def test_nb_scores_equal_python_reference(spark, rows):
+    """nb_quality_scores equals a direct Python naive-Bayes reference
+    (add-one smoothing, 9-dp rounded weights, decimal sums) on random
+    labelled corpora — guards the decimal precision chain end to end."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from scraping_jobsdb_spark.operators.textops import nb_quality_scores
+
+    docs = [(i, " ".join(toks), lab) for i, (toks, lab) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, lab boolean")
+    got = {r.doc_id: r for r in nb_quality_scores(df, label=F.col("lab")).collect()}
+
+    def r9(x):
+        return Decimal(str(round(x, 9))).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
+    cp, cn = Counter(), Counter()
+    dp = dn = 0
+    for _, text, lab in docs:
+        toks = text.split()
+        (cp if lab else cn).update(toks)
+        if lab:
+            dp += 1
+        else:
+            dn += 1
+    np_, nn_ = sum(cp.values()), sum(cn.values())
+    vocab = set(cp) | set(cn)
+    v = len(vocab)
+    w = {
+        t: r9(math.log((cp[t] + 1) / (np_ + v)) - math.log((cn[t] + 1) / (nn_ + v)))
+        for t in vocab
+    }
+    prior = r9(math.log(dp) - math.log(dn))
+    for i, text, lab in docs:
+        tf = Counter(text.split())
+        s = prior + sum(Decimal(c) * w[t] for t, c in tf.items())
+        assert got[i].score == float(s), (i, got[i].score, float(s))
+        assert got[i].predicted == (s > 0)
+
+
+@given(rows=nb_corpus_strategy)
+@settings(**_SETTINGS)
+def test_dsir_scores_equal_python_reference(spark, rows):
+    """dsir_importance_topk equals a direct Python reference replaying the
+    portable md5 bucket hash, the smoothed log-ratios and the decimal
+    sums — guards the hash portability contract."""
+    import hashlib
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from scraping_jobsdb_spark.operators.textops import dsir_importance_topk
+
+    B = 16
+    docs = [(i, " ".join(toks), lab) for i, (toks, lab) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, t boolean")
+    got = {
+        r.doc_id: r.score
+        for r in dsir_importance_topk(
+            df, target=F.col("t"), n_buckets=B, k=len(docs)
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    def r9(x):
+        return Decimal(str(round(x, 9))).quantize(
+            Decimal("0.000000001"), rounding=ROUND_HALF_UP
+        )
+
+    ct, cr = Counter(), Counter()
+    per_doc = {}
+    for i, text, lab in docs:
+        c = Counter(bucket(t) for t in text.split())
+        per_doc[i] = c
+        cr.update(c)
+        if lab:
+            ct.update(c)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    ratio = {
+        b: r9(math.log((ct[b] + 1) / (nt + B)) - math.log((cr[b] + 1) / (nr + B)))
+        for b in cr
+    }
+    for i, _, _ in docs:
+        want = float(sum(Decimal(c) * ratio[b] for b, c in per_doc[i].items()))
+        assert got[i] == want, (i, got[i], want)

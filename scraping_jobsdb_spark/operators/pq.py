@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.operators.similarity import cosine
+from scraping_jobsdb_spark.session import local_df
 
 __all__ = [
     "pq_train", "pq_encode", "pq_topk", "ivfpq_topk",
@@ -114,8 +115,11 @@ def pq_train(
 
     spark = corpus.sparkSession
     for _ in range(max_iter):
+        # local_df: Arrow/JVM-backed — a parallelize-backed codebook frame
+        # re-pays a Python-worker round per partition per iteration
         cb_df = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(j, c, v) for (j, c), v in sorted(codebook.items())],
                 "subspace int, cell int, centroid array<double>",
             )
@@ -608,7 +612,7 @@ def _adc_rank_refine_batch(
     codes_df = codes_for_cells(all_cells)
     cidt = dict(codes_df.dtypes)[id_col]
     qp = F.broadcast(
-        spark.createDataFrame(probe_pairs, f"query_id {qidt}, cell int")
+        local_df(spark, probe_pairs, f"query_id {qidt}, cell int")
     )
     pairs = codes_df.join(qp, "cell")
 
@@ -715,16 +719,16 @@ def write_ann_index(
     coded.write.partitionBy("cell").mode("overwrite").parquet(
         os.path.join(path, "codes")
     )
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
-    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    local_df(
+        spark, cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     m = len(codebook)
     cb_rows = [
         (j, c, codebook[j][c]) for j in range(m) for c in range(len(codebook[j]))
     ]
-    spark.createDataFrame(
-        cb_rows, "subspace int, cell int, centroid array<double>"
-    ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    local_df(
+        spark, cb_rows, "subspace int, cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
 
 
 def _load_index_sides(spark, path: str):
@@ -903,10 +907,15 @@ def write_ann_index_txn(
         parted,
         stats_cols=["cell"],
     )
+    # side tables are codebook-scale: 1 slice → 1 task + 1 file per commit
+    # (the default createDataFrame parallelism schedules ~32 near-empty
+    # tasks per tiny write — pure fixed cost on the lifecycle's clock)
     TxnTable.create(
         spark,
         os.path.join(path, "centroids"),
-        spark.createDataFrame(cent_rows, "cell int, centroid array<double>"),
+        local_df(
+            spark, cent_rows, "cell int, centroid array<double>"
+        ).coalesce(1),
     )
     m = len(codebook)
     cb_rows = [
@@ -915,9 +924,9 @@ def write_ann_index_txn(
     TxnTable.create(
         spark,
         os.path.join(path, "codebook"),
-        spark.createDataFrame(
-            cb_rows, "subspace int, cell int, centroid array<double>"
-        ),
+        local_df(
+            spark, cb_rows, "subspace int, cell int, centroid array<double>"
+        ).coalesce(1),
     )
 
 

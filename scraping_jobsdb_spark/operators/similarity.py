@@ -910,7 +910,10 @@ def ivf_topk(
 
 
 def quantize_embeddings_int8(
-    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization of a float embedding column.
 
@@ -920,6 +923,7 @@ def quantize_embeddings_int8(
     multiply). Pure JVM expressions — a transform for the codes, one
     array_max for the scale; dequantize is the inverse transform. Max
     round-trip error per component is ``scale/2``, asserted in tests.
+    ``carry_cols`` ride along unchanged (labels, partitions).
     """
     v = F.col(vec_col)
     scale = F.greatest(
@@ -929,6 +933,7 @@ def quantize_embeddings_int8(
     codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     return emb.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         scale.alias("scale"),
         codes.alias("codes"),
     )

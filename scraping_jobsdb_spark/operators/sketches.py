@@ -183,30 +183,39 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
-    """Raw HyperLogLog estimate from a register DataFrame (one row:
-    ``est_distinct`` double, ``n_zero_buckets`` bigint).
+def hll_estimate(
+    sketch: DataFrame, p: int = 8, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Raw HyperLogLog estimate from a register DataFrame (one row —
+    or one per ``group_cols`` group when the sketch carries group keys:
+    ``est_distinct`` double, ``n_zero_buckets`` bigint, ``harmonic_sum``
+    bigint).
 
     Determinism: the harmonic sum is computed as the INTEGER
     S = sum(2^(max_rho - rho)) (+ 2^max_rho per never-hit bucket) — every
     term is an exact power of two and the integer sum is order-independent,
     where the float form sum(2^-rho) rounds order-dependently once terms
-    differ by >53 binary orders. One double division at the end. The
-    standard small-range correction applies (raw estimate ≤ 2.5m with
-    empty buckets → linear counting m·ln(m/V)); ln() carries libm ulps,
-    which is why GATE queries hash the integer registers, not estimates —
-    estimate accuracy (~1.04/sqrt(m)) is asserted in tests."""
+    differ by >53 binary orders. One double division at the end — IEEE
+    correctly-rounded, so the raw estimate is bit-identical in any engine
+    given the same registers. The standard small-range correction applies
+    (raw estimate ≤ 2.5m with empty buckets → linear counting m·ln(m/V));
+    ln() carries libm ulps, which is why gate queries either hash the
+    integer registers (hll_portable_registers) or round the estimate to
+    3 dp before hashing (approx_distinct_sketch) — estimate accuracy
+    (~1.04/sqrt(m)) is asserted in tests."""
+    keys = list(group_cols or [])
     m = 1 << p
     max_rho = HLL_DRAW_BITS - p + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
     # DataFrame-API shiftleft wants a literal shift; the SQL form takes a
     # column — the per-register term 2^(max_rho - rho) is an exact bigint
-    agg = sketch.agg(
+    aggs = [
         F.expr(
             f"sum(shiftleft(cast(1 as bigint), cast({max_rho} - rho as int)))"
         ).alias("__s_hit"),
         F.count(F.lit(1)).alias("__n_hit"),
-    )
+    ]
+    agg = sketch.groupBy(*keys).agg(*aggs) if keys else sketch.agg(*aggs)
     s_total = F.col("__s_hit") + (F.lit(m) - F.col("__n_hit")) * F.lit(
         1 << max_rho
     ).cast("bigint")
@@ -218,8 +227,10 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(
+        *keys,
         est.alias("est_distinct"),
         v.alias("n_zero_buckets"),
+        s_total.cast("bigint").alias("harmonic_sum"),
     )
 
 
@@ -267,18 +278,23 @@ def kmv_merge(k: int, *sketches: DataFrame) -> DataFrame:
     return out.select("v").distinct().orderBy("v").limit(k)
 
 
-def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+def kmv_estimate(
+    sketch: DataFrame, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
     """Distinct-count estimate from a (v) sketch: (k-1) * 2^60 / v_k with
     v_k the k-th smallest retained value; exact count when the sketch
     holds fewer than k values (the whole distinct set hashed). One double
-    division; everything before it is integer."""
-    agg = sketch.agg(
-        F.count(F.lit(1)).alias("__n"), F.max("v").alias("__vk")
-    )
+    division (both operands exact: (k-1)·2^60 is an exact double for any
+    sane k, v_k an integer) — bit-identical in any engine; everything
+    before it is integer. One row per group when ``group_cols`` names the
+    sketch's group keys."""
+    keys = list(group_cols or [])
+    aggs = [F.count(F.lit(1)).alias("__n"), F.max("v").alias("__vk")]
+    agg = sketch.groupBy(*keys).agg(*aggs) if keys else sketch.agg(*aggs)
     est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("__vk").cast("double")
     )
-    return agg.select(est.alias("est_distinct"))
+    return agg.select(*keys, est.alias("est_distinct"))
 
 
 def kmv_intersection_estimate(

@@ -76,88 +76,88 @@ from scraping_jobsdb_spark.plans import q_llm_extensions as _q_llm_extensions  #
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-8 window (registry 189, window 50). Evidence ages going in (the
-# latest-evidence join over CORRECTNESS_r01-r07): r7 went 50/50 green and
-# cleared the whole r3-stale cohort; the histogram is now r4:45 / r5:45 /
-# r6:47 / r7:50, with exactly three oracled queries never driver-evidenced
-# (registered after the r7 window froze). 3 + 2 + 45 = 50 exactly:
-# (a) the 3 NEVER-EVIDENCED late-r7 registrations (VERDICT r7 item 1):
-#     txn_merge_full_sync (WHEN NOT MATCHED BY SOURCE -- the only MERGE
-#     clause family member without a driver row), events_ohlc_streaming
-#     (streaming OHLC twin), doc_bigram_perplexity (bigram-LM quality
-#     filter). All fully oracled.
-# (b) the 2 drift watch-list queries whose code paths r7 touched most
-#     (VERDICT r7 item 7): bpe_learned_merges (greedy min-rank encode
-#     change), embedding_ann_index_txn_lifecycle (Arrow encode+assign
-#     fusion). Re-evidenced even though their rows are r7-fresh.
-# (c) ALL 45 queries whose latest green row is r4 -- the oldest remaining
-#     evidence cohort (VERDICT r7 item 1 "then the 45-query r4-stale
-#     cohort"), led by the three r7 slot-ceders variant_json_surface,
-#     merge_upsert_txn, winnowing_containment_pairs, then alphabetical.
-#     After this window, no query's evidence is older than r5.
-# Note: embedding_ivf_topk (rows-only r7) was CONVERTED to fully-oracled
-# this round (VERDICT r7 item 5, label-centroid cells + 9 dp quantized
-# ranking) and takes the window's last slot so the IVF pruning path gets
-# its first value-level driver row (rows-only drops 15 -> 14). To make
-# room, approx_distinct_sketch is the ONE r4 query held over to lead r9:
-# its distinct-count-sketch family keeps THREE sibling rows in this window
-# (hll_portable_registers, hll_mergeable_sketches, kmv_distinct_sketches)
-# and the query itself is the thin approx_count_distinct wrapper -- the
-# lowest-information re-check in the cohort.
+# Round-9 window (registry 213, window 50). Evidence going in (latest-
+# evidence join over CORRECTNESS_r01-r08): r8 went 47 green + 3 declared
+# rows-only, zero red; histogram r4:1 / r5:44 / r6:47 / r7:47 / r8:50, plus
+# 24 queries registered after the r8 window froze with NO driver row yet
+# (VERDICT r8 "Missing" item 1). 1 + 24 + 3 + 22 = 50 exactly:
+# (a) approx_distinct_sketch — the one r4 holdover (VERDICT r8 item 2),
+#     REFRESHED this round from a rows-only approx_count_distinct wrapper
+#     to a FULLY-ORACLED portable form (HLL estimate over hll_build
+#     registers + exact-division KMV estimate + hash-sample rank
+#     percentiles); leads the window so the refresh gets value evidence.
+# (b) the 24 never-evidenced r8 registrations (VERDICT r8 item 1),
+#     quality/curation wave first (the compositions a training-data user
+#     runs daily), then retrieval/embedding, tokenizers, SemDeDup
+#     production regime, governance.
+# (c) the three ANN queries PROMOTED to full oracles this round (VERDICT
+#     r8 item 4: ivfpq + persisted index + txn lifecycle now share the
+#     int8-domain SQL-derivable-quantizer oracle; rows-only 17 -> 14) —
+#     re-evidenced at value level even though their rows are r8-fresh,
+#     because their implementations changed this round (item 5's
+#     lifecycle job-count cuts included).
+# (d) the 22 alphabetically-first members of the 44-query r5-stale cohort
+#     (after this window the oldest evidence is r5 for the remaining 22,
+#     which lead r10 — the histogram tail shortens monotonically).
 _GATE_PRIORITY = [
-    # (a) never driver-evidenced (late-r7 registrations)
-    "txn_merge_full_sync",
-    "events_ohlc_streaming",
-    "doc_bigram_perplexity",
-    # (b) drift watch-list (r7-touched code paths)
-    "bpe_learned_merges",
+    # (a) the r4 holdover, refreshed to fully-oracled
+    "approx_distinct_sketch",
+    # (b) never driver-evidenced r8 registrations: quality/curation wave
+    "quality_classifier_nb",
+    "dsir_importance_sample",
+    "doc_boilerplate_removal",
+    "temperature_mixture_corpus",
+    "quality_ensemble_verdicts",
+    "doc_quality_streaming",
+    "doc_perplexity_buckets",
+    "doc_token_entropy",
+    "corpus_pmi_pairs",
+    "lang_kl_divergence",
+    # retrieval / embedding wave
+    "hybrid_rrf_retrieval",
+    "embedding_random_projection",
+    "embedding_hard_negatives",
+    "embedding_matryoshka_topk",
+    "embedding_whitening_topk",
+    "embedding_binary_hamming_topk",
+    # tokenizer completions
+    "wordpiece_corpus_tokenize",
+    "unigram_corpus_tokenize",
+    "unigram_seed_candidates",
+    # SemDeDup production regime
+    "semantic_dedup_kmeans_cells",
+    # governance / DQ / ML-ops wave
+    "k_anonymity_report",
+    "referential_integrity_report",
+    "events_value_psi_daily",
+    "attribution_last_touch",
+    # (c) ANN trio promoted to full oracles this round
+    "embedding_ivfpq_topk",
+    "embedding_ann_index_topk",
     "embedding_ann_index_txn_lifecycle",
-    # (c) the 45-query r4-stale cohort -- slot-ceders first
-    "variant_json_surface",
-    "merge_upsert_txn",
-    "winnowing_containment_pairs",
-    "asof_join_forward_window",
-    "bloom_point_lookup_txn",
-    "bm25_doc_ranking",
-    "cdc_apply_changes_txn",
-    "cms_term_frequencies",
-    "decontamination_ngram_overlap",
-    "dedup_keep_best_quality",
-    "dedup_pipeline_winnowing",
-    "doc_chunking",
-    "doc_pii_redaction",
-    "doc_repetition_stats",
-    "doc_segment_dedup_global",
-    "doc_top_ngrams",
-    "doc_unigram_surprisal",
-    "embedding_int8_cosine_topk",
-    "embedding_topk_np",
-    "events_daily_gap_fill",
-    "events_time_weighted_value",
-    "fuzzy_join_supplier_names",
-    "gopher_quality_flags",
-    "hll_mergeable_sketches",
-    "hll_portable_registers",
-    "incremental_mv_refresh",
-    "kmv_distinct_sketches",
-    "leakage_safe_split_stats",
-    "market_share_by_year",
-    "minhash_portable_neardup_pairs",
-    "mixture_weighted_corpus_sample",
-    "nation_volume_shipping",
-    "quality_top_fraction_per_lang",
-    "quantile_hash_sample",
-    "recursive_event_chains",
-    "regional_supplier_volume",
-    "retention_cohorts",
-    "scalar_date_pack",
-    "shipping_priority_top10",
-    "skew_join_salted",
-    "sole_supplier_orders",
-    "term_postings_index",
-    "token_budget_sample_per_lang",
-    "weighted_sample_by_length",
-    "embedding_ivf_topk",
+    # (d) r5-stale cohort, alphabetical first 22
+    "anti_join_not_in",
+    "bpe_merge_candidates",
+    "corpus_to_training_examples",
+    "cube_flag_status",
+    "dedup_distinct_on",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_lang_quality",
+    "doc_ngram_jaccard",
+    "doc_text_stats",
+    "domain_cap_sample",
+    "embedding_topk",
+    "epoch_repeat_expansion",
+    "events_hourly_streaming",
+    "exists_order_priority_count",
+    "forecast_revenue_delta",
+    "group_by_all_rollup",
+    "groupby_min_max",
+    "grouped_sorted_list",
+    "incremental_batch_dedup",
+    "join_dims_broadcast",
+    "join_left_outer_agg",
 ]
 
 

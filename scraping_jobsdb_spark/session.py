@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "local_df"]
 
 
 def _cpus() -> int:
@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Delay scheduling is a data-locality optimization for HDFS-era
+        # co-located storage; on local mode and on object-store clusters
+        # (where every read is remote anyway) it only stalls the scheduler —
+        # measured: a coalesce(1) over a parallelized local relation waited
+        # the full 3 s default before running its one task. 0 = schedule
+        # immediately wherever a slot is free.
+        .config("spark.locality.wait", "0s")
     )
     # Master: honor an existing session/cluster manager; local[N] only as the
     # single-machine fallback (tests, bench).
@@ -76,6 +83,32 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def local_df(spark: SparkSession, rows, schema: str):
+    """Arrow/JVM-backed DataFrame from a small driver-side row list.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the rows into
+    Python-pickled partitions — every downstream job then pays a
+    Python-worker round trip PER PARTITION (measured ~130 ms each: a
+    ``coalesce(1)`` over the default 32 slices of a 10-row frame stalled
+    ~4 s computing 32 tiny Python partitions sequentially) even though the
+    data is bytes. Routing through pandas hands Spark ONE Arrow batch that
+    lives JVM-side from then on: the same frame coalesces, joins, or
+    writes in ~50 ms. Use this for every codebook-scale side frame
+    (centroids, codebooks, probe-pair lists); value fidelity is preserved
+    (int64 / float64 / lists of float64 cross Arrow exactly).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], st)
+    pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
+    return spark.createDataFrame(pdf, st)
 
 
 def ship_package(spark: SparkSession) -> None:

@@ -78,6 +78,60 @@ def test_parse_job_page_above_salary_and_garbage():
     assert parse_job_page("<<<not html", RUN_DATE)["job_title"] is None
 
 
+def test_extract_jobs_reference_sample_golden(spark):
+    """The reference's own golden fixture (``spark/test_utils.py:9-48`` over
+    ``spark/data/sample.html``), replayed through the DISTRIBUTED
+    ``extract_jobs`` path: one fixture page carrying the sample's literal
+    field values, all 12 schema fields pinned — including the reference's
+    no-HTML-tags description property (test_utils.py:27-30) and its
+    blank-salary case (the sample posts no salary band)."""
+    import re
+
+    from scraping_jobsdb_spark.operators.extract import extract_jobs
+
+    html = (
+        "<html><body>"
+        "<h1 data-automation='job-title'>IT Technical Support Engineer</h1>"
+        "<div data-automation='company-name'>"
+        "Ogawa Health Care International (HK) Ltd</div>"
+        "<div data-automation='job-description'>Perform <b>installation</b>, "
+        "maintenance &amp; repair of health care products.</div>"
+        "<div data-automation='job-location'>Kowloon Bay</div>"
+        "<span data-automation='job-post-date'>Posted on 03-Oct-22</span>"
+        "<div data-automation='career-level'>Middle</div>"
+        "<div data-automation='qualification'>Non-Degree Tertiary</div>"
+        "<div data-automation='job-type'>Full Time, Permanent</div>"
+        "<div data-automation='job-functions'>Information Technology (IT), "
+        "Hardware, Support, Technical / Functional Consulting</div>"
+        "<div data-automation='industry'>Trading and Distribution</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html, RUN_DATE)], "doc_id long, html string, scraped_date date"
+    )
+    row = extract_jobs(df).collect()[0]
+    assert row.job_title == "IT Technical Support Engineer"
+    assert row.company_name == "Ogawa Health Care International (HK) Ltd"
+    assert re.search(r"^[^<>]+$", row.job_description), row.job_description
+    assert "installation" in row.job_description
+    assert row.location == "Kowloon Bay"
+    assert row.official_post_date == date(2022, 10, 3)
+    assert row.min_official_salary is None  # typed NULL, not "" (sample has
+    assert row.max_official_salary is None  # no salary band)
+    assert row.career_level == "Middle"
+    assert row.qualification == "Non-Degree Tertiary"
+    assert row.job_type == "Full Time, Permanent"
+    assert row.job_functions == [
+        "Information Technology (IT)",
+        "Hardware",
+        "Support",
+        "Technical / Functional Consulting",
+    ]
+    assert row.industry == "Trading and Distribution"
+    # passthrough columns survive the struct expansion untouched
+    assert row.doc_id == 1
+
+
 # --- end-to-end ------------------------------------------------------------
 
 

@@ -165,14 +165,40 @@ def test_sketch_aggregates_error_bounds(spark):
         .agg(
             F.count_distinct("user_id").alias("users"),
             F.expr("percentile(value, 0.5)").alias("p50"),
+            # Spark's native sketches stay covered alongside the portable
+            # oracled forms the query now ships
+            F.approx_count_distinct("user_id", 0.02).alias("native_users"),
+            F.percentile_approx("value", F.lit(0.5), 10000).alias(
+                "native_p50"
+            ),
         )
         .collect()
     }
     assert set(approx) == set(exact)
     for et, a in approx.items():
         e = exact[et]
-        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
-        assert abs(a.value_p50 - e.p50) <= max(1.0, 0.05 * abs(e.p50))
+        # portable HLL (p=8, ~6.5% 1σ; small-range linear counting is
+        # tighter) and KMV (exact below k=64, ~12.5% 1σ above)
+        assert abs(a.est_users_hll - e.users) <= max(3, 0.2 * e.users)
+        assert abs(a.est_users_kmv - e.users) <= max(3, 0.3 * e.users)
+        # deterministic ~10% sample quantiles: value-space error is
+        # unbounded on a skewed tail at smoke scale (n_sample ~ 16), so
+        # assert in RANK space — the fraction of the full column at or
+        # below the sampled p50 must sit within ±3σ of 0.5 for a
+        # binomial(n_sample) rank draw
+        n_vals = ev.filter(F.col("event_type") == et).count()
+        frac = (
+            ev.filter(
+                (F.col("event_type") == et)
+                & (F.col("value") <= a.value_p50)
+            ).count()
+            / n_vals
+        )
+        sd = 0.5 / (a.n_sample ** 0.5)
+        assert 0.5 - 3 * sd <= frac <= 0.5 + 3 * sd
+        # Spark's native estimators agree with exact within their bounds
+        assert abs(e.native_users - e.users) <= max(2, 0.05 * e.users)
+        assert abs(e.native_p50 - e.p50) <= max(1.0, 0.05 * abs(e.p50))
 
 
 def test_dedup_pipeline_removes_injected_neardups(spark):

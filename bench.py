@@ -210,6 +210,16 @@ BENCH_QUERIES = [
     "events_value_psi_daily",
     # last-touch revenue attribution (asof-join composition)
     "attribution_last_touch",
+    # retrieval-quality eval harness (nDCG@10 / MRR / recall@10 vs qrels)
+    "retrieval_eval_metrics",
+    # dictionary phrase tagging (explode-once + broadcast gazetteer join)
+    "dictionary_phrase_tagging",
+    # C4 blocklist filter report (token-set overlap, per-language rates)
+    "badwords_filter_report",
+    # exact-integer EWMA smoothing (50-day half-life window, no epsilon)
+    "events_ewma_smoothing",
+    # curriculum ordering (quality tertiles + in-bucket hash shuffle)
+    "curriculum_pack_order",
 ]
 
 

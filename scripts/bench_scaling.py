@@ -113,6 +113,16 @@ FAMILIES = [
     "events_value_psi_daily",
     # last-touch attribution (asof union-sort window over events)
     "attribution_last_touch",
+    # retrieval eval harness (one corpus pass + query-count-sized metrics)
+    "retrieval_eval_metrics",
+    # dictionary phrase tagging (explode-once + broadcast dict join)
+    "dictionary_phrase_tagging",
+    # blocklist filter report (map-only token-set overlap + lang agg)
+    "badwords_filter_report",
+    # exact-integer EWMA (one keyed agg + one 50-row-frame window)
+    "events_ewma_smoothing",
+    # curriculum ordering (tertile cuts broadcast + global position sort)
+    "curriculum_pack_order",
 ]
 
 
@@ -172,7 +182,55 @@ def _time(fn, min_runs: int = 2, skip_second_above_s: float = 60.0) -> float:
     return round(best, 3)
 
 
+def _spot_check_100x(big_dir: str, factor: int, families: list[str]) -> None:
+    """The deep-scale spot check (r8 verdict item 6): re-measure the named
+    families (the steepest 10x movers) at ``factor``x data and record them
+    in a ``data_factor_100`` section of BENCH_SCALING.json. The flag
+    threshold scales with the factor (linear work at Nx on a fixed
+    32-thread box lands <= ~1.2N once parallelism is saturated)."""
+    spark = get_spark(app_name="bench_scaling_100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_dir = "/root/testdata/sf0.001"
+    for warm in ("groupby_min_max", "minhash_neardup_pairs", "embedding_topk"):
+        _run_registry(spark, warm, warm_dir)
+    section: dict = {"sf_big": big_dir, "data_factor": factor, "families": {}}
+    for name in families:
+        t_base = _time(lambda: _run_registry(spark, name, BASE_DIR))
+        t_big = _time(
+            lambda: _run_registry(spark, name, big_dir), min_runs=1
+        )
+        ratio = round(t_big / t_base, 2) if t_base > 0 else None
+        section["families"][name] = {
+            "t_base_s": t_base,
+            "t_big_s": t_big,
+            "ratio": ratio,
+            "super_linear": bool(ratio and ratio > 1.2 * factor),
+        }
+        print(f"{name}: {t_base}s -> {t_big}s  ({ratio}x)", flush=True)
+    section["super_linear_families"] = sorted(
+        n for n, v in section["families"].items() if v["super_linear"]
+    )
+    prior_path = REPO / "BENCH_SCALING.json"
+    prior = json.loads(prior_path.read_text()) if prior_path.exists() else {}
+    prior["data_factor_100"] = section
+    prior_path.write_text(json.dumps(prior, indent=1))
+    print(json.dumps({"flagged_100x": section["super_linear_families"]}))
+
+
 def main() -> None:
+    # --big DIR --factor N name...: deep-scale spot check section
+    argv = sys.argv[1:]
+    if "--big" in argv:
+        big = argv[argv.index("--big") + 1]
+        factor = int(argv[argv.index("--factor") + 1])
+        names = [
+            a
+            for i, a in enumerate(argv)
+            if not a.startswith("-")
+            and argv[i - 1] not in ("--big", "--factor")
+        ]
+        _spot_check_100x(big, factor, names)
+        return
     if not Path(BIG_DIR, "lineitem.parquet").exists():
         sys.exit(
             f"scale-up data missing at {BIG_DIR} — run scripts/gen_scale_data.py"

@@ -75,15 +75,25 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default=str(REPO / ".scaling" / "sf1.0"))
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list to build only these tables (e.g. the 100x "
+        "spot-check needs just documents,embeddings)",
+    )
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     f = args.factor
+    wanted = set(args.tables.split(",")) if args.tables else None
+
+    def want(t: str) -> bool:
+        return wanted is None or t in wanted
 
     for t in ("region", "nation"):
         dst = out / f"{t}.parquet"
-        if not dst.exists():
+        if want(t) and not dst.exists():
             con.execute(
                 f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{dst}' (FORMAT PARQUET)"
             )
@@ -105,7 +115,7 @@ def main() -> None:
 
     for t, (keys, fks) in OFFSET_SPECS.items():
         dst = out / f"{t}.parquet"
-        if dst.exists():
+        if not want(t) or dst.exists():
             continue
         cols = [
             c[0]
@@ -131,7 +141,7 @@ def main() -> None:
         print(f"{t}: {n} rows")
 
     dst = out / "documents.parquet"
-    if not dst.exists():
+    if want("documents") and not dst.exists():
         docs = con.execute(f"SELECT * FROM '{SRC}/documents.parquet'").df()
         n_docs = int(docs["doc_id"].max()) + 1
         reps = []
@@ -147,7 +157,7 @@ def main() -> None:
         print(f"documents: {len(alld)} rows")
 
     dst = out / "embeddings.parquet"
-    if not dst.exists():
+    if want("embeddings") and not dst.exists():
         emb = con.execute(f"SELECT * FROM '{SRC}/embeddings.parquet'").df()
         emb = emb.sort_values("vec_id").reset_index(drop=True)
         n_vecs = int(emb["vec_id"].max()) + 1

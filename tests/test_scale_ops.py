@@ -2472,3 +2472,157 @@ def test_referential_integrity_rejects_empty_pairs(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         referential_integrity_report([])
+
+
+# --- round-9 curation/eval wave -------------------------------------------
+
+
+def test_retrieval_eval_metric_laws(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["retrieval_eval_metrics"].spark_fn(spark, SF_SMOKE).collect()
+    )
+    assert {r.term for r in rows} == {"spark", "merge", "vector"}
+    for r in rows:
+        assert 0.0 <= r.ndcg_at_10 <= 1.0, r
+        assert 0.0 <= r.mrr <= 1.0, r
+        assert 0.0 <= r.recall_at_10 <= 1.0, r
+        assert r.n_rel > 0
+        # MRR is 1/rank-of-first-relevant: with graded rels derived from tf
+        # and BM25 ranking BY tf-monotone score, the top hit is relevant
+        assert r.mrr == 1.0, r
+
+
+def test_dictionary_phrase_tagging_matches_bruteforce(spark):
+    from collections import Counter
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    tags = {
+        (r.doc_id, r.phrase)
+        for r in REGISTRY["dictionary_phrase_tagging"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter("text is not null")
+        .collect()
+    }
+    counts = Counter()
+    per_doc = {}
+    for did, ws in docs.items():
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        counts.update(bgs)
+        per_doc[did] = set(bgs)
+    top5 = sorted(counts, key=lambda p: (-counts[p], p))[:5]
+    expected = {
+        (did, p) for did, bgs in per_doc.items() for p in top5 if p in bgs
+    }
+    assert tags == expected
+
+
+def test_badwords_filter_report_matches_bruteforce(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    report = {
+        r.lang: r
+        for r in REGISTRY["badwords_filter_report"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    block = {"dup", "corrupt", "deadlock"}
+    exp: dict = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter("text is not null")
+        .collect()
+    ):
+        n, f = exp.get(r.lang, (0, 0))
+        hit = bool(block & set(r.text.strip().split()))
+        exp[r.lang] = (n + 1, f + (1 if hit else 0))
+    assert set(report) == set(exp)
+    for lang, (n, f) in exp.items():
+        row = report[lang]
+        assert (row.n_docs, row.n_flagged) == (n, f)
+        assert row.flag_rate == f / n
+
+
+def test_ewma_matches_exact_rational_recompute(spark):
+    from fractions import Fraction
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {
+        (r.user_id, r.day): r
+        for r in REGISTRY["events_ewma_smoothing"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(30,4)")) * 10000)
+            .cast("bigint")
+            .alias("xm")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(daily, key=lambda r: (r.user_id, r.day)):
+        series.setdefault(r.user_id, []).append((str(r.day), r.xm))
+    checked = 0
+    for uid, pts in series.items():
+        for n in range(len(pts)):
+            window = pts[max(0, n - 49) : n + 1]
+            num = sum(
+                Fraction(xm) * Fraction(1, 2) ** j
+                for j, (_, xm) in enumerate(reversed(window))
+            )
+            den = sum(Fraction(1, 2) ** j for j in range(len(window)))
+            exact = num / den / 10000
+            row = out[(uid, pts[n][0])]
+            assert row.n_window == len(window)
+            # the engine emits two correctly-rounded divisions off the
+            # exact integer numerator — within 2 ulp of the true rational
+            assert abs(row.ewma - float(exact)) <= 4e-16 * max(
+                1.0, abs(float(exact))
+            ), (uid, pts[n][0], row.ewma, float(exact))
+            checked += 1
+    assert checked == len(out) > 0
+
+
+def test_curriculum_pack_order_laws(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["curriculum_pack_order"].spark_fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.position,
+    )
+    assert [r.position for r in rows] == list(range(1, len(rows) + 1))
+    # easy->hard curriculum: bucket ids are non-decreasing along positions,
+    # and bucket 0 holds the highest-quality tertile
+    assert all(a.bucket <= b.bucket for a, b in zip(rows, rows[1:]))
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    # ties at the tertile cuts can legally empty the middle bucket at
+    # smoke scale; the easy (0) and hard (2) extremes always exist
+    assert set(by_bucket) <= {0, 1, 2}
+    assert {0, 2} <= set(by_bucket)
+    assert min(r.quality for r in by_bucket[0]) >= max(
+        r.quality for r in by_bucket[2]
+    )
+    # within a bucket the order is the md5 shuffle, uncorrelated with id
+    import hashlib
+
+    for rs in by_bucket.values():
+        keys = [
+            hashlib.md5(str(r.doc_id).encode()).hexdigest() for r in rs
+        ]
+        assert keys == sorted(keys)

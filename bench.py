@@ -220,6 +220,14 @@ BENCH_QUERIES = [
     "events_ewma_smoothing",
     # curriculum ordering (quality tertiles + in-bucket hash shuffle)
     "curriculum_pack_order",
+    # degree-ordered triangle count over the supplier co-occurrence graph
+    "graph_triangle_count",
+    # median/MAD robust daily-value outlier flags
+    "events_anomaly_mad",
+    # KMV/theta sketch set algebra (union/intersection/Jaccard estimates)
+    "kmv_set_operations",
+    # char-trigram language-ID confusion matrix (held-out split)
+    "doc_langid_trigram",
 ]
 
 

@@ -57,6 +57,7 @@ __all__ = [
     "pmi_top_pairs",
     "lang_kl_divergence",
     "quality_ensemble",
+    "langid_trigram_confusion",
 ]
 
 # Tiny embedded stopword lists for the n-gram/marker-word language heuristic.
@@ -2351,4 +2352,81 @@ def quality_ensemble(
                 & (F.col("surprisal_nats") <= surprisal_max)
             ).alias("keep"),
         )
+    )
+
+
+def langid_trigram_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 200,
+    test_mod: int = 5,
+) -> DataFrame:
+    """Cavnar–Trenkle character-trigram language identification with a
+    held-out evaluation: train top-``top_k`` trigram profiles per language
+    on docs with ``id % test_mod != 0``, classify the held-out rest by
+    Σ (top_k + 1 − rank) over each doc's distinct trigrams (argmax with
+    the deterministic tie-break score desc, lang asc — scores are exact
+    integers), and return the confusion matrix (actual_lang,
+    predicted_lang, n_docs) with 'und' for docs matching no profile.
+
+    Shape: trigrams explode ONCE (train/test share the exploded frame via
+    the split predicate), profile building is one keyed aggregate + a
+    per-language top-k window, scoring joins the ≤ top_k × |langs| row
+    profile BROADCAST against the test trigrams, the argmax is a per-doc
+    window — the corpus is read once and nothing unbounded shuffles.
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    tri = (
+        docs.select(id_col, lang_col, t.alias("__t"))
+        .filter(F.length("__t") >= 3)
+        .select(
+            id_col,
+            lang_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(__t) - 2),"
+                    " i -> substring(__t, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    train = tri.filter(F.col(id_col) % test_mod != 0)
+    test = tri.filter(F.col(id_col) % test_mod == 0)
+    w_prof = Window.partitionBy(lang_col).orderBy(
+        F.col("__n").desc(), F.col("g")
+    )
+    prof = (
+        train.groupBy(lang_col, "g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col(lang_col).alias("cand"), "g", "rk")
+    )
+    scores = (
+        test.select(id_col, "g")
+        .distinct()
+        .join(F.broadcast(prof), "g")
+        .groupBy(id_col, "cand")
+        .agg(F.sum(F.lit(top_k + 1) - F.col("rk")).alias("score"))
+    )
+    w_pred = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cand").alias("predicted"))
+    )
+    held = docs.filter(F.col(id_col) % test_mod == 0).select(id_col, lang_col)
+    return (
+        held.join(pred, id_col, "left")
+        .groupBy(
+            F.col(lang_col).alias("actual_lang"),
+            F.coalesce(F.col("predicted"), F.lit("und")).alias(
+                "predicted_lang"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -56,6 +56,7 @@ from scraping_jobsdb_spark.plans import q_txn_write as _q_txn_write  # noqa: F40
 from scraping_jobsdb_spark.plans import q_scale_ops as _q_scale_ops  # noqa: F401,E402
 from scraping_jobsdb_spark.plans import q_llm_extensions as _q_llm_extensions  # noqa: F401,E402
 from scraping_jobsdb_spark.plans import q_curation_eval as _q_curation_eval  # noqa: F401,E402
+from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Gate-window ordering.

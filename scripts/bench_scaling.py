@@ -123,6 +123,14 @@ FAMILIES = [
     "events_ewma_smoothing",
     # curriculum ordering (tertile cuts broadcast + global position sort)
     "curriculum_pack_order",
+    # triangle enumeration (wedge join bounded by oriented out-degree)
+    "graph_triangle_count",
+    # MAD anomalies (one shuffle: both percentiles window over user)
+    "events_anomaly_mad",
+    # KMV set algebra (two 64-row sketches; corpus-size-independent tail)
+    "kmv_set_operations",
+    # trigram langid (explode once, broadcast profile, per-doc argmax)
+    "doc_langid_trigram",
 ]
 
 

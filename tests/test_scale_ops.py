@@ -2626,3 +2626,160 @@ def test_curriculum_pack_order_laws(spark):
             hashlib.md5(str(r.doc_id).encode()).hexdigest() for r in rs
         ]
         assert keys == sorted(keys)
+
+
+# --- round-9 wave 2: graph / monitoring / sketch algebra / langid ----------
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    row = REGISTRY["graph_triangle_count"].spark_fn(spark, SF_SMOKE).collect()[0]
+    # brute force: rebuild the support-5 co-occurrence graph in Python
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    from collections import Counter
+
+    support = Counter()
+    for supps in by_order.values():
+        support.update(combinations(sorted(supps), 2))
+    edges = {p for p, c in support.items() if c >= 5}
+    nodes = {n for p in edges for n in p}
+    adj: dict = {n: set() for n in nodes}
+    for u, w in edges:
+        adj[u].add(w)
+        adj[w].add(u)
+    # count each triangle once at its (u, w) edge with the third node above
+    tri = 0
+    for u, w in edges:
+        tri += len([v for v in adj[u] & adj[w] if v > w])  # u < w < v
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(nodes),
+        len(edges),
+        wedges,
+        tri,
+    )
+    assert row.global_clustering == round(3 * tri / wedges, 9)
+
+
+def test_events_anomaly_mad_matches_python(spark):
+    from decimal import Decimal
+    from statistics import median
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    got = {
+        (r.user_id, r.day): r
+        for r in REGISTRY["events_anomaly_mad"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    daily: dict = {}
+    for r in ev:
+        key = (r.user_id, str(r.ts)[:10])
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(str(round(r.value, 4)))
+    per_user: dict = {}
+    for (uid, day), v in daily.items():
+        per_user.setdefault(uid, []).append((day, int(v * 10000)))
+    expected = {}
+    for uid, pts in per_user.items():
+        xs = [x for _, x in pts]
+        med = median(xs)
+        mad = median(abs(x - med) for x in xs)
+        if mad <= 0:
+            continue
+        for day, x in pts:
+            if abs(x - med) > 3.5 * mad:
+                expected[(uid, day)] = (x, med, mad)
+    assert set(got) == set(expected)
+    for key, (x, med, mad) in expected.items():
+        r = got[key]
+        assert r.daily_value == x / 10000.0
+        assert r.med_value == med / 10000.0
+        assert r.mad_value == mad / 10000.0
+        assert r.robust_z == round(abs(x - med) / mad, 9)
+
+
+def test_kmv_set_operations_error_bounds(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    row = REGISTRY["kmv_set_operations"].spark_fn(spark, SF_SMOKE).collect()[0]
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+            ).alias("item"),
+        )
+        .distinct()
+        .collect()
+    )
+    a = {r.item for r in ev if r.event_type == "click"}
+    b = {r.item for r in ev if r.event_type == "purchase"}
+    # KMV relative error ~ 1/sqrt(k-2); allow 5 sigma (k = 64)
+    tol = 5.0 / (62**0.5)
+    for est, exact in (
+        (row.est_click, len(a)),
+        (row.est_purchase, len(b)),
+        (row.est_intersection, len(a & b)),
+    ):
+        if exact >= 64:
+            assert abs(est - exact) <= tol * exact, (est, exact)
+    assert 0.0 <= row.jaccard_est <= 1.0
+    assert row.rho <= 64
+
+
+def test_langid_trigram_separates_real_languages(spark):
+    from scraping_jobsdb_spark.operators.textops import langid_trigram_confusion
+
+    samples = {
+        "en": "the quick brown fox jumps over the lazy dog while the "
+        "children watch the evening light fade through the window",
+        "de": "der schnelle braune fuchs springt über den faulen hund "
+        "während die kinder das abendlicht durch das fenster schauen",
+        "fr": "le rapide renard brun saute par dessus le chien paresseux "
+        "pendant que les enfants regardent la lumière du soir",
+    }
+    rows = []
+    i = 0
+    for lang, base in samples.items():
+        words = base.split()
+        for j in range(15):
+            # rotate word order so docs differ but keep the character
+            # distribution of the language
+            rot = words[j % len(words):] + words[: j % len(words)]
+            rows.append((i, lang, " ".join(rot)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    conf = {
+        (r.actual_lang, r.predicted_lang): r.n_docs
+        for r in langid_trigram_confusion(docs, top_k=100).collect()
+    }
+    # held-out docs (doc_id % 5 == 0) must all classify correctly
+    assert set(conf) == {("en", "en"), ("de", "de"), ("fr", "fr")}
+
+
+def test_langid_registry_confusion_is_complete(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table as lt
+
+    rows = REGISTRY["doc_langid_trigram"].spark_fn(spark, SF_SMOKE).collect()
+    docs = lt(spark, SF_SMOKE, "documents").filter("text is not null")
+    held = docs.filter("doc_id % 5 = 0")
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert sum(r.n_docs for r in rows) == held.count()
+    assert {r.actual_lang for r in rows} <= langs
+    assert {r.predicted_lang for r in rows} <= langs | {"und"}

@@ -228,6 +228,10 @@ BENCH_QUERIES = [
     "kmv_set_operations",
     # char-trigram language-ID confusion matrix (held-out split)
     "doc_langid_trigram",
+    # TPC-H Q21 shape: exists + not-exists as grouped HAVING (2 scans not 3)
+    "waiting_supplier_report",
+    # Morton-curve layout stats (multi-dim min/max pruning evidence)
+    "zorder_layout_stats",
 ]
 
 

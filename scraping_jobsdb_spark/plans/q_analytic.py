@@ -698,3 +698,79 @@ def q_salted_groupby_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_users", F.col("sum_users").cast("bigint"))
 
 
+
+
+@_register(
+    "waiting_supplier_report",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ), multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) > 1
+    ), sole_late AS (
+        SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+        FROM late GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.l_suppkey AS suppkey, COUNT(*) AS numwait
+    FROM sole_late s JOIN multi m USING (l_orderkey)
+    GROUP BY 1
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+)
+def q_waiting_supplier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped 'suppliers who kept orders waiting': for finished
+    orders served by MULTIPLE suppliers, find the orders where EXACTLY ONE
+    supplier shipped late (> 60 days after the order date) and charge that
+    order to the late supplier — the classic EXISTS + NOT-EXISTS nesting,
+    expressed as aggregates instead of correlated subqueries: 'exactly one
+    distinct late supplier' ≡ EXISTS(other supplier) ∧ NOT EXISTS(other
+    LATE supplier), but each condition becomes one grouped HAVING on an
+    already-scanned frame rather than two more semi/anti self-joins of
+    lineitem (the Catalyst decorrelation would scan lineitem three times;
+    this form scans it twice and orders once). Top-20 under the total
+    order (numwait desc, suppkey) via TakeOrderedAndProject."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    late = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__nl"),
+            F.min("l_suppkey").alias("suppkey"),
+        )
+        .filter(F.col("__nl") == 1)
+        .select("l_orderkey", "suppkey")
+    )
+    return (
+        sole_late.join(multi, "l_orderkey")
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(20)
+    )

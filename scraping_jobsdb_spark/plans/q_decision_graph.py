@@ -1136,10 +1136,12 @@ def q_semantic_dedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle-ability, which leaves the in-cell quadratic fat): cells come
     from ``kmeans_fit`` at k ≈ corpus/50 trained on a FIXED-SIZE
     deterministic hash-sample (the faiss recipe — training cost O(sample
-    × k), never corpus-sized), and assignment runs the ``broadcast``
-    argmin path (map-side-combining min(struct) over the broadcast
-    centroid table — unbounded k, unlike the driver-baked literal
-    expression which outgrows codegen past ~100 cells). Exact cosines
+    × k), never corpus-sized), and assignment runs the ``gemm`` path
+    (one numpy float64 GEMM per Arrow batch against the collected k × d
+    centroid matrix — faiss's own assignment kernel; the min(struct)
+    broadcast-join path materializes n × k rows and stalled the 100×
+    spot-check at k ≈ 4000, the literal expression outgrows codegen past
+    ~100 cells — all three pinned equal in tests). Exact cosines
     only within cells: Σ|cell|² stays ~n·cell_size as the corpus grows
     because k scales WITH n — the knob the 10-cell gate shape cannot
     demonstrate (BENCH_SCALING.json measures this at sf0.1→sf1.0).
@@ -1178,7 +1180,7 @@ def q_semantic_dedup_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame
     # only the corpus-sized assignment below is distributed
     cents = kmeans_fit_local(sample, n_centroids=k, max_iter=3)
     return semantic_dedup_keep_list(
-        corpus, cents, threshold=0.9, label_col="cell", assign="broadcast"
+        corpus, cents, threshold=0.9, label_col="cell", assign="gemm"
     )
 
 

@@ -1127,3 +1127,84 @@ def q_simhash_portable_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFr
     ).filter(F.col("hamming") <= 3)
 
 
+
+
+# Bit-interleave expression for the 8-bit-per-dimension Morton code —
+# generated once so the Spark column and the DuckDB oracle share the text.
+_ZORDER_EXPR = (
+    "(((bx >> 0) & 1) << 0) + (((by >> 0) & 1) << 1) + (((bx >> 1) & 1) << 2) + (((by >> 1) & 1) << 3) + (((bx >> 2) & 1) << 4) + (((by >> 2) & 1) << 5) + (((bx >> 3) & 1) << 6) + (((by >> 3) & 1) << 7) + (((bx >> 4) & 1) << 8) + (((by >> 4) & 1) << 9) + (((bx >> 5) & 1) << 10) + (((by >> 5) & 1) << 11) + (((bx >> 6) & 1) << 12) + (((by >> 6) & 1) << 13) + (((bx >> 7) & 1) << 14) + (((by >> 7) & 1) << 15)"
+)
+
+
+@_register(
+    "zorder_layout_stats",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS x,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y
+        FROM orders
+    ), stats AS (
+        SELECT MIN(x) AS minx, MAX(x) AS maxx,
+               MIN(y) AS miny, MAX(y) AS maxy
+        FROM base
+    ), coords AS (
+        SELECT x, y,
+               ((x - minx) * 256) // (maxx - minx + 1) AS bx,
+               ((y - miny) * 256) // (maxy - miny + 1) AS by
+        FROM base CROSS JOIN stats
+    ), z AS (
+        SELECT x, y, """ + _ZORDER_EXPR + """ AS zval
+        FROM coords
+    )
+    SELECT zval >> 8 AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_cust, MAX(x) AS max_cust,
+           MIN(y) AS min_price_c, MAX(y) AS max_price_c
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) DATA-LAYOUT statistics over orders on the
+    (customer, price) plane — the multi-dimensional clustering technique
+    lakehouse writers (Delta OPTIMIZE ZORDER, Iceberg sort orders) use so
+    per-file min/max stats prune scans on EITHER predicate column: each
+    row's two dimensions are range-normalized to 8 bits (one 1-row
+    min/max aggregate broadcast back), bit-interleaved into a 16-bit
+    Morton code, and grouped by the code's high byte — exactly the
+    file-assignment a `repartitionByRange(zval)` write would produce.
+    The emitted per-bucket (count, min/max of both raw dimensions) IS
+    the pruning evidence: every bucket bounds BOTH dimensions to ~1/16
+    of their range, where a single-column sort bounds one and leaves the
+    other unconstrained (pinned in tests). All arithmetic is integer
+    (price in exact DECIMAL cents; normalization is integer
+    multiply-divide; interleave is shifts/masks shared TEXTUALLY with
+    the oracle), so the whole layout value-hash replays."""
+    o = fan_out(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    stats = o.agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+    )
+    coords = o.crossJoin(F.broadcast(stats)).select(
+        "x",
+        "y",
+        F.expr("((x - minx) * 256) div (maxx - minx + 1)").alias("bx"),
+        F.expr("((y - miny) * 256) div (maxy - miny + 1)").alias("by"),
+    )
+    z = coords.select("x", "y", F.expr(_ZORDER_EXPR).alias("zval"))
+    return z.groupBy(
+        F.shiftright(F.col("zval"), 8).alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("min_cust"),
+        F.max("x").alias("max_cust"),
+        F.min("y").alias("min_price_c"),
+        F.max("y").alias("max_price_c"),
+    )

@@ -131,6 +131,10 @@ FAMILIES = [
     "kmv_set_operations",
     # trigram langid (explode once, broadcast profile, per-doc argmax)
     "doc_langid_trigram",
+    # Q21 shape (two lineitem scans + keyed aggs, TakeOrderedAndProject)
+    "waiting_supplier_report",
+    # z-order layout (map-only interleave + one keyed agg)
+    "zorder_layout_stats",
 ]
 
 

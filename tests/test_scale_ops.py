@@ -2783,3 +2783,65 @@ def test_langid_registry_confusion_is_complete(spark):
     assert sum(r.n_docs for r in rows) == held.count()
     assert {r.actual_lang for r in rows} <= langs
     assert {r.predicted_lang for r in rows} <= langs | {"und"}
+
+
+def test_waiting_supplier_matches_bruteforce(spark):
+    from collections import Counter
+    from datetime import timedelta
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    got = [
+        (r.suppkey, r.numwait)
+        for r in REGISTRY["waiting_supplier_report"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    ]
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).collect()
+    orders = {
+        r.o_orderkey: (r.o_orderstatus, r.o_orderdate)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    supps: dict = {}
+    lates: dict = {}
+    for r in li:
+        supps.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+        status, odate = orders[r.l_orderkey]
+        if status == "F" and r.l_shipdate > odate + timedelta(days=60):
+            lates.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    waits = Counter()
+    for ok, late in lates.items():
+        if len(late) == 1 and len(supps[ok]) > 1:
+            waits[next(iter(late))] += 1
+    expected = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == expected
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["zorder_layout_stats"].spark_fn(spark, SF_SMOKE).collect()
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    n_total = orders.count()
+    assert sum(r.n_rows for r in rows) == n_total
+    g = orders.agg(
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+        F.min((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")),
+        F.max((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")),
+    ).collect()[0]
+    cust_range = g[1] - g[0] + 1
+    price_range = g[3] - g[2] + 1
+    # weighted mean per-bucket span: a z-ordered layout bounds BOTH
+    # dimensions (a 1-D sort would leave one dimension's span ~ full range)
+    span_c = sum(r.n_rows * (r.max_cust - r.min_cust + 1) for r in rows) / n_total
+    span_p = sum(
+        r.n_rows * (r.max_price_c - r.min_price_c + 1) for r in rows
+    ) / n_total
+    assert span_c < 0.35 * cust_range, (span_c, cust_range)
+    assert span_p < 0.35 * price_range, (span_p, price_range)
+    assert {r.zbucket for r in rows} <= set(range(256))

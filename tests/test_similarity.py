@@ -1490,6 +1490,17 @@ def test_semantic_dedup_broadcast_assign_parity_and_cell_knob(spark):
             ).collect()
         }
         assert lit == bc, f"literal != broadcast at k={k}"
+        gm = {
+            r.vec_id: (r.cell, r.keep)
+            for r in semantic_dedup_keep_list(
+                corpus,
+                cents,
+                threshold=0.999,
+                label_col="cell",
+                assign="gemm",
+            ).collect()
+        }
+        assert lit == gm, f"literal != gemm at k={k}"
         results[k] = lit
         sizes = {}
         for cell, _keep in lit.values():

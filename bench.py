@@ -232,6 +232,10 @@ BENCH_QUERIES = [
     "waiting_supplier_report",
     # Morton-curve layout stats (multi-dim min/max pruning evidence)
     "zorder_layout_stats",
+    # exact mergeable distinct via native bitmap functions
+    "bitmap_exact_distinct",
+    # exact-moment column profiler (DECIMAL power sums, one scan)
+    "column_profile_orders",
 ]
 
 

@@ -1208,3 +1208,55 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_price_c"),
         F.max("y").alias("max_price_c"),
     )
+
+
+@_register(
+    "bitmap_exact_distinct",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type AS scope, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY 1
+    ), merged AS (
+        SELECT '__all__' AS scope, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events
+    )
+    SELECT scope, n_distinct FROM per_type
+    UNION ALL
+    SELECT scope, n_distinct FROM merged
+    """,
+)
+def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's native bitmap functions
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count, Spark 3.5+) — the warehouse recipe for
+    exact COUNT DISTINCT that still PRE-AGGREGATES: per (event_type,
+    32k-value bucket) partial bitmaps are built map-side, per-type counts
+    sum the per-bucket popcounts, and the '__all__' row demonstrates the
+    MERGE law (bitmap_or_agg over the per-type bitmaps ≡ distinct of the
+    union) — what the approximate HLL/KMV family cannot give when the
+    business rule says exact. Shape: one scan, one (type, bucket)-keyed
+    aggregate whose state is a 4 KB bitmap per bucket (NOT a per-value
+    set — memory is bounded by the value RANGE/32k per group, not by
+    cardinality), then k-bucket-sized rollups; everything integer →
+    value-hash oracles against DuckDB's exact distinct."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("__bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("__pos"),
+        )
+        .groupBy("event_type", "__bucket")
+        .agg(F.expr("bitmap_construct_agg(__pos)").alias("__bm"))
+    )
+    per_type = (
+        per_bucket.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.sum(F.expr("bitmap_count(__bm)")).alias("n_distinct"))
+    )
+    merged = (
+        per_bucket.groupBy("__bucket")
+        .agg(F.expr("bitmap_or_agg(__bm)").alias("__bm"))
+        .agg(F.sum(F.expr("bitmap_count(__bm)")).alias("n_distinct"))
+        .select(F.lit("__all__").alias("scope"), "n_distinct")
+    )
+    return per_type.unionByName(merged)

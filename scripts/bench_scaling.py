@@ -135,6 +135,10 @@ FAMILIES = [
     "waiting_supplier_report",
     # z-order layout (map-only interleave + one keyed agg)
     "zorder_layout_stats",
+    # bitmap exact distinct (4KB-per-bucket agg state, mergeable)
+    "bitmap_exact_distinct",
+    # column profiler (one scan, mergeable power sums)
+    "column_profile_orders",
 ]
 
 

@@ -2845,3 +2845,63 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     assert span_c < 0.35 * cust_range, (span_c, cust_range)
     assert span_p < 0.35 * price_range, (span_p, price_range)
     assert {r.zbucket for r in rows} <= set(range(256))
+
+
+def test_bitmap_exact_distinct_matches_exact(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    got = {
+        r.scope: r.n_distinct
+        for r in REGISTRY["bitmap_exact_distinct"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.nd
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert got == exact
+
+
+def test_column_profile_matches_numpy_moments(spark):
+    import numpy as np
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.col_name: r
+        for r in REGISTRY["column_profile_orders"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders").collect()
+    series = {
+        "price_cents": np.array(
+            [int(round(r.o_totalprice * 100)) for r in o], dtype=np.float64
+        ),
+        "custkey": np.array([r.o_custkey for r in o], dtype=np.float64),
+        "orderdate_day": np.array(
+            [
+                (r.o_orderdate.date() - __import__("datetime").date(1970, 1, 1)).days
+                for r in o
+            ],
+            dtype=np.float64,
+        ),
+    }
+    assert set(rows) == set(series)
+    for name, xs in series.items():
+        r = rows[name]
+        assert r.n_values == len(xs)
+        assert r.n_nulls == 0
+        assert r.n_distinct == len(set(xs))
+        assert (r.min_v, r.max_v) == (int(xs.min()), int(xs.max()))
+        mean = xs.mean()
+        std = xs.std()  # population
+        skew = ((xs - mean) ** 3).mean() / std**3
+        kurt = ((xs - mean) ** 4).mean() / std**4 - 3
+        assert abs(r.mean - mean) < 1e-6 * max(1, abs(mean))
+        assert abs(r.stddev_pop - std) < 1e-6 * max(1, std)
+        assert abs(r.skewness - skew) < 1e-6
+        assert abs(r.kurtosis_excess - kurt) < 1e-6

@@ -236,6 +236,10 @@ BENCH_QUERIES = [
     "bitmap_exact_distinct",
     # exact-moment column profiler (DECIMAL power sums, one scan)
     "column_profile_orders",
+    # range-partition boundary planning (sorted-write balance report)
+    "range_partition_balance_report",
+    # native approx_top_k heavy hitters (bounded sketch state, one pass)
+    "approx_topk_native",
 ]
 
 

@@ -1260,3 +1260,131 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("scope"), "n_distinct")
     )
     return per_type.unionByName(merged)
+
+
+@_register(
+    "range_partition_balance_report",
+    oracle="""
+    WITH keys AS (
+        SELECT o_custkey AS k FROM orders
+    ), bnds AS (
+        SELECT quantile_cont(CAST(k AS DOUBLE),
+                             [CAST(i AS DOUBLE) / 16 FOR i IN range(1, 16)])
+                   AS bs
+        FROM keys
+    ), assigned AS (
+        SELECT k, len(list_filter(bs, b -> k > b)) AS bucket
+        FROM keys CROSS JOIN bnds
+    ), agg AS (
+        SELECT bucket, COUNT(*) AS n_rows,
+               MIN(k) AS min_key, MAX(k) AS max_key
+        FROM assigned GROUP BY bucket
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n_rows, min_key, max_key,
+           ROUND(n_rows * 16.0 / (SELECT COUNT(*) FROM keys), 9)
+               AS balance_ratio
+    FROM agg
+    """,
+)
+def q_range_partition_balance_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-partition boundary planning made observable — the exact
+    computation behind a sorted lakehouse write (`repartitionByRange` /
+    Iceberg sort orders): 15 exact percentile cuts of the key (ONE 1-row
+    aggregate broadcast back — percentile_approx is the 100 TB drop-in
+    with the identical plan), map-side bucket assignment by counting
+    boundaries below the key, and the per-bucket (rows, min/max,
+    balance ratio) report that tells you BEFORE writing whether the
+    layout will be balanced (ratio ≈ 1) or skew-hot (ratio ≫ 1 — the
+    signal to salt or split). Boundary comparisons are exact (integer
+    keys, half-integer percentile cuts), so the whole report value-hash
+    replays. Shape: one scan for the cuts, one map-only assignment pass,
+    one 16-group aggregate."""
+    keys = fan_out(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("k")
+    )
+    bnds = keys.agg(
+        F.array(
+            *[
+                F.expr(f"percentile(cast(k as double), {i}.0D/16.0D)")
+                for i in range(1, 16)
+            ]
+        ).alias("bs")
+    )
+    assigned = keys.crossJoin(F.broadcast(bnds)).select(
+        "k",
+        F.size(F.filter(F.col("bs"), lambda b: F.col("k") > b)).alias(
+            "bucket"
+        ),
+    )
+    total = keys.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_rows",
+            "min_key",
+            "max_key",
+            F.round(
+                F.col("n_rows") * F.lit(16.0) / F.col("__t"), 9
+            ).alias("balance_ratio"),
+        )
+    )
+
+
+@_register(
+    "approx_topk_native",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ), counted AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    )
+    SELECT tok, cnt FROM counted
+    ORDER BY cnt DESC, tok LIMIT 20
+    """,
+)
+def q_approx_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via Spark's NATIVE approx_top_k (the DataSketches
+    frequent-items aggregate, Spark 4+): one bounded-state pass over the
+    exploded tokens — the streaming-friendly alternative to a full
+    groupBy when only the head matters. The sketch tracks maxItemsTracked
+    candidates; when the live vocabulary fits inside that budget (as
+    here: the synthetic corpus has 31 tokens vs a 4096 budget) its counts
+    are EXACT, which is what lets this query carry a value-hash oracle —
+    the wrapper re-sorts the returned (item, count) pairs under the
+    engine-wide (count desc, token) total order so the sketch's own
+    arbitrary tie order never reaches the output. On a vocabulary larger
+    than the budget the counts become estimates with error bounds and the
+    oracle contract would drop to rows-only — the same exact-to-approx
+    trade the HLL/KMV family documents. Shape: explode once, ONE
+    sketch-state aggregate (no (token)-keyed shuffle of the corpus), one
+    20-row sort."""
+    from scraping_jobsdb_spark.operators.textops import tokens
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("text")
+    )
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = toks.agg(
+        F.expr("approx_top_k(tok, 64, 4096)").alias("top")
+    )
+    return (
+        sketch.select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("tok"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )

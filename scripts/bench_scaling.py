@@ -139,6 +139,10 @@ FAMILIES = [
     "bitmap_exact_distinct",
     # column profiler (one scan, mergeable power sums)
     "column_profile_orders",
+    # range-partition planning (1-row cuts broadcast, map-side assign)
+    "range_partition_balance_report",
+    # approx_top_k (one sketch-state agg, no token-keyed shuffle)
+    "approx_topk_native",
 ]
 
 

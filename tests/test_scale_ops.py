@@ -2905,3 +2905,41 @@ def test_column_profile_matches_numpy_moments(spark):
         assert abs(r.stddev_pop - std) < 1e-6 * max(1, std)
         assert abs(r.skewness - skew) < 1e-6
         assert abs(r.kurtosis_excess - kurt) < 1e-6
+
+
+def test_range_partition_report_laws(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["range_partition_balance_report"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect(),
+        key=lambda r: r.bucket,
+    )
+    n_total = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_rows for r in rows) == n_total
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    # ranges must not overlap: max of bucket i <= min of bucket i+1
+    # (boundary keys may tie across adjacent buckets only at the cut)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_key <= b.min_key
+    # exact-percentile cuts on a near-uniform key give near-balanced
+    # buckets
+    assert all(0.5 <= r.balance_ratio <= 2.0 for r in rows)
+
+
+def test_approx_topk_native_is_exact_within_budget(spark):
+    from collections import Counter
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table as lt
+
+    got = [
+        (r.tok, r.cnt)
+        for r in REGISTRY["approx_topk_native"].spark_fn(spark, SF_SMOKE).collect()
+    ]
+    counts = Counter()
+    for r in lt(spark, SF_SMOKE, "documents").filter("text is not null").collect():
+        counts.update(r.text.strip().split())
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == expected

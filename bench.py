@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "range_partition_balance_report",
     # native approx_top_k heavy hitters (bounded sketch state, one pass)
     "approx_topk_native",
+    # snapshot time travel + schema evolution + restore lifecycle audit
+    "txn_time_travel_audit",
 ]
 
 

@@ -1235,3 +1235,117 @@ def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(docs)
 
 
+
+
+@_register(
+    "txn_time_travel_audit",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS sales_channel
+        FROM orders WHERE o_orderkey % 7 = 0
+    ), v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE), 'web'
+        FROM orders WHERE o_orderkey % 7 = 1
+    ), v3 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice + 100.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               sales_channel
+        FROM v2
+    ), audits AS (
+        SELECT 1 AS version, * FROM v1
+        UNION ALL SELECT 2, * FROM v2
+        UNION ALL SELECT 3, * FROM v3
+        UNION ALL SELECT 4, * FROM v1
+    )
+    SELECT version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN sales_channel IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_channel,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+    FROM audits GROUP BY version
+    """,
+)
+def q_txn_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL + additive SCHEMA EVOLUTION + RESTORE in one
+    audited lifecycle (sources/txn.py read(version)/append/update_where/
+    restore — the Delta/Iceberg `VERSION AS OF` + `RESTORE TABLE`
+    surface): v1 creates the table, v2 appends a frame carrying a NEW
+    column (additive evolution — old files read through the widened
+    schema as nulls, Parquet scans by name), v3 runs a copy-on-write
+    UPDATE, then `restore(1)` commits v4 whose LIVE read must equal the
+    v1 snapshot bit-for-bit (restore re-points the manifest at v1's
+    files — no data rewrite, which is why it is O(1)). The audit reads
+    EVERY version through the time-travel API and aggregates each into
+    (rows, exact DECIMAL cents, evolved-column count, status count) —
+    the whole history value-hash replays against SQL reconstructing the
+    four states. Each aggregate is snapshot-file-sized; history length,
+    not corpus size, bounds the audit."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.txn import TxnTable
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    t = TxnTable.create(
+        spark, tempfile.mkdtemp(prefix="sjs_tt_q_"), base.repartition(4)
+    )
+    incoming = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("web").alias("sales_channel"),
+        )
+    )
+    t.append(incoming)  # additive evolution: new column widens the schema
+    t.update_where(
+        F.col("o_orderstatus") == "F",
+        {"o_totalprice": (F.col("o_totalprice") + 100.0).cast("double")},
+    )
+    t.restore(1)
+
+    def audit(version: int, df: DataFrame) -> DataFrame:
+        cents = F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        chan = (
+            F.sum(F.col("sales_channel").isNotNull().cast("bigint"))
+            if "sales_channel" in df.columns
+            else F.lit(0).cast("bigint")
+        )
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            cents.alias("sum_cents"),
+            chan.alias("n_channel"),
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("bigint")
+            ).alias("n_finished"),
+        ).select(
+            "version",
+            "n_rows",
+            "sum_cents",
+            F.coalesce(F.col("n_channel"), F.lit(0)).alias("n_channel"),
+            "n_finished",
+        )
+    out = audit(1, t.read(version=1))
+    for v, df in ((2, t.read(version=2)), (3, t.read(version=3)), (4, t.read())):
+        out = out.unionByName(audit(v, df))
+    return out

@@ -143,6 +143,8 @@ FAMILIES = [
     "range_partition_balance_report",
     # approx_top_k (one sketch-state agg, no token-keyed shuffle)
     "approx_topk_native",
+    # time-travel audit (history-length-bounded snapshot aggregates)
+    "txn_time_travel_audit",
 ]
 
 

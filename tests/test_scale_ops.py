@@ -2943,3 +2943,26 @@ def test_approx_topk_native_is_exact_within_budget(spark):
         counts.update(r.text.strip().split())
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == expected
+
+
+def test_txn_time_travel_audit_laws(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    rows = {
+        r.version: r
+        for r in REGISTRY["txn_time_travel_audit"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    v1, v2, v3, v4 = (rows[i] for i in (1, 2, 3, 4))
+    # restore(1) must reproduce the v1 snapshot exactly
+    assert (v4.n_rows, v4.sum_cents, v4.n_channel, v4.n_finished) == (
+        v1.n_rows,
+        v1.sum_cents,
+        v1.n_channel,
+        v1.n_finished,
+    )
+    # v2 appends rows carrying the evolved column; v1 has none of it
+    assert v1.n_channel == 0 and v2.n_channel == v2.n_rows - v1.n_rows > 0
+    # the copy-on-write update adds exactly 100.00 per finished row
+    assert v3.n_rows == v2.n_rows
+    assert v3.sum_cents == v2.sum_cents + 10000 * v3.n_finished

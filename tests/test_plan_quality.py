@@ -342,6 +342,53 @@ FORBIDDEN = [
     # never a join-node candidate explosion, no product, no Python
     ("attribution_last_touch", "CartesianProduct"),
     ("attribution_last_touch", "BatchEvalPython"),
+    # --- round-9 waves ---
+    # retrieval eval: per-query windows + k-row metric joins, no product,
+    # no Python
+    ("retrieval_eval_metrics", "CartesianProduct"),
+    ("retrieval_eval_metrics", "BatchEvalPython"),
+    # dictionary tagging: explode once + broadcast equi-join — never a
+    # per-entry scan product, no global window over the corpus
+    ("dictionary_phrase_tagging", "CartesianProduct"),
+    ("dictionary_phrase_tagging", "SinglePartition"),
+    # blocklist report is map-only + one lang aggregate: no join, no window
+    ("badwords_filter_report", "Join"),
+    ("badwords_filter_report", "Window"),
+    # exact EWMA: ONE user-partitioned window frame — never a self-join,
+    # never a global window
+    ("events_ewma_smoothing", "Join"),
+    ("events_ewma_smoothing", "SinglePartition"),
+    # triangle enumeration: keyed equi-joins only (edges from the map-side
+    # pair expansion, never a distinct+self-join), no true product beyond
+    # the 1-row stat crosses, no Python
+    ("graph_triangle_count", "CartesianProduct"),
+    ("graph_triangle_count", "BatchEvalPython"),
+    # MAD anomalies: both percentiles window over the user partitioning —
+    # never a join-back, never a global window
+    ("events_anomaly_mad", "Join"),
+    ("events_anomaly_mad", "SinglePartition"),
+    # Q21 shape: two lineitem scans + keyed aggregates — the correlated
+    # EXISTS/NOT-EXISTS never decorrelates into a product, no Python
+    ("waiting_supplier_report", "CartesianProduct"),
+    ("waiting_supplier_report", "BatchEvalPython"),
+    # z-order layout: map-only interleave + one keyed aggregate — no join
+    # beyond the 1-row stats broadcast, no window, no Python
+    ("zorder_layout_stats", "Window"),
+    ("zorder_layout_stats", "BatchEvalPython"),
+    # bitmap distinct: pure aggregates (4KB state per bucket) — no join
+    ("bitmap_exact_distinct", "Join"),
+    ("bitmap_exact_distinct", "BatchEvalPython"),
+    # column profiler: ONE fused aggregate pass — no join, no window
+    ("column_profile_orders", "Join"),
+    ("column_profile_orders", "Window"),
+    # range-partition planning: 1-row cuts broadcast + map-side assignment
+    # — never a range-join candidate explosion, no Python
+    ("range_partition_balance_report", "CartesianProduct"),
+    ("range_partition_balance_report", "BatchEvalPython"),
+    # native top-k sketch: one aggregate, no token-keyed corpus shuffle
+    # beyond the sketch state, no join, no Python
+    ("approx_topk_native", "Join"),
+    ("approx_topk_native", "BatchEvalPython"),
 ]
 
 

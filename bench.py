@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "approx_topk_native",
     # snapshot time travel + schema evolution + restore lifecycle audit
     "txn_time_travel_audit",
+    # streaming-maintenance twin of the persisted dedup index
+    "streaming_indexed_dedup",
 ]
 
 

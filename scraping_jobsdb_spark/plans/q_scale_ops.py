@@ -631,9 +631,9 @@ def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "incremental_indexed_dedup",
-    oracle=r"""
+# Shared by the batch and STREAMING index-dedup twins: the same two
+# index states, probes and verdicts replayed declaratively.
+_IDX_DEDUP_ORACLE = r"""
     WITH all_docs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
         UNION ALL
@@ -726,7 +726,12 @@ def q_incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b2 b
     LEFT JOIN sz2 z ON b.doc_id = z.doc_id
     LEFT JOIN dup2 d ON b.doc_id = d.bid
-    """,
+    """
+
+
+@_register(
+    "incremental_indexed_dedup",
+    oracle=_IDX_DEDUP_ORACLE,
 )
 def q_incremental_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-INDEX posture of incremental-crawl dedup
@@ -1387,4 +1392,57 @@ def q_approx_topk_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "tok")
         .limit(20)
+    )
+
+
+@_register(
+    "streaming_indexed_dedup",
+    oracle=_IDX_DEDUP_ORACLE,
+)
+def q_streaming_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-maintenance twin of ``incremental_indexed_dedup``
+    (operators/fpindex.py add_stream_batch — the ``foreachBatch`` body of
+    a continuously-ingesting dedup index): identical index states and
+    probes, but batch 1's admission goes through the EPOCH-KEYED
+    exactly-once append (``stream_epoch_append`` — a failure-recovery
+    replay of the same (app_id, epoch) appends nothing and the DF-view
+    refresh no-ops; replayed here explicitly to prove it) instead of the
+    plain transactional add. Streaming-equals-batch at the REGISTRY
+    level: this query shares the batch twin's oracle verbatim, so the
+    driver hash-verifies that N micro-batches through the streaming path
+    leave verdicts byte-identical to the batch sequence. Same scale
+    shape as the batch twin: batch fingerprint sets broadcast, probes
+    stream map-side over the index scan, the DF view folds ONLY the
+    epoch's delta."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    idx = FingerprintIndex.create(
+        spark, tempfile.mkdtemp(prefix="sjs_fpidx_s_"), corpus,
+        k=8, w=4, max_df=50,
+    )
+    v1 = idx.probe(batch1, threshold_milli=800).withColumn(
+        "batch_no", F.lit(1).cast("int")
+    )
+    idx.add_stream_batch(batch1, epoch_id=0)
+    # failure-recovery replay of the SAME epoch: must append nothing —
+    # the probe below would see doubled fingerprints otherwise
+    replay_rows = idx.add_stream_batch(batch1, epoch_id=0)
+    if replay_rows != 0:
+        raise AssertionError(
+            f"epoch replay appended {replay_rows} rows; expected 0"
+        )
+    v2 = idx.probe(batch2, threshold_milli=800).withColumn(
+        "batch_no", F.lit(2).cast("int")
+    )
+    return v1.unionByName(v2).select(
+        "doc_id", "batch_no", "n_fp", "n_dup_of", "kept"
     )

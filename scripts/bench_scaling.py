@@ -145,6 +145,8 @@ FAMILIES = [
     "approx_topk_native",
     # time-travel audit (history-length-bounded snapshot aggregates)
     "txn_time_travel_audit",
+    # streaming index maintenance (epoch-keyed append + delta DF fold)
+    "streaming_indexed_dedup",
 ]
 
 

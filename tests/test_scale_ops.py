@@ -2966,3 +2966,15 @@ def test_txn_time_travel_audit_laws(spark):
     # the copy-on-write update adds exactly 100.00 per finished row
     assert v3.n_rows == v2.n_rows
     assert v3.sum_cents == v2.sum_cents + 10000 * v3.n_finished
+
+
+def test_streaming_indexed_dedup_equals_batch_twin(spark):
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    batch = sorted(
+        map(tuple, REGISTRY["incremental_indexed_dedup"].spark_fn(spark, SF_SMOKE).collect())
+    )
+    stream = sorted(
+        map(tuple, REGISTRY["streaming_indexed_dedup"].spark_fn(spark, SF_SMOKE).collect())
+    )
+    assert batch == stream and len(batch) > 0

@@ -236,6 +236,14 @@ def _spot_check_100x(big_dir: str, factor: int, families: list[str]) -> None:
     )
     prior_path = REPO / "BENCH_SCALING.json"
     prior = json.loads(prior_path.read_text()) if prior_path.exists() else {}
+    # merge: later invocations extend the 100x section family by family
+    old = prior.get("data_factor_100")
+    if old and old.get("sf_big") == section["sf_big"]:
+        old["families"].update(section["families"])
+        old["super_linear_families"] = sorted(
+            n for n, v in old["families"].items() if v["super_linear"]
+        )
+        section = old
     prior["data_factor_100"] = section
     prior_path.write_text(json.dumps(prior, indent=1))
     print(json.dumps({"flagged_100x": section["super_linear_families"]}))

@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "txn_time_travel_audit",
     # streaming-maintenance twin of the persisted dedup index
     "streaming_indexed_dedup",
+    # rolling exact median (28-row frame, single user-keyed shuffle)
+    "events_rolling_median",
 ]
 
 

@@ -147,6 +147,8 @@ FAMILIES = [
     "txn_time_travel_audit",
     # streaming index maintenance (epoch-keyed append + delta DF fold)
     "streaming_indexed_dedup",
+    # rolling median (bounded frame array median, one window)
+    "events_rolling_median",
 ]
 
 

@@ -2978,3 +2978,30 @@ def test_streaming_indexed_dedup_equals_batch_twin(spark):
         map(tuple, REGISTRY["streaming_indexed_dedup"].spark_fn(spark, SF_SMOKE).collect())
     )
     assert batch == stream and len(batch) > 0
+
+
+def test_rolling_median_matches_python(spark):
+    from decimal import Decimal
+    from statistics import median
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    got = {
+        (r.user_id, r.day): r.rolling_median
+        for r in REGISTRY["events_rolling_median"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    daily: dict = {}
+    for r in ev:
+        key = (r.user_id, str(r.ts)[:10])
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(str(round(r.value, 4)))
+    series: dict = {}
+    for (uid, day), v in sorted(daily.items()):
+        series.setdefault(uid, []).append((day, int(v * 10000)))
+    checked = 0
+    for uid, pts in series.items():
+        for i, (day, _) in enumerate(pts):
+            window = [x for _, x in pts[max(0, i - 27): i + 1]]
+            assert got[(uid, day)] == median(window) / 10000.0, (uid, day)
+            checked += 1
+    assert checked == len(got) > 0

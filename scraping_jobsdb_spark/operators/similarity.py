@@ -1556,9 +1556,12 @@ def semantic_dedup_keep_list(
       item 4) — where centroids come from ``kmeans_fit`` on a FIXED-SIZE
       sample (the faiss training recipe: train cost stays O(sample × k),
       corpus-sized stages stay O(n·k GEMM flops) + Σ|cell|²). Parity
-      with the expression paths holds at the quantize_dp contract
-      (summation order differs below the rounding granularity; pinned
-      in tests).
+      with the expression paths: quantization uses the SAME HALF_UP
+      rounding mode as F.round, so the remaining divergence surface is
+      a cosine whose GEMM-order sum and fold-order sum straddle a 1e-9
+      grid boundary (≲1-ulp events; pinned equal in tests on real
+      data, but not a bit-level guarantee across BLAS builds — the
+      expression paths keep that guarantee where it matters).
 
     Both paths quantize the assignment cosine to ``quantize_dp`` decimals
     before the argmin and tie-break on the lowest cell id, so
@@ -1603,7 +1606,13 @@ def semantic_dedup_keep_list(
                 scores = (v @ cmat.T) / (
                     np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorm[None, :]
                 )
-                idx = np.argmax(np.round(scores, dp), axis=1)
+                # HALF_UP quantization (away from zero), matching Spark's
+                # F.round — np.round is half-to-even and would diverge on
+                # exact grid-boundary cosines
+                q = np.sign(scores) * np.floor(
+                    np.abs(scores) * (10.0**dp) + 0.5
+                )
+                idx = np.argmax(q, axis=1)
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col],

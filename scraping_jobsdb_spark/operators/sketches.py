@@ -304,8 +304,9 @@ def kmv_intersection_estimate(
     theta-sketch recipe: cut both at theta = min(max_a, max_b), count
     matching values below the cut (rho) out of the union's survivors (u),
     and scale the union estimate by rho/u. Returns one row:
-    (rho, est_intersection). rho is integer (hash-exact); the estimate is
-    two double operations on integers."""
+    (rho, u, est_intersection) — rho and u are integers (hash-exact;
+    rho/u is the Jaccard estimate), the estimate is two double
+    operations on integers."""
     av = a.select("v")
     bv = b.select("v")
     theta = (
@@ -330,6 +331,7 @@ def kmv_intersection_estimate(
     )
     return joined.select(
         F.col("rho").cast("bigint").alias("rho"),
+        F.col("u").cast("bigint").alias("u"),
         (F.col("rho").cast("double") / F.greatest(F.col("u"), F.lit(1)).cast("double") * est_union).alias(
             "est_intersection"
         ),

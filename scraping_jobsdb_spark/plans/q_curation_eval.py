@@ -244,14 +244,16 @@ def q_dictionary_phrase_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary phrase tagging — the SCALABLE form of multi-phrase
     matching (blocklists, entity gazetteers, topic lexicons): instead of
     one regex pass per dictionary entry (O(corpus × |dict|)), documents
-    explode into word bigrams ONCE and an equi-join against the phrase
+    explode into word bigrams and an equi-join against the phrase
     dictionary tags every occurrence in one shuffle-free broadcast join —
     O(corpus + |dict|), the Aho-Corasick economics expressed relationally.
     The dictionary here is self-derived (top-5 corpus bigrams under a
-    (count desc, phrase) total order — the doc_top_ngrams recipe) so the
-    whole composition stays a pure function of the input and value-hash
-    oracles; a real deployment broadcasts an external gazetteer through
-    the identical plan. Output: distinct (doc_id, phrase) tags."""
+    (count desc, phrase) total order — the doc_top_ngrams recipe), which
+    costs a SECOND tokenize pass of the corpus (learn the dictionary,
+    then tag — two consumers of the exploded frame; checkpointing the
+    corpus-sized explode would be worse); a real deployment broadcasts
+    an EXTERNAL gazetteer through the identical tagging plan and pays
+    exactly one pass. Output: distinct (doc_id, phrase) tags."""
     from scraping_jobsdb_spark.operators.textops import tokens
 
     docs = fan_out(
@@ -373,8 +375,12 @@ def q_badwords_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of each user's daily value
-    (α = 1/2, adjusted/finite form: E_n = Σ 2^-j x_{n-j} / Σ 2^-j over the
-    last ≤50 days) — the smoothing/trend primitive for metric monitoring,
+    (α = 1/2, adjusted/finite form: E_n = Σ 2^-j x_{n-j} / Σ 2^-j over
+    the user's last ≤50 OBSERVED days — j is the observation lag, the
+    pandas ``ewm(adjust=True)`` semantics over the series; a
+    calendar-lag variant would swap the rows frame for a rangeBetween
+    frame on epoch day and weight by day gaps) — the smoothing/trend
+    primitive for metric monitoring,
     computed EXACTLY: daily sums are DECIMAL, milli-unit integers carry
     half-life weights as powers of two (every product and the DECIMAL(38)
     numerator sum are exact integers, order-independent), and the only

@@ -239,8 +239,14 @@ def _spot_check_100x(big_dir: str, factor: int, families: list[str]) -> None:
     prior_path = REPO / "BENCH_SCALING.json"
     prior = json.loads(prior_path.read_text()) if prior_path.exists() else {}
     # merge: later invocations extend the 100x section family by family
+    # (same big dir AND same factor — a different factor is a different
+    # measurement regime and replaces the section)
     old = prior.get("data_factor_100")
-    if old and old.get("sf_big") == section["sf_big"]:
+    if (
+        old
+        and old.get("sf_big") == section["sf_big"]
+        and old.get("data_factor") == section["data_factor"]
+    ):
         old["families"].update(section["families"])
         old["super_linear_families"] = sorted(
             n for n, v in old["families"].items() if v["super_linear"]
@@ -255,15 +261,23 @@ def main() -> None:
     # --big DIR --factor N name...: deep-scale spot check section
     argv = sys.argv[1:]
     if "--big" in argv:
-        big = argv[argv.index("--big") + 1]
-        factor = int(argv[argv.index("--factor") + 1])
-        names = [
-            a
-            for i, a in enumerate(argv)
-            if not a.startswith("-")
-            and argv[i - 1] not in ("--big", "--factor")
-        ]
-        _spot_check_100x(big, factor, names)
+        big = factor = None
+        names = []
+        it = iter(argv)
+        for a in it:
+            if a == "--big":
+                big = next(it, None)
+            elif a == "--factor":
+                factor = next(it, None)
+            elif a.startswith("-"):
+                sys.exit(f"unknown flag {a!r}")
+            else:
+                names.append(a)
+        if not big or not factor or not names:
+            sys.exit(
+                "usage: bench_scaling.py --big DIR --factor N family..."
+            )
+        _spot_check_100x(big, int(factor), names)
         return
     if not Path(BIG_DIR, "lineitem.parquet").exists():
         sys.exit(

@@ -246,6 +246,15 @@ BENCH_QUERIES = [
     "streaming_indexed_dedup",
     # rolling exact median (28-row frame, single user-keyed shuffle)
     "events_rolling_median",
+    # --- round 10 additions (keep appending, never reorder) ---
+    # percentile_approx production twin of the range-partition planner
+    # (bounded sketch state — the 100 TB form; the exact twin above stays
+    # as the oracle-parity baseline)
+    "range_partition_balance_approx",
+    # exhaustive-PQ ADC retrieval, now hash-oracled in the int8 domain
+    "embedding_pq_topk",
+    # quantize→dequantize→exact search, now hash-oracled via pow2 scale
+    "embedding_quantized_topk",
 ]
 
 

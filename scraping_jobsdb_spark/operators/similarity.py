@@ -914,6 +914,7 @@ def quantize_embeddings_int8(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     carry_cols: list[str] | None = None,
+    fixed_scale: float | None = None,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization of a float embedding column.
 
@@ -924,13 +925,31 @@ def quantize_embeddings_int8(
     array_max for the scale; dequantize is the inverse transform. Max
     round-trip error per component is ``scale/2``, asserted in tests.
     ``carry_cols`` ride along unchanged (labels, partitions).
-    """
+
+    ``fixed_scale``: use a corpus-wide constant scale instead of the
+    per-vector adaptive one, clamping codes to [-127, 127]. A POWER-OF-TWO
+    constant (e.g. 2**-7 for unit-ball embeddings) makes the whole
+    quantize → dequantize → cosine chain IEEE-EXACT — ``code * scale`` is
+    exact even in float32, and every product/sum in a cosine over
+    dequantized vectors is an integer scaled by one common power of two,
+    so dequantized-domain scores equal code-domain scores bit-for-bit
+    (the r10 promotion recipe that makes the dequantize path value-hash
+    oracle-able; the adaptive path keeps recall coverage in tests)."""
     v = F.col(vec_col)
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
-        F.lit(1e-12),
-    )
-    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    if fixed_scale is not None:
+        scale = F.lit(float(fixed_scale))
+        codes = F.transform(
+            v,
+            lambda x: F.least(
+                F.greatest(F.round(x / scale), F.lit(-127.0)), F.lit(127.0)
+            ).cast("int"),
+        )
+    else:
+        scale = F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+            F.lit(1e-12),
+        )
+        codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     return emb.select(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],
@@ -1556,12 +1575,17 @@ def semantic_dedup_keep_list(
       item 4) — where centroids come from ``kmeans_fit`` on a FIXED-SIZE
       sample (the faiss training recipe: train cost stays O(sample × k),
       corpus-sized stages stay O(n·k GEMM flops) + Σ|cell|²). Parity
-      with the expression paths: quantization uses the SAME HALF_UP
-      rounding mode as F.round, so the remaining divergence surface is
-      a cosine whose GEMM-order sum and fold-order sum straddle a 1e-9
-      grid boundary (≲1-ulp events; pinned equal in tests on real
-      data, but not a bit-level guarantee across BLAS builds — the
-      expression paths keep that guarantee where it matters).
+      with the expression paths is NEAR-exact, not guaranteed: the
+      quantizer uses HALF_UP direction like F.round, but F.round
+      HALF_UPs the shortest-decimal representation via BigDecimal while
+      the numpy form rounds the binary product ``|cos|·10^dp`` (one
+      extra multiply rounding), and the GEMM-order sum differs from the
+      fold-order sum — so assignments can diverge on cosines within
+      ~1 ulp of a 1e-9 grid boundary (data-dependent; equal on the test
+      corpora, pinned there, but not a bit-level guarantee across BLAS
+      builds). Queries that need bit-exact oracle replay use the
+      expression paths; the gemm path's registered query stays
+      rows-only for exactly this reason.
 
     Both paths quantize the assignment cosine to ``quantize_dp`` decimals
     before the argmin and tie-break on the lowest cell id, so
@@ -1591,7 +1615,10 @@ def semantic_dedup_keep_list(
         cmat = np.array(
             [list(map(float, r[1])) for r in cent_rows], dtype=np.float64
         )
-        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        # 1e-12 floor (the quantize_embeddings_int8 convention): a
+        # zero-norm vector otherwise yields a NaN score row and argmax
+        # silently assigns cell 0 under a RuntimeWarning
+        cnorm = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-12)
         dp = quantize_dp
 
         id_type = dict(corpus.dtypes)[id_col]
@@ -1603,9 +1630,10 @@ def semantic_dedup_keep_list(
                 if len(pdf) == 0:
                     continue
                 v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                scores = (v @ cmat.T) / (
-                    np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorm[None, :]
+                vnorm = np.maximum(
+                    np.sqrt((v * v).sum(axis=1, keepdims=True)), 1e-12
                 )
+                scores = (v @ cmat.T) / (vnorm * cnorm[None, :])
                 # HALF_UP quantization (away from zero), matching Spark's
                 # F.round — np.round is half-to-even and would diverge on
                 # exact grid-boundary cosines

@@ -1761,12 +1761,59 @@ def q_embedding_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_quantized_topk", oracle=None)
+@_register(
+    "embedding_quantized_topk",
+    oracle=r"""
+    WITH q8 AS (
+        SELECT vec_id,
+               list_transform(
+                   embedding,
+                   x -> least(greatest(CAST(round(x / 0.0078125) AS BIGINT),
+                                       -127), 127)) AS codes
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, codes,
+               CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT)
+                   AS n2
+        FROM q8
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(list_dot_product(
+                   list_transform(c.codes, x -> CAST(x AS DOUBLE)),
+                   list_transform(q.codes, x -> CAST(x AS DOUBLE)))
+                   AS DOUBLE)
+               / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE)))
+                   AS cos
+        FROM n c JOIN n q ON q.vec_id IN (0, 100, 200)
+        WHERE c.vec_id != q.vec_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-10 over int8-quantized embeddings (quantize → dequantize →
-    exact search): the 4×-smaller storage path for billion-vector corpora.
-    Rows-only (quantization error is by design); recall vs the float-exact
-    top-k is asserted in tests/test_similarity.py."""
+    """Cosine top-10 over int8-quantized embeddings, the full
+    quantize → DEQUANTIZE → exact-float search path (the 4×-smaller
+    storage rung where the search engine only ever sees reconstructed
+    float vectors — unlike ``embedding_int8_cosine_topk``, which scores
+    codes directly).
+
+    HASH-ORACLED since r10 (r9 verdict item 3, the int8 recipe's third
+    application): the gate instance quantizes with a FIXED POWER-OF-TWO
+    scale (2^-7 — unit-ball embeddings, max|x| < 0.58 ≪ 127·2^-7) so
+    ``code * scale`` is exact even through the float32 dequantize cast,
+    and every product/sum in the cosine is an integer scaled by one
+    common power of two — partial sums exact in IEEE double regardless
+    of order, sqrt/÷ commute with the 2^k factors bit-for-bit. The
+    dequantized-domain ranks therefore EQUAL the code-domain ranks
+    exactly, which is what the oracle replays from the same clamped
+    round(x/2^-7) codes. The adaptive per-vector-scale production form
+    (scale = max|v|/127, where dequantize rounding is real) keeps
+    recall-vs-float coverage in tests/test_similarity.py."""
     from scraping_jobsdb_spark.operators.similarity import (
         brute_force_topk,
         dequantize_embeddings_int8,
@@ -1774,7 +1821,9 @@ def q_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    deq = dequantize_embeddings_int8(quantize_embeddings_int8(emb))
+    deq = dequantize_embeddings_int8(
+        quantize_embeddings_int8(emb, fixed_scale=2.0**-7)
+    )
     query = deq.filter(F.col("vec_id").isin(0, 100, 200))
     return brute_force_topk(deq, query, k=10).withColumn(
         "rank", F.col("rank").cast("bigint")

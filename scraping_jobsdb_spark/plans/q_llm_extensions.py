@@ -1543,7 +1543,10 @@ def q_unigram_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT word, not per occurrence). Iterative EM → rows-only at the
     driver; determinism, coverage, encode≡train-segmentation, and
     likelihood monotonicity are property-pinned in
-    tests/test_scale_ops.py."""
+    tests/test_scale_ops.py. Output: (doc_id, n_tokens, tok_head) with
+    tok_head the first 12 subword tokens space-joined — the driver-
+    canonicalizable scalar form ``bpe_corpus_tokenize`` uses (a raw
+    ``tokens array<string>`` column crashes the gate's pandas sort)."""
     from scraping_jobsdb_spark.operators.textops import (
         unigram_lm_encode,
         unigram_lm_train,
@@ -1554,7 +1557,11 @@ def q_unigram_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pieces = unigram_lm_train(docs, vocab_size=120, num_iters=2)
     plist = [(r.piece, r.logprob) for r in pieces.collect()]
-    return unigram_lm_encode(docs, plist)
+    return unigram_lm_encode(docs, plist).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 12), " ").alias("tok_head"),
+    )
 
 
 @_register(

@@ -1297,8 +1297,10 @@ def q_range_partition_balance_report(
     """Range-partition boundary planning made observable — the exact
     computation behind a sorted lakehouse write (`repartitionByRange` /
     Iceberg sort orders): 15 exact percentile cuts of the key (ONE 1-row
-    aggregate broadcast back — percentile_approx is the 100 TB drop-in
-    with the identical plan), map-side bucket assignment by counting
+    aggregate broadcast back — the registered sibling
+    ``range_partition_balance_approx`` is the percentile_approx 100 TB
+    production form with the identical plan; this exact form stays as
+    the oracle-parity baseline), map-side bucket assignment by counting
     boundaries below the key, and the per-bucket (rows, min/max,
     balance ratio) report that tells you BEFORE writing whether the
     layout will be balanced (ratio ≈ 1) or skew-hot (ratio ≫ 1 — the
@@ -1340,6 +1342,100 @@ def q_range_partition_balance_report(
             F.round(
                 F.col("n_rows") * F.lit(16.0) / F.col("__t"), 9
             ).alias("balance_ratio"),
+        )
+    )
+
+
+@_register(
+    "range_partition_balance_approx",
+    oracle="""
+    SELECT CAST(16 AS INT) AS n_buckets,
+           (SELECT COUNT(*) FROM orders) AS total_rows,
+           TRUE AS coverage_ok,
+           TRUE AS boundaries_monotone,
+           TRUE AS balanced
+    """,
+)
+def q_range_partition_balance_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION form of ``range_partition_balance_report`` (r9
+    verdict item 6): identical plan shape, but the 15 boundary cuts come
+    from ``percentile_approx`` (Spark's Greenwald-Khanna sketch,
+    accuracy=10000) instead of the exact full-value-buffering
+    ``percentile`` — bounded aggregation state per partition, the drop-in
+    at 100 TB where buffering every key value is the scale-killer the
+    exact twin's 10× sweep flagged (6.97×, the steepest non-GEMM family).
+
+    Evidence split, per the exact/approx contract the HLL/KMV family set:
+    sketch merge order makes the approx boundary VALUES
+    partitioning-dependent, so the gate row pins the INVARIANTS any valid
+    boundary set satisfies — 16 buckets, exact total coverage (no row
+    lost or double-assigned), monotone boundaries, and all balance
+    ratios within [0.5, 1.5] (the report's operational verdict: rank
+    error ≤ 1e-4 ≪ the 0.5 skew-flag threshold) — while the
+    exact≡approx-within-rank-tolerance comparison lives in
+    tests/test_scale_ops.py against the exact twin (which stays
+    registered as the oracle-parity form). Shape: one scan for the cuts
+    (ONE 1-row sketch aggregate broadcast back), one map-only assignment
+    pass, one 16-group aggregate — no corpus-sized value buffer
+    anywhere."""
+    keys = fan_out(load_table(spark, sf_dir, "orders")).select(
+        F.col("o_custkey").alias("k")
+    )
+    bnds = keys.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"percentile_approx(cast(k as double), {i}.0D/16.0D,"
+                    " 10000)"
+                )
+                for i in range(1, 16)
+            ]
+        ).alias("bs")
+    )
+    assigned = keys.crossJoin(F.broadcast(bnds)).select(
+        "k",
+        F.size(F.filter(F.col("bs"), lambda b: F.col("k") > b)).alias(
+            "bucket"
+        ),
+        "bs",
+    )
+    total = keys.agg(F.count(F.lit(1)).alias("__t"))
+    per_bucket = (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            (F.col("n_rows") * F.lit(16.0) / F.col("__t")).alias("ratio"),
+            "__t",
+        )
+    )
+    mono = bnds.select(
+        (
+            F.col("bs")
+            == F.array_sort("bs")
+        ).alias("boundaries_monotone")
+    )
+    return (
+        per_bucket.agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            F.sum("n_rows").alias("total_rows"),
+            (F.sum("n_rows") == F.first("__t")).alias("coverage_ok"),
+            (
+                (F.max("ratio") <= F.lit(1.5))
+                & (F.min("ratio") >= F.lit(0.5))
+            ).alias("balanced"),
+        )
+        .crossJoin(F.broadcast(mono))
+        .select(
+            "n_buckets",
+            "total_rows",
+            "coverage_ok",
+            "boundaries_monotone",
+            "balanced",
         )
     )
 

@@ -505,21 +505,107 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_pq_topk", oracle=None)
-def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators/pq.py): train an m=8, k=16
-    codebook, encode the corpus to 8-byte code arrays, ADC-score via literal
-    lookup tables, exact-cosine re-rank of the top 4k candidates. The
-    memory-scale rung of the ANN ladder (codes are 32x smaller than float32
-    vectors). Approximate → rows-only; recall vs brute force asserted in
-    tests/test_similarity.py."""
-    from scraping_jobsdb_spark.operators.pq import pq_encode, pq_topk, pq_train
+# Pure-PQ sibling of _IVFPQ_INT8_ORACLE (defined below): same int8 corpus,
+# same derived m=8×k=16 codebook, same encode/ADC/refine arithmetic — but NO
+# coarse quantizer: ADC scans every code (the exhaustive-PQ memory rung),
+# so the centd/cn/assigned/probed stages are simply absent.
+_PQ_INT8_ORACLE = r"""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, x -> abs(x)))
+                        / 127.0, 1e-12) AS scale
+        FROM embeddings
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(x / scale) AS BIGINT)) AS c
+        FROM s
+    ), cbd AS (
+        SELECT CAST(vec_id % 16 AS INT) AS grp, i,
+               round(CAST(SUM(CAST(c[i] AS DECIMAL(30,12))) AS DOUBLE)
+                     / COUNT(*)) AS m
+        FROM q8, unnest(range(1, 65)) AS t(i)
+        GROUP BY 1, 2
+    ), cbl AS (
+        SELECT grp, list(m ORDER BY i) AS cw FROM cbd GROUP BY grp
+    ), enc_terms AS (
+        SELECT v.vec_id, CAST((i - 1) // 8 AS INT) AS j, b.grp,
+               (CAST(v.c[i] AS DOUBLE) - b.cw[i])
+               * (CAST(v.c[i] AS DOUBLE) - b.cw[i]) AS t
+        FROM q8 v CROSS JOIN cbl b, unnest(range(1, 65)) AS u(i)
+    ), codes AS (
+        SELECT vec_id, j, grp AS code FROM (
+            SELECT vec_id, j, grp,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                      ORDER BY SUM(t), grp) AS rn
+            FROM enc_terms GROUP BY vec_id, j, grp
+        ) WHERE rn = 1
+    ), adc AS (
+        SELECT q.vec_id AS query_id, cd.vec_id,
+               SUM(CAST(q.c[cd.j * 8 + d] AS DOUBLE)
+                   * b.cw[cd.j * 8 + d]) AS pq_score
+        FROM codes cd
+        JOIN q8 q ON q.vec_id IN (0, 100, 200)
+        JOIN cbl b ON b.grp = cd.code
+        , unnest(range(1, 9)) AS u(d)
+        WHERE cd.vec_id != q.vec_id
+        GROUP BY 1, 2
+    ), cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY pq_score DESC, vec_id) AS rk
+            FROM adc
+        ) WHERE rk <= 40
+    ), refined AS (
+        SELECT ca.query_id, ca.vec_id,
+               CAST(list_dot_product(
+                   list_transform(cv.c, x -> CAST(x AS DOUBLE)),
+                   list_transform(qv.c, x -> CAST(x AS DOUBLE)))
+                   AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(
+                      cv.c, x -> CAST(x AS DOUBLE) * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(
+                      qv.c, x -> CAST(x AS DOUBLE) * x)) AS DOUBLE)))
+               AS cos
+        FROM cand ca
+        JOIN q8 cv ON cv.vec_id = ca.vec_id
+        JOIN q8 qv ON qv.vec_id = ca.query_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id)
+                    AS INTEGER) AS rank
+        FROM refined
+    ) WHERE rank <= 10
+    """
 
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    codebook = pq_train(emb, m=8, k=16, max_iter=4)
-    codes = pq_encode(emb, codebook)
-    query = emb.filter(F.col("vec_id").isin(0, 100, 200))
-    return pq_topk(codes, codebook, query, k=10, refine_with=emb, refine_factor=4)
+
+@_register("embedding_pq_topk", oracle=_PQ_INT8_ORACLE)
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, exhaustive form (operators/pq.py): encode
+    the corpus to m=8 one-byte code arrays, ADC-score EVERY code via literal
+    lookup tables (no coarse quantizer — the memory rung of the ANN ladder,
+    codes 32× smaller than float32 vectors; IVF adds the compute rung on
+    top), exact-cosine re-rank of the top 4k candidates.
+
+    HASH-ORACLED since r10 (r9 verdict item 3): the gate instance runs in
+    the INT8-INTEGER domain with the SQL-derivable per-(vec_id%16)
+    subspace-mean codebook — the embedding_ivfpq_topk recipe minus the
+    coarse stage. Every encode distance, ADC table entry, and candidate
+    score is a sum of small-integer products (exact in IEEE double in any
+    order), so DuckDB replays encode → exhaustive ADC top-40 → exact
+    re-rank bit-for-bit. The TRAINED float codebook path (pq_train
+    k-means) keeps recall + determinism coverage in
+    tests/test_similarity.py."""
+    from scraping_jobsdb_spark.operators.pq import pq_encode, pq_topk
+
+    corpus, query, codebook, _cents = _int8_ivfpq_inputs(spark, sf_dir)
+    codes = pq_encode(corpus, codebook)
+    return pq_topk(
+        codes, codebook, query, k=10, refine_with=corpus, refine_factor=4
+    ).withColumn("query_id", F.col("query_id").cast("bigint"))
 
 
 # Shared by embedding_ivfpq_topk, embedding_ann_index_topk and (with the

@@ -78,88 +78,88 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-9 window (registry 213, window 50). Evidence going in (latest-
-# evidence join over CORRECTNESS_r01-r08): r8 went 47 green + 3 declared
-# rows-only, zero red; histogram r4:1 / r5:44 / r6:47 / r7:47 / r8:50, plus
-# 24 queries registered after the r8 window froze with NO driver row yet
-# (VERDICT r8 "Missing" item 1). 1 + 24 + 3 + 22 = 50 exactly:
-# (a) approx_distinct_sketch — the one r4 holdover (VERDICT r8 item 2),
-#     REFRESHED this round from a rows-only approx_count_distinct wrapper
-#     to a FULLY-ORACLED portable form (HLL estimate over hll_build
-#     registers + exact-division KMV estimate + hash-sample rank
-#     percentiles); leads the window so the refresh gets value evidence.
-# (b) the 24 never-evidenced r8 registrations (VERDICT r8 item 1),
-#     quality/curation wave first (the compositions a training-data user
-#     runs daily), then retrieval/embedding, tokenizers, SemDeDup
-#     production regime, governance.
-# (c) the three ANN queries PROMOTED to full oracles this round (VERDICT
-#     r8 item 4: ivfpq + persisted index + txn lifecycle now share the
-#     int8-domain SQL-derivable-quantizer oracle; rows-only 17 -> 14) —
-#     re-evidenced at value level even though their rows are r8-fresh,
-#     because their implementations changed this round (item 5's
-#     lifecycle job-count cuts included).
-# (d) the 22 alphabetically-first members of the 44-query r5-stale cohort
-#     (after this window the oldest evidence is r5 for the remaining 22,
-#     which lead r10 — the histogram tail shortens monotonically).
+# Round-10 window (registry 232, window 50). Evidence going in (latest-
+# evidence join over CORRECTNESS_r01-r09): r9 went 47 green + 2 declared
+# rows-only + 1 RED (unigram_corpus_tokenize crashed the driver's pandas
+# canonicalizer on its array<string> column); histogram r5:22 / r6:45 /
+# r7:47 / r8:49 / r9:50, plus 18 queries registered after the r9 window
+# froze with NO driver row yet. 1 + 18 + 2 + 1 + 22 + 6 = 50 exactly:
+# (a) unigram_corpus_tokenize — the r9 red, output scalarized to
+#     (doc_id, n_tokens, tok_head) exactly as bpe_corpus_tokenize; leads
+#     the window so the fix gets a clean rows-only row (VERDICT r9 item 1).
+# (b) the 18 never-evidenced r9 registrations (VERDICT r9 item 2):
+#     curation/eval wave, graph/monitoring wave, the analytic/layout/
+#     exact-aggregation/layout-planning pairs, the time-travel audit, the
+#     streaming index twin and the rolling median.
+# (c) embedding_pq_topk + embedding_quantized_topk PROMOTED to full
+#     value-hash oracles this round (VERDICT r9 item 3: the exhaustive-PQ
+#     int8-codebook form and the fixed-pow2-scale dequantize form;
+#     rows-only 13 -> 11).
+# (d) range_partition_balance_approx — NEW this round (VERDICT r9
+#     item 6), the percentile_approx production twin, invariant-style
+#     oracle.
+# (e) the remaining 22 members of the r5-stale cohort (alphabetically
+#     last; after this window NO query has pre-r6 evidence).
+# (f) the 6 alphabetically-first members of the 45-query r6 cohort
+#     (VERDICT r9 item 7 — the tail rotation continues; embedding_pq_topk
+#     was also r6 but sits in (c)).
 _GATE_PRIORITY = [
-    # (a) the r4 holdover, refreshed to fully-oracled
-    "approx_distinct_sketch",
-    # (b) never driver-evidenced r8 registrations: quality/curation wave
-    "quality_classifier_nb",
-    "dsir_importance_sample",
-    "doc_boilerplate_removal",
-    "temperature_mixture_corpus",
-    "quality_ensemble_verdicts",
-    "doc_quality_streaming",
-    "doc_perplexity_buckets",
-    "doc_token_entropy",
-    "corpus_pmi_pairs",
-    "lang_kl_divergence",
-    # retrieval / embedding wave
-    "hybrid_rrf_retrieval",
-    "embedding_random_projection",
-    "embedding_hard_negatives",
-    "embedding_matryoshka_topk",
-    "embedding_whitening_topk",
-    "embedding_binary_hamming_topk",
-    # tokenizer completions
-    "wordpiece_corpus_tokenize",
+    # (a) the r9 red, fixed
     "unigram_corpus_tokenize",
-    "unigram_seed_candidates",
-    # SemDeDup production regime
-    "semantic_dedup_kmeans_cells",
-    # governance / DQ / ML-ops wave
-    "k_anonymity_report",
-    "referential_integrity_report",
-    "events_value_psi_daily",
-    "attribution_last_touch",
-    # (c) ANN trio promoted to full oracles this round
-    "embedding_ivfpq_topk",
-    "embedding_ann_index_topk",
-    "embedding_ann_index_txn_lifecycle",
-    # (d) r5-stale cohort, alphabetical first 22
-    "anti_join_not_in",
-    "bpe_merge_candidates",
-    "corpus_to_training_examples",
-    "cube_flag_status",
-    "dedup_distinct_on",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_lang_quality",
-    "doc_ngram_jaccard",
-    "doc_text_stats",
-    "domain_cap_sample",
-    "embedding_topk",
-    "epoch_repeat_expansion",
-    "events_hourly_streaming",
-    "exists_order_priority_count",
-    "forecast_revenue_delta",
-    "group_by_all_rollup",
-    "groupby_min_max",
-    "grouped_sorted_list",
-    "incremental_batch_dedup",
-    "join_dims_broadcast",
-    "join_left_outer_agg",
+    # (b) never driver-evidenced r9 registrations
+    "retrieval_eval_metrics",
+    "dictionary_phrase_tagging",
+    "badwords_filter_report",
+    "events_ewma_smoothing",
+    "curriculum_pack_order",
+    "graph_triangle_count",
+    "events_anomaly_mad",
+    "kmv_set_operations",
+    "doc_langid_trigram",
+    "waiting_supplier_report",
+    "zorder_layout_stats",
+    "bitmap_exact_distinct",
+    "column_profile_orders",
+    "range_partition_balance_report",
+    "approx_topk_native",
+    "txn_time_travel_audit",
+    "streaming_indexed_dedup",
+    "events_rolling_median",
+    # (c) promoted to full oracles this round
+    "embedding_pq_topk",
+    "embedding_quantized_topk",
+    # (d) new registration this round
+    "range_partition_balance_approx",
+    # (e) r5-stale cohort, the remaining 22
+    "join_semi",
+    "lateral_topn_per_key",
+    "multimodal_frame_sample",
+    "multimodal_resize_stage",
+    "neardup_components",
+    "nearest_centroid_confusion",
+    "project_select",
+    "returned_items_by_nation",
+    "rollup_status_priority",
+    "scalar_string_pack",
+    "scalar_subquery_above_total_avg",
+    "sequence_packing_stream",
+    "set_intersect_except",
+    "set_union_all",
+    "simhash_portable_neardup_pairs",
+    "sql_surface_revenue_by_nation",
+    "supplier_count_by_parttype",
+    "topk_orders",
+    "upsert_new_keys",
+    "window_rank_navigation",
+    "window_running_sum",
+    "work_queue_isnull",
+    # (f) r6 cohort, alphabetical first 6
+    "argmin_supplier_per_part",
+    "array_hof_pack",
+    "array_set_ops_pack",
+    "cdc_appends_since_txn",
+    "conditional_aggregates",
+    "decontamination_exact_overlap",
 ]
 
 

@@ -45,6 +45,24 @@ def _rows_to_multiset(cols, rows):
 def test_query_matches_oracle(name, spark, duck):
     q = REGISTRY[name]
     sdf = q.spark_fn(spark, SF_CORRECT)
+
+    # Driver-canonicalizer safety: the round gate sorts the pandas frame by
+    # EVERY column before hashing, and list/dict cells are unhashable — an
+    # array/map/struct output column crashes the gate and the query gets NO
+    # evidence at all (the r9 `unigram_corpus_tokenize` red row). Queries
+    # must scalarize complex columns (e.g. F.array_join of a token head).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would crash "
+        "the driver's canonicalizer — scalarize them (array_join/to_json)"
+    )
+
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 

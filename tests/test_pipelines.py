@@ -132,6 +132,63 @@ def test_extract_jobs_reference_sample_golden(spark):
     assert row.doc_id == 1
 
 
+def test_extract_jobs_malformed_html_golden(spark):
+    """Negative-path golden (r9 verdict item 8): malformed inputs through
+    the DISTRIBUTED ``extract_jobs`` path must produce typed-NULL fields
+    and never throw — the reference's parser crashes or emits empty
+    strings on these (SURVEY §2.6 F17 notes); ours contracts to typed
+    NULLs. Four fixtures in one batch: (a) a page with NO
+    data-automation nodes at all, (b) a document truncated mid-tag,
+    (c) a page whose salary/date nodes hold garbage text, (d) an empty
+    string."""
+    from scraping_jobsdb_spark.operators.extract import extract_jobs
+
+    no_nodes = "<html><body><h1>hello</h1><p>plain page</p></body></html>"
+    truncated = (
+        "<html><body>"
+        "<h1 data-automation='job-title'>Data Eng"  # tag never closed,
+        # document cut mid-stream
+    )
+    garbage_fields = (
+        "<html><body>"
+        "<h1 data-automation='job-title'>Analyst</h1>"
+        "<span data-automation='job-post-date'>whenever</span>"
+        "<span data-automation='job-salary'>competitive!!</span>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, no_nodes, RUN_DATE),
+            (2, truncated, RUN_DATE),
+            (3, garbage_fields, RUN_DATE),
+            (4, "", RUN_DATE),
+        ],
+        "doc_id long, html string, scraped_date date",
+    )
+    rows = {r.doc_id: r for r in extract_jobs(df).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # no row lost, no exception
+
+    null_fields = (
+        "job_title company_name job_description location "
+        "official_post_date min_official_salary max_official_salary "
+        "career_level qualification job_type job_functions industry"
+    ).split()
+    for doc_id in (1, 4):  # nothing extractable → every field typed NULL
+        for f in null_fields:
+            assert rows[doc_id][f] is None, (doc_id, f)
+
+    # truncated mid-tag: the open title node's text is unrecoverable or
+    # partial, but nothing throws and untouched fields stay NULL
+    assert rows[2].company_name is None
+    assert rows[2].min_official_salary is None
+
+    # garbage in typed fields → typed NULL, extractable strings survive
+    assert rows[3].job_title == "Analyst"
+    assert rows[3].official_post_date is None
+    assert rows[3].min_official_salary is None
+    assert rows[3].max_official_salary is None
+
+
 # --- end-to-end ------------------------------------------------------------
 
 

@@ -385,6 +385,12 @@ FORBIDDEN = [
     # — never a range-join candidate explosion, no Python
     ("range_partition_balance_report", "CartesianProduct"),
     ("range_partition_balance_report", "BatchEvalPython"),
+    # …and its percentile_approx production twin: same contract, plus the
+    # whole point — bounded sketch state, never the exact percentile's
+    # full value buffer
+    ("range_partition_balance_approx", "CartesianProduct"),
+    ("range_partition_balance_approx", "BatchEvalPython"),
+    ("range_partition_balance_approx", "percentile("),
     # native top-k sketch: one aggregate, no token-keyed corpus shuffle
     # beyond the sketch state, no join, no Python
     ("approx_topk_native", "Join"),

@@ -2928,6 +2928,62 @@ def test_range_partition_report_laws(spark):
     assert all(0.5 <= r.balance_ratio <= 2.0 for r in rows)
 
 
+def test_range_partition_approx_matches_exact_within_rank_tolerance(spark):
+    """The percentile_approx production twin vs the exact form: every
+    approx boundary must sit within the sketch's rank-error bound of its
+    exact target rank (accuracy=10000 → ε = 1e-4; generous slack for the
+    discrete key grid), and the twin's invariant row must be all-true."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table as lt
+
+    row = (
+        REGISTRY["range_partition_balance_approx"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert len(row) == 1
+    r = row[0]
+    n_total = lt(spark, SF_SMOKE, "orders").count()
+    assert r.total_rows == n_total
+    assert r.n_buckets == 16
+    assert r.coverage_ok and r.boundaries_monotone and r.balanced
+
+    keys = sorted(
+        x.o_custkey for x in lt(spark, SF_SMOKE, "orders").select("o_custkey").collect()
+    )
+    approx_bs = (
+        lt(spark, SF_SMOKE, "orders")
+        .agg(
+            F.array(
+                *[
+                    F.expr(
+                        "percentile_approx(cast(o_custkey as double),"
+                        f" {i}.0D/16.0D, 10000)"
+                    )
+                    for i in range(1, 16)
+                ]
+            ).alias("bs")
+        )
+        .collect()[0]
+        .bs
+    )
+    import bisect
+
+    n = len(keys)
+    for i, b in enumerate(approx_bs, start=1):
+        target = i * n / 16.0
+        # rank window of the returned boundary value inside the sorted keys
+        lo = bisect.bisect_left(keys, b)
+        hi = bisect.bisect_right(keys, b)
+        tol = max(2.0, 2 * n * 1e-4) + (hi - lo)  # ε-bound + tie width
+        assert lo - tol <= target <= hi + tol, (
+            f"boundary {i}: value {b} spans ranks [{lo},{hi}], "
+            f"target {target}"
+        )
+
+
 def test_approx_topk_native_is_exact_within_budget(spark):
     from collections import Counter
 

@@ -249,20 +249,46 @@ def test_int8_quantization_roundtrip_error_bound(spark):
 
 
 def test_quantized_topk_recall(spark):
+    """Recall vs the float-exact top-k for BOTH dequantize paths: the
+    fixed-pow2-scale gate instance (the registry query, hash-oracled
+    since r10) and the adaptive per-vector-scale production form (where
+    dequantize rounding is real — the coverage the registry query's
+    docstring promises lives here)."""
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings_int8,
+        quantize_embeddings_int8,
+    )
     from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table
 
     exact = REGISTRY["embedding_topk"].spark_fn(spark, SF_SMOKE).collect()
-    quant = REGISTRY["embedding_quantized_topk"].spark_fn(spark, SF_SMOKE).collect()
+
     def sets(rows):
         out = {}
         for r in rows:
             out.setdefault(r.query_id, set()).add(r.vec_id)
         return out
-    e, q = sets(exact), sets(quant)
-    assert set(e) == set(q)
-    for qid in e:
-        recall = len(e[qid] & q[qid]) / len(e[qid])
-        assert recall >= 0.8, f"query {qid}: recall {recall}"
+
+    e = sets(exact)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    adaptive = dequantize_embeddings_int8(quantize_embeddings_int8(emb))
+    adaptive_rows = brute_force_topk(
+        adaptive, adaptive.filter(F.col("vec_id").isin(0, 100, 200)), k=10
+    ).collect()
+
+    for label, rows in (
+        ("fixed-pow2", REGISTRY["embedding_quantized_topk"].spark_fn(spark, SF_SMOKE).collect()),
+        ("adaptive", adaptive_rows),
+    ):
+        q = sets(rows)
+        assert set(e) == set(q), label
+        for qid in e:
+            recall = len(e[qid] & q[qid]) / len(e[qid])
+            assert recall >= 0.8, f"{label} query {qid}: recall {recall}"
 
 
 def test_kmeans_fit_improves_over_seeding(spark):

@@ -907,26 +907,27 @@ def write_ann_index_txn(
         parted,
         stats_cols=["cell"],
     )
-    # side tables are codebook-scale: 1 slice → 1 task + 1 file per commit
-    # (the default createDataFrame parallelism schedules ~32 near-empty
-    # tasks per tiny write — pure fixed cost on the lifecycle's clock)
-    TxnTable.create(
+    # side tables are codebook-scale and already sit on the driver:
+    # create_local writes them with pyarrow + a manifest publish — ZERO
+    # Spark jobs (a Spark write of a 10-row frame costs two fixed job
+    # round-trips per table, pure dead weight on the lifecycle's clock)
+    TxnTable.create_local(
         spark,
         os.path.join(path, "centroids"),
-        local_df(
-            spark, cent_rows, "cell int, centroid array<double>"
-        ).coalesce(1),
+        [(int(c), [float(x) for x in v]) for c, v in cent_rows],
+        "cell int, centroid array<double>",
     )
     m = len(codebook)
     cb_rows = [
-        (j, c, codebook[j][c]) for j in range(m) for c in range(len(codebook[j]))
+        (j, c, [float(x) for x in codebook[j][c]])
+        for j in range(m)
+        for c in range(len(codebook[j]))
     ]
-    TxnTable.create(
+    TxnTable.create_local(
         spark,
         os.path.join(path, "codebook"),
-        local_df(
-            spark, cb_rows, "subspace int, cell int, centroid array<double>"
-        ).coalesce(1),
+        cb_rows,
+        "subspace int, cell int, centroid array<double>",
     )
 
 
@@ -954,13 +955,28 @@ def _load_index_sides_txn(spark, path: str, version: int | None = None):
             "decode under the current side tables. Probe the current "
             "version, or rebuild the index at a fresh path per training."
         )
+    # tiny-by-contract side tables: driver-side pyarrow read (zero Spark
+    # jobs), falling back to a Spark scan only when the snapshot carries
+    # engine state a local read can't honor (DVs, buckets)
+    cent_local = cent_t.read_rows_local()
+    cb_local = cb_t.read_rows_local()
     cent_rows = [
-        (int(r.cell), [float(x) for x in r.centroid])
-        for r in cent_t.read().collect()
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in (
+            cent_local
+            if cent_local is not None
+            else (row.asDict() for row in cent_t.read().collect())
+        )
     ]
     by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in cb_t.read().collect():
-        by_sub.setdefault(r.subspace, {})[r.cell] = [float(x) for x in r.centroid]
+    for r in (
+        cb_local
+        if cb_local is not None
+        else (row.asDict() for row in cb_t.read().collect())
+    ):
+        by_sub.setdefault(r["subspace"], {})[r["cell"]] = [
+            float(x) for x in r["centroid"]
+        ]
     m = 1 + max(by_sub)
     codebook = []
     for j in range(m):

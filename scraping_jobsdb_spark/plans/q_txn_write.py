@@ -768,48 +768,79 @@ def _int8_ivfpq_inputs(spark: SparkSession, sf_dir: str):
     )
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    corpus8 = quantize_embeddings_int8(emb, carry_cols=["label"]).select(
-        "vec_id",
-        "label",
-        F.col("codes").cast("array<double>").alias("embedding"),
-    )
-    # ONE corpus aggregate feeds BOTH codebook-scale tables: exact integer
-    # (label, grp, pos) partial sums, re-aggregated driver-side along each
-    # axis. The re-aggregation is exact (integer-valued decimal adds), and
-    # the mean replays the engines' arithmetic bit-for-bit:
-    # double(exact-decimal sum) / count, then HALF_UP on that double (what
-    # F.round / DuckDB round() do) — so the derived values are identical
-    # to the two-aggregate form this replaced (r8 verdict item 5: the
-    # lifecycle was commit/job-count-bound).
-    parts = (
-        corpus8.select(
+    # localCheckpoint: every consumer (the codebook aggregate below, the
+    # create/add halves, the probe's query collect, the exact-refine join)
+    # re-reads the materialized int8 codes instead of re-running the
+    # parquet scan + quantize transform — the lifecycle query touches this
+    # frame four times (r9 verdict item 4's commit-count diagnosis).
+    corpus8 = (
+        quantize_embeddings_int8(emb, carry_cols=["label"])
+        .select(
+            "vec_id",
             "label",
-            F.pmod("vec_id", F.lit(16)).cast("int").alias("grp"),
-            F.posexplode("embedding").alias("pos", "val"),
+            F.col("codes").cast("array<double>").alias("embedding"),
         )
-        .groupBy("label", "grp", "pos")
-        .agg(
-            F.sum(F.col("val").cast("decimal(30,12)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
+        .localCheckpoint()
     )
+    # ONE corpus pass feeds BOTH codebook-scale tables: per-partition
+    # (label, grp) vector sums from an Arrow kernel (no posexplode — the
+    # 64× row blow-up plus its shuffle was the inputs leg's whole cost),
+    # re-aggregated driver-side along each axis as PYTHON INTS. Every sum
+    # is exact at every step: the codes are integer-valued doubles with
+    # |Σ| ≤ 127·n ≪ 2^53, so float64 partial sums carry no rounding and
+    # the int accumulation replays the old decimal-exact aggregate
+    # bit-for-bit. The mean then replays the engines' arithmetic exactly:
+    # double(exact sum) / count, then HALF_UP on that double (what
+    # F.round / DuckDB round() do) — identical values to the
+    # posexplode+decimal form this replaced (r9 verdict item 4: the
+    # lifecycle is commit/job-count-bound, so the fix is fewer/cheaper
+    # jobs at equal bits).
+    def _partial_sums(batches):
+        import numpy as np
+        import pandas as pd
 
-    def mean_round(s: Decimal, n: int) -> float:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            lab = pdf["label"].to_numpy()
+            grp = (pdf["vec_id"].to_numpy() % 16).astype(np.int64)
+            out = []
+            for lg in sorted(set(zip(lab.tolist(), grp.tolist()))):
+                m = (lab == lg[0]) & (grp == lg[1])
+                out.append(
+                    (
+                        int(lg[0]),
+                        int(lg[1]),
+                        X[m].sum(axis=0).tolist(),
+                        int(m.sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["label", "grp", "s", "n"])
+
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    parts = corpus8.mapInPandas(
+        _partial_sums, "label int, grp int, s array<double>, n long"
+    ).collect()
+
+    def mean_round(s: int, n: int) -> float:
         return float(
             Decimal(float(s) / n).quantize(Decimal(1), rounding=ROUND_HALF_UP)
         )
 
-    lab_s: dict[tuple[int, int], Decimal] = {}
+    lab_s: dict[tuple[int, int], int] = {}
     lab_n: dict[int, int] = {}
-    grp_s: dict[tuple[int, int], Decimal] = {}
+    grp_s: dict[tuple[int, int], int] = {}
     grp_n: dict[int, int] = {}
     for r in parts:
-        lab_s[(r.label, r.pos)] = lab_s.get((r.label, r.pos), Decimal(0)) + r.s
-        grp_s[(r.grp, r.pos)] = grp_s.get((r.grp, r.pos), Decimal(0)) + r.s
-        if r.pos == 0:
-            lab_n[r.label] = lab_n.get(r.label, 0) + r.n
-            grp_n[r.grp] = grp_n.get(r.grp, 0) + r.n
+        for pos, v in enumerate(r.s):
+            iv = int(v)
+            lab_s[(r.label, pos)] = lab_s.get((r.label, pos), 0) + iv
+            grp_s[(r.grp, pos)] = grp_s.get((r.grp, pos), 0) + iv
+        lab_n[r.label] = lab_n.get(r.label, 0) + r.n
+        grp_n[r.grp] = grp_n.get(r.grp, 0) + r.n
     codebook = [
         [
             [

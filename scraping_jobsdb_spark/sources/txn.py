@@ -247,6 +247,19 @@ def append_delta_files(
     return out
 
 
+def _footer_row_count(files: list[str]) -> int | None:
+    """Total row count straight from the parquet footers (exact by format
+    contract) — the zero-job replacement for a read-back ``count()`` on
+    just-written commit files. None on any surprise → caller falls back to
+    the Spark job."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def _bloom_positions(value: Any, bits: int, probes: int) -> list[int]:
     """Driver-side probe positions for a point-lookup value — the SAME
     hash-once-slice-probes construction the Spark-side builder uses
@@ -450,6 +463,61 @@ class TxnTable:
             raise FileExistsError(f"concurrent create at {path}")
         return t
 
+    @classmethod
+    def create_local(
+        cls,
+        spark: SparkSession,
+        path: str,
+        rows: list[tuple],
+        ddl: str,
+        meta: dict[str, Any] | None = None,
+    ) -> "TxnTable":
+        """Create version 1 of a TINY table entirely DRIVER-SIDE: one
+        pyarrow parquet write + the atomic manifest publish — zero Spark
+        jobs. For codebook-scale side tables (ANN centroids/codebooks,
+        manifest frames): a Spark write of a 10-row frame costs two fixed
+        job round-trips that dwarf the data, and commit-count-bound
+        lifecycles pay that per commit. Readers are unchanged — ``read()``
+        scans with the manifest schema exactly as for a Spark-written
+        snapshot, and ``read_rows_local`` round-trips driver-side. Simple
+        primitive/array column types only (the caller's DDL is parsed with
+        ``StructType.fromDDL``); use ``create`` for anything bigger than a
+        broadcast-literal-scale frame."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_mod
+
+        t = cls(spark, path)
+        if cls.exists(spark, path):
+            raise FileExistsError(f"txn table already exists at {path}")
+        os.makedirs(t._log, exist_ok=True)
+        schema = StructType.fromDDL(ddl)
+        arrow_schema = to_arrow_schema(schema)
+        names = [f.name for f in schema.fields]
+        cols = (
+            {n: list(c) for n, c in zip(names, zip(*rows))}
+            if rows
+            else {n: [] for n in names}
+        )
+        table = pa.table(cols, schema=arrow_schema)
+        token = uuid.uuid4().hex
+        out_dir = os.path.join(path, _DATA_DIR, token)
+        os.makedirs(out_dir, exist_ok=True)
+        fpath = os.path.join(out_dir, "part-00000.parquet")
+        pq_mod.write_table(table, fpath)
+        committed = t._commit(
+            0,
+            [fpath],
+            schema,
+            op="create",
+            n_rows=len(rows),
+            extra=dict(meta or {}),
+        )
+        if not committed:
+            raise FileExistsError(f"concurrent create at {path}")
+        return t
+
     def _bucket_with_dir(self, bucket: dict[str, Any], files: list[str]) -> dict[str, Any]:
         """The manifest bucket entry: spec + the snapshot's (single) data
         directory, which the bucketed catalog read points LOCATION at."""
@@ -616,6 +684,15 @@ class TxnTable:
         if not files:
             return files, 0
         checks = constraints if constraints is not None else self._constraints()
+        if not checks:
+            # No CHECK constraints → the commit's row count comes straight
+            # from the parquet FOOTERS (exact by format contract), not a
+            # read-back Spark job. Commits are the fixed cost of every txn
+            # lifecycle (create/add/admit legs are commit-count-bound, not
+            # data-bound), and this removes one whole job per commit.
+            n = _footer_row_count(files)
+            if n is not None:
+                return files, n
         back = self.spark.read.parquet(*files)
         if not checks:
             return files, back.count()
@@ -637,15 +714,93 @@ class TxnTable:
             )
         return files, row["__n"]
 
+    def _footer_file_stats(
+        self, files: list[str], stats_cols: list[str]
+    ) -> dict[str, dict[str, list]] | None:
+        """Per-file min/max straight from the parquet FOOTERS — zero Spark
+        jobs. Returns None (caller falls back to the Spark aggregate) unless
+        every stats column is a footer-safe primitive in every file:
+        integers, floats and date32, where parquet min/max statistics are
+        exact by format contract. Strings are excluded deliberately
+        (parquet-mr may TRUNCATE long binary min/max, which would corrupt
+        the skipping index), as are timestamps (unit/timezone re-mapping)
+        and decimals. The values produced are exactly what the Spark
+        ``min``/``max`` aggregate produces for these types, so manifests
+        are byte-identical either way (pinned by test)."""
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow.types as pat
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return None
+
+        def safe(t) -> bool:
+            return pat.is_integer(t) or pat.is_floating(t) or pat.is_date32(t)
+
+        out: dict[str, dict[str, list]] = {}
+        try:
+            for f in files:
+                pf = pq.ParquetFile(f)
+                schema = pf.schema_arrow
+                names = set(schema.names)
+                present = [c for c in stats_cols if c in names]
+                if not present:
+                    # stats col absent from the schema entirely — the Spark
+                    # path returns {} for this case; let it decide
+                    return None
+                if any(not safe(schema.field(c).type) for c in present):
+                    return None
+                meta = pf.metadata
+                col_idx = {
+                    meta.row_group(0).column(i).path_in_schema: i
+                    for i in range(meta.num_columns)
+                } if meta.num_row_groups else {}
+                stats: dict[str, list] = {c: [None, None] for c in present}
+                for g in range(meta.num_row_groups):
+                    rg = meta.row_group(g)
+                    if rg.num_rows == 0:
+                        continue
+                    for c in present:
+                        if c not in col_idx:
+                            return None
+                        cc = rg.column(col_idx[c])
+                        st = cc.statistics
+                        if st is None:
+                            return None
+                        if not st.has_min_max:
+                            # legal only when the group holds no values
+                            # (all-NULL column): contributes nothing, like
+                            # Spark's null-skipping min/max
+                            if st.has_null_count and st.null_count == cc.num_values + st.null_count:
+                                continue
+                            return None
+                        lo, hi = st.min, st.max
+                        cur = stats[c]
+                        if cur[0] is None or lo < cur[0]:
+                            cur[0] = lo
+                        if cur[1] is None or hi > cur[1]:
+                            cur[1] = hi
+                out[os.path.relpath(f, self.path)] = {
+                    c: [_jsonable(v[0]), _jsonable(v[1])]
+                    for c, v in stats.items()
+                }
+        except Exception:
+            return None  # any footer surprise → the Spark aggregate path
+        return out
+
     def _collect_file_stats(
         self, files: list[str], stats_cols: list[str]
     ) -> dict[str, dict[str, list]]:
-        """Per-file min/max for the stats columns, in ONE Spark job (group by
+        """Per-file min/max for the stats columns — from the parquet footers
+        when every column is a footer-safe primitive (``_footer_file_stats``,
+        zero jobs), else in ONE Spark job (group by
         input_file_name over the just-written files). JSON-serializable
         values only (numeric/string/date-as-iso) — the manifest is the
         file-skipping index, Iceberg-style."""
         if not files or not stats_cols:
             return {}
+        fast = self._footer_file_stats(files, stats_cols)
+        if fast is not None:
+            return fast
         df = self.spark.read.parquet(*files)
         present = [c for c in stats_cols if c in df.columns]
         if not present:
@@ -878,6 +1033,37 @@ class TxnTable:
             "left_anti",
         )
         return kept.drop("__dvf", "__dvr")
+
+    def read_rows_local(
+        self, version: int | None = None
+    ) -> list[dict[str, Any]] | None:
+        """The snapshot as of ``version`` as a list of plain-dict rows read
+        DRIVER-SIDE via pyarrow — zero Spark jobs. For TINY side tables by
+        contract (codebooks, centroids, manifest-scale frames): the caller
+        was about to ``.collect()`` a one-file table anyway, and a Spark
+        scan's fixed job cost dwarfs the read. Returns None whenever the
+        snapshot needs engine machinery — deletion vectors on any scanned
+        file, bucketed layout, or an empty file list — so callers fall back
+        to ``read().collect()``; values are whatever pyarrow surfaces
+        (lists for array columns), matching Row field access by name."""
+        m = self._manifest(version)
+        if m.get("bucket") or not m["files"]:
+            return None
+        dvs = m.get("dvs") or {}
+        if any(dvs.get(f) for f in m["files"]):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            tables = [
+                pq.read_table(os.path.join(self.path, f)) for f in m["files"]
+            ]
+        except Exception:
+            return None
+        out: list[dict[str, Any]] = []
+        for t in tables:
+            out.extend(t.to_pylist())
+        return out
 
     def read(self, version: int | None = None) -> DataFrame:
         """The snapshot as of ``version`` (default: latest). Immutable: the

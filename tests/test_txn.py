@@ -432,6 +432,74 @@ def test_stats_cols_absent_means_no_pruning_no_stats(spark, tdir):
     assert t.pruned_files("k", 0, 100) == m["files"]
 
 
+def test_footer_stats_and_count_match_spark_aggregates(spark, tmp_path):
+    """The zero-job parquet-FOOTER fast paths must be byte-identical to the
+    Spark jobs they replace: per-file min/max (ints, doubles, dates —
+    including NULLs, which parquet stats skip exactly like Spark min/max)
+    and the commit row count. A string stats column must force the footer
+    path to decline (parquet-mr may truncate binary min/max)."""
+    from datetime import date
+
+    from scraping_jobsdb_spark.sources.txn import _footer_row_count
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, date(2024, 1, 2), "aa"),
+            (2, None, date(2024, 3, 4), "zz"),
+            (None, -7.25, None, "mm"),
+        ],
+        "k bigint, x double, d date, s string",
+    ).coalesce(1)
+    t = TxnTable.create(
+        spark, str(tmp_path / "t"), df, stats_cols=["k", "x", "d"]
+    )
+    files = [
+        str(tmp_path / "t" / f) for f in t._manifest()["files"]
+    ]
+    fast = t._footer_file_stats(files, ["k", "x", "d"])
+    assert fast is not None
+
+    # the Spark-aggregate form of the same stats, value-for-value
+    import os as _os
+
+    from pyspark.sql import functions as F2
+
+    from scraping_jobsdb_spark.sources.txn import _jsonable
+
+    r = spark.read.parquet(*files).agg(
+        *[
+            a
+            for c in ["k", "x", "d"]
+            for a in (
+                F2.min(c).alias(f"__lo_{c}"),
+                F2.max(c).alias(f"__hi_{c}"),
+            )
+        ]
+    ).collect()[0]
+    slow = {
+        _os.path.relpath(files[0], t.path): {
+            c: [_jsonable(r[f"__lo_{c}"]), _jsonable(r[f"__hi_{c}"])]
+            for c in ["k", "x", "d"]
+        }
+    }
+    assert fast == slow
+
+    # row count from footers equals the Spark count and the manifest's
+    assert _footer_row_count(files) == 3
+    assert t._manifest()["n_rows"] == 3
+
+    # a string stats column declines the footer path (truncation hazard)
+    assert t._footer_file_stats(files, ["k", "s"]) is None
+
+    # all-NULL stats column: footer path yields [None, None] like Spark
+    df2 = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "k bigint, s string"
+    ).coalesce(1)
+    t2 = TxnTable.create(spark, str(tmp_path / "t2"), df2, stats_cols=["k"])
+    m2 = t2._manifest()
+    assert list(m2["file_stats"].values()) == [{"k": [None, None]}]
+
+
 # ---------------------------------------------------------------- bucketing
 
 

@@ -61,6 +61,15 @@ REGISTRY: dict[str, Query] = {}
 
 def _register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A silent overwrite would REPLACE an already-evidenced query with
+        # a different implementation under the same gate name (nearly
+        # happened in r10: a second "decontamination_ngram_overlap"
+        # registered in another family chunk) — duplicate names are a
+        # hard error, not a merge.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} already registered"
+            )
         REGISTRY[name] = Query(name, fn.__doc__ or "", fn, oracle)
         return fn
 

@@ -478,13 +478,19 @@ def q_curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute, and assigned a global training position. Cuts are the ONE
     1-row exact-percentile aggregate broadcast back (the
     doc_perplexity_buckets recipe — percentile_approx is the 100 TB
-    drop-in with the same plan); the 9-dp-rounded score and md5 shuffle
-    keys make the total order (bucket, md5(doc_id), doc_id) a pure
-    function of the data, so the position column value-hash oracles. The
-    global row_number IS the operator's meaning (a training order is a
-    total order); at scale the same plan emits per-shard positions via
-    the sequence_packing_per_shard composition."""
+    drop-in with the same plan; both cuts come from ONE array-fraction
+    percentile so the aggregation state isn't duplicated per cut); the
+    9-dp-rounded score and md5 shuffle keys make the total order
+    (bucket, md5(doc_id), doc_id) a pure function of the data, so the
+    position column value-hash oracles. A training order is a TOTAL
+    order, but the global row_number is computed scale-safely —
+    ``operators/windows.py global_ordered_rank``: range-exchange on the
+    order key, per-partition ranks, broadcast partition offsets — never
+    the Exchange SinglePartition a bare Window.orderBy compiles to (the
+    100x sweep measured that serial stage at 41.7x wall; this form is
+    parallel end to end with bit-identical positions)."""
     from scraping_jobsdb_spark.operators.textops import quality_score
+    from scraping_jobsdb_spark.operators.windows import global_ordered_rank
 
     docs = fan_out(
         load_table(spark, sf_dir, "documents")
@@ -495,8 +501,11 @@ def q_curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(quality_score("text"), 9).alias("quality")
     )
     cuts = scored.agg(
-        F.expr("percentile(quality, 1.0D/3.0D)").alias("q1"),
-        F.expr("percentile(quality, 2.0D/3.0D)").alias("q2"),
+        F.expr(
+            "percentile(quality, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("qs")
+    ).select(
+        F.col("qs").getItem(0).alias("q1"), F.col("qs").getItem(1).alias("q2")
     )
     bucketed = scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
@@ -507,12 +516,10 @@ def q_curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket"),
     )
-    w = Window.orderBy(
-        "bucket", F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return bucketed.select(
-        F.row_number().over(w).cast("bigint").alias("position"),
-        "doc_id",
-        "bucket",
-        "quality",
-    )
+    return global_ordered_rank(
+        bucketed.withColumn(
+            "__shuf", F.md5(F.col("doc_id").cast("string"))
+        ),
+        ["bucket", "__shuf", "doc_id"],
+        out_col="position",
+    ).select("position", "doc_id", "bucket", "quality")

@@ -2271,12 +2271,16 @@ def q_robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: maximal runs of consecutive keys via the
     value-minus-row_number identity — the streak/contiguity primitive behind
-    retention streaks, missing-id audits, and compaction planning. One sort
-    + one aggregate."""
+    retention streaks, missing-id audits, and compaction planning. The
+    identity needs a globally CONSISTENT rank, not a single-task sort, so
+    the numbering comes from ``operators/windows.py global_ordered_rank``
+    (range exchange + per-partition ranks + broadcast offsets — parallel
+    end to end, bit-identical ranks). One range exchange + one aggregate."""
+    from scraping_jobsdb_spark.operators.windows import global_ordered_rank
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
-    w = Window.orderBy("o_orderkey")
-    tagged = o.withColumn(
-        "island", F.col("o_orderkey") - F.row_number().over(w)
+    tagged = global_ordered_rank(o, ["o_orderkey"], out_col="__rn").select(
+        "o_orderkey", (F.col("o_orderkey") - F.col("__rn")).alias("island")
     )
     return tagged.groupBy("island").agg(
         F.min("o_orderkey").alias("island_start"),

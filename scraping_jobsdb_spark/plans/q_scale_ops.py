@@ -1311,13 +1311,16 @@ def q_range_partition_balance_report(
     keys = fan_out(load_table(spark, sf_dir, "orders")).select(
         F.col("o_custkey").alias("k")
     )
+    # ONE percentile aggregate over the 15-fraction ARRAY, not 15 separate
+    # aggregates: each percentile instance buffers its own value-counts map,
+    # so the 15-way form held 15 independent copies of the aggregation
+    # state per partial — the 100x sweep OOM'd exactly there (r9 verdict
+    # item 5's suspect confirmed). The array form computes every cut from
+    # one shared map with identical interpolation arithmetic → identical
+    # boundaries, 1/15th the state.
+    fracs = ", ".join(f"{i}.0D/16.0D" for i in range(1, 16))
     bnds = keys.agg(
-        F.array(
-            *[
-                F.expr(f"percentile(cast(k as double), {i}.0D/16.0D)")
-                for i in range(1, 16)
-            ]
-        ).alias("bs")
+        F.expr(f"percentile(cast(k as double), array({fracs}))").alias("bs")
     )
     assigned = keys.crossJoin(F.broadcast(bnds)).select(
         "k",

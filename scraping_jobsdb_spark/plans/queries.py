@@ -95,9 +95,10 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     value-hash oracles this round (VERDICT r9 item 3: the exhaustive-PQ
 #     int8-codebook form and the fixed-pow2-scale dequantize form;
 #     rows-only 13 -> 11).
-# (d) range_partition_balance_approx — NEW this round (VERDICT r9
-#     item 6), the percentile_approx production twin, invariant-style
-#     oracle.
+# (d) range_partition_balance_approx — REGISTERED this round (VERDICT r9
+#     item 6, the percentile_approx production twin, invariant-style
+#     oracle), windowed immediately so no registration carries 'never'
+#     evidence.
 # (e) the remaining 22 members of the r5-stale cohort (alphabetically
 #     last; after this window NO query has pre-r6 evidence).
 # (f) the 6 alphabetically-first members of the 45-query r6 cohort

@@ -221,10 +221,21 @@ def _spot_check_100x(big_dir: str, factor: int, families: list[str]) -> None:
         _run_registry(spark, warm, warm_dir)
     section: dict = {"sf_big": big_dir, "data_factor": factor, "families": {}}
     for name in families:
-        t_base = _time(lambda: _run_registry(spark, name, BASE_DIR))
-        t_big = _time(
-            lambda: _run_registry(spark, name, big_dir), min_runs=1
-        )
+        # a family that CANNOT complete at factor-x data (OOM, hang-kill) is
+        # the sweep's most important possible finding — record it as a
+        # flagged failure and keep measuring the rest instead of dying
+        try:
+            t_base = _time(lambda: _run_registry(spark, name, BASE_DIR))
+            t_big = _time(
+                lambda: _run_registry(spark, name, big_dir), min_runs=1
+            )
+        except Exception as e:  # noqa: BLE001
+            section["families"][name] = {
+                "error": f"{type(e).__name__}: {str(e)[:200]}",
+                "super_linear": True,
+            }
+            print(f"{name}: FAILED at {factor}x — {type(e).__name__}", flush=True)
+            continue
         ratio = round(t_big / t_base, 2) if t_base > 0 else None
         section["families"][name] = {
             "t_base_s": t_base,

@@ -3061,3 +3061,52 @@ def test_rolling_median_matches_python(spark):
             assert got[(uid, day)] == median(window) / 10000.0, (uid, day)
             checked += 1
     assert checked == len(got) > 0
+
+
+def test_global_ordered_rank_equals_global_window_and_is_parallel(spark):
+    """global_ordered_rank must produce BIT-IDENTICAL ranks to the bare
+    Window.orderBy form for any input (the hash-oracle parity contract of
+    curriculum_pack_order), while the corpus-sized side of its plan goes
+    through a parallel RANGE exchange — never the Exchange SinglePartition
+    the bare form compiles to. The one single-partition window it does
+    contain runs over partition COUNTS (<= shuffle.partitions rows), not
+    the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.windows import global_ordered_rank
+    from scraping_jobsdb_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 7).cast("int").alias("bucket"),
+            F.md5(F.col("doc_id").cast("string")).alias("shuf"),
+        )
+    )
+    got = {
+        r.doc_id: r.position
+        for r in global_ordered_rank(
+            docs, ["bucket", "shuf", "doc_id"]
+        ).collect()
+    }
+    w = Window.orderBy("bucket", "shuf", "doc_id")
+    want = {
+        r.doc_id: r.position
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("position")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = (
+        global_ordered_rank(docs, ["bucket", "shuf", "doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    # the corpus window is keyed on the materialized partition id
+    assert "__gor_pid" in plan

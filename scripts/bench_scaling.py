@@ -149,6 +149,13 @@ FAMILIES = [
     "streaming_indexed_dedup",
     # rolling median (bounded frame array median, one window)
     "events_rolling_median",
+    # --- round 10 additions ---
+    # percentile_approx range-partition planning (bounded sketch state)
+    "range_partition_balance_approx",
+    # exhaustive-PQ ADC retrieval (int8 codebook derivation + scan)
+    "embedding_pq_topk",
+    # quantize→dequantize→exact search (pow2-scale gate instance)
+    "embedding_quantized_topk",
 ]
 
 

@@ -1846,3 +1846,24 @@ def test_whitening_empty_input_returns_empty(spark):
     out = whitening_topk(emb, (0,), k=5)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "vec_id", "rank", "qcos"}
+
+
+def test_pq_encode_arrow_equals_expression_on_int8_gate(spark):
+    """pq_encode's Arrow kernel must produce BIT-IDENTICAL codes to the
+    pure-expression form on the hash-oracled gate configuration (integer-
+    valued subspace-mean codebook over int8 codes): every squared distance
+    is an exact integer in both paths and both tie-break to the lowest
+    code index."""
+    from scraping_jobsdb_spark.operators.pq import pq_encode
+    from scraping_jobsdb_spark.plans.q_txn_write import _int8_ivfpq_inputs
+
+    corpus, _q, codebook, _c = _int8_ivfpq_inputs(spark, SF_SMOKE)
+    fast = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(corpus, codebook, arrow=True).collect()
+    }
+    slow = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(corpus, codebook, arrow=False).collect()
+    }
+    assert fast == slow and len(fast) > 0

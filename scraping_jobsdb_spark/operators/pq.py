@@ -174,11 +174,34 @@ def pq_train(
     ]
 
 
+def _stack_vectors(series, dim: int, op: str):
+    """Worker-side vstack with a DESCRIPTIVE failure mode: the Arrow encode
+    kernels require non-null fixed-width vectors (a bare ``np.vstack`` over
+    a column containing None raises an opaque shape error deep in the
+    worker, where the ``arrow=False`` expression path would have yielded
+    null codes). Raising here names the operator and the fix."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    bad = [i for i, v in enumerate(vals) if v is None or len(v) != dim]
+    if bad:
+        v = vals[bad[0]]
+        raise ValueError(
+            f"{op}: Arrow encode path requires non-null width-{dim} "
+            f"vectors; row {bad[0]} of this batch is "
+            f"{'NULL' if v is None else f'width-{len(v)}'} — filter/fix "
+            f"upstream or call with arrow=False for null-tolerant codes"
+        )
+    return np.vstack(vals).astype(np.float64)
+
+
 def _codes_expr(codebook: list[list[list[float]]], vec_col: str):
     """The ``codes array<int>`` expression: per-subspace map-only argmin
     against the literal codebook. Ragged codebooks (sub-codebooks of
     differing length) are legal: each subspace argmins over its OWN cell
-    list."""
+    list. A NULL vector yields NULL codes (without the guard the null
+    distances sort FIRST in the struct argmin and a null row silently
+    encodes as cell 0 everywhere — a wrong answer, not an error)."""
     m = len(codebook)
     width = len(codebook[0][0])
 
@@ -200,7 +223,10 @@ def _codes_expr(codebook: list[list[list[float]]], vec_col: str):
             )
         )["c"]
 
-    return F.array(*[best_cell(j) for j in range(m)])
+    return F.when(
+        F.col(vec_col).isNotNull(),
+        F.array(*[best_cell(j) for j in range(m)]),
+    )
 
 
 def pq_encode(
@@ -208,21 +234,28 @@ def pq_encode(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    arrow: bool = True,
+    arrow: bool = False,
 ) -> DataFrame:
     """(id, codes array<int>): map-only argmin against the codebook — no
     join, no shuffle.
 
-    ``arrow=True`` (default) encodes each batch with ONE numpy kernel per
-    subspace (blocked (n, k) squared-distance argmin — the same kernel
+    ``arrow=True`` encodes each batch with ONE numpy kernel per subspace
+    (blocked (n, k) squared-distance argmin — the same kernel
     ``_encode_with_cell`` uses), instead of m×k interpreted Catalyst folds
     per row: the expression form was the single largest leg of the
     exhaustive-PQ bench row (~3.9 s of 7.8 at sf0.1). Tie-breaks match the
     expression form exactly (np.argmin keeps the FIRST minimum = lowest
     code), and on an INTEGER-VALUED codebook (the hash-oracled gate
     configuration) every distance is an exact integer in both paths, so
-    codes agree bit-for-bit (pinned by test). ``arrow=False`` keeps the
-    pure-expression plan for whole-stage-JVM contexts."""
+    codes agree bit-for-bit (pinned by test). The DEFAULT is
+    ``arrow=False`` (the pure-expression, whole-stage-JVM plan) because on
+    a TRAINED float codebook (``pq_train`` output) numpy's blocked
+    squared-distance sum and the Catalyst fold can round differently and
+    flip argmin on a near-tie — callers with integer-domain codebooks (or
+    who accept near-tie divergence for the ~2× encode speedup) opt in
+    explicitly. The Arrow path requires non-null fixed-width vectors and
+    raises a descriptive error otherwise (filter nulls upstream, as the
+    gate queries do)."""
     if not arrow:
         return corpus.select(
             F.col(id_col), _codes_expr(codebook, vec_col).alias("codes")
@@ -243,7 +276,7 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = _stack_vectors(pdf[vec_col], m * width, "pq_encode")
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 sub = X[:, j * width : (j + 1) * width]
@@ -312,7 +345,7 @@ def _encode_with_cell(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X = _stack_vectors(pdf[vec_col], m * width, "_encode_with_cell")
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 sub = X[:, j * width : (j + 1) * width]

@@ -45,6 +45,7 @@ __all__ = [
     "quantize_embeddings_int8",
     "dequantize_embeddings_int8",
     "kmeans_fit",
+    "minhash_band_keys_portable",
     "minhash_candidate_pairs_portable",
     "simhash_candidate_pairs_portable",
     "fuzzy_string_join",
@@ -1066,34 +1067,21 @@ def kmeans_fit(
     )
 
 
-def minhash_candidate_pairs_portable(
+def minhash_band_keys_portable(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    max_bucket: int = 64,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs with ENGINE-PORTABLE permutations — the
-    fully-oracle-able sibling of ``minhash_candidate_pairs``.
-
-    The fast form's xxhash64 seeds are Spark-internal, so its output can
-    only ever be rows-only checked; here each permutation reads a 28-bit
-    window of an md5 digest (hash-once-per-block: shingle s yields digests
-    md5(s), md5(s||':1'), ... — one per 4 permutations — identical to the
-    CMS/Bloom ``probe_positions`` construction), which any engine
-    re-derives bit-for-bit. Same LSH economics: signature is map-only, ONE
-    shuffle on (band, band-key), ``max_bucket`` bounds the quadratic pair
-    expansion. 28-bit permutation values are plenty for minwise ranking at
-    corpus scale (ties only merge candidates, never drop true ones, and
-    the verify stage downstream is exact anyway).
-
-    Use the xxhash64 form in the 100 TB hot path (integer rehash beats 4
-    md5 digests per shingle); use this one where cross-engine
-    reproducibility of the candidate set itself is the requirement
-    (regression gates, audits, cross-system migrations).
-    """
+    """Per-document LSH band keys ``(id, band, key)`` with ENGINE-PORTABLE
+    md5-window permutations — the map-only signature stage shared by
+    ``minhash_candidate_pairs_portable`` (self-contained pairing) and
+    ``operators/lshindex.py LshSignatureIndex`` (the persisted-index
+    admission path). ``key`` is the band's row minima comma-joined (the
+    exact string any engine re-derives: DuckDB ``string_agg(... ORDER BY
+    p)``). No shuffle — one row per (doc, band) out of a projection."""
     if k % bands:
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     rows = k // bands
@@ -1131,8 +1119,8 @@ def minhash_candidate_pairs_portable(
     sig = staged.select(
         "doc", F.array(*[_perm_min(p) for p in range(k)]).alias("__sig")
     )
-    banded = sig.select(
-        "doc",
+    return sig.select(
+        F.col("doc").alias(id_col),
         F.explode(
             F.array(
                 *[
@@ -1150,9 +1138,42 @@ def minhash_candidate_pairs_portable(
                 ]
             )
         ).alias("bk"),
-    )
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with ENGINE-PORTABLE permutations — the
+    fully-oracle-able sibling of ``minhash_candidate_pairs``.
+
+    The fast form's xxhash64 seeds are Spark-internal, so its output can
+    only ever be rows-only checked; here each permutation reads a 28-bit
+    window of an md5 digest (hash-once-per-block: shingle s yields digests
+    md5(s), md5(s||':1'), ... — one per 4 permutations — identical to the
+    CMS/Bloom ``probe_positions`` construction), which any engine
+    re-derives bit-for-bit. Same LSH economics: signature is map-only, ONE
+    shuffle on (band, band-key), ``max_bucket`` bounds the quadratic pair
+    expansion. 28-bit permutation values are plenty for minwise ranking at
+    corpus scale (ties only merge candidates, never drop true ones, and
+    the verify stage downstream is exact anyway).
+
+    Use the xxhash64 form in the 100 TB hot path (integer rehash beats 4
+    md5 digests per shingle); use this one where cross-engine
+    reproducibility of the candidate set itself is the requirement
+    (regression gates, audits, cross-system migrations).
+    """
+    banded = minhash_band_keys_portable(
+        df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n
+    ).select(F.col(id_col).alias("doc"), "band", "key")
     buckets = (
-        banded.groupBy("bk")
+        banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
         .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )

@@ -559,3 +559,52 @@ def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Live JDBC roundtrip (§2.1 S5/S6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "jdbc_live_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S6 LIVE: write orders into an embedded Derby database over JDBC
+    (Spark's own jars ship derby-10.16 — zero extra dependencies), read it
+    back as a PARTITIONED JDBC scan (8 range predicates over o_orderkey —
+    the reference's scan is single-partition, ``ParseHtml.py:33-41``), and
+    aggregate. The JDBC write uses OVERWRITE here so the registered query is
+    idempotent across driver re-runs (the reference's append semantics — one
+    connection per partition — are exercised by tests/test_jdbc.py, which
+    asserts two appends double the rows). Types chosen to round-trip
+    exactly: BIGINT, DOUBLE (Derby DOUBLE is IEEE 754), VARCHAR. The
+    partition bounds come from a 1-row min/max aggregate (bounded driver
+    collect); rows outside the bounds would still land in the edge
+    partitions, so correctness never depends on them."""
+    from scraping_jobsdb_spark.sources.tables import read_jdbc_partitioned
+
+    url = "jdbc:derby:memory:sjdb_gate;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    lo, hi = src.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    src.repartition(4).write.mode("overwrite").jdbc(
+        url, "orders_jdbc", properties=props
+    )
+    back = read_jdbc_partitioned(
+        spark, url, "orders_jdbc", "o_orderkey", lo, hi + 1, 8,
+        properties=props,
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("sum_price"),
+    )

@@ -1260,16 +1260,82 @@ def q_bpe_corpus_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_pipeline_end_to_end", oracle=None)
+@_register(
+    "dedup_pipeline_end_to_end",
+    oracle=r"""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+    ), posn AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s
+        FROM posn
+    ), perms AS (
+        SELECT unnest(generate_series(0, 15)) AS p
+    ), hv AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(
+                   md5(CASE WHEN p < 4 THEN s
+                            ELSE s || ':' || CAST(p // 4 AS VARCHAR) END),
+                   1 + 7 * (p % 4), 7)) AS BIGINT) AS hp
+        FROM sh, perms
+    ), sig AS (
+        SELECT doc_id, p, MIN(hp) AS m FROM hv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+        FROM sig GROUP BY doc_id, p // 4
+    ), sized AS (
+        SELECT band, key FROM bandkeys
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 64
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandkeys a
+        JOIN sized USING (band, key)
+        JOIN bandkeys b USING (band, key)
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, label) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id
+    ), comp AS (
+        SELECT id, MIN(label) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+    """,
+)
 def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup dedup pipeline in one plan: corpus (+injected
     near-dups) → MinHash-LSH candidate pairs → connected components → keep
-    list → surviving corpus. Rows-only (seeded hashing upstream); the
-    injected-duplicate removal property is asserted in
-    tests/test_similarity.py. This is the operator composition a training-
-    data pipeline actually runs."""
+    list → surviving corpus — the operator composition a training-data
+    pipeline actually runs. FULL value-hash oracle since r11 (r10 verdict
+    item 3): the candidate stage is ``minhash_candidate_pairs_portable``
+    (md5-window permutations any engine re-derives bit-for-bit, same
+    economics: map-only signatures, ONE shuffle on (band, band-key),
+    max_bucket expansion guard), so DuckDB replays signatures → bands →
+    buckets → pairs → recursive-CTE connected components → keep list
+    end to end. The seeded xxhash64 candidate stage
+    (``minhash_candidate_pairs``) remains the 100 TB hot path for this
+    same composition — its integer rehash beats 4 md5 digests per shingle
+    — and keeps its injected-duplicate-removal property test in
+    tests/test_similarity.py."""
     from scraping_jobsdb_spark.operators.graph import dedup_keep_list
-    from scraping_jobsdb_spark.operators.similarity import minhash_candidate_pairs
+    from scraping_jobsdb_spark.operators.similarity import (
+        minhash_candidate_pairs_portable,
+    )
 
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     near = docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -1277,7 +1343,9 @@ def q_dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
     )
     corpus = docs.unionByName(near)
-    pairs = minhash_candidate_pairs(corpus, "doc_id", "text", k=32, bands=8)
+    pairs = minhash_candidate_pairs_portable(
+        corpus, "doc_id", "text", k=16, bands=4, shingle_n=3, max_bucket=64
+    )
     drops = dedup_keep_list(pairs).filter(~F.col("keep")).select(
         F.col("id").alias("doc_id")
     )

@@ -602,7 +602,11 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scraping_jobsdb_spark.operators.pq import pq_encode, pq_topk
 
     corpus, query, codebook, _cents = _int8_ivfpq_inputs(spark, sf_dir)
-    codes = pq_encode(corpus, codebook)
+    # arrow=True is SAFE here and ~2× faster: the int8 subspace-mean
+    # codebook is integer-valued, so numpy and Catalyst distances are both
+    # exact integers — bit-parity pinned by
+    # test_pq_encode_arrow_equals_expression_on_int8_gate
+    codes = pq_encode(corpus, codebook, arrow=True)
     return pq_topk(
         codes, codebook, query, k=10, refine_with=corpus, refine_factor=4
     ).withColumn("query_id", F.col("query_id").cast("bigint"))

@@ -720,13 +720,17 @@ class TxnTable:
         """Per-file min/max straight from the parquet FOOTERS — zero Spark
         jobs. Returns None (caller falls back to the Spark aggregate) unless
         every stats column is a footer-safe primitive in every file:
-        integers, floats and date32, where parquet min/max statistics are
+        integers and date32, where parquet min/max statistics are
         exact by format contract. Strings are excluded deliberately
         (parquet-mr may TRUNCATE long binary min/max, which would corrupt
         the skipping index), as are timestamps (unit/timezone re-mapping)
-        and decimals. The values produced are exactly what the Spark
-        ``min``/``max`` aggregate produces for these types, so manifests
-        are byte-identical either way (pinned by test)."""
+        and decimals. FLOATS are excluded too: Spark's min/max orders NaN
+        as the LARGEST double, while parquet writers either omit or
+        NaN-ignore float stats — a NaN-bearing chunk would under-report
+        ``hi`` and silently mis-prune a ``x > hi`` predicate. For the safe
+        types the values produced are exactly what the Spark ``min``/``max``
+        aggregate produces, so manifests are byte-identical either way
+        (pinned by test)."""
         try:
             import pyarrow.parquet as pq
             import pyarrow.types as pat
@@ -734,7 +738,7 @@ class TxnTable:
             return None
 
         def safe(t) -> bool:
-            return pat.is_integer(t) or pat.is_floating(t) or pat.is_date32(t)
+            return pat.is_integer(t) or pat.is_date32(t)
 
         out: dict[str, dict[str, list]] = {}
         try:
@@ -767,10 +771,12 @@ class TxnTable:
                         if st is None:
                             return None
                         if not st.has_min_max:
-                            # legal only when the group holds no values
-                            # (all-NULL column): contributes nothing, like
+                            # legal only when the group holds no non-null
+                            # values (Statistics.num_values EXCLUDES nulls,
+                            # unlike ColumnChunkMetaData.num_values): the
+                            # all-NULL chunk contributes nothing, like
                             # Spark's null-skipping min/max
-                            if st.has_null_count and st.null_count == cc.num_values + st.null_count:
+                            if st.has_null_count and st.num_values == 0:
                                 continue
                             return None
                         lo, hi = st.min, st.max

@@ -3101,12 +3101,31 @@ def test_global_ordered_rank_equals_global_window_and_is_parallel(spark):
     }
     assert got == want and len(got) > 0
 
-    plan = (
-        global_ordered_rank(docs, ["bucket", "shuf", "doc_id"])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    out = global_ordered_rank(docs, ["bucket", "shuf", "doc_id"])
+    out.collect()  # run it: exchange reuse is an ADAPTIVE (runtime) rule
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     # the corpus window is keyed on the materialized partition id
     assert "__gor_pid" in plan
+    # CORRECTNESS-CRITICAL plan pin: the offsets branch and the ranked
+    # branch must observe IDENTICAL spark_partition_id values, which holds
+    # because both consume the SAME physical range exchange. Assert the
+    # final adaptive plan has exactly ONE live rangepartitioning Exchange
+    # and a ReusedExchange covering the second consumer — if a future
+    # AQE/coalescing change decouples the branches (two independent
+    # boundary samplings), ranks could go silently wrong; fail here
+    # instead.
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    live_range_exchanges = [
+        ln
+        for ln in final.splitlines()
+        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    reused = [
+        ln
+        for ln in final.splitlines()
+        if "ReusedExchange" in ln and "rangepartitioning" in ln
+    ]
+    assert len(live_range_exchanges) == 1, final
+    assert len(reused) == 1, final

@@ -4,6 +4,7 @@ found, and the approximate ANN path must agree with the exact one."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -1867,3 +1868,31 @@ def test_pq_encode_arrow_equals_expression_on_int8_gate(spark):
         for r in pq_encode(corpus, codebook, arrow=False).collect()
     }
     assert fast == slow and len(fast) > 0
+
+
+def test_pq_encode_arrow_rejects_null_vectors_with_message(spark):
+    """The Arrow encode kernel must fail with a DESCRIPTIVE error on
+    null/ragged embedding rows (not an opaque np.vstack shape error),
+    while the arrow=False expression path stays null-tolerant (null
+    codes), matching its documented contract."""
+    from scraping_jobsdb_spark.operators.pq import pq_encode
+    from scraping_jobsdb_spark.plans.q_txn_write import _int8_ivfpq_inputs
+
+    corpus, _q, codebook, _c = _int8_ivfpq_inputs(spark, SF_SMOKE)
+    holed = corpus.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(Exception) as exc:
+        pq_encode(holed, codebook, arrow=True).collect()
+    assert "non-null" in str(exc.value) and "pq_encode" in str(exc.value)
+
+    # expression path: null vector → null codes, no exception
+    row = (
+        pq_encode(holed, codebook, arrow=False)
+        .filter(F.col("vec_id") == 3)
+        .collect()
+    )
+    assert len(row) == 1 and row[0].codes is None

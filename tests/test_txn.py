@@ -4,6 +4,7 @@ commit, crash safety, OCC under concurrent writers, MERGE semantics."""
 from __future__ import annotations
 
 import json
+import math
 import os
 import threading
 
@@ -434,10 +435,12 @@ def test_stats_cols_absent_means_no_pruning_no_stats(spark, tdir):
 
 def test_footer_stats_and_count_match_spark_aggregates(spark, tmp_path):
     """The zero-job parquet-FOOTER fast paths must be byte-identical to the
-    Spark jobs they replace: per-file min/max (ints, doubles, dates —
-    including NULLs, which parquet stats skip exactly like Spark min/max)
-    and the commit row count. A string stats column must force the footer
-    path to decline (parquet-mr may truncate binary min/max)."""
+    Spark jobs they replace: per-file min/max (ints and dates — including
+    NULLs, which parquet stats skip exactly like Spark min/max) and the
+    commit row count. A string stats column must force the footer path to
+    decline (parquet-mr may truncate binary min/max), and so must a FLOAT
+    column: parquet NaN-ignores float stats while Spark's max orders NaN
+    largest, so a NaN-bearing chunk would under-report hi and mis-prune."""
     from datetime import date
 
     from scraping_jobsdb_spark.sources.txn import _footer_row_count
@@ -451,12 +454,12 @@ def test_footer_stats_and_count_match_spark_aggregates(spark, tmp_path):
         "k bigint, x double, d date, s string",
     ).coalesce(1)
     t = TxnTable.create(
-        spark, str(tmp_path / "t"), df, stats_cols=["k", "x", "d"]
+        spark, str(tmp_path / "t"), df, stats_cols=["k", "d"]
     )
     files = [
         str(tmp_path / "t" / f) for f in t._manifest()["files"]
     ]
-    fast = t._footer_file_stats(files, ["k", "x", "d"])
+    fast = t._footer_file_stats(files, ["k", "d"])
     assert fast is not None
 
     # the Spark-aggregate form of the same stats, value-for-value
@@ -469,7 +472,7 @@ def test_footer_stats_and_count_match_spark_aggregates(spark, tmp_path):
     r = spark.read.parquet(*files).agg(
         *[
             a
-            for c in ["k", "x", "d"]
+            for c in ["k", "d"]
             for a in (
                 F2.min(c).alias(f"__lo_{c}"),
                 F2.max(c).alias(f"__hi_{c}"),
@@ -479,7 +482,7 @@ def test_footer_stats_and_count_match_spark_aggregates(spark, tmp_path):
     slow = {
         _os.path.relpath(files[0], t.path): {
             c: [_jsonable(r[f"__lo_{c}"]), _jsonable(r[f"__hi_{c}"])]
-            for c in ["k", "x", "d"]
+            for c in ["k", "d"]
         }
     }
     assert fast == slow
@@ -491,13 +494,34 @@ def test_footer_stats_and_count_match_spark_aggregates(spark, tmp_path):
     # a string stats column declines the footer path (truncation hazard)
     assert t._footer_file_stats(files, ["k", "s"]) is None
 
-    # all-NULL stats column: footer path yields [None, None] like Spark
+    # a FLOAT stats column declines too: with NaN present, footer max
+    # (NaN-ignored: 2.5) would contradict Spark max (NaN is largest) —
+    # the Spark-aggregate fallback is the only correct source
+    dfn = spark.createDataFrame(
+        [(1, 2.5), (2, float("nan"))], "k bigint, x double"
+    ).coalesce(1)
+    tn = TxnTable.create(
+        spark, str(tmp_path / "tn"), dfn, stats_cols=["k", "x"]
+    )
+    filesn = [str(tmp_path / "tn" / f) for f in tn._manifest()["files"]]
+    assert tn._footer_file_stats(filesn, ["k", "x"]) is None
+    # …and the manifest (Spark path) agrees with Spark's NaN-largest max
+    (stn,) = tn._manifest()["file_stats"].values()
+    assert stn["x"][0] == 2.5 and math.isnan(stn["x"][1])
+
+    # all-NULL stats column: the FOOTER path itself (not just the Spark
+    # fallback) yields [None, None] like Spark's null-skipping min/max
     df2 = spark.createDataFrame(
         [(None, "a"), (None, "b")], "k bigint, s string"
     ).coalesce(1)
     t2 = TxnTable.create(spark, str(tmp_path / "t2"), df2, stats_cols=["k"])
     m2 = t2._manifest()
     assert list(m2["file_stats"].values()) == [{"k": [None, None]}]
+    files2 = [str(tmp_path / "t2" / f) for f in m2["files"]]
+    fast2 = t2._footer_file_stats(files2, ["k"])
+    assert fast2 is not None and list(fast2.values()) == [
+        {"k": [None, None]}
+    ]
 
 
 # ---------------------------------------------------------------- bucketing

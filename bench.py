@@ -255,7 +255,23 @@ BENCH_QUERIES = [
     "embedding_pq_topk",
     # quantize→dequantize→exact search, now hash-oracled via pow2 scale
     "embedding_quantized_topk",
+    # --- round 11 additions (keep appending, never reorder) ---
+    # live JDBC write → partitioned scan roundtrip (embedded Derby, S5/S6)
+    "jdbc_live_roundtrip",
+    # persisted MinHash-LSH signature index: batch admission + probes
+    "incremental_minhash_indexed_dedup",
+    # its epoch-keyed streaming-maintenance twin
+    "streaming_minhash_indexed_dedup",
 ]
+
+# Canary reference: the r10 verdict's canary mean for pricing_summary at
+# sf0.1 on the round driver's machine ((1.19 + 1.10 + 1.18) / 3). Dividing
+# a run's canary mean by this gives the session/machine drift factor;
+# "normalized" seconds below are raw / that factor, so round-over-round
+# deltas read directly from the artifact without manual canary arithmetic
+# (VERDICT r10 item 8). The constant is a fixed REFERENCE POINT, not a
+# target — update it only if the canary query's own plan changes.
+CANARY_REF = 1.157
 
 
 def main() -> None:
@@ -318,6 +334,23 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
 
+    # Canary-normalized seconds alongside raw (VERDICT r10 item 8): the
+    # canary mean over CANARY_REF estimates this run's session/machine
+    # drift; dividing it out makes totals comparable across rounds.
+    drift = round(
+        (canary["canary_start"] + canary["canary_mid"] + canary["canary_end"])
+        / 3
+        / CANARY_REF,
+        4,
+    )
+    normalized = {
+        "canary_drift_factor": drift,
+        "value_canary_normalized": round(total / drift, 3),
+        "queries_canary_normalized": {
+            n: round(t / drift, 3) for n, t in timings.items()
+        },
+    }
+
     # The full result also lands in BENCH_SELF.json at the repo root (a
     # committed artifact): the driver's stdout capture keeps only a ~2 KB
     # TAIL, which cannot hold 100+ per-query timings no matter how the
@@ -332,7 +365,14 @@ def main() -> None:
                 "sf": sf_val,
                 "query_count": len(timings),
                 **canary,
+                "canary_drift_factor": normalized["canary_drift_factor"],
+                "value_canary_normalized": normalized[
+                    "value_canary_normalized"
+                ],
                 "queries": timings,
+                "queries_canary_normalized": normalized[
+                    "queries_canary_normalized"
+                ],
             },
             indent=1,
         )
@@ -368,6 +408,10 @@ def main() -> None:
                 "sf": sf_val,
                 "query_count": len(timings),
                 **canary,
+                "canary_drift_factor": normalized["canary_drift_factor"],
+                "value_canary_normalized": normalized[
+                    "value_canary_normalized"
+                ],
             }
         )
     )

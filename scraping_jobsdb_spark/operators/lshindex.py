@@ -1,0 +1,438 @@
+"""Persisted MinHash-LSH signature index for incremental near-dup dedup.
+
+The near-dup analog of ``operators/fpindex.py FingerprintIndex`` (VERDICT
+r10 item 4): an ongoing ingest pipeline must NOT re-sign its 100 TB corpus
+on every arriving batch, yet before this module only the winnowing
+containment family had an incremental admission path — the MinHash LSH
+family re-derived every corpus signature per run. This module stores the
+corpus band signatures ``(doc_id, band, key)`` in a transactional table
+and maintains the per-bucket size ``(band, key) -> n_docs`` as an
+incrementally-refreshed aggregate view (the hot-bucket guard — the LSH
+analog of the fingerprint index's stop-gram view), so admitting a new
+batch costs
+
+  sign(batch)                                — map-only over the batch
+  + one broadcast probe join into the index  — zero corpus-sized shuffles
+  + append(batch sigs) + O(delta + view) bucket-size refresh
+
+independent of corpus size. Composition of the engine's txn layer
+(``sources/txn.py``), incremental MV layer (``sources/mv.py``), and the
+MinHash LSH family (``operators/similarity.py``) — the signature-level,
+at-scale generalization of the reference's per-run "skip already-scraped
+job ids" anti-join (``airflow/dags/scrape_url.py``, there by exact key).
+
+Two hash families share the storage layout, selected at ``create`` time
+and pinned in the manifest:
+
+- ``md5-portable`` (default): ``minhash_band_keys_portable``'s
+  hash-once-per-block md5 windows — any engine re-derives the keys
+  bit-for-bit, so probes stay fully value-hash oracle-able (the
+  registered ``incremental_minhash_indexed_dedup`` form).
+- ``xxhash64``: integer re-hash permutations (4 md5 digests per shingle
+  cheaper) — the 100 TB hot path; Spark-internal seeds, so rows-only
+  checkable, covered by the equivalence property tests instead.
+
+Determinism contract: probing the index is bit-identical to banding the
+batch against the signatures the index currently holds — both paths share
+``minhash_band_keys_portable`` and integer/string-exact comparisons, so
+the probe (and the whole add→probe lifecycle) hashes identically across
+engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_jobsdb_spark.operators.similarity import (
+    minhash_band_keys_portable,
+    shingles,
+)
+from scraping_jobsdb_spark.sources.mv import IncrementalAggView
+from scraping_jobsdb_spark.sources.txn import TxnTable
+
+__all__ = ["LshSignatureIndex", "minhash_band_keys_fast"]
+
+# v1-manifest keys for the index parameters: every writer and every probe
+# must agree on (k, bands, shingle_n, hasher) or band keys stop being
+# comparable across commits.
+_META_KEYS = (
+    "lsh_k",
+    "lsh_bands",
+    "lsh_shingle_n",
+    "lsh_max_bucket",
+    "lsh_hasher",
+    "lsh_id_col",
+)
+
+_HASHERS = ("md5-portable", "xxhash64")
+
+
+def minhash_band_keys_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document LSH band keys ``(id, band, key)`` with the xxhash64
+    permutation family — the signature stage of
+    ``minhash_candidate_pairs`` re-shaped to the index storage layout
+    (``key`` is the band's row minima comma-joined, same as the portable
+    form, so the two hashers share schema and probe code). Map-only, no
+    shuffle. Spark-internal seeds: candidate sets from this form are
+    checkable rows-only; use the portable form where cross-engine
+    reproducibility is the requirement."""
+    if k % bands:
+        raise ValueError(f"bands ({bands}) must divide k ({k})")
+    rows = k // bands
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__sh"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(F.lit(i), h))
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        hashed.select("doc", sig.alias("__sig"))
+        .select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig").getItem(b * rows + r)
+                                    for r in range(rows)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+
+
+class LshSignatureIndex:
+    """A corpus LSH signature index at ``path``: a ``TxnTable`` of
+    ``(id, band, key)`` MinHash band signatures under ``path/sigs`` plus
+    an ``IncrementalAggView`` of per-bucket document counts under
+    ``path/bs``. Parameters ride the sigs table's v1 manifest."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.sigs_path = os.path.join(path, "sigs")
+        self.bs_path = os.path.join(path, "bs")
+        m = TxnTable(spark, self.sigs_path)._manifest(1)
+        missing = [k for k in _META_KEYS if k not in m]
+        if missing:
+            raise ValueError(
+                f"{self.sigs_path}: not an LSH signature index (v1 "
+                f"manifest lacks {missing})"
+            )
+        self.k = int(m["lsh_k"])
+        self.bands = int(m["lsh_bands"])
+        self.shingle_n = int(m["lsh_shingle_n"])
+        self.max_bucket = int(m["lsh_max_bucket"])
+        self.hasher = str(m["lsh_hasher"])
+        self.id_col = str(m["lsh_id_col"])
+        self._bs_view = IncrementalAggView(
+            spark,
+            self.sigs_path,
+            self.bs_path,
+            group_cols=["band", "key"],
+            measures={"n_docs": ("count", None)},
+        )
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def exists(cls, spark: SparkSession, path: str) -> bool:
+        return TxnTable.exists(spark, os.path.join(path, "sigs"))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        *,
+        k: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        max_bucket: int = 64,
+        hasher: str = "md5-portable",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "LshSignatureIndex":
+        """Sign ``corpus`` once (map-only — see
+        ``minhash_band_keys_portable``) and persist the index. One pass
+        over the corpus, ever; every later batch pays only its own size."""
+        if hasher not in _HASHERS:
+            raise ValueError(f"hasher must be one of {_HASHERS}, got {hasher!r}")
+        sigs = _band_keys(
+            corpus, hasher, id_col, text_col, k, bands, shingle_n
+        )
+        TxnTable.create(
+            spark,
+            os.path.join(path, "sigs"),
+            sigs,
+            meta={
+                "lsh_k": int(k),
+                "lsh_bands": int(bands),
+                "lsh_shingle_n": int(shingle_n),
+                "lsh_max_bucket": int(max_bucket),
+                "lsh_hasher": str(hasher),
+                "lsh_id_col": str(id_col),
+            },
+        )
+        idx = cls(spark, path)
+        idx._bs_view.refresh()
+        return idx
+
+    # ------------------------------------------------------------- maintain
+
+    def add(self, docs: DataFrame, text_col: str = "text") -> int:
+        """Admit ``docs`` into the corpus: append their band signatures
+        (transactional — all-or-nothing visibility) and fold the append
+        delta into the bucket-size view. Cost: sign(docs) +
+        O(|delta| + |distinct buckets|) — never a corpus rescan. Returns
+        the new sigs-table version."""
+        sigs = self._sign(docs, text_col)
+        t = TxnTable(self.spark, self.sigs_path)
+        t.append(sigs)
+        self._bs_view.refresh()
+        return t.version()
+
+    def add_stream_batch(
+        self,
+        docs: DataFrame,
+        epoch_id: int,
+        app_id: str = "lshindex",
+        text_col: str = "text",
+    ) -> int:
+        """The ``foreachBatch`` body that maintains the index from a
+        stream: an epoch-idempotent ``add`` (exactly-once under
+        failure-recovery replays — a batch whose (app_id, epoch) is
+        already in the sigs table's log appends nothing, and the
+        bucket-size refresh then no-ops on the unchanged version).
+        Returns signature rows appended (0 for a recognized replay).
+        Streaming-equals-batch: N micro-batches through this path leave
+        the index byte-identical to one ``add`` of their union (pinned
+        by test)."""
+        sigs = self._sign(docs, text_col)
+        n = TxnTable(self.spark, self.sigs_path).stream_epoch_append(
+            sigs, app_id, epoch_id
+        )
+        self._bs_view.refresh()
+        return n
+
+    def admit_stream_batch(
+        self,
+        docs: DataFrame,
+        epoch_id: int,
+        app_id: str = "lshindex-admit",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """ONLINE near-dup admission — the ``foreachBatch`` body of a
+        deduplicating ingest stream: probe the batch against the current
+        index, admit ONLY the surviving (``kept``) documents' signatures,
+        and return the verdict frame so the caller can route kept rows to
+        the corpus sink and dropped rows to a reject log. LSH collisions
+        with anything already admitted — including docs admitted by an
+        EARLIER micro-batch — are rejected; collisions WITHIN a batch
+        survive together (batch-vs-corpus, not batch-vs-self: compose
+        with ``minhash_candidate_pairs_portable`` upstream for
+        intra-batch dedup).
+
+        Exactly-once AND replay-stable: the kept-signature append is
+        epoch-keyed (replays append nothing and the bucket-size refresh
+        no-ops), and the probe excludes corpus signatures carrying the
+        batch's OWN doc ids — on a failure-recovery replay the index
+        already holds the first attempt's kept signatures under the same
+        ids, and without the exclusion every previously-kept doc would
+        collide with itself in every band and flip to dropped, so a
+        caller routing kept rows to the corpus sink would lose those docs
+        on recovery. Contract: doc ids are unique across the stream (a
+        re-sent id is the same document, never a self-duplicate)."""
+        verdict = self.probe(
+            docs, text_col=text_col, exclude_self_ids=True
+        ).localCheckpoint()
+        kept_ids = verdict.filter(F.col("kept")).select(self.id_col)
+        kept_docs = docs.join(kept_ids, self.id_col, "left_semi")
+        sigs = self._sign(kept_docs, text_col)
+        TxnTable(self.spark, self.sigs_path).stream_epoch_append(
+            sigs, app_id, epoch_id
+        )
+        self._bs_view.refresh()
+        return verdict
+
+    def maintain(self, max_files: int = 64) -> int | None:
+        """Compact the sigs table once its snapshot exceeds ``max_files``
+        files (an ingest loop calls this per admitted batch for amortized
+        O(snapshot/max_files) rewrite cost). Compaction is ROW-PRESERVING,
+        so the bucket-size view's next refresh skips it and keeps folding
+        appends incrementally instead of recounting buckets from the
+        whole index. Returns the compacted snapshot's file count, or None
+        if under the threshold."""
+        n = TxnTable(self.spark, self.sigs_path).maybe_compact(
+            max_files=max_files
+        )
+        if n is not None:
+            self._bs_view.refresh()
+        return n
+
+    # ---------------------------------------------------------------- reads
+
+    def signatures(self) -> DataFrame:
+        """The corpus band-signature set ``(id, band, key)`` at the
+        current version."""
+        return TxnTable(self.spark, self.sigs_path).read()
+
+    def hot_buckets(self) -> DataFrame:
+        """Buckets holding more than ``max_bucket`` corpus documents —
+        read from the incrementally-maintained bucket-size view (no
+        corpus scan). These are degenerate keys (boilerplate, empty-text
+        signatures) whose quadratic candidate expansion the probe must
+        not pay; the self-contained pairing drops them identically
+        (``minhash_candidate_pairs_portable`` ``max_bucket``). Small by
+        construction (bounded by |sigs| / max_bucket), so consumers
+        broadcast it."""
+        self._require_fresh_bs()
+        return (
+            self._bs_view.read()
+            .filter(F.col("n_docs") > self.max_bucket)
+            .select("band", "key")
+        )
+
+    def _require_fresh_bs(self) -> None:
+        # The probe's hot-bucket list must reflect every committed
+        # signature or the pruned universes drift between batches.
+        applied = self._bs_view.applied_source_version()
+        current = TxnTable(self.spark, self.sigs_path).version()
+        if applied < current:
+            raise ValueError(
+                f"{self.bs_path}: bucket-size view at source version "
+                f"{applied} but sigs table at {current}; call add()/"
+                "refresh via the index so the view is maintained with "
+                "the data"
+            )
+
+    # ---------------------------------------------------------------- probe
+
+    def probe(
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        broadcast_batch: bool = True,
+        exclude_self_ids: bool = False,
+    ) -> DataFrame:
+        """Score every batch document against the stored corpus: one row
+        per batch doc — ``(id, n_bands_hit, n_cand, kept)`` where
+        ``n_cand`` counts distinct stored documents sharing ≥1 non-hot
+        band bucket with the doc, ``n_bands_hit`` counts the doc's bands
+        that collided at all, and ``kept`` = no collision. Candidate
+        semantics, deliberately: LSH asserts similarity only
+        probabilistically, so a pipeline needing verified near-dups joins
+        the dropped docs' candidates back to the corpus store for an
+        exact check (``ngram_jaccard``) — the index's job is to make that
+        candidate set batch-sized instead of corpus-sized.
+
+        Scale shape: the batch signature set is BROADCAST (a batch is
+        small next to a 100 TB corpus), so the probe join streams over
+        the index scan map-side — the only shuffle moves matched (batch
+        doc, corpus doc) pairs, never the index. The hot-bucket list
+        comes from the maintained bucket-size view (broadcast anti-join
+        on both sides). Set ``broadcast_batch=False`` for a
+        backfill-sized batch; the planner then picks the join strategy.
+        ``exclude_self_ids`` drops corpus signatures whose id appears in
+        the batch itself before scoring — the replay-stability guard
+        ``admit_stream_batch`` relies on."""
+        hot = F.broadcast(self.hot_buckets())
+        sig_b = self._sign(batch, text_col)
+        pruned_b = sig_b.join(hot, ["band", "key"], "left_anti").select(
+            F.col(self.id_col).alias("__bid"), "band", "key"
+        ).localCheckpoint()
+        if broadcast_batch:
+            pruned_b = F.broadcast(pruned_b)
+        pruned_c = self.signatures().join(hot, ["band", "key"], "left_anti")
+        if exclude_self_ids:
+            pruned_c = pruned_c.join(
+                F.broadcast(batch.select(self.id_col).distinct()),
+                self.id_col,
+                "left_anti",
+            )
+        hits = (
+            pruned_b.join(
+                pruned_c.select(
+                    F.col(self.id_col).alias("__cid"), "band", "key"
+                ),
+                ["band", "key"],
+            )
+            .groupBy("__bid")
+            .agg(
+                F.countDistinct("__cid").alias("n_cand"),
+                F.countDistinct("band").alias("n_bands_hit"),
+            )
+        )
+        return (
+            batch.select(self.id_col)
+            .join(hits, F.col(self.id_col) == F.col("__bid"), "left")
+            .select(
+                self.id_col,
+                F.coalesce("n_bands_hit", F.lit(0)).alias("n_bands_hit"),
+                F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+                (F.coalesce("n_cand", F.lit(0)) == 0).alias("kept"),
+            )
+        )
+
+    # -------------------------------------------------------------- helpers
+
+    def _sign(self, docs: DataFrame, text_col: str) -> DataFrame:
+        return _band_keys(
+            docs,
+            self.hasher,
+            self.id_col,
+            text_col,
+            self.k,
+            self.bands,
+            self.shingle_n,
+        )
+
+
+def _band_keys(
+    docs: DataFrame,
+    hasher: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    fn = (
+        minhash_band_keys_portable
+        if hasher == "md5-portable"
+        else minhash_band_keys_fast
+    )
+    return fn(docs, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n)

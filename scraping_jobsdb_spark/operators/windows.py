@@ -31,7 +31,10 @@ __all__ = [
 
 
 def global_ordered_rank(
-    df: DataFrame, order_cols: list[Column | str], out_col: str = "position"
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "position",
+    materialize: bool = True,
 ) -> DataFrame:
     """Global 1-based rank under a TOTAL order, without the single-task
     sort a bare ``Window.orderBy`` compiles to (``Exchange
@@ -58,8 +61,14 @@ def global_ordered_rank(
     upstream is a full quality-scoring scan). Callers therefore pass a
     PROJECTED frame — the order columns plus what they keep — not a
     wide corpus; on a real cluster the same contract holds with
-    persist(DISK) or a staged table for inputs past executor storage."""
-    ranked = df.localCheckpoint().repartitionByRange(*order_cols).withColumn(
+    persist(DISK) or a staged table for inputs past executor storage.
+    A caller whose input is ALREADY materialized (a checkpointed frame,
+    or a cheap projection of one) passes ``materialize=False`` to skip
+    the second copy — re-running a narrow projection over checkpointed
+    blocks per branch is cheaper than writing the frame to disk again
+    (the r11 curriculum_pack_order cut)."""
+    staged = df.localCheckpoint() if materialize else df
+    ranked = staged.repartitionByRange(*order_cols).withColumn(
         "__gor_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__gor_pid").orderBy(*order_cols)

@@ -782,28 +782,69 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(kmv, "event_type").join(quant, "event_type")
 
 
-@_register("hll_mergeable_sketches", oracle=None)
+@_register(
+    "hll_mergeable_sketches",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ), rows_ AS (
+        SELECT event_type, day, h % 256 AS bucket,
+               CASE WHEN (h >> 8) = 0 THEN 53
+                    ELSE 53 - length(bin(h >> 8)) END AS rho
+        FROM h
+    ), partials AS (
+        SELECT event_type, day, bucket, MAX(rho) AS rho
+        FROM rows_ GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT event_type, bucket, MAX(rho) AS rho
+        FROM partials GROUP BY 1, 2
+    ), np AS (
+        SELECT event_type, COUNT(DISTINCT day) AS n_partials
+        FROM partials GROUP BY 1
+    )
+    SELECT m.event_type, CAST(m.bucket AS BIGINT) AS bucket,
+           CAST(m.rho AS BIGINT) AS rho, np.n_partials
+    FROM merged m JOIN np USING (event_type)
+    """,
+)
 def q_hll_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (the sketch-once, merge-cheaply
     pattern that makes 100 TB cardinality reporting affordable): per
-    (event_type, day) partial HLL sketches of user_id, then a per-type
-    re-aggregation that UNIONS the binary sketches instead of rescanning
-    the data — `hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`
-    (Apache DataSketches, built into Spark 3.5+). Rows-only in the gate
-    (sketch internals are engine-specific); tests assert the
-    merge-invariance law — union-of-partials estimates EXACTLY equal the
-    single-shot sketch — and a 5% error bound vs exact distinct counts."""
+    (event_type, day) partial HLL register sketches of user_id, then a
+    per-type re-aggregation that MERGES the partials (register max)
+    instead of rescanning the data. Registered in the engine-portable
+    md5-register domain (operators/sketches.py hll_rows — the
+    hll_portable_registers construction) so the whole partial→merge
+    rollup value-hash oracles: DuckDB re-derives the per-day partials AND
+    the merged registers, verifying the merge law at BOTH granularities
+    (promoted from rows-only, VERDICT r10 item 3 stretch). The native
+    DataSketches form (`hll_sketch_agg` → `hll_union_agg` →
+    `hll_sketch_estimate`, blob internals engine-specific by nature)
+    keeps its merge-invariance law + 5%-accuracy coverage in
+    tests/test_similarity.py; estimates from these registers are
+    covered by hll_estimate's own tests."""
+    from scraping_jobsdb_spark.operators.sketches import hll_rows
+
     ev = load_table(spark, sf_dir, "events")
-    partials = ev.groupBy(
-        "event_type", F.dayofmonth("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        partials.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-            F.count(F.lit(1)).alias("n_partials"),
-        )
-        .select("event_type", "est_users", "n_partials")
+    rows = hll_rows(
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        p=8,
+    )
+    partials = rows.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    merged = partials.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    n_part = partials.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_partials")
+    )
+    return merged.join(F.broadcast(n_part), "event_type").select(
+        "event_type", "bucket", "rho", "n_partials"
     )
 
 

@@ -1545,3 +1545,208 @@ def q_streaming_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2).select(
         "doc_id", "batch_no", "n_fp", "n_dup_of", "kept"
     )
+
+
+# Shared oracle for the LSH-signature-index pair: DuckDB re-derives the
+# md5-window band keys (the construction minhash_portable_neardup_pairs
+# proved green), replays both index states (corpus, then corpus ∪ batch 1)
+# with their hot-bucket guards, and scores both probes. Integer/string
+# exact end to end, so the whole add→probe lifecycle value-hashes.
+_LSH_IDX_DEDUP_ORACLE = r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM all_docs WHERE text IS NOT NULL
+    ), posn AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s
+        FROM posn
+    ), perms AS (
+        SELECT unnest(generate_series(0, 15)) AS p
+    ), hv AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(
+                   md5(CASE WHEN p < 4 THEN s
+                            ELSE s || ':' || CAST(p // 4 AS VARCHAR) END),
+                   1 + 7 * (p % 4), 7)) AS BIGINT) AS hp
+        FROM sh, perms
+    ), sig AS (
+        SELECT doc_id, p, MIN(hp) AS m FROM hv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+        FROM sig GROUP BY doc_id, p // 4
+    ), bk_c AS (        -- index state at probe 1: the original corpus
+        SELECT doc_id, band, key FROM bandkeys
+        WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), bk_b1 AS (       -- batch 1: every 5th document
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id % 5 = 0
+    ), bk_b2 AS (       -- batch 2: injected near-dups (+20000 ids)
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id >= 20000
+    ), hot1 AS (
+        SELECT band, key FROM bk_c GROUP BY 1, 2 HAVING COUNT(*) > 64
+    ), pb1 AS (
+        SELECT b.* FROM bk_b1 b
+        WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+                          WHERE h.band = b.band AND h.key = b.key)
+    ), pc1 AS (
+        SELECT c.* FROM bk_c c
+        WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits1 AS (
+        SELECT b.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT b.band) AS n_bands_hit
+        FROM pb1 b JOIN pc1 c ON b.band = c.band AND b.key = c.key
+        GROUP BY 1
+    ), bk_c2 AS (       -- index state at probe 2: corpus UNION batch 1
+        SELECT doc_id, band, key FROM bk_c
+        UNION ALL
+        SELECT doc_id, band, key FROM bk_b1
+    ), hot2 AS (
+        SELECT band, key FROM bk_c2 GROUP BY 1, 2 HAVING COUNT(*) > 64
+    ), pb2 AS (
+        SELECT b.* FROM bk_b2 b
+        WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+                          WHERE h.band = b.band AND h.key = b.key)
+    ), pc2 AS (
+        SELECT c.* FROM bk_c2 c
+        WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits2 AS (
+        SELECT b.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT b.band) AS n_bands_hit
+        FROM pb2 b JOIN pc2 c ON b.band = c.band AND b.key = c.key
+        GROUP BY 1
+    ), b1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+    ), b2 AS (
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1 AND text IS NOT NULL
+    )
+    SELECT b.doc_id, 1 AS batch_no,
+           COALESCE(h.n_bands_hit, 0) AS n_bands_hit,
+           COALESCE(h.n_cand, 0) AS n_cand,
+           COALESCE(h.n_cand, 0) = 0 AS kept
+    FROM b1 b LEFT JOIN hits1 h ON b.doc_id = h.bid
+    UNION ALL
+    SELECT b.doc_id, 2 AS batch_no,
+           COALESCE(h.n_bands_hit, 0) AS n_bands_hit,
+           COALESCE(h.n_cand, 0) AS n_cand,
+           COALESCE(h.n_cand, 0) = 0 AS kept
+    FROM b2 b LEFT JOIN hits2 h ON b.doc_id = h.bid
+    """
+
+
+@_register(
+    "incremental_minhash_indexed_dedup",
+    oracle=_LSH_IDX_DEDUP_ORACLE,
+)
+def q_incremental_minhash_indexed_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED-INDEX posture of MinHash-LSH near-dup dedup
+    (operators/lshindex.py LshSignatureIndex — VERDICT r10 item 4, the
+    near-dup analog of incremental_indexed_dedup's FingerprintIndex): the
+    corpus is signed ONCE into a transactional (doc_id, band, key) index
+    with an incrementally-maintained per-bucket size view (the hot-bucket
+    guard that bounds quadratic candidate expansion, maintained like the
+    fingerprint index's stop-gram view); then two successive batches
+    probe the STORED index — batch 1 (every 5th document) is scored and
+    admitted via add() (append + O(delta+view) bucket-size refresh, no
+    corpus re-sign), and batch 2 (injected truncated near-dups) is scored
+    against the UPDATED index, where LSH banding catches them. The batch
+    signature sets are broadcast, so each probe streams map-side over the
+    index scan — zero corpus-sized shuffles, cost independent of corpus
+    size. md5-portable permutations (minhash_band_keys_portable), so the
+    oracle re-derives both index states and all verdicts bit-for-bit; the
+    xxhash64 hot path shares the index code and is covered by equivalence
+    tests in tests/test_lshindex.py."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.lshindex import LshSignatureIndex
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    idx = LshSignatureIndex.create(
+        spark, tempfile.mkdtemp(prefix="sjs_lshidx_q_"), corpus,
+        k=16, bands=4, shingle_n=3, max_bucket=64,
+    )
+    v1 = idx.probe(batch1).withColumn("batch_no", F.lit(1).cast("int"))
+    idx.add(batch1)
+    v2 = idx.probe(batch2).withColumn("batch_no", F.lit(2).cast("int"))
+    return v1.unionByName(v2).select(
+        "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"
+    )
+
+
+@_register(
+    "streaming_minhash_indexed_dedup",
+    oracle=_LSH_IDX_DEDUP_ORACLE,
+)
+def q_streaming_minhash_indexed_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING-maintenance twin of
+    ``incremental_minhash_indexed_dedup`` (operators/lshindex.py
+    add_stream_batch — the ``foreachBatch`` body of a continuously-
+    ingesting near-dup index): identical index states and probes, but
+    batch 1's admission goes through the EPOCH-KEYED exactly-once append
+    (a failure-recovery replay of the same (app_id, epoch) appends
+    nothing and the bucket-size refresh no-ops; replayed here explicitly
+    to prove it). Streaming-equals-batch at the REGISTRY level: this
+    query shares the batch twin's oracle verbatim, so the driver
+    hash-verifies that micro-batches through the streaming path leave
+    verdicts byte-identical to the batch sequence."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.lshindex import LshSignatureIndex
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    idx = LshSignatureIndex.create(
+        spark, tempfile.mkdtemp(prefix="sjs_lshidx_s_"), corpus,
+        k=16, bands=4, shingle_n=3, max_bucket=64,
+    )
+    v1 = idx.probe(batch1).withColumn("batch_no", F.lit(1).cast("int"))
+    idx.add_stream_batch(batch1, epoch_id=0)
+    # failure-recovery replay of the SAME epoch: must append nothing —
+    # the probe below would see doubled signatures otherwise
+    replay_rows = idx.add_stream_batch(batch1, epoch_id=0)
+    if replay_rows != 0:
+        raise AssertionError(
+            f"epoch replay appended {replay_rows} rows; expected 0"
+        )
+    v2 = idx.probe(batch2).withColumn("batch_no", F.lit(2).cast("int"))
+    return v1.unionByName(v2).select(
+        "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"
+    )

@@ -78,89 +78,85 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-10 window (registry 232, window 50). Evidence going in (latest-
-# evidence join over CORRECTNESS_r01-r09): r9 went 47 green + 2 declared
-# rows-only + 1 RED (unigram_corpus_tokenize crashed the driver's pandas
-# canonicalizer on its array<string> column); histogram r5:22 / r6:45 /
-# r7:47 / r8:49 / r9:50, plus 18 queries registered after the r9 window
-# froze with NO driver row yet. 1 + 18 + 2 + 1 + 22 + 6 = 50 exactly:
-# (a) unigram_corpus_tokenize — the r9 red, output scalarized to
-#     (doc_id, n_tokens, tok_head) exactly as bpe_corpus_tokenize; leads
-#     the window so the fix gets a clean rows-only row (VERDICT r9 item 1).
-# (b) the 18 never-evidenced r9 registrations (VERDICT r9 item 2):
-#     curation/eval wave, graph/monitoring wave, the analytic/layout/
-#     exact-aggregation/layout-planning pairs, the time-travel audit, the
-#     streaming index twin and the rolling median.
-# (c) embedding_pq_topk + embedding_quantized_topk PROMOTED to full
-#     value-hash oracles this round (VERDICT r9 item 3: the exhaustive-PQ
-#     int8-codebook form and the fixed-pow2-scale dequantize form;
-#     rows-only 13 -> 11).
-# (d) range_partition_balance_approx — REGISTERED this round (VERDICT r9
-#     item 6, the percentile_approx production twin, invariant-style
-#     oracle), windowed immediately so no registration carries 'never'
-#     evidence.
-# (e) the remaining 22 members of the r5-stale cohort (alphabetically
-#     last; after this window NO query has pre-r6 evidence).
-# (f) the 6 alphabetically-first members of the 45-query r6 cohort
-#     (VERDICT r9 item 7 — the tail rotation continues; embedding_pq_topk
-#     was also r6 but sits in (c)).
+# Round-11 window (registry 235, window 50). Evidence going in (latest-
+# evidence join over CORRECTNESS_r01-r10): r10 went 49 green + 1 clean
+# rows-only, 0 red; histogram r6:38 / r7:46 / r8:49 / r9:49 / r10:50, plus
+# jdbc_live_roundtrip registered after the r10 window froze with no driver
+# row yet. 3 + 1 + 38 + 8 = 50 exactly:
+# (a) the 3 queries with no (or changed-implementation) evidence: the live
+#     Derby JDBC roundtrip (S5/S6 flipped to full) and the new persisted
+#     MinHash-LSH signature-index pair (VERDICT r10 item 4 —
+#     operators/lshindex.py, batch admission + streaming twin).
+# (b) dedup_pipeline_end_to_end — PROMOTED to a full value-hash oracle
+#     (VERDICT r10 item 3: candidate stage swapped to the portable
+#     md5-window MinHash banding); its last row is rows-only r7, so the
+#     promotion needs a fresh hash-green row.
+# (c) the ENTIRE 38-member r6-stale cohort (VERDICT r10 item 2 — after
+#     this window no query's evidence is older than r7).
+# (d) the two queries whose implementation changed this round —
+#     curriculum_pack_order (the scored projection is checkpointed once
+#     and global_ordered_rank skips its second materialization; hash
+#     verified unchanged locally) and hll_mergeable_sketches (PROMOTED to
+#     a full value-hash oracle in the portable-register domain, VERDICT
+#     r10 item 3 stretch; rows-only 10 → 9) — plus the 6 alphabetically-
+#     first members of the 45-query r7 cohort (dedup_pipeline_end_to_end
+#     was also r7 but sits in (b); the tail rotation continues next
+#     round).
 _GATE_PRIORITY = [
-    # (a) the r9 red, fixed
-    "unigram_corpus_tokenize",
-    # (b) never driver-evidenced r9 registrations
-    "retrieval_eval_metrics",
-    "dictionary_phrase_tagging",
-    "badwords_filter_report",
-    "events_ewma_smoothing",
+    # (a) never-evidenced / new registrations
+    "jdbc_live_roundtrip",
+    "incremental_minhash_indexed_dedup",
+    "streaming_minhash_indexed_dedup",
+    # (b) implementation changed: promoted to a value-hash oracle
+    "dedup_pipeline_end_to_end",
+    # (c) the full r6-stale cohort (alphabetical)
+    "disjunctive_pred_revenue",
+    "doc_winnowing_fingerprints",
+    "dq_aggregate_checks",
+    "dq_bounds_observed",
+    "embedding_neardup_pairs",
+    "embedding_neardup_pairs_exact_gemm",
+    "explode_outer_null_preserving",
+    "explode_token_positions",
+    "gaps_and_islands",
+    "grouping_sets_status_priority",
+    "impute_interval_merge",
+    "inactive_wealthy_customers",
+    "incremental_indexed_dedup",
+    "join_full_outer_reconcile",
+    "key_skew_report_suppkey",
+    "order_flow_pagerank",
+    "pandas_udf_token_count",
+    "percentile_part_sizes",
+    "pivot_priority_by_status",
+    "product_type_profit",
+    "reference_pipeline_e2e",
+    "regexp_extract_all_pack",
+    "scalar_date_arith_pack",
+    "scalar_map_pack",
+    "scalar_string_distance_pack",
+    "scd2_supplier_balances",
+    "sequence_packing_per_shard",
+    "simhash_neardup_pairs",
+    "suppliers_with_heavy_shipments",
+    "term_document_frequency",
+    "try_cast_error_safe_pack",
+    "txn_deletion_vectors",
+    "txn_mor_update",
+    "txn_replace_where_backfill",
+    "txn_update_where",
+    "unpivot_quality_metrics",
+    "window_distribution_pack",
+    "window_range_frame",
+    # (d) changed this round + r7 cohort, alphabetical first 6
     "curriculum_pack_order",
-    "graph_triangle_count",
-    "events_anomaly_mad",
-    "kmv_set_operations",
-    "doc_langid_trigram",
-    "waiting_supplier_report",
-    "zorder_layout_stats",
-    "bitmap_exact_distinct",
-    "column_profile_orders",
-    "range_partition_balance_report",
-    "approx_topk_native",
-    "txn_time_travel_audit",
-    "streaming_indexed_dedup",
-    "events_rolling_median",
-    # (c) promoted to full oracles this round
-    "embedding_pq_topk",
-    "embedding_quantized_topk",
-    # (d) new registration this round
-    "range_partition_balance_approx",
-    # (e) r5-stale cohort, the remaining 22
-    "join_semi",
-    "lateral_topn_per_key",
-    "multimodal_frame_sample",
-    "multimodal_resize_stage",
-    "neardup_components",
-    "nearest_centroid_confusion",
-    "project_select",
-    "returned_items_by_nation",
-    "rollup_status_priority",
-    "scalar_string_pack",
-    "scalar_subquery_above_total_avg",
-    "sequence_packing_stream",
-    "set_intersect_except",
-    "set_union_all",
-    "simhash_portable_neardup_pairs",
-    "sql_surface_revenue_by_nation",
-    "supplier_count_by_parttype",
-    "topk_orders",
-    "upsert_new_keys",
-    "window_rank_navigation",
-    "window_running_sum",
-    "work_queue_isnull",
-    # (f) r6 cohort, alphabetical first 6
-    "argmin_supplier_per_part",
-    "array_hof_pack",
-    "array_set_ops_pack",
-    "cdc_appends_since_txn",
-    "conditional_aggregates",
-    "decontamination_exact_overlap",
+    "hll_mergeable_sketches",
+    "asof_join_latest_state",
+    "bloom_prefilter_supplier_revenue",
+    "bpe_corpus_tokenize",
+    "cdc_row_changes_bucketed_txn",
+    "cdc_row_changes_txn",
+    "count_distinct_pagination",
 ]
 
 

@@ -670,15 +670,24 @@ def test_hll_mergeable_sketches_merge_invariance(spark):
     """The law that makes sketches re-aggregable: the union of per-day
     partial sketches estimates EXACTLY what one sketch over all the data
     estimates (HLL register lattices — union of parts == whole), and both
-    land within 5% of the exact distinct count."""
-    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    land within 5% of the exact distinct count. Exercises the NATIVE
+    DataSketches surface (`hll_sketch_agg` → `hll_union_agg` →
+    `hll_sketch_estimate`) directly — the registered
+    hll_mergeable_sketches query covers the same partial→merge rollup in
+    the oracle-able portable-register domain."""
     from scraping_jobsdb_spark.sources.tables import load_table
 
+    ev = load_table(spark, SF_SMOKE, "events")
     merged = {
         r.event_type: r.est_users
-        for r in REGISTRY["hll_mergeable_sketches"].spark_fn(spark, SF_SMOKE).collect()
+        for r in ev.groupBy("event_type", F.dayofmonth("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+        .collect()
     }
-    ev = load_table(spark, SF_SMOKE, "events")
     single = {
         r.event_type: r.est
         for r in ev.groupBy("event_type")

@@ -423,13 +423,15 @@ def embedding_neardup_pairs_lsh(
     matmul (vectors × planesᵀ) instead of per-plane Catalyst folds — at
     aggressive banding (rows_per_band ≥ 8 ⇒ hundreds of planes) the
     expression form is interpretation-bound (each HOF fold evaluates
-    per-element; measured 26 s vs ~1 s at sf0.1 with 384 planes) while the
-    matmul is the same BLAS shape the blocked-GEMM verify already uses.
-    Everything after the signature stage (band equi-join, exact filter) is
-    identical JVM-side code; banding only prunes, so the OUTPUT pair set is
-    unchanged either way (float-rounding sign flips at a plane boundary
-    merely perturb which band catches a pair — the ≤ target_miss bound is
-    over the plane ensemble and unaffected).
+    per-element; measured 26 s vs ~1 s at sf0.1 with 384 planes). On this
+    path the exact-cosine verify also runs INSIDE each (band, sig) bucket
+    (blocked GEMM per applyInPandas group), so candidate pairs never
+    materialize as rows — only qualifying pairs reach the cross-band
+    distinct. Banding only prunes, so the OUTPUT pair set is unchanged
+    either way (float-rounding sign flips at a plane boundary merely
+    perturb which band catches a pair — the ≤ target_miss bound is over
+    the plane ensemble and unaffected; pinned by the arrow≡expression
+    parity test).
 
     Defaults are the DEPLOYED posture (r7, was 2/False): ``rows_per_band=8``
     — 2-bit signatures put ~n/4 of an isotropic corpus in every bucket, i.e.
@@ -474,15 +476,22 @@ def embedding_neardup_pairs_lsh(
             ]
         )
 
-    # Stage shape, chosen by measurement (each alternative 2-6x slower at
-    # sf0.1, including a first-shared-band packed-bits dedup that avoided
-    # this distinct but recomputed the signature twice): (1) the candidate
-    # join carries ONLY ids — vectors through the band join would shuffle
-    # |candidates| x 2 x dim doubles; (2) pairs dedup BEFORE the verify so
-    # each pair's dot is computed once, not once per shared band (~b/2^r
-    # times on isotropic data); (3) norms precomputed map-side (once per
-    # vector) so the verify is a single zip_with fold per pair
-    # (dot >= t*|a|*|b|), not the 3 folds of a full cosine.
+    # Stage shape on the Arrow path (r11 rewrite — the r10 form OOM'd the
+    # 100x sweep): candidates NEVER materialize as rows. The r10 plan
+    # banded ids, self-joined on (band, sig), DISTINCTed the candidate
+    # pairs, then joined vectors back for the verify — correct on
+    # isotropic data, but on CLUSTERED sub-threshold data (the 100x
+    # corpus: 10 label clusters at cos ~0.7, threshold 0.9) nearly every
+    # in-cluster pair collides in >=1 of the b bands (1-(1-p^r)^b ~ 0.99
+    # at p~0.74, r=8, b=48), so the distinct had to hash O(n^2/labels)
+    # pairs — 2e9 at 200k vectors, a guaranteed heap kill that no exact
+    # filter downstream can undo. Now each (band, sig) BUCKET verifies
+    # internally with one blocked GEMM (applyInPandas) and emits ONLY
+    # qualifying pairs; the cross-band dedup then distincts true pairs,
+    # not the candidate expansion. The band shuffle carries vectors
+    # (b x n x dim doubles — LINEAR in n) instead of ids-then-pair-joins;
+    # in-bucket blocking bounds the mask memory, and LSH's guarantee is
+    # untouched (banding only prunes; the exact cosine still decides).
     if arrow_signatures:
         import numpy as np
         import pandas as pd
@@ -493,6 +502,8 @@ def embedding_neardup_pairs_lsh(
         pl = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
         r, b = rows_per_band, n_bands
         weights = (1 << np.arange(r, dtype=np.int64))  # bit packing per band
+        idt = dict(corpus.dtypes)[id_col]
+        thr = float(threshold)
 
         def sigs(batches):
             for pdf in batches:
@@ -502,7 +513,11 @@ def embedding_neardup_pairs_lsh(
                 bits = (vecs @ pl.T >= 0).astype(np.int64)  # (n, r*b)
                 packed = (bits.reshape(len(pdf), b, r) * weights).sum(axis=2)
                 yield pd.DataFrame(
-                    {"doc": pdf["doc"], "sigs": list(packed)}
+                    {
+                        "doc": pdf["doc"],
+                        "sigs": list(packed),
+                        "__vec": pdf["__vec"],
+                    }
                 )
 
         banded = (
@@ -510,25 +525,55 @@ def embedding_neardup_pairs_lsh(
                 F.col(id_col).alias("doc"),
                 F.col(vec_col).cast("array<double>").alias("__vec"),
             )
-            .mapInPandas(sigs, "doc " + dict(corpus.dtypes)[id_col] + ", sigs array<bigint>")
+            .mapInPandas(
+                sigs, f"doc {idt}, sigs array<bigint>, __vec array<double>"
+            )
             .select(
                 "doc",
                 F.posexplode("sigs").alias("band", "sig"),
+                "__vec",
             )
-            .select(
-                "doc",
-                F.struct(F.col("band"), F.col("sig")).alias("bk"),
+        )
+
+        def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            ids = pdf["doc"].to_numpy()
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": ids[:0], "id_b": ids[:0]}
+                )
+            v = np.vstack(pdf["__vec"].to_numpy())  # (n, dim)
+            norms = np.sqrt((v * v).sum(axis=1))
+            blk = 2048  # 2048^2 doubles = 32 MB mask per block
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for i0 in range(0, n, blk):
+                ai = v[i0 : i0 + blk]
+                na = norms[i0 : i0 + blk]
+                for j0 in range(i0, n, blk):
+                    bj = v[j0 : j0 + blk]
+                    dots = ai @ bj.T
+                    keep = dots >= thr * np.outer(na, norms[j0 : j0 + blk])
+                    ii, jj = np.nonzero(keep)
+                    ga, gb = ids[i0 + ii], ids[j0 + jj]
+                    m = ga < gb
+                    out_a.append(ga[m])
+                    out_b.append(gb[m])
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                }
             )
-            # materialize ONCE: both sides of the band self-join consume this
-            # stage — without the checkpoint the Arrow signature pass (and
-            # the corpus scan under it) executes twice per action (measured
-            # 17 s → 2 s at sf0.1, r=8)
-            .localCheckpoint()
+
+        return (
+            banded.groupBy("band", "sig")
+            .applyInPandas(bucket_pairs, f"id_a {idt}, id_b {idt}")
+            .distinct()
         )
-    else:
-        banded = corpus.select(
-            F.col(id_col).alias("doc"), F.explode(_band_keys()).alias("bk")
-        )
+    banded = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(_band_keys()).alias("bk")
+    )
     cand = (
         banded.select(F.col("doc").alias("id_a"), "bk")
         .join(banded.select(F.col("doc").alias("id_b"), "bk"), "bk")
@@ -550,40 +595,6 @@ def embedding_neardup_pairs_lsh(
     vb = with_norm.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
     )
-    if arrow_signatures:
-        # vectorized verify to match: the candidate stream can reach a
-        # large fraction of n² on clustered corpora (hot band buckets), and
-        # the per-pair Catalyst fold evaluates per element — one numpy
-        # einsum over each Arrow batch verifies millions of pairs/s. The
-        # join still moves |candidates| × 2 × dim doubles, same as the
-        # expression form.
-        import numpy as np
-        import pandas as pd
-
-        thr = float(threshold)
-
-        def verify(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                a = np.vstack(pdf["va"].to_numpy())
-                bm = np.vstack(pdf["vb"].to_numpy())
-                dots = np.einsum("ij,ij->i", a, bm)
-                keep = dots >= thr * pdf["na"].to_numpy() * pdf["nb"].to_numpy()
-                yield pdf.loc[keep, ["id_a", "id_b"]]
-
-        idt = dict(corpus.dtypes)[id_col]
-        return (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .select(
-                "id_a", "id_b",
-                F.col("va").cast("array<double>").alias("va"),
-                F.col("vb").cast("array<double>").alias("vb"),
-                "na", "nb",
-            )
-            .mapInPandas(verify, f"id_a {idt}, id_b {idt}")
-        )
     dot = F.aggregate(
         F.zip_with(
             F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")

@@ -156,6 +156,15 @@ FAMILIES = [
     "embedding_pq_topk",
     # quantize→dequantize→exact search (pow2-scale gate instance)
     "embedding_quantized_topk",
+    # --- round 11 additions ---
+    # persisted MinHash-LSH signature index (sign corpus once + two
+    # batch-sized probes — the near-dup analog of the fingerprint index)
+    "incremental_minhash_indexed_dedup",
+    # NOT measured: jdbc_live_roundtrip — a scale row there would measure
+    # the embedded Derby test double's single-JVM serial ingest (12.6x at
+    # 10x when tried), not a plan property of this engine; production
+    # JDBC scale is partitioned parallel connections against a real
+    # server, which no local substitute represents honestly.
 ]
 
 

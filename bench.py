@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "incremental_minhash_indexed_dedup",
     # its epoch-keyed streaming-maintenance twin
     "streaming_minhash_indexed_dedup",
+    # the SimHash (Hamming-space) member of the signature-index family
+    "incremental_simhash_indexed_dedup",
 ]
 
 # Canary reference: the r10 verdict's canary mean for pricing_summary at

@@ -21,8 +21,8 @@ MinHash LSH family (``operators/similarity.py``) — the signature-level,
 at-scale generalization of the reference's per-run "skip already-scraped
 job ids" anti-join (``airflow/dags/scrape_url.py``, there by exact key).
 
-Two hash families share the storage layout, selected at ``create`` time
-and pinned in the manifest:
+Three hash families share the storage layout, selected at ``create``
+time and pinned in the manifest:
 
 - ``md5-portable`` (default): ``minhash_band_keys_portable``'s
   hash-once-per-block md5 windows — any engine re-derives the keys
@@ -31,6 +31,10 @@ and pinned in the manifest:
 - ``xxhash64``: integer re-hash permutations (4 md5 digests per shingle
   cheaper) — the 100 TB hot path; Spark-internal seeds, so rows-only
   checkable, covered by the equivalence property tests instead.
+- ``simhash-portable``: 60-bit md5-token-hash SimHash fingerprints,
+  band = 15-bit chunk (``simhash_band_keys_portable``) — Hamming-space
+  admission under the same index mechanics, fully oracle-able (the
+  registered ``incremental_simhash_indexed_dedup`` form).
 
 Determinism contract: probing the index is bit-identical to banding the
 batch against the signatures the index currently holds — both paths share
@@ -49,11 +53,16 @@ from pyspark.sql import functions as F
 from scraping_jobsdb_spark.operators.similarity import (
     minhash_band_keys_portable,
     shingles,
+    simhash_fp_frame,
 )
 from scraping_jobsdb_spark.sources.mv import IncrementalAggView
 from scraping_jobsdb_spark.sources.txn import TxnTable
 
-__all__ = ["LshSignatureIndex", "minhash_band_keys_fast"]
+__all__ = [
+    "LshSignatureIndex",
+    "minhash_band_keys_fast",
+    "simhash_band_keys_portable",
+]
 
 # v1-manifest keys for the index parameters: every writer and every probe
 # must agree on (k, bands, shingle_n, hasher) or band keys stop being
@@ -67,7 +76,45 @@ _META_KEYS = (
     "lsh_id_col",
 )
 
-_HASHERS = ("md5-portable", "xxhash64")
+_HASHERS = ("md5-portable", "xxhash64", "simhash-portable")
+
+
+def simhash_band_keys_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-document SimHash band keys ``(id, band, key)`` with
+    ENGINE-PORTABLE 60-bit md5 token hashes — the fingerprint stage of
+    ``simhash_candidate_pairs_portable`` re-shaped to the index storage
+    layout: band = chunk position (MSB-first, matching the oracle's
+    ``3 - b//15`` numbering), key = the chunk's 15-bit value as a string
+    (shared schema with the MinHash hashers). Two docs within Hamming
+    distance ``bands - 1`` share ≥ 1 band by pigeonhole. Map-only, no
+    shuffle."""
+    if bits % bands:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits})")
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    fp_frame = simhash_fp_frame(
+        df,
+        id_col,
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ),
+        bits=bits,
+        chunk_bits=bits // bands,
+    )
+    return fp_frame.select(
+        F.col("doc").alias(id_col),
+        F.posexplode("fp").alias("band", "__key_i"),
+    ).select(
+        id_col, "band", F.col("__key_i").cast("string").alias("key")
+    )
 
 
 def minhash_band_keys_fast(
@@ -430,6 +477,12 @@ def _band_keys(
     bands: int,
     shingle_n: int,
 ) -> DataFrame:
+    if hasher == "simhash-portable":
+        # k = fingerprint BITS for this family (chunk width = k // bands);
+        # shingle_n is unused — SimHash votes on single tokens
+        return simhash_band_keys_portable(
+            docs, id_col, text_col, bits=k, bands=bands
+        )
     fn = (
         minhash_band_keys_portable
         if hasher == "md5-portable"

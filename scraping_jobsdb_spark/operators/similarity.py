@@ -34,6 +34,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash",
     "simhash_from_hashes",
+    "simhash_fp_frame",
     "simhash_candidate_pairs",
     "ngram_jaccard",
     "cosine",
@@ -195,6 +196,76 @@ def simhash_from_hashes(
     )
 
 
+def simhash_fp_frame(
+    df: DataFrame,
+    id_col: str,
+    hashes: Column,
+    bits: int = 64,
+    chunk_bits: int = 16,
+    arrow: bool = True,
+) -> DataFrame:
+    """``(doc, fp array<int>)`` SimHash fingerprint frame from a per-row
+    token-hash array expression — the DataFrame-level stage every SimHash
+    consumer (fast pairs, portable pairs, the signature index) builds on.
+
+    ``arrow=True`` computes the bit votes and chunk packing in ONE numpy
+    kernel per row over Arrow batches instead of the
+    ``simhash_from_hashes`` expression tree (bin → lpad → split → 64-wide
+    zip_with fold PER TOKEN — string-materializing and
+    interpretation-bound: the fingerprint stage alone measured ~65 s of
+    the 100x simhash sweep row, ~10x the rest of the job). The kernel is
+    INTEGER-EXACT against the expression form: ``(h >> (bits-1-j)) & 1``
+    on int64 reads the same two's-complement bit the binary-string
+    expansion reads, votes are ±1 integer sums, ties (vote == 0) pack as
+    bit 0 in both, and chunks fold MSB-first in both — parity is pinned
+    per hash family in tests/test_similarity.py, so the hash-oracled
+    portable consumers keep their gate rows. Token hashes themselves stay
+    JVM-side (xxhash64 or md5-window ``conv``), so the kernel never
+    re-implements an engine hash. NULL hash arrays yield NULL
+    fingerprints, as the expression form does."""
+    if not arrow:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            simhash_from_hashes(hashes, bits, chunk_bits).alias("fp"),
+        )
+    import numpy as np
+    import pandas as pd
+
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    n_chunks = bits // chunk_bits
+    idt = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        shifts = bits - 1 - np.arange(bits, dtype=np.int64)
+        weights = 1 << (chunk_bits - 1 - np.arange(chunk_bits, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fps = []
+            for hv in pdf["__hv"]:
+                if hv is None:
+                    fps.append(None)
+                    continue
+                h = np.asarray(hv, dtype=np.int64)
+                if h.size:
+                    bits_m = (h[:, None] >> shifts) & 1  # (n_tok, bits)
+                    votes = (2 * bits_m - 1).sum(axis=0)
+                else:
+                    votes = np.zeros(bits, dtype=np.int64)
+                packed = (
+                    (votes > 0).astype(np.int64).reshape(n_chunks, chunk_bits)
+                    * weights
+                ).sum(axis=1)
+                fps.append(packed.astype(np.int32))
+            yield pd.DataFrame({"doc": pdf["doc"], "fp": fps})
+
+    return df.select(F.col(id_col).alias("doc"), hashes.alias("__hv")).mapInPandas(
+        gen, f"doc {idt}, fp array<int>"
+    )
+
+
 def simhash(col: Column | str, bits: int = 64, chunk_bits: int = 16) -> Column:
     """SimHash of a text column (tokenize → per-token xxhash64 → bit votes),
     as an array of 16-bit chunk values (see simhash_from_hashes)."""
@@ -229,11 +300,11 @@ def simhash_candidate_pairs(
     recall change, so callers choose the cap knowingly; deployed-scale
     call sites (the registered gate/bench queries) pass ``max_bucket=256``."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    with_fp = df.select(
-        F.col(id_col).alias("doc"),
-        simhash_from_hashes(
-            F.transform(toks, lambda t: F.xxhash64(t)), chunk_bits=chunk_bits
-        ).alias("fp"),
+    with_fp = simhash_fp_frame(
+        df,
+        id_col,
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        chunk_bits=chunk_bits,
     ).localCheckpoint()
     chunked = with_fp.select(
         "doc",
@@ -520,6 +591,15 @@ def embedding_neardup_pairs_lsh(
                     }
                 )
 
+        # The signature stage feeds the bucket verify DIRECTLY — no
+        # checkpoint, no bucket-size pre-filter. Both were tried and
+        # measured WORSE at sf0.1 (27 s vs 3.5 s): rows re-read from a
+        # localCheckpoint serialize to the Python verify stage ~8x slower
+        # than the live Arrow stream, and on clustered corpora the
+        # singleton-bucket filter removes almost nothing (240 of 105k
+        # rows at sf0.1) while forcing that checkpoint. Singleton groups
+        # are cheap in FlatMapGroupsInPandas (~30 µs each); the verify's
+        # cost is the in-bucket GEMM, which no pre-filter reduces.
         banded = (
             corpus.select(
                 F.col(id_col).alias("doc"),
@@ -1229,11 +1309,8 @@ def simhash_candidate_pairs_portable(
     recall inside capped buckets for a bounded pair stream."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     h60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    with_fp = df.select(
-        F.col(id_col).alias("doc"),
-        simhash_from_hashes(
-            F.transform(toks, h60), bits=60, chunk_bits=15
-        ).alias("fp"),
+    with_fp = simhash_fp_frame(
+        df, id_col, F.transform(toks, h60), bits=60, chunk_bits=15
     ).localCheckpoint()
     chunked = with_fp.select(
         "doc", "fp", F.posexplode("fp")

@@ -1750,3 +1750,140 @@ def q_streaming_minhash_indexed_dedup(
     return v1.unionByName(v2).select(
         "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"
     )
+
+
+@_register(
+    "incremental_simhash_indexed_dedup",
+    oracle=r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM all_docs WHERE text IS NOT NULL
+    ), hv AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ), bitsv AS (
+        SELECT doc_id, unnest(range(0, 60)) AS b, h FROM hv
+    ), votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM bitsv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, 3 - (b // 15) AS band,
+               CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END
+                        << CAST(b % 15 AS INTEGER)) AS VARCHAR) AS key
+        FROM votes GROUP BY 1, 2
+    ), bk_c AS (        -- index state at probe 1: the original corpus
+        SELECT doc_id, band, key FROM bandkeys
+        WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), bk_b1 AS (       -- batch 1: every 5th document
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id % 5 = 0
+    ), bk_b2 AS (       -- batch 2: injected near-dups (+20000 ids)
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id >= 20000
+    ), hot1 AS (
+        SELECT band, key FROM bk_c GROUP BY 1, 2 HAVING COUNT(*) > 256
+    ), pb1 AS (
+        SELECT b.* FROM bk_b1 b
+        WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+                          WHERE h.band = b.band AND h.key = b.key)
+    ), pc1 AS (
+        SELECT c.* FROM bk_c c
+        WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits1 AS (
+        SELECT b.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT b.band) AS n_bands_hit
+        FROM pb1 b JOIN pc1 c ON b.band = c.band AND b.key = c.key
+        GROUP BY 1
+    ), bk_c2 AS (       -- index state at probe 2: corpus UNION batch 1
+        SELECT doc_id, band, key FROM bk_c
+        UNION ALL
+        SELECT doc_id, band, key FROM bk_b1
+    ), hot2 AS (
+        SELECT band, key FROM bk_c2 GROUP BY 1, 2 HAVING COUNT(*) > 256
+    ), pb2 AS (
+        SELECT b.* FROM bk_b2 b
+        WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+                          WHERE h.band = b.band AND h.key = b.key)
+    ), pc2 AS (
+        SELECT c.* FROM bk_c2 c
+        WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits2 AS (
+        SELECT b.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT b.band) AS n_bands_hit
+        FROM pb2 b JOIN pc2 c ON b.band = c.band AND b.key = c.key
+        GROUP BY 1
+    ), b1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+    ), b2 AS (
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1 AND text IS NOT NULL
+    )
+    SELECT b.doc_id, 1 AS batch_no,
+           COALESCE(h.n_bands_hit, 0) AS n_bands_hit,
+           COALESCE(h.n_cand, 0) AS n_cand,
+           COALESCE(h.n_cand, 0) = 0 AS kept
+    FROM b1 b LEFT JOIN hits1 h ON b.doc_id = h.bid
+    UNION ALL
+    SELECT b.doc_id, 2 AS batch_no,
+           COALESCE(h.n_bands_hit, 0) AS n_bands_hit,
+           COALESCE(h.n_cand, 0) AS n_cand,
+           COALESCE(h.n_cand, 0) = 0 AS kept
+    FROM b2 b LEFT JOIN hits2 h ON b.doc_id = h.bid
+    """,
+)
+def q_incremental_simhash_indexed_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SIMHASH member of the persisted-signature-index family
+    (operators/lshindex.py, hasher='simhash-portable' — VERDICT r10 item
+    4 asked for MinHash AND SimHash admission): identical index
+    mechanics to ``incremental_minhash_indexed_dedup`` — transactional
+    (doc_id, band, key) signatures + incrementally-maintained hot-bucket
+    view, batch 1 probed then admitted via add(), batch 2 (injected
+    truncated near-dups) probed against the UPDATED index — but the band
+    keys are 15-bit chunks of a 60-bit md5-token-hash SimHash
+    fingerprint, so collision means Hamming proximity (docs within
+    Hamming 3 share ≥ 1 of the 4 bands by pigeonhole) rather than
+    shingle-set resemblance. Truncating one trailing word flips few bit
+    votes, so batch 2 lands within Hamming 3 of its source and is
+    caught; batch 1's distinct documents survive. DuckDB replays the
+    votes, chunks, both index states, and all verdicts bit-for-bit."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.lshindex import LshSignatureIndex
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = corpus.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    idx = LshSignatureIndex.create(
+        spark, tempfile.mkdtemp(prefix="sjs_shidx_q_"), corpus,
+        k=60, bands=4, max_bucket=256, hasher="simhash-portable",
+    )
+    v1 = idx.probe(batch1).withColumn("batch_no", F.lit(1).cast("int"))
+    idx.add(batch1)
+    v2 = idx.probe(batch2).withColumn("batch_no", F.lit(2).cast("int"))
+    return v1.unionByName(v2).select(
+        "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"
+    )

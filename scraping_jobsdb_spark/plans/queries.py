@@ -82,11 +82,11 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # evidence join over CORRECTNESS_r01-r10): r10 went 49 green + 1 clean
 # rows-only, 0 red; histogram r6:38 / r7:46 / r8:49 / r9:49 / r10:50, plus
 # jdbc_live_roundtrip registered after the r10 window froze with no driver
-# row yet. 3 + 1 + 38 + 8 = 50 exactly:
-# (a) the 3 queries with no (or changed-implementation) evidence: the live
-#     Derby JDBC roundtrip (S5/S6 flipped to full) and the new persisted
-#     MinHash-LSH signature-index pair (VERDICT r10 item 4 —
-#     operators/lshindex.py, batch admission + streaming twin).
+# row yet. 4 + 1 + 38 + 7 = 50 exactly:
+# (a) the 4 queries with no evidence: the live Derby JDBC roundtrip (S5/S6
+#     flipped to full) and the new persisted LSH signature-index trio
+#     (VERDICT r10 item 4 — operators/lshindex.py: MinHash batch
+#     admission + streaming twin + SimHash Hamming-space admission).
 # (b) dedup_pipeline_end_to_end — PROMOTED to a full value-hash oracle
 #     (VERDICT r10 item 3: candidate stage swapped to the portable
 #     md5-window MinHash banding); its last row is rows-only r7, so the
@@ -98,15 +98,20 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     and global_ordered_rank skips its second materialization; hash
 #     verified unchanged locally) and hll_mergeable_sketches (PROMOTED to
 #     a full value-hash oracle in the portable-register domain, VERDICT
-#     r10 item 3 stretch; rows-only 10 → 9) — plus the 6 alphabetically-
-#     first members of the 45-query r7 cohort (dedup_pipeline_end_to_end
-#     was also r7 but sits in (b); the tail rotation continues next
-#     round).
+#     r10 item 3 stretch; rows-only 10 → 9) and
+#     simhash_portable_neardup_pairs (now rides the exact-parity Arrow
+#     vote kernel, simhash_fp_frame) — plus the 4 alphabetically-first
+#     members of the 45-query r7 cohort (dedup_pipeline_end_to_end was
+#     also r7 but sits in (b); count_distinct_pagination and
+#     cdc_row_changes_txn ceded their slots to the simhash index
+#     registration and the kernel re-check; the tail rotation continues
+#     next round).
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
     "jdbc_live_roundtrip",
     "incremental_minhash_indexed_dedup",
     "streaming_minhash_indexed_dedup",
+    "incremental_simhash_indexed_dedup",
     # (b) implementation changed: promoted to a value-hash oracle
     "dedup_pipeline_end_to_end",
     # (c) the full r6-stale cohort (alphabetical)
@@ -148,15 +153,14 @@ _GATE_PRIORITY = [
     "unpivot_quality_metrics",
     "window_distribution_pack",
     "window_range_frame",
-    # (d) changed this round + r7 cohort, alphabetical first 6
+    # (d) changed this round + r7 cohort, alphabetical first 4
     "curriculum_pack_order",
     "hll_mergeable_sketches",
+    "simhash_portable_neardup_pairs",
     "asof_join_latest_state",
     "bloom_prefilter_supplier_revenue",
     "bpe_corpus_tokenize",
     "cdc_row_changes_bucketed_txn",
-    "cdc_row_changes_txn",
-    "count_distinct_pagination",
 ]
 
 

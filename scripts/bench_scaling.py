@@ -160,6 +160,9 @@ FAMILIES = [
     # persisted MinHash-LSH signature index (sign corpus once + two
     # batch-sized probes — the near-dup analog of the fingerprint index)
     "incremental_minhash_indexed_dedup",
+    # its SimHash (Hamming-space) sibling — also exercises the Arrow
+    # vote kernel under the md5-portable hash family
+    "incremental_simhash_indexed_dedup",
     # NOT measured: jdbc_live_roundtrip — a scale row there would measure
     # the embedded Derby test double's single-JVM serial ingest (12.6x at
     # 10x when tried), not a plan property of this engine; production

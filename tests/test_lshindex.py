@@ -259,3 +259,57 @@ def test_lsh_index_fast_hasher_and_guards(spark, tmp_path):
         LshSignatureIndex.create(
             spark, str(tmp_path / "bad"), corpus, hasher="sha1"
         )
+
+
+def test_lsh_index_simhash_hasher(spark, tmp_path):
+    """The simhash-portable hasher under the same index mechanics: probe
+    equals the direct banding derivation (Hamming-space collision,
+    max_bucket=256), the injected truncated near-dups collide with their
+    sources, incremental add ≡ rebuilt, and the manifest round-trips the
+    hasher with k carrying the fingerprint BITS."""
+    from scraping_jobsdb_spark.operators.lshindex import (
+        simhash_band_keys_portable,
+    )
+
+    corpus, batch1, batch2 = _splits(spark)
+    idx = LshSignatureIndex.create(
+        spark,
+        str(tmp_path / "idx"),
+        corpus,
+        k=60,
+        bands=4,
+        max_bucket=256,
+        hasher="simhash-portable",
+    )
+    idx.add(batch1)
+
+    def bk(df):
+        return simhash_band_keys_portable(df, "doc_id", "text", bits=60, bands=4)
+
+    got = _rows(idx.probe(batch2))
+    want = _rows(
+        _expected_probe(
+            batch2, bk(batch2), bk(corpus.unionByName(batch1)), max_bucket=256
+        )
+    )
+    assert got == want and len(got) > 0
+    # truncated near-dups sit within Hamming 3 of their sources -> caught
+    assert sum(1 for r in got if not r[3]) >= len(got) * 0.8
+
+    full = LshSignatureIndex.create(
+        spark,
+        str(tmp_path / "full"),
+        corpus.unionByName(batch1),
+        k=60,
+        bands=4,
+        max_bucket=256,
+        hasher="simhash-portable",
+    )
+    assert _rows(idx.signatures()) == _rows(full.signatures())
+
+    reopened = LshSignatureIndex(spark, str(tmp_path / "idx"))
+    assert (reopened.k, reopened.bands, reopened.hasher) == (
+        60,
+        4,
+        "simhash-portable",
+    )

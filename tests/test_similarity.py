@@ -1905,3 +1905,43 @@ def test_pq_encode_arrow_rejects_null_vectors_with_message(spark):
         .collect()
     )
     assert len(row) == 1 and row[0].codes is None
+
+
+def test_simhash_arrow_kernel_equals_expression(spark):
+    """The Arrow vote kernel (simhash_fp_frame arrow=True) must produce
+    BIT-IDENTICAL fingerprints to the simhash_from_hashes expression tree
+    for both hash families — signed xxhash64 at 64/16 (two's-complement
+    bit reads) and positive md5-window at 60/15 — including tie votes
+    (vote == 0 packs as bit 0) and the empty-token edge. This is what
+    lets the hash-oracled portable consumers ride the kernel."""
+    from scraping_jobsdb_spark.operators.similarity import simhash_fp_frame
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    fams = [
+        (F.transform(toks, lambda t: F.xxhash64(t)), 64, 16),
+        (
+            F.transform(
+                toks,
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            ),
+            60,
+            15,
+        ),
+    ]
+    for hashes, bits, cb in fams:
+        expr = {
+            r.doc: tuple(r.fp)
+            for r in simhash_fp_frame(
+                docs, "doc_id", hashes, bits=bits, chunk_bits=cb, arrow=False
+            ).collect()
+        }
+        arrow = {
+            r.doc: tuple(r.fp)
+            for r in simhash_fp_frame(
+                docs, "doc_id", hashes, bits=bits, chunk_bits=cb, arrow=True
+            ).collect()
+        }
+        assert arrow == expr and len(arrow) > 0, (bits, cb)

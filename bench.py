@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "streaming_minhash_indexed_dedup",
     # the SimHash (Hamming-space) member of the signature-index family
     "incremental_simhash_indexed_dedup",
+    # ExactSubstr dedup spans (Lee et al.) as duplicated-window merge
+    "exact_substring_dedup_spans",
 ]
 
 # Canary reference: the r10 verdict's canary mean for pricing_summary at

@@ -43,6 +43,7 @@ __all__ = [
     "unigram_surprisal",
     "bigram_surprisal",
     "dedup_segments_global",
+    "exact_substring_spans",
     "incremental_containment_filter",
     "containment_verdict",
     "bpe_pair_counts",
@@ -2429,4 +2430,101 @@ def langid_trigram_confusion(
             ),
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr dedup spans (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") — per document, the token spans
+    covered by EXACT substrings of ≥ ``min_len`` tokens that appear more
+    than once in the corpus, as
+    ``(id, n_tokens, n_dup_windows, n_masked_tokens, n_spans)``.
+
+    The paper computes maximal repeats with a suffix array; a suffix
+    array does not distribute. This is the Spark-first EQUIVALENT at
+    token granularity: a position is inside a maximal repeat of length
+    ≥ L iff it is covered by at least one duplicated L-token window (every
+    maximal repeat ≥ L contains duplicated L-windows covering exactly its
+    positions; every duplicated L-window lies inside a maximal repeat),
+    so masking duplicated-L-window positions masks EXACTLY the
+    suffix-array span set. Shape: map-only window/gram construction (the
+    ``_word_ngrams`` staged-alias form, one row per window), ONE
+    gram-keyed aggregate for multiplicity, an equi-join back (AQE sizes
+    it), then a per-document interval merge — running-max-exclusive over
+    window starts (the gaps-and-islands rule) — on the DUPLICATED windows
+    only, which are few per document. Two shuffles total (gram agg,
+    doc-keyed merge window); every output is an integer, so the whole
+    operator value-hash oracles. Downstream composition decides the
+    policy (mask spans, drop docs over a masked-ratio cap, or keep-first
+    via the dedup families)."""
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = docs.select(id_col, ws.alias("__ws"))
+    nw = F.size("__ws")
+    base = staged.select(id_col, nw.cast("bigint").alias("n_tokens"))
+    idx = F.when(nw >= min_len, F.sequence(F.lit(0), nw - min_len)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = staged.select(
+        id_col,
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("__ws", i + 1, min_len)).alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gram")
+    )
+    dwin = wins.join(dup, "gram").select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dwin.withColumn(
+        "__new",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + (min_len - 1)).over(w_prev), F.lit(-1)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = marked.withColumn("__span", F.sum("__new").over(w_run))
+    agg_span = spans.groupBy(id_col, "__span").agg(
+        F.min("pos").alias("__s"),
+        (F.max("pos") + (min_len - 1)).alias("__e"),
+        F.count(F.lit(1)).alias("__nw"),
+    )
+    per_doc = agg_span.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("n_masked_tokens"),
+        F.sum("__nw").alias("n_dup_windows"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce("n_masked_tokens", F.lit(0)).alias("n_masked_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
     )

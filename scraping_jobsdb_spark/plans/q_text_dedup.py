@@ -232,3 +232,91 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "exact_substring_dedup_spans",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ), toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM corpus WHERE text IS NOT NULL
+    ), win AS (
+        SELECT doc_id, t,
+               unnest(range(0, CASE WHEN len(t) >= 8
+                                    THEN len(t) - 8 + 1 ELSE 0 END)) AS pos
+        FROM toks
+    ), grams AS (
+        SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 8], ' ') AS gram
+        FROM win
+    ), dupg AS (
+        SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
+    ), dwin AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                   MAX(pos + 7) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -1)
+               THEN 1 ELSE 0 END AS new_span
+        FROM dwin
+    ), spans AS (
+        SELECT doc_id, pos,
+               SUM(new_span) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS span_id
+        FROM marked
+    ), agg_span AS (
+        SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 7 AS e,
+               COUNT(*) AS nw
+        FROM spans GROUP BY 1, 2
+    ), per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(e - s + 1) AS n_masked_tokens,
+               SUM(nw) AS n_dup_windows
+        FROM agg_span GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(p.n_masked_tokens, 0) AS BIGINT) AS n_masked_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans
+    FROM toks b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_exact_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (operators/textops.py exact_substring_spans —
+    the Lee et al. 2022 suffix-array method, re-expressed as its
+    distributable equivalent): per document, the token spans covered by
+    exact ≥ 8-token substrings appearing more than once in the corpus —
+    a position is inside a suffix-array maximal repeat ≥ L iff a
+    duplicated L-window covers it, so the masked-position set is
+    IDENTICAL to the paper's formulation while the plan is one gram
+    aggregate + one equi-join + a per-doc interval merge (no suffix
+    array, nothing corpus-sized in one task). Corpus = documents plus
+    truncated near-copies of every 10th doc, so the sources and copies
+    both surface with near-total masked spans while clean docs report
+    zeros. All-integer output, hash-oracled end to end (the window
+    rule replays as the same gaps-and-islands SQL in DuckDB)."""
+    from scraping_jobsdb_spark.operators.textops import exact_substring_spans
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return exact_substring_spans(
+        docs.unionByName(near), min_len=8
+    )

@@ -100,12 +100,14 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     a full value-hash oracle in the portable-register domain, VERDICT
 #     r10 item 3 stretch; rows-only 10 → 9) and
 #     simhash_portable_neardup_pairs (now rides the exact-parity Arrow
-#     vote kernel, simhash_fp_frame) — plus the 4 alphabetically-first
-#     members of the 45-query r7 cohort (dedup_pipeline_end_to_end was
-#     also r7 but sits in (b); count_distinct_pagination and
-#     cdc_row_changes_txn ceded their slots to the simhash index
-#     registration and the kernel re-check; the tail rotation continues
-#     next round).
+#     vote kernel, simhash_fp_frame), and the NEW
+#     exact_substring_dedup_spans (the Lee-et-al ExactSubstr method as
+#     duplicated-L-window interval merge, fully oracled) — plus the 3
+#     alphabetically-first members of the 45-query r7 cohort
+#     (dedup_pipeline_end_to_end was also r7 but sits in (b);
+#     count_distinct_pagination, cdc_row_changes_txn and
+#     cdc_row_changes_bucketed_txn ceded their slots to this round's
+#     registrations; the tail rotation continues next round).
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
     "jdbc_live_roundtrip",
@@ -153,14 +155,14 @@ _GATE_PRIORITY = [
     "unpivot_quality_metrics",
     "window_distribution_pack",
     "window_range_frame",
-    # (d) changed this round + r7 cohort, alphabetical first 4
+    # (d) changed/new this round + r7 cohort, alphabetical first 3
     "curriculum_pack_order",
     "hll_mergeable_sketches",
     "simhash_portable_neardup_pairs",
+    "exact_substring_dedup_spans",
     "asof_join_latest_state",
     "bloom_prefilter_supplier_revenue",
     "bpe_corpus_tokenize",
-    "cdc_row_changes_bucketed_txn",
 ]
 
 

@@ -163,6 +163,8 @@ FAMILIES = [
     # its SimHash (Hamming-space) sibling — also exercises the Arrow
     # vote kernel under the md5-portable hash family
     "incremental_simhash_indexed_dedup",
+    # ExactSubstr dedup spans (gram agg + equi-join + per-doc merge)
+    "exact_substring_dedup_spans",
     # NOT measured: jdbc_live_roundtrip — a scale row there would measure
     # the embedded Derby test double's single-JVM serial ingest (12.6x at
     # 10x when tried), not a plan property of this engine; production

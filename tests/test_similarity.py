@@ -1945,3 +1945,27 @@ def test_simhash_arrow_kernel_equals_expression(spark):
             ).collect()
         }
         assert arrow == expr and len(arrow) > 0, (bits, cb)
+
+
+def test_exact_substring_spans_interval_merge(spark):
+    """Hand-crafted ExactSubstr case: two docs share an 11-token run
+    (→ four overlapping duplicated 8-windows each, merging into ONE
+    11-token span), a third doc is clean, a fourth is too short to
+    window. Span merge, window counts, and zero-fill all pinned."""
+    from scraping_jobsdb_spark.operators.textops import exact_substring_spans
+
+    shared = "a b c d e f g h i j k"  # 11 tokens
+    rows = [
+        (1, shared + " unique1 tail1 x1 y1 z1"),
+        (2, "lead2 w2 " + shared),
+        (3, "entirely different words with no repeats at all here ok"),
+        (4, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in exact_substring_spans(docs, min_len=8).collect()}
+    # doc 1: tokens 0..10 shared -> windows at 0..3 -> one span of 11
+    assert (out[1].n_dup_windows, out[1].n_spans, out[1].n_masked_tokens) == (4, 1, 11)
+    # doc 2: shared run starts at token 2 -> windows 2..5, same one span
+    assert (out[2].n_dup_windows, out[2].n_spans, out[2].n_masked_tokens) == (4, 1, 11)
+    assert (out[3].n_dup_windows, out[3].n_masked_tokens, out[3].n_spans) == (0, 0, 0)
+    assert (out[4].n_tokens, out[4].n_dup_windows) == (2, 0)

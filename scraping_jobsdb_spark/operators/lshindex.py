@@ -373,18 +373,26 @@ class LshSignatureIndex:
             .select("band", "key")
         )
 
+    def refresh(self) -> None:
+        """Fold any sigs-table commits the bucket-size view hasn't seen
+        (O(delta), no-op when already fresh). add()/add_stream_batch()
+        commit signatures and the view refresh as two separate txns; a
+        crash between them leaves the view stale, and this is the public
+        repair entry point — also called automatically by
+        ``_require_fresh_bs`` so a wedged index self-heals on the next
+        probe()/hot_buckets() instead of raising forever."""
+        self._bs_view.refresh()
+
     def _require_fresh_bs(self) -> None:
         # The probe's hot-bucket list must reflect every committed
-        # signature or the pruned universes drift between batches.
+        # signature or the pruned universes drift between batches. A
+        # stale view is not an invariant violation, just an interrupted
+        # maintenance step (crash between the sigs append and the view
+        # refresh) — repair it by folding the pending delta now.
         applied = self._bs_view.applied_source_version()
         current = TxnTable(self.spark, self.sigs_path).version()
         if applied < current:
-            raise ValueError(
-                f"{self.bs_path}: bucket-size view at source version "
-                f"{applied} but sigs table at {current}; call add()/"
-                "refresh via the index so the view is maintained with "
-                "the data"
-            )
+            self.refresh()
 
     # ---------------------------------------------------------------- probe
 

@@ -466,6 +466,7 @@ def embedding_neardup_pairs_lsh(
     n_bands: int | None = None,
     target_miss: float = 1e-7,
     arrow_signatures: bool = True,
+    verify_block_rows: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH banding + exact
     cosine filter — the bucketed form of ``embedding_neardup_pairs``: same
@@ -615,16 +616,15 @@ def embedding_neardup_pairs_lsh(
             )
         )
 
-        def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-            n = len(pdf)
-            ids = pdf["doc"].to_numpy()
+        def bucket_kernel(
+            ids: "np.ndarray", v: "np.ndarray"
+        ) -> tuple["np.ndarray", "np.ndarray"] | None:
+            # one (band, sig) bucket: blocked GEMM, emit qualifying pairs
+            n = len(ids)
             if n < 2:
-                return pd.DataFrame(
-                    {"id_a": ids[:0], "id_b": ids[:0]}
-                )
-            v = np.vstack(pdf["__vec"].to_numpy())  # (n, dim)
+                return None
             norms = np.sqrt((v * v).sum(axis=1))
-            blk = 2048  # 2048^2 doubles = 32 MB mask per block
+            blk = int(verify_block_rows)  # blk^2 doubles = mask per block
             out_a: list[np.ndarray] = []
             out_b: list[np.ndarray] = []
             for i0 in range(0, n, blk):
@@ -636,19 +636,81 @@ def embedding_neardup_pairs_lsh(
                     keep = dots >= thr * np.outer(na, norms[j0 : j0 + blk])
                     ii, jj = np.nonzero(keep)
                     ga, gb = ids[i0 + ii], ids[j0 + jj]
-                    m = ga < gb
-                    out_a.append(ga[m])
-                    out_b.append(gb[m])
-            return pd.DataFrame(
-                {
-                    "id_a": np.concatenate(out_a),
-                    "id_b": np.concatenate(out_b),
-                }
-            )
+                    # Order-NORMALIZE instead of order-FILTER: an
+                    # off-diagonal block (j0 > i0) sees each cross-block
+                    # index pair in exactly one orientation, so `ga < gb`
+                    # would drop the pair whenever the group's arbitrary
+                    # row order disagrees with id order. min/max emits it
+                    # regardless; the diagonal block's double hit and the
+                    # self-pair (masked here) are absorbed by the
+                    # downstream .distinct().
+                    m = ga != gb
+                    ga, gb = ga[m], gb[m]
+                    out_a.append(np.minimum(ga, gb))
+                    out_b.append(np.maximum(ga, gb))
+            return np.concatenate(out_a), np.concatenate(out_b)
+
+        # Bucket dispatch is mapInPandas over a (band, sig)-repartitioned,
+        # partition-sorted stream — NOT groupBy().applyInPandas. The two
+        # are semantically identical here (hash partitioning puts every
+        # bucket's rows in one partition; the sort makes them contiguous;
+        # the kernel runs per contiguous run, carrying a bucket that spans
+        # an Arrow-batch boundary into the next batch), but
+        # FlatMapGroupsInPandas pays per-GROUP Python/Arrow dispatch and
+        # clustered corpora have ~n_bands x n_docs / cluster_size tiny
+        # buckets (~105k at sf0.1 — at ~30 us each, the dispatch alone was
+        # the dominant term of this query's wall time). One Python call
+        # per PARTITION amortizes that to nothing while the verify math
+        # stays byte-identical (pinned by the arrow≡expression,
+        # banded≡exact, and super-block parity tests).
+        def verify_stream(batches):
+            pending: pd.DataFrame | None = None
+            for pdf in batches:
+                if pending is not None and len(pending):
+                    pdf = pd.concat([pending, pdf], ignore_index=True)
+                    pending = None
+                if len(pdf) == 0:
+                    continue
+                bs = pdf["band"].to_numpy()
+                sg = pdf["sig"].to_numpy()
+                change = (bs[1:] != bs[:-1]) | (sg[1:] != sg[:-1])
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(change) + 1)
+                )
+                # hold the last run: it may continue in the next batch
+                pending = pdf.iloc[starts[-1] :]
+                acc_a: list[np.ndarray] = []
+                acc_b: list[np.ndarray] = []
+                for st, en in zip(starts[:-1], starts[1:]):
+                    grp = pdf.iloc[st:en]
+                    if en - st < 2:
+                        continue
+                    got = bucket_kernel(
+                        grp["doc"].to_numpy(),
+                        np.vstack(grp["__vec"].to_numpy()),
+                    )
+                    if got is not None:
+                        acc_a.append(got[0])
+                        acc_b.append(got[1])
+                if acc_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(acc_a),
+                            "id_b": np.concatenate(acc_b),
+                        }
+                    )
+            if pending is not None and len(pending) >= 2:
+                got = bucket_kernel(
+                    pending["doc"].to_numpy(),
+                    np.vstack(pending["__vec"].to_numpy()),
+                )
+                if got is not None:
+                    yield pd.DataFrame({"id_a": got[0], "id_b": got[1]})
 
         return (
-            banded.groupBy("band", "sig")
-            .applyInPandas(bucket_pairs, f"id_a {idt}, id_b {idt}")
+            banded.repartition("band", "sig")
+            .sortWithinPartitions("band", "sig")
+            .mapInPandas(verify_stream, f"id_a {idt}, id_b {idt}")
             .distinct()
         )
     banded = corpus.select(

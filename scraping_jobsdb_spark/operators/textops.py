@@ -2453,8 +2453,13 @@ def exact_substring_spans(
     positions; every duplicated L-window lies inside a maximal repeat),
     so masking duplicated-L-window positions masks EXACTLY the
     suffix-array span set. Shape: map-only window/gram construction (the
-    ``_word_ngrams`` staged-alias form, one row per window), ONE
-    gram-keyed aggregate for multiplicity, an equi-join back (AQE sizes
+    ``_word_ngrams`` staged-alias form, one row per window, with the
+    L-token gram hashed to its 16-byte md5 digest BEFORE the exchange —
+    shuffling raw L-token strings as aggregate keys amplified shuffle
+    bytes ~L× at min_len=8, the driver of the pre-r12 11.6× 100×-sweep
+    row; 128-bit keys are collision-safe at any realistic corpus and
+    DuckDB re-derives md5, so the query stays hash-oracled), ONE
+    digest-keyed aggregate for multiplicity, an equi-join back (AQE sizes
     it), then a per-document interval merge — running-max-exclusive over
     window starts (the gaps-and-islands rule) — on the DUPLICATED windows
     only, which are few per document. Two shuffles total (gram agg,
@@ -2476,9 +2481,9 @@ def exact_substring_spans(
                 idx,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.concat_ws(" ", F.slice("__ws", i + 1, min_len)).alias(
-                        "gram"
-                    ),
+                    F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice("__ws", i + 1, min_len)))
+                    ).alias("gram"),
                 ),
             )
         ).alias("w"),

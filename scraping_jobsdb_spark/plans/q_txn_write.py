@@ -456,6 +456,80 @@ def q_multimodal_resize_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_png_decode_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h,
+               doc_id % 256 AS seed
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               SUM((3 * xs.x + 7 * ys.y + d.seed) % 256) AS s
+        FROM d
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.w)) AS x) xs
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.h)) AS y) ys
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(s // (w * h) AS INT) AS mean_luma
+    FROM px
+    """,
+)
+def q_multimodal_png_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL image codec through the decode stage, hash-oracled (VERDICT
+    r11 item 7 stretch): each document becomes a genuine PNG file —
+    stdlib encoder, real container (signature, CRC-checked chunks) and
+    real entropy coding (DEFLATE-compressed filtered scanlines) — whose
+    gray pixels follow the closed form (3x + 7y + seed) % 256. The
+    mapInPandas decode stage then parses the PNG back with
+    ``png_image_decoder`` (full chunk walk, zlib inflate, scanline
+    unfiltering), and DuckDB recomputes the decoded features straight
+    from the pixel formula — so a value-hash match proves the encoder,
+    the DEFLATE round trip, and the decoder agree pixel-exactly with
+    arithmetic DuckDB derived independently. The compressed bytes
+    themselves are never compared (zlib output isn't pinned across
+    versions); the DECODED content is, which is the codec contract.
+    Scale shape: two chained map-only Arrow stages on a (id)-projection,
+    no shuffle."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        extract_image_features,
+        png_image_decoder,
+    )
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import pandas as pd
+
+        from scraping_jobsdb_spark.operators.multimodal import (
+            png_encode_gray,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, seed = 8 + did % 13, 8 + did % 11, did % 256
+                scan = [
+                    bytes((3 * x + 7 * y + seed) % 256 for x in range(w))
+                    for y in range(h)
+                ]
+                out["media_id"].append(did)
+                out["content"].append(png_encode_gray(scan))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, "media_id bigint, content binary")
+    return extract_image_features(media, decoder=png_image_decoder).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
+@_register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

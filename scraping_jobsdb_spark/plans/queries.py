@@ -78,91 +78,86 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-11 window (registry 235, window 50). Evidence going in (latest-
-# evidence join over CORRECTNESS_r01-r10): r10 went 49 green + 1 clean
-# rows-only, 0 red; histogram r6:38 / r7:46 / r8:49 / r9:49 / r10:50, plus
-# jdbc_live_roundtrip registered after the r10 window froze with no driver
-# row yet. 4 + 1 + 38 + 7 = 50 exactly:
-# (a) the 4 queries with no evidence: the live Derby JDBC roundtrip (S5/S6
-#     flipped to full) and the new persisted LSH signature-index trio
-#     (VERDICT r10 item 4 — operators/lshindex.py: MinHash batch
-#     admission + streaming twin + SimHash Hamming-space admission).
-# (b) dedup_pipeline_end_to_end — PROMOTED to a full value-hash oracle
-#     (VERDICT r10 item 3: candidate stage swapped to the portable
-#     md5-window MinHash banding); its last row is rows-only r7, so the
-#     promotion needs a fresh hash-green row.
-# (c) the ENTIRE 38-member r6-stale cohort (VERDICT r10 item 2 — after
-#     this window no query's evidence is older than r7).
-# (d) the two queries whose implementation changed this round —
-#     curriculum_pack_order (the scored projection is checkpointed once
-#     and global_ordered_rank skips its second materialization; hash
-#     verified unchanged locally) and hll_mergeable_sketches (PROMOTED to
-#     a full value-hash oracle in the portable-register domain, VERDICT
-#     r10 item 3 stretch; rows-only 10 → 9) and
-#     simhash_portable_neardup_pairs (now rides the exact-parity Arrow
-#     vote kernel, simhash_fp_frame), and the NEW
-#     exact_substring_dedup_spans (the Lee-et-al ExactSubstr method as
-#     duplicated-L-window interval merge, fully oracled) — plus the 3
-#     alphabetically-first members of the 45-query r7 cohort
-#     (dedup_pipeline_end_to_end was also r7 but sits in (b);
-#     count_distinct_pagination, cdc_row_changes_txn and
-#     cdc_row_changes_bucketed_txn ceded their slots to this round's
-#     registrations; the tail rotation continues next round).
+# Round-12 window (registry 238, window 50). Evidence going in (latest-
+# evidence join over CORRECTNESS_r01-r11): r11 went 47 hash-green + 3 clean
+# rows-only, 0 red; histogram r7:42 / r8:48 / r9:49 / r10:48 / r11:50, plus
+# two queries registered this round with no rows yet. 2 + 2 + 42 + 4 = 50:
+# (a) the 2 never-evidenced queries: streaming_minhash_online_admission —
+#     the foreachBatch-driven ONLINE admission path of the LSH signature
+#     index (VERDICT r11 gap 1 / item 3: admit_stream_batch finally gate-
+#     evidenced, kept-only index state replayed in the oracle) — and
+#     multimodal_png_decode_features (VERDICT item 7: a REAL stdlib PNG
+#     codec — DEFLATE + scanline filters — through the Arrow decode
+#     stage, decoded features hash-matched to DuckDB's closed-form pixel
+#     arithmetic).
+# (b) the two queries whose implementation changed this round:
+#     exact_substring_dedup_spans (gram aggregate/join keys hashed to
+#     md5-128 BEFORE the exchange — VERDICT item 4's ~8x shuffle-byte cut;
+#     values unchanged, hash re-verified locally) and
+#     embedding_neardup_pairs (ADVICE-high fix: the in-bucket GEMM's
+#     off-diagonal blocks now order-NORMALIZE pairs instead of
+#     order-filtering, so super-block buckets keep cross-block pairs;
+#     sub-block outputs — including every gate dataset — are unchanged).
+# (c) the ENTIRE 42-member r7-stale cohort (VERDICT item 2 — after this
+#     window no query's evidence is older than r8).
+# (d) the 4 alphabetically-first members of the 48-query r8 cohort
+#     (cdc_apply_changes_txn ceded its slot to the new PNG gate query;
+#     the tail rotation continues next round).
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
-    "jdbc_live_roundtrip",
-    "incremental_minhash_indexed_dedup",
-    "streaming_minhash_indexed_dedup",
-    "incremental_simhash_indexed_dedup",
-    # (b) implementation changed: promoted to a value-hash oracle
-    "dedup_pipeline_end_to_end",
-    # (c) the full r6-stale cohort (alphabetical)
-    "disjunctive_pred_revenue",
-    "doc_winnowing_fingerprints",
-    "dq_aggregate_checks",
-    "dq_bounds_observed",
-    "embedding_neardup_pairs",
-    "embedding_neardup_pairs_exact_gemm",
-    "explode_outer_null_preserving",
-    "explode_token_positions",
-    "gaps_and_islands",
-    "grouping_sets_status_priority",
-    "impute_interval_merge",
-    "inactive_wealthy_customers",
-    "incremental_indexed_dedup",
-    "join_full_outer_reconcile",
-    "key_skew_report_suppkey",
-    "order_flow_pagerank",
-    "pandas_udf_token_count",
-    "percentile_part_sizes",
-    "pivot_priority_by_status",
-    "product_type_profit",
-    "reference_pipeline_e2e",
-    "regexp_extract_all_pack",
-    "scalar_date_arith_pack",
-    "scalar_map_pack",
-    "scalar_string_distance_pack",
-    "scd2_supplier_balances",
-    "sequence_packing_per_shard",
-    "simhash_neardup_pairs",
-    "suppliers_with_heavy_shipments",
-    "term_document_frequency",
-    "try_cast_error_safe_pack",
-    "txn_deletion_vectors",
-    "txn_mor_update",
-    "txn_replace_where_backfill",
-    "txn_update_where",
-    "unpivot_quality_metrics",
-    "window_distribution_pack",
-    "window_range_frame",
-    # (d) changed/new this round + r7 cohort, alphabetical first 3
-    "curriculum_pack_order",
-    "hll_mergeable_sketches",
-    "simhash_portable_neardup_pairs",
+    "streaming_minhash_online_admission",
+    "multimodal_png_decode_features",
+    # (b) implementation changed this round
     "exact_substring_dedup_spans",
-    "asof_join_latest_state",
-    "bloom_prefilter_supplier_revenue",
-    "bpe_corpus_tokenize",
+    "embedding_neardup_pairs",
+    # (c) the full r7-stale cohort (alphabetical)
+    "cdc_row_changes_bucketed_txn",
+    "cdc_row_changes_txn",
+    "count_distinct_pagination",
+    "cross_join_param_grid",
+    "customer_order_histogram",
+    "deterministic_sample_split",
+    "doc_text_normalize",
+    "embedding_kmeans_cells",
+    "events_hourly_tumbling",
+    "events_ohlc_hourly",
+    "events_session_streaming",
+    "events_session_window",
+    "events_sliding_streaming",
+    "events_sliding_windows",
+    "events_stream_stream_join",
+    "events_streaming_dedup",
+    "events_user_zscore",
+    "funnel_click_to_purchase",
+    "group_share_threshold",
+    "large_order_customers",
+    "latest_event_per_user",
+    "llm_corpus_prep",
+    "minhash_neardup_pairs",
+    "multimodal_binary_features",
+    "multimodal_corpus_prep",
+    "order_flow_pagerank_redistribute",
+    "pricing_summary",
+    "promo_revenue_ratio",
+    "range_join_followups",
+    "robust_stats_mad",
+    "salted_groupby_skewed",
+    "scalar_json_pack",
+    "scalar_misc_pack",
+    "semantic_dedup_embeddings",
+    "small_quantity_revenue",
+    "sorted_page_offset",
+    "stats_regression_pack",
+    "stratified_sample_per_lang",
+    "tfidf_top_terms",
+    "top_revenue_suppliers",
+    "value_histogram_bins",
+    "window_moving_average",
+    # (d) r8 cohort, alphabetical first 4
+    "asof_join_forward_window",
+    "bloom_point_lookup_txn",
+    "bm25_doc_ranking",
+    "bpe_learned_merges",
 ]
 
 

@@ -139,8 +139,12 @@ FAMILIES = [
     "bitmap_exact_distinct",
     # column profiler (one scan, mergeable power sums)
     "column_profile_orders",
-    # range-partition planning (1-row cuts broadcast, map-side assign)
-    "range_partition_balance_report",
+    # range-partition planning: the EXACT-percentile form is demoted from
+    # the sweep (VERDICT r11 item 8) — exact `percentile` buffers the full
+    # distinct-key value map per partial aggregate, a known-unscalable
+    # baseline kept ONLY for sf0.01 oracle parity; its production twin
+    # `range_partition_balance_approx` (bounded-sketch percentile_approx,
+    # identical plan otherwise) carries the scale rows below.
     # approx_top_k (one sketch-state agg, no token-keyed shuffle)
     "approx_topk_native",
     # time-travel audit (history-length-bounded snapshot aggregates)

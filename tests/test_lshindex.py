@@ -246,14 +246,24 @@ def test_lsh_index_fast_hasher_and_guards(spark, tmp_path):
         reopened.id_col,
     ) == (16, 4, 3, 64, "xxhash64", "doc_id")
 
-    # bypass the API: append raw signatures without refreshing the view
+    # Crash-shaped state: signatures committed but the bucket-size view
+    # refresh never ran (here simulated by appending raw signatures
+    # out-of-band). The next probe must SELF-HEAL — fold the pending
+    # delta and answer — not wedge the index behind a raise with no
+    # public repair path.
     TxnTable(spark, idx.sigs_path).append(
         spark.createDataFrame(
             [(99999, 0, "sentinel")], "doc_id bigint, band int, key string"
         )
     )
-    with pytest.raises(ValueError, match="bucket-size view"):
-        idx.probe(batch2)
+    sigs_v = TxnTable(spark, idx.sigs_path).version()
+    assert idx._bs_view.applied_source_version() < sigs_v  # genuinely stale
+    healed = _rows(idx.probe(batch2))
+    assert idx._bs_view.applied_source_version() == sigs_v
+    assert len(healed) == len(got)
+    # idempotent explicit repair entry point
+    idx.refresh()
+    assert idx._bs_view.applied_source_version() == sigs_v
 
     with pytest.raises(ValueError, match="hasher"):
         LshSignatureIndex.create(

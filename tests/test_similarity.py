@@ -461,6 +461,37 @@ def test_blocked_neardup_finds_injected_duplicates(spark):
     assert {(i, i + 10000) for i in range(5)} <= found
 
 
+def test_lsh_bucket_verify_blocks_keep_cross_block_pairs(spark):
+    """A (band, sig) bucket LARGER than the verify block size must emit
+    every qualifying pair regardless of how the group's arbitrary row
+    order relates to id order. Regression: the off-diagonal blocks of the
+    in-bucket GEMM see each cross-block index pair in only one
+    orientation, so the old ``ga < gb`` value filter silently dropped the
+    pair whenever row order disagreed with id order (sub-block buckets
+    compute both orientations and were unaffected)."""
+    from scraping_jobsdb_spark.operators.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    n, dim = 120, 8
+    base = [((i * 7919) % 1000) / 1000.0 - 0.5 for i in range(dim)]
+    rows = []
+    for i in range(n):
+        vid = (i * 37) % n  # id order decorrelated from build order
+        rows.append((vid, [b + vid * 1e-9 for b in base]))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # Every vector is near-identical -> one giant bucket per band; with
+    # verify_block_rows=16 that bucket spans ~8 GEMM blocks.
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs_lsh(
+            corpus, 0.99, dim=dim, verify_block_rows=16
+        ).collect()
+    }
+    expected = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert got == expected, f"missing {len(expected - got)}, extra {len(got - expected)}"
+
+
 def test_lsh_neardup_high_threshold_finds_injected(spark):
     """At real near-dup thresholds the banding is sparse AND complete:
     injected exact duplicates (cos 1.0) are always candidates."""

@@ -271,6 +271,10 @@ BENCH_QUERIES = [
     "streaming_minhash_online_admission",
     # real PNG codec (stdlib DEFLATE+filters) through the decode stage
     "multimodal_png_decode_features",
+    # real RIFF/WAVE PCM decode through the audio stage
+    "multimodal_wav_decode_features",
+    # real YUV4MPEG2 frame fan-out through the video sampling stage
+    "multimodal_y4m_frame_sample",
 ]
 
 # Canary reference: the r10 verdict's canary mean for pricing_summary at

@@ -62,6 +62,10 @@ __all__ = [
     "bmp_encode_rgb",
     "bmp_image_decoder",
     "bmp_image_resizer",
+    "wav_encode_pcm16",
+    "wav_audio_decoder",
+    "y4m_encode",
+    "y4m_frame_splitter",
 ]
 
 # An opaque media column with typed metadata — the multimodal table shape.
@@ -585,3 +589,110 @@ def bmp_image_resizer(content: bytes, target_w: int, target_h: int) -> bytes:
         for y in range(target_h)
     ]
     return bmp_encode_rgb(target_w, target_h, out)
+
+
+def wav_encode_pcm16(rate: int, samples: list[int]) -> bytes:
+    """Minimal REAL WAV encoder: canonical RIFF/WAVE container, PCM
+    format chunk (mono, 16-bit little-endian) + data chunk. Output parses
+    in any WAV reader (including the stdlib ``wave`` module)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_audio_decoder(content: bytes) -> tuple[int, int, int]:
+    """REAL WAV decode → (sample_rate, n_samples, rms): RIFF chunk walk,
+    PCM 16-bit mono required, ``rms = int(sqrt(sum(s²)/n))`` over the
+    little-endian samples — the same contract as ``fake_audio_decoder``,
+    so the two are interchangeable behind ``extract_audio_features``."""
+    if content is None or len(content) < 12:
+        raise ValueError("truncated media payload")
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE signature")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    if n == 0:
+        raise ValueError("empty PCM stream")
+    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    sum_sq = sum(s * s for s in samples)
+    return int(rate), n, int((sum_sq / n) ** 0.5)
+
+
+def y4m_encode(w: int, h: int, frames: list[bytes], fps: str = "25:1") -> bytes:
+    """Minimal REAL YUV4MPEG2 encoder: the textual stream header + one
+    ``FRAME`` marker per raw 4:2:0 frame (``w*h*3//2`` bytes). Output is
+    what ``ffmpeg -f yuv4mpegpipe`` consumes."""
+    flen = w * h * 3 // 2
+    if any(len(f) != flen for f in frames):
+        raise ValueError(f"frames must be {flen} bytes at {w}x{h} C420")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C420\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def y4m_frame_splitter(content: bytes) -> list[bytes]:
+    """REAL Y4M parse → raw 4:2:0 frames: stream-header tag walk (W/H/C
+    parameters), then FRAME-marker slicing with exact frame-length
+    validation. Same contract as ``fake_frame_splitter``, so it drops
+    into ``sample_video_frames`` unchanged."""
+    if content is None or len(content) < 10:
+        raise ValueError("truncated media payload")
+    nl = content.find(b"\n")
+    if nl < 0 or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 signature")
+    w = h = None
+    subsampling = "420"
+    for tok in content[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            subsampling = tok[1:].decode()
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    if not subsampling.startswith("420"):
+        raise ValueError(f"unsupported chroma subsampling C{subsampling}")
+    flen = w * h * 3 // 2
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        frame = content[fnl + 1 : fnl + 1 + flen]
+        if len(frame) != flen:
+            raise ValueError("truncated frame")
+        frames.append(frame)
+        pos = fnl + 1 + flen
+    return frames

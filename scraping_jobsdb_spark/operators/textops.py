@@ -2453,20 +2453,23 @@ def exact_substring_spans(
     positions; every duplicated L-window lies inside a maximal repeat),
     so masking duplicated-L-window positions masks EXACTLY the
     suffix-array span set. Shape: map-only window/gram construction (the
-    ``_word_ngrams`` staged-alias form, one row per window, with the
-    L-token gram hashed to its 16-byte md5 digest BEFORE the exchange —
-    shuffling raw L-token strings as aggregate keys amplified shuffle
-    bytes ~L× at min_len=8, the driver of the pre-r12 11.6× 100×-sweep
-    row; 128-bit keys are collision-safe at any realistic corpus and
-    DuckDB re-derives md5, so the query stays hash-oracled), ONE
-    digest-keyed aggregate for multiplicity, an equi-join back (AQE sizes
+    ``_word_ngrams`` staged-alias form, one row per window), ONE
+    gram-keyed aggregate for multiplicity, an equi-join back (AQE sizes
     it), then a per-document interval merge — running-max-exclusive over
     window starts (the gaps-and-islands rule) — on the DUPLICATED windows
     only, which are few per document. Two shuffles total (gram agg,
     doc-keyed merge window); every output is an integer, so the whole
     operator value-hash oracles. Downstream composition decides the
     policy (mask spans, drop docs over a masked-ratio cap, or keep-first
-    via the dedup families)."""
+    via the dedup families).
+
+    Measured non-optimization (r12, interleaved A/B at 100x data): keying
+    the gram aggregate/join on ``unhex(md5(gram))`` (16-byte digests)
+    instead of the raw L-token string was ~13% SLOWER (min 30.9 s vs
+    26.7 s) despite ~3x smaller logical keys — shuffle compression
+    already collapses the redundant text grams on the wire, while
+    digests are incompressible AND cost one md5 per window (~corpus
+    token count of them). Raw string keys kept deliberately."""
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     staged = docs.select(id_col, ws.alias("__ws"))
     nw = F.size("__ws")
@@ -2481,9 +2484,9 @@ def exact_substring_spans(
                 idx,
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.unhex(
-                        F.md5(F.concat_ws(" ", F.slice("__ws", i + 1, min_len)))
-                    ).alias("gram"),
+                    F.concat_ws(" ", F.slice("__ws", i + 1, min_len)).alias(
+                        "gram"
+                    ),
                 ),
             )
         ).alias("w"),

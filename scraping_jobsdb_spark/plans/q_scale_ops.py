@@ -2079,6 +2079,14 @@ def q_streaming_minhash_online_admission(
     )
 
     def _admit(batch_df: DataFrame, epoch_id: int) -> None:
+        # The staged micro-batch is ONE file (ordering pin), so the frame
+        # arrives single-partition — spread it before signing or the
+        # whole batch's shingle/minhash work runs on one task (measured:
+        # the 100x sweep row was 7x worse without this; a production
+        # stream's batches arrive many-partitioned on their own).
+        batch_df = batch_df.repartition(
+            batch_df.sparkSession.sparkContext.defaultParallelism
+        )
         v = idx.admit_stream_batch(batch_df, epoch_id=epoch_id)
         v.withColumn("batch_no", F.lit(epoch_id + 1).cast("int")).write.mode(
             "append"
@@ -2099,7 +2107,10 @@ def q_streaming_minhash_online_admission(
     # no-op or the index would double batch 1's surviving signatures
     before = idx.signatures().count()
     idx.admit_stream_batch(
-        spark.read.parquet(os.path.join(in_dir, "batch1.parquet")), epoch_id=0
+        spark.read.parquet(os.path.join(in_dir, "batch1.parquet")).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        epoch_id=0,
     )
     after = idx.signatures().count()
     if after != before:

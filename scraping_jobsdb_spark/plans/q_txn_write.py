@@ -530,6 +530,138 @@ def q_multimodal_png_decode_features(
 
 
 @_register(
+    "multimodal_wav_decode_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 200 + doc_id % 97 AS n,
+               8000 + (doc_id % 5) * 1000 AS rate
+        FROM documents
+    ), s AS (
+        SELECT d.doc_id, d.n, d.rate,
+               SUM(CAST((d.doc_id * 31 + i.i * 17) % 65536 - 32768 AS HUGEINT)
+                   * ((d.doc_id * 31 + i.i * 17) % 65536 - 32768)) AS ss
+        FROM d
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.n)) AS i) i
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS media_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(FLOOR(n * 1000.0 / rate) AS BIGINT) AS duration_ms,
+           CAST(FLOOR(SQRT(CAST(ss AS DOUBLE) / n)) AS INT) AS rms
+    FROM s
+    """,
+)
+def q_multimodal_wav_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL audio codec through the decode stage, hash-oracled: each
+    document becomes a genuine RIFF/WAVE file (canonical fmt + data
+    chunks, 16-bit mono PCM — the encoder is cross-checked against the
+    stdlib ``wave`` reader in tests) whose samples follow the closed form
+    ((id*31 + i*17) % 65536) - 32768. ``wav_audio_decoder`` walks the
+    RIFF chunks inside the Arrow stage and DuckDB recomputes
+    (sample_rate, duration_ms, rms) from the sample formula — both sides
+    perform the identical IEEE double ops (sum-of-squares is exact in
+    64-bit, one division, one sqrt, truncation), so the row value-hashes.
+    Scale shape: two chained map-only Arrow stages, no shuffle."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_audio_decoder,
+    )
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import pandas as pd
+
+        from scraping_jobsdb_spark.operators.multimodal import (
+            wav_encode_pcm16,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 97
+                rate = 8000 + (did % 5) * 1000
+                samples = [
+                    ((did * 31 + i * 17) % 65536) - 32768 for i in range(n)
+                ]
+                out["media_id"].append(did)
+                out["content"].append(wav_encode_pcm16(rate, samples))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, "media_id bigint, content binary")
+    return extract_audio_features(media, decoder=wav_audio_decoder).select(
+        "media_id", "sample_rate", "duration_ms", "rms"
+    )
+
+
+@_register(
+    "multimodal_y4m_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 3 + doc_id % 3 AS nf FROM documents
+    ), fr AS (
+        SELECT doc_id, unnest(range(0, nf)) AS f FROM d
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           substr(sha256(repeat(
+               chr(CAST(32 + (doc_id * 13 + f * 7) % 64 AS INT)), 288)),
+               1, 16) AS frame_sha
+    FROM fr WHERE f % 2 = 0
+    """,
+)
+def q_multimodal_y4m_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL video container through the frame-sampling fan-out: each
+    document becomes a genuine YUV4MPEG2 stream (the textual stream
+    header + FRAME-marked raw 4:2:0 frames — what ``ffmpeg -f
+    yuv4mpegpipe`` emits/consumes) of 3-5 16x12 frames whose bytes are a
+    single value per frame, 32 + (id*13 + f*7) % 64 (ASCII range so the
+    oracle can state the bytes as a VARCHAR). ``y4m_frame_splitter``
+    parses the header tags and slices exact frame lengths inside the
+    Arrow generator-UDTF stage, keeping every 2nd frame; DuckDB rebuilds
+    each kept frame's 288 bytes with repeat(chr(v)) and sha256s them,
+    so the fan-out is verified byte-for-byte. No shuffle; output is
+    frame-row-per-video-row map-only."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        sample_video_frames,
+        y4m_frame_splitter,
+    )
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import pandas as pd
+
+        from scraping_jobsdb_spark.operators.multimodal import y4m_encode
+
+        flen = 16 * 12 * 3 // 2
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    bytes([32 + (did * 13 + f * 7) % 64]) * flen
+                    for f in range(3 + did % 3)
+                ]
+                out["media_id"].append(did)
+                out["content"].append(y4m_encode(16, 12, frames))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, "media_id bigint, content binary")
+    return sample_video_frames(
+        media, every_n=2, splitter=y4m_frame_splitter
+    ).select("media_id", "frame_idx", "frame_sha")
+
+
+@_register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

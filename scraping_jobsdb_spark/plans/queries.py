@@ -81,34 +81,42 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # Round-12 window (registry 238, window 50). Evidence going in (latest-
 # evidence join over CORRECTNESS_r01-r11): r11 went 47 hash-green + 3 clean
 # rows-only, 0 red; histogram r7:42 / r8:48 / r9:49 / r10:48 / r11:50, plus
-# two queries registered this round with no rows yet. 2 + 2 + 42 + 4 = 50:
-# (a) the 2 never-evidenced queries: streaming_minhash_online_admission —
+# four queries registered this round with no rows yet. 4 + 1 + 42 + 3 = 50:
+# (a) the 4 never-evidenced queries: streaming_minhash_online_admission —
 #     the foreachBatch-driven ONLINE admission path of the LSH signature
 #     index (VERDICT r11 gap 1 / item 3: admit_stream_batch finally gate-
 #     evidenced, kept-only index state replayed in the oracle) — and
-#     multimodal_png_decode_features (VERDICT item 7: a REAL stdlib PNG
-#     codec — DEFLATE + scanline filters — through the Arrow decode
+#     the REAL-codec trio (VERDICT item 7): multimodal_png_decode_features
+#     (stdlib PNG — DEFLATE + scanline filters — through the Arrow decode
 #     stage, decoded features hash-matched to DuckDB's closed-form pixel
-#     arithmetic).
-# (b) the two queries whose implementation changed this round:
-#     exact_substring_dedup_spans (gram aggregate/join keys hashed to
-#     md5-128 BEFORE the exchange — VERDICT item 4's ~8x shuffle-byte cut;
-#     values unchanged, hash re-verified locally) and
+#     arithmetic), multimodal_wav_decode_features (RIFF/WAVE PCM, encoder
+#     cross-checked against the stdlib wave reader), and
+#     multimodal_y4m_frame_sample (YUV4MPEG2 frame fan-out, frames
+#     sha-matched byte-for-byte).
+# (b) the query whose implementation changed this round:
 #     embedding_neardup_pairs (ADVICE-high fix: the in-bucket GEMM's
 #     off-diagonal blocks now order-NORMALIZE pairs instead of
 #     order-filtering, so super-block buckets keep cross-block pairs;
-#     sub-block outputs — including every gate dataset — are unchanged).
+#     sub-block outputs — including every gate dataset — are unchanged;
+#     bucket dispatch also moved from per-group applyInPandas to
+#     partition-sorted mapInPandas runs). VERDICT item 4's md5 gram-key
+#     swap for exact_substring_dedup_spans was implemented, A/B-measured
+#     13% SLOWER at 100x (compression already eats the text-gram
+#     redundancy; digests are incompressible), and REVERTED — the
+#     operator is byte-identical to its r11-green form, so it returns
+#     its window slot.
 # (c) the ENTIRE 42-member r7-stale cohort (VERDICT item 2 — after this
 #     window no query's evidence is older than r8).
-# (d) the 4 alphabetically-first members of the 48-query r8 cohort
-#     (cdc_apply_changes_txn ceded its slot to the new PNG gate query;
-#     the tail rotation continues next round).
+# (d) the 3 alphabetically-first members of the 48-query r8 cohort
+#     (cdc_apply_changes_txn and bpe_learned_merges ceded their slots to
+#     the real-codec trio; the tail rotation continues next round).
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
     "streaming_minhash_online_admission",
     "multimodal_png_decode_features",
+    "multimodal_wav_decode_features",
+    "multimodal_y4m_frame_sample",
     # (b) implementation changed this round
-    "exact_substring_dedup_spans",
     "embedding_neardup_pairs",
     # (c) the full r7-stale cohort (alphabetical)
     "cdc_row_changes_bucketed_txn",
@@ -153,11 +161,10 @@ _GATE_PRIORITY = [
     "top_revenue_suppliers",
     "value_histogram_bins",
     "window_moving_average",
-    # (d) r8 cohort, alphabetical first 4
+    # (d) r8 cohort, alphabetical first 3
     "asof_join_forward_window",
     "bloom_point_lookup_txn",
     "bm25_doc_ranking",
-    "bpe_learned_merges",
 ]
 
 

@@ -208,6 +208,94 @@ def test_multimodal_real_bmp_resize_end_to_end(spark):
         assert (dw, dh, luma) == (tw, th, want), (i, dw, dh, luma, want)
 
 
+def test_multimodal_real_wav_decode_end_to_end(spark):
+    """REAL RIFF/WAVE payloads through the audio stage: the stdlib
+    ``wave`` module (an independent reader) validates the encoder's
+    container, and ``wav_audio_decoder`` inside the Arrow stage must
+    reproduce the ground-truth (rate, duration, rms); a truncated
+    payload is isolated to a NULL row."""
+    import io
+    import wave as wave_mod
+
+    from scraping_jobsdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        wav_audio_decoder,
+        wav_encode_pcm16,
+    )
+
+    rows, truth = [], {}
+    for i in range(16):
+        rate = 8000 + (i % 4) * 2000
+        n = 150 + i * 13
+        samples = [((i * 31 + j * 17) % 65536) - 32768 for j in range(n)]
+        wav = wav_encode_pcm16(rate, samples)
+        if i == 0:
+            r = wave_mod.open(io.BytesIO(wav))
+            assert (
+                r.getframerate(), r.getnchannels(), r.getsampwidth(), r.getnframes()
+            ) == (rate, 1, 2, n)
+        if i == 3:
+            wav = wav[: len(wav) // 2]  # truncated data chunk
+        rows.append((i, "audio", "audio/wav", bytearray(wav), len(wav)))
+        truth[i] = (
+            rate,
+            int(n * 1000 / rate),
+            int((sum(s * s for s in samples) / n) ** 0.5),
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.sample_rate, r.duration_ms, r.rms)
+        for r in extract_audio_features(media, decoder=wav_audio_decoder).collect()
+    }
+    assert got[3] == (None, None, None)
+    for i, t in truth.items():
+        if i != 3:
+            assert got[i] == t, (i, got[i], t)
+
+
+def test_multimodal_real_y4m_frame_split_end_to_end(spark):
+    """REAL YUV4MPEG2 streams through the frame-sampling fan-out: header
+    tag parse + FRAME slicing must reproduce the exact frame bytes (sha
+    checked), keep every 2nd frame, and drop a stream with a truncated
+    final frame without failing the task."""
+    import hashlib
+
+    from scraping_jobsdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+        y4m_encode,
+        y4m_frame_splitter,
+    )
+
+    w, h = 12, 8
+    flen = w * h * 3 // 2
+    rows, truth = [], {}
+    for i in range(10):
+        frames = [
+            bytes(((i * 7 + f * 3 + j) % 256 for j in range(flen)))
+            for f in range(3 + i % 4)
+        ]
+        y4m = y4m_encode(w, h, frames)
+        if i == 2:
+            y4m = y4m[:-5]  # truncated last frame
+        rows.append((i, "video", "video/y4m", bytearray(y4m), len(y4m)))
+        truth[i] = {
+            f: hashlib.sha256(frames[f]).hexdigest()[:16]
+            for f in range(0, len(frames), 2)
+        }
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got: dict = {}
+    for r in sample_video_frames(
+        media, every_n=2, splitter=y4m_frame_splitter
+    ).collect():
+        got.setdefault(r.media_id, {})[r.frame_idx] = r.frame_sha
+    assert 2 not in got  # corrupted stream contributes zero frames
+    for i, t in truth.items():
+        if i != 2:
+            assert got[i] == t, (i, got[i], t)
+
+
 def test_stateful_sessionize_equals_builtin_session_window(spark):
     """Explicit-state sessionizer == F.session_window on the same data."""
     from scraping_jobsdb_spark.session import ship_package

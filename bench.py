@@ -275,6 +275,10 @@ BENCH_QUERIES = [
     "multimodal_wav_decode_features",
     # real YUV4MPEG2 frame fan-out through the video sampling stage
     "multimodal_y4m_frame_sample",
+    # Common-Crawl WARC source: write + read real .warc.gz archives
+    "warc_ingest_roundtrip",
+    # URL-level crawl dedup (canonicalize + registered domain)
+    "url_canonical_dedup",
 ]
 
 # Canary reference: the r10 verdict's canary mean for pricing_summary at

@@ -377,3 +377,76 @@ def q_events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.withColumn("zscore", F.round("zscore", 6) + F.lit(0.0))
 
 
+
+
+@_register(
+    "url_canonical_dedup",
+    oracle="""
+    SELECT doc_id,
+           'http://site' || CAST(doc_id % 50 AS VARCHAR)
+             || '.example' || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+             || '/path/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             AS url_canon,
+           'example' || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+             AS reg_domain,
+           CAST(2 AS BIGINT) AS n_variants
+    FROM documents
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (functions/scalars.py canonicalize_url +
+    registered_domain — the URL counterpart of the content-dedup
+    families, and the generalization of the reference's exact-URL-id
+    anti-join, ``scrape_url.py:176``): every document appears as two
+    crawl variants — a messy form (uppercase scheme/host, www., explicit
+    :80, tracking params in scrambled order, a fragment, a trailing
+    slash) and its clean twin — and canonicalization must collapse each
+    pair to ONE canonical key. The oracle is deliberately INDEPENDENT:
+    DuckDB states the expected canonical string and registered domain
+    directly from doc_id arithmetic (it never re-runs the
+    canonicalizer), so a hash match proves the whole transform chain —
+    case folding, www/port stripping, fragment drop, tracking-param
+    filter, param sort, trailing-slash strip, co.uk-style suffix
+    handling — lands exactly on the declared target. All JVM-side
+    expressions; the dedup is one hash aggregate on the canonical key."""
+    from scraping_jobsdb_spark.functions.scalars import (
+        canonicalize_url,
+        registered_domain,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+    a = (F.col("doc_id") % 50).cast("string")
+    b = (F.col("doc_id") % 7).cast("string")
+    tld = F.when(F.col("doc_id") % 4 == 0, F.lit(".CO.UK")).otherwise(
+        F.lit(".COM")
+    )
+    tld_l = F.lower(tld)
+    i = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.lit("HTTP://WWW.Site"), a, F.lit(".Example"), b, tld,
+        F.lit(":80/path/"), i,
+        F.lit("/?utm_source=x&b=2&a=1&fbclid=zz#frag"),
+    )
+    clean = F.concat(
+        F.lit("http://site"), a, F.lit(".example"), b, tld_l,
+        F.lit("/path/"), i, F.lit("?a=1&b=2"),
+    )
+    variants = docs.select("doc_id", messy.alias("url")).unionByName(
+        docs.select("doc_id", clean.alias("url"))
+    )
+    return (
+        variants.select(
+            "doc_id",
+            canonicalize_url("url").alias("url_canon"),
+            registered_domain("url").alias("reg_domain"),
+        )
+        .groupBy("url_canon")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("reg_domain").alias("reg_domain"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select("doc_id", "url_canon", "reg_domain", "n_variants")
+    )

@@ -2121,3 +2121,80 @@ def q_streaming_minhash_online_admission(
     return spark.read.parquet(out_dir).select(
         "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"
     )
+
+
+@_register(
+    "warc_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+                ELSE 301 END AS INT) AS http_status,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS body_sha16
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest, end to end and hash-oracled (sources/warc.py — the
+    Common-Crawl generalization of the reference's live-HTTP ingest,
+    ``airflow/dags/scrape_url.py``): the documents table is written out
+    as REAL ``.warc.gz`` archives — 8 files of per-record gzip members,
+    each record a spec-conformant WARC/1.0 response wrapping a full
+    HTTP/1.1 response whose body is the document text — then read back
+    through ``read_warc`` (binaryFile scan → one Arrow stage walking
+    member gunzip, WARC header parse, Content-Length framing, HTTP
+    status/body split). DuckDB recomputes status/length/sha straight
+    from the documents table, so a hash match proves the writer, the
+    gzip member stream, and the record parser agree byte-for-byte.
+    Scale shape: archive write is foreachPartition (one file per task,
+    how WARC corpora shard); the read is map-only, one task per file,
+    body sha computed JVM-side."""
+    import tempfile
+
+    from scraping_jobsdb_spark.sources.warc import read_warc
+
+    root = tempfile.mkdtemp(prefix="sjs_warc_q_")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .repartition(8)
+    )
+
+    def write_part(rows) -> None:
+        import os
+
+        from pyspark import TaskContext
+
+        from scraping_jobsdb_spark.sources.warc import (
+            warc_gz_file,
+            warc_response_record,
+        )
+
+        recs = []
+        for r in rows:
+            status = {0: 200, 1: 404, 2: 301}[r.doc_id % 3]
+            recs.append(
+                warc_response_record(
+                    f"http://corpus.example/doc/{r.doc_id}",
+                    r.text.encode("utf-8"),
+                    status=status,
+                )
+            )
+        if recs:
+            pid = TaskContext.get().partitionId()
+            with open(
+                os.path.join(root, f"part-{pid:05d}.warc.gz"), "wb"
+            ) as f:
+                f.write(warc_gz_file(recs))
+
+    docs.foreachPartition(write_part)
+    parsed = read_warc(spark, root + "/*.warc.gz", gzipped=True)
+    return parsed.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        "http_status",
+        "n_bytes",
+        F.substring(F.sha2("body", 256), 1, 16).alias("body_sha16"),
+    )

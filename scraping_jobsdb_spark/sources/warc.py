@@ -1,0 +1,227 @@
+"""WARC (Web ARChive, ISO 28500) source — the Common-Crawl ingest format.
+
+The reference scrapes its corpus live over HTTP (``airflow/dags/
+scrape_url.py``); the at-scale generalization of that ingest is reading
+WEB ARCHIVES: a 100 TB pretraining corpus arrives as ~100k
+``*.warc.gz`` files of ~1 GB each, every file a sequence of
+independently-gzipped WARC records ("member-per-record" — the layout
+Common Crawl publishes, chosen precisely so archives split by record
+without decompressing the whole file).
+
+This module is stdlib-only and REAL: the writer emits spec-conformant
+WARC/1.0 response records (CRLF header block, ``Content-Length``
+framing, the mandatory ``WARC-Type``/``WARC-Record-ID``/``WARC-Date``
+headers) whose payload is a full HTTP/1.1 response; the reader is a
+``spark.read.format("binaryFile")`` scan fanned out through one
+Arrow-batched ``mapInPandas`` stage that walks the record framing —
+per-member ``zlib`` gunzip, header parse, Content-Length body slice,
+HTTP status/header/body split — and yields one row per record. Malformed
+records are isolated per the engine's fetch-stage convention (dropped,
+never task failures; the surrounding records of the same file still
+parse).
+
+Scale shape: one file = one task (binaryFile rows are (path, content));
+parallelism = file count, which is exactly how WARC corpora shard.
+No shuffle anywhere — the reader is map-only; downstream dedup/quality
+operators impose their own exchanges.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "warc_response_record",
+    "warc_gz_file",
+    "parse_warc_members",
+    "read_warc",
+]
+
+_CRLF = b"\r\n"
+
+
+def warc_response_record(
+    url: str,
+    body: bytes,
+    status: int = 200,
+    record_id: str | None = None,
+    date: str = "2024-01-01T00:00:00Z",
+    content_type: str = "text/html",
+) -> bytes:
+    """One spec-conformant WARC/1.0 ``response`` record: WARC header
+    block, blank line, HTTP/1.1 response (status line + headers + body),
+    and the record-terminating double CRLF. ``record_id`` defaults to a
+    urn:uuid derived from the URL (deterministic, replay-stable)."""
+    import hashlib
+
+    rid = record_id or hashlib.md5(url.encode()).hexdigest()
+    http = (
+        f"HTTP/1.1 {status} X".encode()
+        + _CRLF
+        + f"Content-Type: {content_type}".encode()
+        + _CRLF
+        + f"Content-Length: {len(body)}".encode()
+        + _CRLF
+        + _CRLF
+        + body
+    )
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + f"WARC-Record-ID: <urn:uuid:{rid}>".encode() + _CRLF
+        + f"WARC-Date: {date}".encode() + _CRLF
+        + f"WARC-Target-URI: {url}".encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + f"Content-Length: {len(http)}".encode() + _CRLF
+    )
+    return head + _CRLF + http + _CRLF + _CRLF
+
+
+def _gzip_member(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(data) + co.flush()
+
+
+def warc_gz_file(records: list[bytes]) -> bytes:
+    """Concatenated per-record gzip members — the Common Crawl layout
+    (each record independently decompressible, so files split on member
+    boundaries without a full-file inflate)."""
+    return b"".join(_gzip_member(r) for r in records)
+
+
+def _split_members(blob: bytes) -> Iterator[bytes]:
+    """Walk concatenated gzip members via zlib's unused_data handoff."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        yield d.decompress(blob[pos:])
+        tail = len(d.unused_data)
+        consumed = len(blob) - pos - tail
+        if consumed <= 0:  # corrupt trailer: stop instead of spinning
+            return
+        pos += consumed
+
+
+def _parse_record(raw: bytes) -> tuple[str, str, int, int, bytes] | None:
+    """One uncompressed WARC record → (url, warc_type, http_status,
+    content_length, body) or None if malformed/non-response."""
+    sep = raw.find(_CRLF + _CRLF)
+    if sep < 0 or not raw.startswith(b"WARC/"):
+        return None
+    headers: dict[str, str] = {}
+    for line in raw[: sep].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        if v:
+            headers[k.decode().strip().lower()] = v.decode().strip()
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError):
+        return None
+    block = raw[sep + 4 : sep + 4 + length]
+    if len(block) != length:
+        return None  # truncated record
+    wtype = headers.get("warc-type", "")
+    url = headers.get("warc-target-uri", "")
+    if wtype != "response":
+        return url, wtype, 0, length, block
+    hsep = block.find(_CRLF + _CRLF)
+    if hsep < 0 or not block.startswith(b"HTTP/"):
+        return None
+    status_line = block[: block.find(_CRLF)].split(b" ")
+    try:
+        status = int(status_line[1])
+    except (IndexError, ValueError):
+        return None
+    body = block[hsep + 4 :]
+    return url, wtype, status, len(body), body
+
+
+def parse_warc_members(blob: bytes, gzipped: bool = True) -> list[tuple]:
+    """Parse one WARC file's bytes into record tuples. With
+    ``gzipped=False`` the blob is a plain concatenation of records and
+    the walk uses each record's Content-Length to find the next."""
+    out = []
+    if gzipped:
+        try:
+            for member in _split_members(blob):
+                rec = _parse_record(member)
+                if rec is not None:
+                    out.append(rec)
+        except zlib.error:
+            # a corrupt member ends the walk (members are a stream —
+            # there is no trustworthy resync point past bad DEFLATE
+            # data); records already parsed from this file survive
+            pass
+        return out
+    pos = 0
+    while pos < len(blob):
+        sep = blob.find(_CRLF + _CRLF, pos)
+        if sep < 0:
+            break
+        head = blob[pos:sep]
+        cl = 0
+        for line in head.split(_CRLF):
+            if line.lower().startswith(b"content-length:"):
+                try:
+                    cl = int(line.split(b":", 1)[1])
+                except ValueError:
+                    cl = 0
+        end = sep + 4 + cl + 4  # record + trailing CRLF CRLF
+        rec = _parse_record(blob[pos:end])
+        if rec is not None:
+            out.append(rec)
+        pos = end
+    return out
+
+
+def read_warc(
+    spark: SparkSession, path_glob: str, gzipped: bool = True
+) -> DataFrame:
+    """WARC corpus scan → one row per response record:
+    ``(path, url, warc_type, http_status, n_bytes, body)``.
+
+    binaryFile scan (one task per archive file — WARC corpora shard by
+    file, so parallelism = file count) into ONE map-only Arrow stage
+    running the stdlib record walk. Malformed members/records are
+    dropped (per-record failure isolation); ``body`` is raw payload
+    bytes — decode/quality/dedup stages compose downstream."""
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "path": [],
+                "url": [],
+                "warc_type": [],
+                "http_status": [],
+                "n_bytes": [],
+                "body": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    recs = parse_warc_members(bytes(content), gzipped=gzipped)
+                except Exception:  # noqa: BLE001 — isolate a corrupt file
+                    continue
+                for url, wtype, status, n, body in recs:
+                    out["path"].append(path)
+                    out["url"].append(url)
+                    out["warc_type"].append(wtype)
+                    out["http_status"].append(status)
+                    out["n_bytes"].append(n)
+                    out["body"].append(body)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        run,
+        "path string, url string, warc_type string, http_status int, "
+        "n_bytes bigint, body binary",
+    )

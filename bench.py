@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "warc_ingest_roundtrip",
     # URL-level crawl dedup (canonicalize + registered domain)
     "url_canonical_dedup",
+    # gzipped JSONL interchange roundtrip (schema-first nested read)
+    "jsonl_ingest_roundtrip",
 ]
 
 # Canary reference: the r10 verdict's canary mean for pricing_summary at

@@ -2198,3 +2198,71 @@ def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.substring(F.sha2("body", 256), 1, 16).alias("body_sha16"),
     )
+
+
+@_register(
+    "jsonl_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS text_sha16
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped-JSONL interchange roundtrip — the other canonical
+    training-corpus format next to WARC (every public pretraining set
+    ships as one of the two): documents are written as compressed JSON
+    Lines with a NESTED metadata struct (the layout real corpus dumps
+    use), then read back SCHEMA-FIRST (explicit nested schema, no
+    expensive inference scan — the only sane posture at 100 TB file
+    counts) in PERMISSIVE mode with a _corrupt_record column, asserted
+    empty before the result returns. DuckDB recomputes the flattened
+    projection straight from the source table, so the JSON encode →
+    gzip → decode → struct-flatten chain is value-hash verified,
+    including UTF-8 fidelity (sha over the text). Scale shape: the
+    write is map-only (one .json.gz per partition), the read is a
+    pruned-schema scan + map-only flatten; gzip bounds task parallelism
+    to file count, exactly like the WARC layout."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sjs_jsonl_q_") + "/dump"
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.struct("lang", "source", "n_chars").alias("meta"),
+            "text",
+        )
+        .repartition(8)
+    )
+    docs.write.json(out, compression="gzip")
+    schema = (
+        "doc_id bigint, meta struct<lang:string,source:string,"
+        "n_chars:bigint>, text string, _corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        # Spark disallows queries referencing ONLY _corrupt_record on a
+        # raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize
+        # the parsed batch once, exactly the workaround its error text
+        # prescribes; a 100 TB pipeline would carry the bad-row count as
+        # an observe() metric on the main pass instead
+        .localCheckpoint()
+    )
+    n_bad = back.filter(F.col("_corrupt_record").isNotNull()).count()
+    if n_bad:
+        raise AssertionError(f"{n_bad} corrupt JSONL records in roundtrip")
+    return back.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+        F.substring(F.sha2(F.encode("text", "utf-8"), 256), 1, 16).alias(
+            "text_sha16"
+        ),
+    )

@@ -81,8 +81,8 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # Round-12 window (registry 238, window 50). Evidence going in (latest-
 # evidence join over CORRECTNESS_r01-r11): r11 went 47 hash-green + 3 clean
 # rows-only, 0 red; histogram r7:42 / r8:48 / r9:49 / r10:48 / r11:50, plus
-# six queries registered this round with no rows yet. 6 + 1 + 42 + 1 = 50:
-# (a) the 6 never-evidenced queries: streaming_minhash_online_admission —
+# seven queries registered this round with no rows yet. 7 + 1 + 42 = 50:
+# (a) the 7 never-evidenced queries: streaming_minhash_online_admission —
 #     the foreachBatch-driven ONLINE admission path of the LSH signature
 #     index (VERDICT r11 gap 1 / item 3: admit_stream_batch finally gate-
 #     evidenced, kept-only index state replayed in the oracle) — and
@@ -97,7 +97,9 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     foreachPartition, read back through the binaryFile + Arrow record
 #     walk, status/length/sha hash-matched to the documents table) — and
 #     url_canonical_dedup (URL-level crawl dedup; the oracle states the
-#     expected canonical string INDEPENDENTLY from doc_id arithmetic).
+#     expected canonical string INDEPENDENTLY from doc_id arithmetic) —
+#     and jsonl_ingest_roundtrip (gzipped JSON-Lines interchange,
+#     schema-first nested read, corrupt-record gate asserted empty).
 # (b) the query whose implementation changed this round:
 #     embedding_neardup_pairs (ADVICE-high fix: the in-bucket GEMM's
 #     off-diagonal blocks now order-NORMALIZE pairs instead of
@@ -112,11 +114,10 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     its window slot.
 # (c) the ENTIRE 42-member r7-stale cohort (VERDICT item 2 — after this
 #     window no query's evidence is older than r8).
-# (d) the alphabetically-first member of the 48-query r8 cohort
-#     (cdc_apply_changes_txn, bpe_learned_merges, bm25_doc_ranking and
-#     bloom_point_lookup_txn ceded their slots to the real-codec trio +
-#     the WARC source + URL dedup; the tail rotation continues next
-#     round).
+# The r8 cohort members that briefly held (d) slots this round all
+# ceded them to the new registrations (cdc_apply_changes_txn,
+# bpe_learned_merges, bm25_doc_ranking, bloom_point_lookup_txn,
+# asof_join_forward_window); the r8 tail rotation resumes next round.
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
     "streaming_minhash_online_admission",
@@ -125,6 +126,7 @@ _GATE_PRIORITY = [
     "multimodal_y4m_frame_sample",
     "warc_ingest_roundtrip",
     "url_canonical_dedup",
+    "jsonl_ingest_roundtrip",
     # (b) implementation changed this round
     "embedding_neardup_pairs",
     # (c) the full r7-stale cohort (alphabetical)
@@ -170,8 +172,6 @@ _GATE_PRIORITY = [
     "top_revenue_suppliers",
     "value_histogram_bins",
     "window_moving_average",
-    # (d) r8 cohort, alphabetical first 1
-    "asof_join_forward_window",
 ]
 
 

@@ -94,16 +94,34 @@ def warc_gz_file(records: list[bytes]) -> bytes:
 
 
 def _split_members(blob: bytes) -> Iterator[bytes]:
-    """Walk concatenated gzip members via zlib's unused_data handoff."""
+    """Walk concatenated gzip members — STREAMING, never feeding a
+    member more than a chunk past its end. The naive form
+    (``d.decompress(blob[pos:])`` + ``unused_data`` length arithmetic)
+    is O(members x remaining-bytes): zlib copies everything past each
+    member boundary into ``unused_data``, which at Common-Crawl member
+    counts (~60k/archive) is terabytes of memcpy — the r12 100x sweep
+    measured it as a 274x blow-up before this rewrite. Chunks grow
+    4 KB → 1 MB within a member so small members overshoot by at most
+    one small chunk and large members ramp to full-speed inflate."""
+    mv = memoryview(blob)
+    n = len(blob)
     pos = 0
-    while pos < len(blob):
+    while pos < n:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        yield d.decompress(blob[pos:])
-        tail = len(d.unused_data)
-        consumed = len(blob) - pos - tail
-        if consumed <= 0:  # corrupt trailer: stop instead of spinning
+        out = []
+        p = pos
+        step = 4096
+        while p < n and not d.eof:
+            chunk = mv[p : p + step]
+            out.append(d.decompress(chunk))
+            p += len(chunk) - len(d.unused_data)
+            step = min(step * 4, 1 << 20)
+        if not d.eof:  # truncated final member: stop the walk
             return
-        pos += consumed
+        yield b"".join(out)
+        if p <= pos:  # corrupt zero-advance trailer: stop instead of spinning
+            return
+        pos = p
 
 
 def _parse_record(raw: bytes) -> tuple[str, str, int, int, bytes] | None:

@@ -301,7 +301,7 @@ CANARY_REF = 1.157
 # drift factor is reported alongside so a divergence between the two
 # factors localizes the cause to the Python lane. Reference pinned from
 # this round's builder machine (min-of-2 mean over start/mid/end, sf0.1).
-PYCANARY_REF = 0.67
+PYCANARY_REF = 0.504
 
 
 def main() -> None:

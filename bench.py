@@ -370,14 +370,42 @@ def main() -> None:
 
     canary = {"canary_start": _canary(), "pycanary_start": _pycanary()}
 
+    # Dense canary SERIES (r12): one single-shot JVM canary sample ahead
+    # of every ~15-query chunk, on top of the min-of-2 start/mid/end
+    # probes. Host noise on this box moves on minute scales — a window a
+    # 3-sample global mean cannot localize (three same-commit r12 runs
+    # normalized to 148.8/186.7/266.1 s with DIFFERENT worst-query sets)
+    # — so each query is also normalized against the linear interpolation
+    # of the two canary samples bracketing it in time
+    # (queries_nearest_canary_normalized). Cost: ~11 extra canary runs.
+    series: list[tuple[int, float]] = [(0, canary["canary_start"])]
+
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        REGISTRY["pricing_summary"].spark_fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for i, name in enumerate(BENCH_QUERIES):
         if i == len(BENCH_QUERIES) // 2:
             canary["canary_mid"] = _canary()
             canary["pycanary_mid"] = _pycanary()
+            series.append((i, canary["canary_mid"]))
+        elif i and i % 15 == 0:
+            series.append((i, _canary_once()))
         timings[name] = _time_query(name)
     canary["canary_end"] = _canary()
     canary["pycanary_end"] = _pycanary()
+    series.append((len(BENCH_QUERIES), canary["canary_end"]))
+
+    def _drift_at(i: int) -> float:
+        for (i0, c0), (i1, c1) in zip(series, series[1:]):
+            if i0 <= i <= i1:
+                frac = (i - i0) / (i1 - i0) if i1 > i0 else 0.0
+                return (c0 + frac * (c1 - c0)) / CANARY_REF
+        return series[-1][1] / CANARY_REF
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -402,6 +430,10 @@ def main() -> None:
         / PYCANARY_REF,
         4,
     )
+    nearest = {
+        name: round(timings[name] / max(_drift_at(i), 1e-6), 3)
+        for i, name in enumerate(BENCH_QUERIES)
+    }
     normalized = {
         "canary_drift_factor": drift,
         "pycanary_drift_factor": py_drift,
@@ -409,6 +441,9 @@ def main() -> None:
         "queries_canary_normalized": {
             n: round(t / drift, 3) for n, t in timings.items()
         },
+        "canary_series": [[i, c] for i, c in series],
+        "value_nearest_canary_normalized": round(sum(nearest.values()), 3),
+        "queries_nearest_canary_normalized": nearest,
     }
 
     # The full result also lands in BENCH_SELF.json at the repo root (a
@@ -430,9 +465,16 @@ def main() -> None:
                 "value_canary_normalized": normalized[
                     "value_canary_normalized"
                 ],
+                "canary_series": normalized["canary_series"],
+                "value_nearest_canary_normalized": normalized[
+                    "value_nearest_canary_normalized"
+                ],
                 "queries": timings,
                 "queries_canary_normalized": normalized[
                     "queries_canary_normalized"
+                ],
+                "queries_nearest_canary_normalized": normalized[
+                    "queries_nearest_canary_normalized"
                 ],
             },
             indent=1,
@@ -473,6 +515,9 @@ def main() -> None:
                 "pycanary_drift_factor": normalized["pycanary_drift_factor"],
                 "value_canary_normalized": normalized[
                     "value_canary_normalized"
+                ],
+                "value_nearest_canary_normalized": normalized[
+                    "value_nearest_canary_normalized"
                 ],
             }
         )

@@ -242,8 +242,6 @@ BENCH_QUERIES = [
     "approx_topk_native",
     # snapshot time travel + schema evolution + restore lifecycle audit
     "txn_time_travel_audit",
-    # streaming-maintenance twin of the persisted dedup index
-    "streaming_indexed_dedup",
     # rolling exact median (28-row frame, single user-keyed shuffle)
     "events_rolling_median",
     # --- round 10 additions (keep appending, never reorder) ---
@@ -260,15 +258,11 @@ BENCH_QUERIES = [
     "jdbc_live_roundtrip",
     # persisted MinHash-LSH signature index: batch admission + probes
     "incremental_minhash_indexed_dedup",
-    # its epoch-keyed streaming-maintenance twin
-    "streaming_minhash_indexed_dedup",
     # the SimHash (Hamming-space) member of the signature-index family
     "incremental_simhash_indexed_dedup",
     # ExactSubstr dedup spans (Lee et al.) as duplicated-window merge
     "exact_substring_dedup_spans",
     # --- round 12 additions (keep appending, never reorder) ---
-    # foreachBatch-driven ONLINE LSH admission (kept-only index growth)
-    "streaming_minhash_online_admission",
     # real PNG codec (stdlib DEFLATE+filters) through the decode stage
     "multimodal_png_decode_features",
     # real RIFF/WAVE PCM decode through the audio stage
@@ -281,6 +275,32 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     # gzipped JSONL interchange roundtrip (schema-first nested read)
     "jsonl_ingest_roundtrip",
+    # --- round 13 additions (keep appending, never reorder) ---
+    # STEADY-STATE persisted-index rows (VERDICT r12 item 2): settle once
+    # per process outside the timed region; these measure the per-batch
+    # O(batch) admission/probe path a production ingest actually pays
+    "fpindex_steady_admission",
+    "lshindex_steady_admission",
+    "ann_index_steady_probe",
+    # intra-batch keep-list composed with online admission (item 7)
+    "online_admission_intra_batch",
+    # percentile_approx production twin of the curriculum packer (item 4)
+    "curriculum_pack_order_approx",
+    # real baseline-JPEG codec through the decode stage (item 6)
+    "multimodal_jpeg_decode_features",
+]
+
+# Full-lifecycle streaming rows moved to the SCALING-ONLY tier (VERDICT
+# r12 item 8): each spins up a readStream/foreachBatch lifecycle whose
+# wall time is Structured-Streaming scheduler setup, not plan execution
+# (11.7 s / 6.5 s / 5.2 s at sf0.1 in the r12 artifact) — the steady-state
+# rows above now carry the family's headline timing, while these keep
+# their CORRECTNESS gate rows (registry unchanged) and their
+# BENCH_SCALING.json 10x/100x rows (scripts/bench_scaling.py FAMILIES).
+LIFECYCLE_SCALING_ONLY = [
+    "streaming_indexed_dedup",
+    "streaming_minhash_indexed_dedup",
+    "streaming_minhash_online_admission",
 ]
 
 # Canary reference: the r10 verdict's canary mean for pricing_summary at
@@ -370,22 +390,19 @@ def main() -> None:
 
     canary = {"canary_start": _canary(), "pycanary_start": _pycanary()}
 
-    # Dense canary SERIES (r12): one single-shot JVM canary sample ahead
-    # of every ~15-query chunk, on top of the min-of-2 start/mid/end
-    # probes. Host noise on this box moves on minute scales — a window a
-    # 3-sample global mean cannot localize (three same-commit r12 runs
-    # normalized to 148.8/186.7/266.1 s with DIFFERENT worst-query sets)
-    # — so each query is also normalized against the linear interpolation
-    # of the two canary samples bracketing it in time
-    # (queries_nearest_canary_normalized). Cost: ~11 extra canary runs.
+    # Dense canary SERIES (r12): one JVM canary sample ahead of every
+    # ~15-query chunk, on top of the start/mid/end probes. Host noise on
+    # this box moves on minute scales — a window a 3-sample global mean
+    # cannot localize (three same-commit r12 runs normalized to
+    # 148.8/186.7/266.1 s with DIFFERENT worst-query sets) — so each
+    # query is also normalized against the linear interpolation of the
+    # two canary samples bracketing it in time
+    # (queries_nearest_canary_normalized). Every series point uses the
+    # SAME min-of-2 discipline as the endpoints (r12 ADVICE: mixing
+    # single-shot interior samples with min-of-N endpoints biased the
+    # interpolated baseline high near the interior). Cost: ~22 extra
+    # canary runs at ~1.5 s each at sf0.1.
     series: list[tuple[int, float]] = [(0, canary["canary_start"])]
-
-    def _canary_once() -> float:
-        t0 = time.perf_counter()
-        REGISTRY["pricing_summary"].spark_fn(spark, sf_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for i, name in enumerate(BENCH_QUERIES):
@@ -394,7 +411,7 @@ def main() -> None:
             canary["pycanary_mid"] = _pycanary()
             series.append((i, canary["canary_mid"]))
         elif i and i % 15 == 0:
-            series.append((i, _canary_once()))
+            series.append((i, _canary()))
         timings[name] = _time_query(name)
     canary["canary_end"] = _canary()
     canary["pycanary_end"] = _pycanary()
@@ -406,6 +423,41 @@ def main() -> None:
                 frac = (i - i0) / (i1 - i0) if i1 > i0 else 0.0
                 return (c0 + frac * (c1 - c0)) / CANARY_REF
         return series[-1][1] / CANARY_REF
+
+    drift_for = {
+        name: max(_drift_at(i), 1e-6)
+        for i, name in enumerate(BENCH_QUERIES)
+    }
+
+    # Flagged-row RE-RUN pass (VERDICT r12 item 3): min-of-2 back-to-back
+    # still lets one hot host window mint a fake top row in a single
+    # artifact (r12: minhash_neardup_pairs 13.67 s vs 2.7 s quiet-box).
+    # After the sweep — minutes later, a temporally SEPARATED sample —
+    # re-measure every expensive or hot-window row and publish the min
+    # across passes; both passes' values stay in the artifact
+    # (rerun_queries) so the adjudication is auditable. Flag = raw time
+    # >= 2 s (the rows that dominate the total) OR local canary drift
+    # >= 1.25 (the rows a hot window inflated), capped at the 20 largest.
+    flagged = [
+        n
+        for i, n in enumerate(BENCH_QUERIES)
+        if timings[n] >= 2.0 or _drift_at(i) >= 1.25
+    ]
+    flagged = sorted(flagged, key=lambda n: -timings[n])[:20]
+    rerun_queries: dict[str, list[float]] = {}
+    if flagged:
+        rr_c0 = _canary()
+        rr_vals = {n: _time_query(n) for n in flagged}
+        rr_c1 = _canary()
+        canary["rerun_canary_start"] = rr_c0
+        canary["rerun_canary_end"] = rr_c1
+        for j, n in enumerate(flagged):
+            frac = (j + 0.5) / len(flagged)
+            d2 = max((rr_c0 + frac * (rr_c1 - rr_c0)) / CANARY_REF, 1e-6)
+            rerun_queries[n] = [timings[n], rr_vals[n]]
+            if rr_vals[n] < timings[n]:
+                timings[n] = rr_vals[n]
+                drift_for[n] = d2
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -431,8 +483,8 @@ def main() -> None:
         4,
     )
     nearest = {
-        name: round(timings[name] / max(_drift_at(i), 1e-6), 3)
-        for i, name in enumerate(BENCH_QUERIES)
+        name: round(timings[name] / drift_for[name], 3)
+        for name in BENCH_QUERIES
     }
     normalized = {
         "canary_drift_factor": drift,
@@ -442,6 +494,7 @@ def main() -> None:
             n: round(t / drift, 3) for n, t in timings.items()
         },
         "canary_series": [[i, c] for i, c in series],
+        "rerun_queries": rerun_queries,
         "value_nearest_canary_normalized": round(sum(nearest.values()), 3),
         "queries_nearest_canary_normalized": nearest,
     }
@@ -466,6 +519,7 @@ def main() -> None:
                     "value_canary_normalized"
                 ],
                 "canary_series": normalized["canary_series"],
+                "rerun_queries": normalized["rerun_queries"],
                 "value_nearest_canary_normalized": normalized[
                     "value_nearest_canary_normalized"
                 ],

@@ -121,15 +121,24 @@ def canonicalize_url(col: Column | str) -> Column:
     crawl dedups on the result with one hash exchange. The transform is
     deliberately the standard, lossy-but-safe subset: no percent-decoding
     and no path-segment resolution, both of which can CHANGE request
-    semantics on real servers."""
-    u = F.col(col) if isinstance(col, str) else col
-    u = F.regexp_replace(u, r"#.*$", "")  # fragment never reaches servers
+    semantics on real servers.
+
+    Contract: the input must carry an explicit ``scheme://`` — an input
+    without one passes through UNCHANGED (null-safe), never degenerating
+    to a ``"://..."`` remnant. Default-port stripping is scheme-exact:
+    ``:80`` only for http, ``:443`` only for https; every other scheme's
+    explicit port is preserved (``ftp://h:443/x`` keeps its port — 443 is
+    not ftp's default)."""
+    raw = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(raw, r"#.*$", "")  # fragment never reaches servers
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     host = F.regexp_replace(hostport, r"^www\.", "")
-    host = F.when(
-        (scheme == "http"), F.regexp_replace(host, r":80$", "")
-    ).otherwise(F.regexp_replace(host, r":443$", ""))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
@@ -143,7 +152,9 @@ def canonicalize_url(col: Column | str) -> Column:
     qtail = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qtail)
+    return F.when(scheme == "", raw).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qtail)
+    )
 
 
 def registered_domain(host_or_url: Column | str) -> Column:

@@ -534,3 +534,189 @@ def q_curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         # skip its own second materialization
         materialize=False,
     ).select("position", "doc_id", "bucket", "quality")
+
+
+@_register(
+    "curriculum_pack_order_approx",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL)
+               AS total_rows,
+           TRUE AS positions_are_permutation,
+           TRUE AS buckets_contiguous_ordered,
+           TRUE AS bucket_order_matches_quality,
+           TRUE AS cut_rank_error_bounded
+    """,
+)
+def q_curriculum_pack_order_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION form of ``curriculum_pack_order`` (VERDICT r12 item
+    4): identical plan — quality scoring, tertile cuts broadcast back,
+    md5 within-bucket shuffle, scale-safe ``global_ordered_rank`` — but
+    the two cuts come from ONE ``percentile_approx`` array aggregate
+    (Greenwald-Khanna sketch, accuracy=10000, bounded state per
+    partition) instead of the exact full-value-buffering ``percentile``,
+    the drop-in at 100 TB where buffering every quality value is the
+    scale-killer the exact twin\'s sweep row flagged (16.7x at 100x data,
+    the steepest non-demoted family of the r12 sweep; the exact twin
+    stays registered as the oracle-parity baseline and leaves the sweep
+    like ``range_partition_balance_report`` did in r12).
+
+    Evidence split, per the exact/approx contract the HLL/KMV and
+    range-partition families set: sketch merge order makes the approx cut
+    VALUES partitioning-dependent (and tie-heavy score distributions make
+    bucket COUNTS legitimately lopsided — at sf0.01 the quality score
+    takes two values, so even EXACT tertiles yield two buckets), so the
+    gate row pins the DISTRIBUTION-FREE invariants of a valid curriculum
+    order: every document ordered (total_rows), positions a 1..N
+    permutation, bucket blocks contiguous and in curriculum order, bucket
+    membership consistent with quality (max quality of bucket b+1 <= min
+    of bucket b — the bucketing never scrambles), and the GK guarantee
+    itself — each returned cut\'s rank within accuracy^-1 of its target
+    fraction, checked by counting (<=cut / >=cut) against N/3 and 2N/3
+    with tolerance floor(N/10000)+1. The exact-vs-approx cut comparison
+    at rank tolerance additionally lives in tests/test_curation_eval.py."""
+    from scraping_jobsdb_spark.operators.textops import quality_score
+    from scraping_jobsdb_spark.operators.windows import global_ordered_rank
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    scored = docs.select(
+        "doc_id", F.round(quality_score("text"), 9).alias("quality")
+    ).localCheckpoint()
+    cuts = scored.agg(
+        F.expr(
+            "percentile_approx(quality, array(1.0D/3.0D, 2.0D/3.0D), 10000)"
+        ).alias("qs")
+    ).select(
+        F.col("qs").getItem(0).alias("q1"), F.col("qs").getItem(1).alias("q2")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "quality",
+        F.when(F.col("quality") >= F.col("q2"), F.lit(0))
+        .when(F.col("quality") >= F.col("q1"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("int")
+        .alias("bucket"),
+    )
+    ranked = global_ordered_rank(
+        bucketed.withColumn(
+            "__shuf", F.md5(F.col("doc_id").cast("string"))
+        ),
+        ["bucket", "__shuf", "doc_id"],
+        out_col="position",
+        materialize=False,
+    )
+    # per-bucket blocks folded via a sorted-array HOF (2-3 rows; avoids
+    # even a token single-partition window)
+    blocks = (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("position").alias("min_pos"),
+            F.max("position").alias("max_pos"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("bucket", "n", "min_pos", "max_pos", "min_q", "max_q")
+                )
+            ).alias("bs")
+        )
+    )
+    folded = blocks.select(
+        F.aggregate(
+            "bs",
+            F.struct(
+                F.lit(0).cast("bigint").alias("prev_max"),
+                F.lit(None).cast("double").alias("prev_min_q"),
+                F.lit(True).alias("ok_pos"),
+                F.lit(True).alias("ok_q"),
+            ),
+            lambda acc, s: F.struct(
+                s["max_pos"].alias("prev_max"),
+                s["min_q"].alias("prev_min_q"),
+                (
+                    acc["ok_pos"]
+                    & (s["min_pos"] == acc["prev_max"] + 1)
+                    & (s["max_pos"] - s["min_pos"] + 1 == s["n"])
+                ).alias("ok_pos"),
+                (
+                    acc["ok_q"]
+                    & (
+                        acc["prev_min_q"].isNull()
+                        | (s["max_q"] <= acc["prev_min_q"])
+                    )
+                ).alias("ok_q"),
+            ),
+        ).alias("acc")
+    ).select(
+        F.col("acc").getField("ok_pos").alias("buckets_contiguous_ordered"),
+        F.col("acc").getField("ok_q").alias("bucket_order_matches_quality"),
+    )
+    perm = ranked.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        (
+            (F.min("position") == 1)
+            & (F.max("position") == F.count(F.lit(1)))
+            & (F.count_distinct("position") == F.count(F.lit(1)))
+        ).alias("positions_are_permutation"),
+    )
+    # The GK guarantee, checked end to end: rank(cut) within eps*N of the
+    # target fraction => count(quality<=cut) >= f*N - eps*N and
+    # count(quality>=cut) >= (1-f)*N - eps*N, eps = 1/accuracy
+    gk = (
+        scored.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality") <= F.col("q1"), 1).otherwise(0)
+            ).alias("le1"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("q1"), 1).otherwise(0)
+            ).alias("ge1"),
+            F.sum(
+                F.when(F.col("quality") <= F.col("q2"), 1).otherwise(0)
+            ).alias("le2"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("q2"), 1).otherwise(0)
+            ).alias("ge2"),
+        )
+        .select(
+            (
+                (
+                    3 * (F.col("le1") + F.floor(F.col("n_docs") / 10000) + 1)
+                    >= F.col("n_docs")
+                )
+                & (
+                    3 * (F.col("ge1") + F.floor(F.col("n_docs") / 10000) + 1)
+                    >= 2 * F.col("n_docs")
+                )
+                & (
+                    3 * (F.col("le2") + F.floor(F.col("n_docs") / 10000) + 1)
+                    >= 2 * F.col("n_docs")
+                )
+                & (
+                    3 * (F.col("ge2") + F.floor(F.col("n_docs") / 10000) + 1)
+                    >= F.col("n_docs")
+                )
+            ).alias("cut_rank_error_bounded")
+        )
+    )
+    return (
+        perm.crossJoin(F.broadcast(folded))
+        .crossJoin(F.broadcast(gk))
+        .select(
+            "total_rows",
+            "positions_are_permutation",
+            "buckets_contiguous_ordered",
+            "bucket_order_matches_quality",
+            "cut_rank_error_bounded",
+        )
+    )

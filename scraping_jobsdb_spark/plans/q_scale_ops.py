@@ -2101,7 +2101,12 @@ def q_streaming_minhash_online_admission(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a hung drain must fail LOUDLY here: proceeding would read a
+        # partially-written out_dir and leave a live stream contaminating
+        # the bench's next timed run
+        q.stop()
+        raise TimeoutError("online-admission stream failed to drain in 600s")
 
     # failure-recovery replay of epoch 0: the epoch-keyed append must
     # no-op or the index would double batch 1's surviving signatures
@@ -2264,5 +2269,556 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
         F.substring(F.sha2(F.encode("text", "utf-8"), 256), 1, 16).alias(
             "text_sha16"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STEADY-STATE posture of the persisted dedup indexes (VERDICT r12 item 2).
+#
+# The lifecycle queries above (incremental_indexed_dedup,
+# incremental_minhash_indexed_dedup, streaming_*) rebuild their index from
+# scratch inside the query, so the driver artifact charges the ONE-TIME
+# corpus fingerprint/sign pass to the steady-state family every round (r12
+# stage profile at 100x: create 36.3 s vs probe 2.4/1.7 s + append 7.8 s).
+# The queries below evidence the O(batch) admission claim itself: the index
+# is SETTLED once per process (create + batch-1 admission, cached per
+# sf_dir — the "outside the timed region" build), and the registered query
+# replays only what a production ingest pays per batch: the epoch-keyed
+# admission check (asserted a no-op — the failure-recovery path), the
+# batch-sized probes, and the index-freshness guard. min-of-N timing in
+# bench.py / bench_scaling.py therefore measures the steady state, never
+# the create. Correctness: the probes read the SETTLED index (corpus +
+# batch 1), so the replayed batch-1 probe self-excludes its own admitted
+# rows (admit_stream_batch's recovery guard) and both probes share the
+# settled stop/hot list — exactly what the oracles state.
+# ---------------------------------------------------------------------------
+
+_STEADY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _steady_dir(kind: str, sf_dir: str) -> str | None:
+    """Settled-index directory for (kind, sf_dir), or None if not yet
+    settled in this process (caller settles, then records via
+    _steady_done)."""
+    return _STEADY_CACHE.get((kind, sf_dir))
+
+
+def _steady_done(kind: str, sf_dir: str, path: str) -> None:
+    _STEADY_CACHE[(kind, sf_dir)] = path
+
+
+def _steady_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+_FPIDX_STEADY_ORACLE = r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ), norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM all_docs
+    ), posn AS (
+        SELECT doc_id, s, unnest(range(0, length(s) - 7)) AS pos FROM norm
+    ), grams AS (
+        SELECT doc_id, pos,
+               (  ord(substr(s, pos + 1, 1))::BIGINT * 13163680
+                + ord(substr(s, pos + 2, 1))::BIGINT * 805498697
+                + ord(substr(s, pos + 3, 1))::BIGINT * 154885210
+                + ord(substr(s, pos + 4, 1))::BIGINT * 362470373
+                + ord(substr(s, pos + 5, 1))::BIGINT * 16974593
+                + ord(substr(s, pos + 6, 1))::BIGINT * 66049
+                + ord(substr(s, pos + 7, 1))::BIGINT * 257
+                + ord(substr(s, pos + 8, 1))::BIGINT
+               ) % 1000000007 AS h
+        FROM posn
+    ), winm AS (
+        SELECT doc_id, h, min(h) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        ) AS wmin
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM winm WHERE h = wmin
+    ), fps_c AS (       -- the original corpus
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), fps_b1 AS (      -- batch 1 (admitted at settle time)
+        SELECT doc_id, h FROM fps WHERE doc_id % 5 = 0
+    ), fps_b2 AS (      -- batch 2: injected near-dups (+20000 ids)
+        SELECT doc_id, h FROM fps WHERE doc_id >= 20000
+    ), fps_set AS (     -- the SETTLED index: corpus UNION batch 1
+        SELECT doc_id, h FROM fps_c UNION ALL SELECT doc_id, h FROM fps_b1
+    ), stop AS (        -- ONE settled stop-gram list, shared by both probes
+        SELECT h FROM fps_set GROUP BY h HAVING COUNT(*) > 50
+    ), pc1 AS (         -- batch-1 replay probe self-excludes its own rows
+        SELECT doc_id, h FROM fps_c WHERE h NOT IN (SELECT h FROM stop)
+    ), pb1 AS (
+        SELECT doc_id, h FROM fps_b1 WHERE h NOT IN (SELECT h FROM stop)
+    ), pc2 AS (
+        SELECT doc_id, h FROM fps_set WHERE h NOT IN (SELECT h FROM stop)
+    ), pb2 AS (
+        SELECT doc_id, h FROM fps_b2 WHERE h NOT IN (SELECT h FROM stop)
+    ), sz1 AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pb1 GROUP BY doc_id
+    ), sh1 AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pb1 b JOIN pc1 c ON b.h = c.h GROUP BY 1, 2
+    ), dup1 AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM sh1 s JOIN sz1 z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp GROUP BY 1
+    ), sz2 AS (
+        SELECT doc_id, COUNT(*) AS n_fp FROM pb2 GROUP BY doc_id
+    ), sh2 AS (
+        SELECT b.doc_id AS bid, c.doc_id AS cid, COUNT(*) AS shared_fp
+        FROM pb2 b JOIN pc2 c ON b.h = c.h GROUP BY 1, 2
+    ), dup2 AS (
+        SELECT s.bid, COUNT(*) AS n_dup_of
+        FROM sh2 s JOIN sz2 z ON s.bid = z.doc_id
+        WHERE s.shared_fp * 1000 >= 800 * z.n_fp GROUP BY 1
+    ), b1 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+    ), b2 AS (
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    )
+    SELECT b.doc_id, 1 AS batch_no,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM b1 b
+    LEFT JOIN sz1 z ON b.doc_id = z.doc_id
+    LEFT JOIN dup1 d ON b.doc_id = d.bid
+    UNION ALL
+    SELECT b.doc_id, 2 AS batch_no,
+           COALESCE(z.n_fp, 0) AS n_fp,
+           COALESCE(d.n_dup_of, 0) AS n_dup_of,
+           COALESCE(d.n_dup_of, 0) = 0 AS kept
+    FROM b2 b
+    LEFT JOIN sz2 z ON b.doc_id = z.doc_id
+    LEFT JOIN dup2 d ON b.doc_id = d.bid
+    """
+
+
+@_register(
+    "fpindex_steady_admission",
+    oracle=_FPIDX_STEADY_ORACLE,
+)
+def q_fpindex_steady_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE admission against a PRE-BUILT FingerprintIndex
+    (operators/fpindex.py — VERDICT r12 item 2): unlike
+    ``incremental_indexed_dedup``, which re-fingerprints the corpus into a
+    fresh index every run (and so charges the one-time create to the
+    steady-state family — 64.9 s at 100x, of which 36.3 s was create by
+    the r12 stage profile), this query settles the index ONCE per process
+    (create corpus fps + admit batch 1 via the epoch-keyed stream append,
+    cached per sf_dir) and then runs only what a production ingest pays
+    per batch: the epoch-replay admission check (asserted to append
+    NOTHING — the failure-recovery path), the batch-1 replay probe
+    (self-excluding its own admitted fingerprints, exactly
+    ``admit_stream_batch``'s recovery guard), and the batch-2
+    pre-admission probe. Both probes broadcast the batch fingerprint set
+    and stream map-side over the index scan — zero corpus-sized shuffles,
+    cost O(batch), independent of corpus size. The oracle replays the
+    SETTLED index state declaratively: one shared stop-gram list over
+    corpus+batch1, corpus-only candidates for the replayed batch-1 probe,
+    full settled candidates for batch 2."""
+    from scraping_jobsdb_spark.operators.fpindex import FingerprintIndex
+
+    docs = _steady_docs(spark, sf_dir)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 1)
+    ).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    path = _steady_dir("fpidx", sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sjs_fpidx_steady_")
+        idx = FingerprintIndex.create(
+            spark, path, docs.filter(F.col("doc_id") % 5 != 0),
+            k=8, w=4, max_df=50,
+        )
+        idx.add_stream_batch(batch1, epoch_id=0, app_id="steady-admit")
+        _steady_done("fpidx", sf_dir, path)
+    idx = FingerprintIndex(spark, path)
+    # steady-state admission of batch 1 = a recognized epoch replay: the
+    # index already holds this (app_id, epoch) commit, so the append MUST
+    # no-op (exactly-once) — and asserting it keeps the cached settle
+    # honest (a broken cache would double the fingerprints and the hash
+    # gate would catch the drifted verdicts anyway)
+    replayed = idx.add_stream_batch(batch1, epoch_id=0, app_id="steady-admit")
+    if replayed != 0:
+        raise AssertionError(
+            f"steady-state epoch replay appended {replayed} rows; expected 0"
+        )
+    v1 = idx.probe(batch1, threshold_milli=800, exclude_self_ids=True)
+    v2 = idx.probe(batch2, threshold_milli=800)
+    return (
+        v1.withColumn("batch_no", F.lit(1).cast("int"))
+        .unionByName(v2.withColumn("batch_no", F.lit(2).cast("int")))
+        .select("doc_id", "batch_no", "n_fp", "n_dup_of", "kept")
+    )
+
+
+_LSH_STEADY_ORACLE = r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 20000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1 AND text IS NOT NULL
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM all_docs WHERE text IS NOT NULL
+    ), posn AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s
+        FROM posn
+    ), perms AS (
+        SELECT unnest(generate_series(0, 15)) AS p
+    ), hv AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(
+                   md5(CASE WHEN p < 4 THEN s
+                            ELSE s || ':' || CAST(p // 4 AS VARCHAR) END),
+                   1 + 7 * (p % 4), 7)) AS BIGINT) AS hp
+        FROM sh, perms
+    ), sig AS (
+        SELECT doc_id, p, MIN(hp) AS m FROM hv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+        FROM sig GROUP BY doc_id, p // 4
+    ), bk_c AS (        -- the original corpus
+        SELECT doc_id, band, key FROM bandkeys
+        WHERE doc_id % 5 <> 0 AND doc_id < 20000
+    ), bk_b1 AS (       -- batch 1 (admitted at settle time)
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id % 5 = 0
+    ), bk_b2 AS (       -- batch 2: injected near-dups (+20000 ids)
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id >= 20000
+    ), bk_set AS (      -- the SETTLED index: corpus UNION batch 1
+        SELECT doc_id, band, key FROM bk_c
+        UNION ALL
+        SELECT doc_id, band, key FROM bk_b1
+    ), hot AS (         -- ONE settled hot-bucket list, shared by both probes
+        SELECT band, key FROM bk_set GROUP BY 1, 2 HAVING COUNT(*) > 64
+    ), pb1 AS (
+        SELECT b.* FROM bk_b1 b
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = b.band AND h.key = b.key)
+    ), pc1 AS (         -- batch-1 replay probe self-excludes its own rows
+        SELECT c.* FROM bk_c c
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits1 AS (
+        SELECT b.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT b.band) AS n_bands_hit
+        FROM pb1 b JOIN pc1 c ON b.band = c.band AND b.key = c.key
+        GROUP BY 1
+    ), pb2 AS (
+        SELECT b.* FROM bk_b2 b
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = b.band AND h.key = b.key)
+    ), pc2 AS (
+        SELECT c.* FROM bk_set c
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits2 AS (
+        SELECT b.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT b.band) AS n_bands_hit
+        FROM pb2 b JOIN pc2 c ON b.band = c.band AND b.key = c.key
+        GROUP BY 1
+    ), b1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+    ), b2 AS (
+        SELECT doc_id + 20000 AS doc_id
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1 AND text IS NOT NULL
+    )
+    SELECT b.doc_id, 1 AS batch_no,
+           COALESCE(h.n_bands_hit, 0) AS n_bands_hit,
+           COALESCE(h.n_cand, 0) AS n_cand,
+           COALESCE(h.n_cand, 0) = 0 AS kept
+    FROM b1 b LEFT JOIN hits1 h ON b.doc_id = h.bid
+    UNION ALL
+    SELECT b.doc_id, 2 AS batch_no,
+           COALESCE(h.n_bands_hit, 0) AS n_bands_hit,
+           COALESCE(h.n_cand, 0) AS n_cand,
+           COALESCE(h.n_cand, 0) = 0 AS kept
+    FROM b2 b LEFT JOIN hits2 h ON b.doc_id = h.bid
+    """
+
+
+@_register(
+    "lshindex_steady_admission",
+    oracle=_LSH_STEADY_ORACLE,
+)
+def q_lshindex_steady_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE admission against a PRE-BUILT LshSignatureIndex
+    (operators/lshindex.py — VERDICT r12 item 2, the MinHash-LSH member
+    of the steady-state family beside ``fpindex_steady_admission``): the
+    index is settled ONCE per process (sign corpus + admit batch 1 via the
+    epoch-keyed stream append, cached per sf_dir); the registered query
+    then pays only the per-batch steady state — the epoch-replay admission
+    check (asserted to append NOTHING), the batch-1 replay probe
+    (self-excluding its own admitted signatures), and the batch-2
+    pre-admission probe, each a broadcast batch-signature join streaming
+    map-side over the index scan. O(batch) cost, zero corpus re-sign; the
+    oracle restates the SETTLED index (one hot-bucket list over
+    corpus+batch1, corpus-only candidates for the replayed probe,
+    full settled candidates for batch 2) with md5-portable permutations,
+    bit-for-bit."""
+    from scraping_jobsdb_spark.operators.lshindex import LshSignatureIndex
+
+    docs = _steady_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    batch1 = docs.filter(F.col("doc_id") % 5 == 0)
+    batch2 = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 1)
+    ).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    path = _steady_dir("lshidx", sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sjs_lshidx_steady_")
+        idx = LshSignatureIndex.create(
+            spark, path, docs.filter(F.col("doc_id") % 5 != 0),
+            k=16, bands=4, shingle_n=3, max_bucket=64,
+        )
+        idx.add_stream_batch(batch1, epoch_id=0, app_id="steady-admit")
+        _steady_done("lshidx", sf_dir, path)
+    idx = LshSignatureIndex(spark, path)
+    replayed = idx.add_stream_batch(batch1, epoch_id=0, app_id="steady-admit")
+    if replayed != 0:
+        raise AssertionError(
+            f"steady-state epoch replay appended {replayed} rows; expected 0"
+        )
+    v1 = idx.probe(batch1, exclude_self_ids=True)
+    v2 = idx.probe(batch2)
+    return (
+        v1.withColumn("batch_no", F.lit(1).cast("int"))
+        .unionByName(v2.withColumn("batch_no", F.lit(2).cast("int")))
+        .select("doc_id", "batch_no", "n_bands_hit", "n_cand", "kept")
+    )
+
+
+@_register(
+    "online_admission_intra_batch",
+    oracle=r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 40000 AS doc_id,
+               regexp_replace(text, '\s+\S+$', '') AS text
+        FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id % 3 = 0 AND text IS NOT NULL
+    ), toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM all_docs
+    ), posn AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS i
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS s
+        FROM posn
+    ), perms AS (
+        SELECT unnest(generate_series(0, 15)) AS p
+    ), hv AS (
+        SELECT doc_id, p,
+               CAST(('0x' || substr(
+                   md5(CASE WHEN p < 4 THEN s
+                            ELSE s || ':' || CAST(p // 4 AS VARCHAR) END),
+                   1 + 7 * (p % 4), 7)) AS BIGINT) AS hp
+        FROM sh, perms
+    ), sig AS (
+        SELECT doc_id, p, MIN(hp) AS m FROM hv GROUP BY 1, 2
+    ), bandkeys AS (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY p) AS key
+        FROM sig GROUP BY doc_id, p // 4
+    ), bk_c AS (        -- the corpus (settled index before admission)
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id % 5 <> 0
+    ), bk_b AS (        -- the batch: originals AND their +40000 near-dups
+        SELECT doc_id, band, key FROM bandkeys WHERE doc_id % 5 = 0
+    ), b AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 40000 AS doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id % 3 = 0 AND text IS NOT NULL
+    ), ibk AS (         -- intra-batch candidate buckets (2..64 docs)
+        SELECT band, key FROM bk_b GROUP BY 1, 2
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+    ), dropped AS (     -- greedy keep-lowest-id intra-batch admission
+        SELECT DISTINCT hi.doc_id
+        FROM bk_b hi
+        JOIN ibk i ON i.band = hi.band AND i.key = hi.key
+        JOIN bk_b lo ON lo.band = hi.band AND lo.key = hi.key
+                    AND lo.doc_id < hi.doc_id
+    ), surv AS (
+        SELECT doc_id FROM b
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ), hot1 AS (        -- hot buckets at settle-time admission: corpus only
+        SELECT band, key FROM bk_c GROUP BY 1, 2 HAVING COUNT(*) > 64
+    ), pbs AS (
+        SELECT s.* FROM bk_b s
+        JOIN surv USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+                          WHERE h.band = s.band AND h.key = s.key)
+    ), pcs AS (
+        SELECT c.* FROM bk_c c
+        WHERE NOT EXISTS (SELECT 1 FROM hot1 h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits0 AS (       -- settle-time corpus collisions of the survivors
+        SELECT DISTINCT p.doc_id FROM pbs p
+        JOIN pcs c ON p.band = c.band AND p.key = c.key
+    ), admitted0 AS (   -- what the settle-time admission actually kept
+        SELECT doc_id FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM hits0)
+    ), bk_set AS (      -- the SETTLED index: corpus + admitted signatures
+        SELECT doc_id, band, key FROM bk_c
+        UNION ALL
+        SELECT s.doc_id, s.band, s.key FROM bk_b s
+        JOIN admitted0 USING (doc_id)
+    ), hot2 AS (        -- hot buckets the replay probe sees
+        SELECT band, key FROM bk_set GROUP BY 1, 2 HAVING COUNT(*) > 64
+    ), pb2 AS (
+        SELECT s.* FROM bk_b s
+        JOIN surv USING (doc_id)
+        WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+                          WHERE h.band = s.band AND h.key = s.key)
+    ), pc2 AS (         -- replay self-excludes the batch's own admitted sigs
+        SELECT c.* FROM bk_c c
+        WHERE NOT EXISTS (SELECT 1 FROM hot2 h
+                          WHERE h.band = c.band AND h.key = c.key)
+    ), hits2 AS (
+        SELECT p.doc_id AS bid,
+               COUNT(DISTINCT c.doc_id) AS n_cand,
+               COUNT(DISTINCT p.band) AS n_bands_hit
+        FROM pb2 p JOIN pc2 c ON p.band = c.band AND p.key = c.key
+        GROUP BY 1
+    ), flags AS (
+        SELECT b.doc_id,
+               NOT EXISTS (SELECT 1 FROM dropped d
+                           WHERE d.doc_id = b.doc_id) AS intra_kept
+        FROM b
+    )
+    SELECT f.doc_id,
+           f.intra_kept,
+           CAST(CASE WHEN f.intra_kept
+                     THEN COALESCE(h.n_bands_hit, 0) ELSE 0 END
+                AS BIGINT) AS n_bands_hit,
+           CAST(CASE WHEN f.intra_kept
+                     THEN COALESCE(h.n_cand, 0) ELSE 0 END
+                AS BIGINT) AS n_cand,
+           f.intra_kept AND COALESCE(h.n_cand, 0) = 0 AS admitted
+    FROM flags f LEFT JOIN hits2 h ON f.doc_id = h.bid
+    """,
+)
+def q_online_admission_intra_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL online-admission story a real deduplicating ingest runs
+    (VERDICT r12 item 7): ``admit_stream_batch`` is batch-vs-corpus by
+    contract — near-dups WITHIN a micro-batch survive together — so a
+    production stream composes it with an INTRA-batch keep-list first.
+    This query gate-evidences exactly that composition end to end: the
+    batch (every 5th document plus injected +40000 truncated near-dups of
+    every 15th) first runs ``minhash_candidate_pairs_portable`` against
+    itself and drops every doc that LSH-collides with a smaller-id batch
+    member (the greedy keep-lowest-id admission rule — deterministic and
+    engine-portable); the survivors then go through the index's ONLINE
+    admission (``LshSignatureIndex.admit_stream_batch``: probe vs the
+    settled corpus index, kept-only epoch-keyed append). The index is
+    settled once per process (create corpus + admit the survivors, cached
+    per sf_dir — the steady-state build outside the timed region); the
+    registered query re-derives the intra-batch keep-list (pure,
+    batch-sized) and replays the epoch-0 admission — the failure-recovery
+    path: the probe self-excludes the batch's own admitted signatures and
+    the append no-ops, so the output is run-stable. The oracle replays
+    BOTH stages declaratively: the intra-batch bucket collisions and
+    keep-list, the settle-time admission's kept set (corpus-only hot
+    list), and the replay verdicts against the settled state."""
+    from scraping_jobsdb_spark.operators.lshindex import LshSignatureIndex
+    from scraping_jobsdb_spark.operators.similarity import (
+        minhash_candidate_pairs_portable,
+    )
+
+    docs = _steady_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    originals = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = originals.unionByName(
+        originals.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+        )
+    )
+    pairs = minhash_candidate_pairs_portable(
+        batch, "doc_id", "text", k=16, bands=4, shingle_n=3, max_bucket=64
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = batch.join(dropped, "doc_id", "left_anti")
+    path = _steady_dir("intralsh", sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sjs_intralsh_steady_")
+        idx = LshSignatureIndex.create(
+            spark, path, docs.filter(F.col("doc_id") % 5 != 0),
+            k=16, bands=4, shingle_n=3, max_bucket=64,
+        )
+        idx.admit_stream_batch(survivors, epoch_id=0, app_id="intra-admit")
+        _steady_done("intralsh", sf_dir, path)
+    idx = LshSignatureIndex(spark, path)
+    # epoch-0 replay: probe vs the settled index (self-excluding the
+    # batch's own admitted signatures), kept-only append no-ops
+    verdict = idx.admit_stream_batch(
+        survivors, epoch_id=0, app_id="intra-admit"
+    )
+    flags = batch.join(
+        dropped.withColumn("__dropped", F.lit(True)), "doc_id", "left"
+    ).select("doc_id", F.col("__dropped").isNull().alias("intra_kept"))
+    return flags.join(verdict, "doc_id", "left").select(
+        "doc_id",
+        "intra_kept",
+        F.when(F.col("intra_kept"), F.coalesce("n_bands_hit", F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_bands_hit"),
+        F.when(F.col("intra_kept"), F.coalesce("n_cand", F.lit(0)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_cand"),
+        (F.col("intra_kept") & F.coalesce("kept", F.lit(False))).alias(
+            "admitted"
         ),
     )

@@ -530,6 +530,90 @@ def q_multimodal_png_decode_features(
 
 
 @_register(
+    "multimodal_jpeg_decode_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               SUM(2 * ((d.doc_id + xs.x // 8 + 3 * (ys.y // 8)) % 128)) AS s
+        FROM d
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.w)) AS x) xs
+        CROSS JOIN LATERAL (SELECT unnest(range(0, d.h)) AS y) ys
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(s // (w * h) AS INT) AS mean_luma
+    FROM px
+    """,
+)
+def q_multimodal_jpeg_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL baseline JPEG (ITU-T T.81) through the decode stage,
+    hash-oracled (VERDICT r12 item 6 — the format a real multimodal
+    corpus hits first, previously a lib-gated hook): each document
+    becomes a genuine single-scan grayscale JPEG — stdlib+numpy encoder
+    with the published Annex-K quantization and Huffman tables, real 2-D
+    DCT, zigzag, DC-differential/AC-run-length entropy coding and 0xFF
+    byte stuffing — whose pixels are 8x8-aligned SOLID TILES of value
+    2*((doc_id + bx + 3*by) % 128). Constant blocks with even
+    level-shifted values round-trip the lossy pipeline integer-EXACTLY
+    (DC quant step 16: round(8v'/16)*16/8 = v' for even v'), while the
+    per-tile variation forces real DC-differential chains across every
+    magnitude category and the non-multiple-of-8 dimensions force
+    partial-MCU edge replication. The mapInPandas decode stage parses
+    the stream back with ``jpeg_image_decoder`` (marker walk, DHT
+    rebuild from wire form, Huffman decode, dequantize + IDCT), and
+    DuckDB recomputes the decoded features straight from the tile
+    formula — a value-hash match proves encoder, entropy coding, and
+    decoder agree pixel-exactly with independently-derived arithmetic.
+    AC-coefficient (gradient/noise) content is bounded-error-checked in
+    tests/test_streaming_multimodal.py, where the scan bytes of a known
+    block are also pinned against hand-derived Annex-K codewords. Scale
+    shape: two chained map-only Arrow stages on an (id)-projection, no
+    shuffle."""
+    from scraping_jobsdb_spark.operators.multimodal import (
+        extract_image_features,
+        jpeg_image_decoder,
+    )
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import pandas as pd
+
+        from scraping_jobsdb_spark.operators.multimodal import (
+            jpeg_encode_gray,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 13, 8 + did % 11
+                rows = [
+                    bytes(
+                        2 * ((did + x // 8 + 3 * (y // 8)) % 128)
+                        for x in range(w)
+                    )
+                    for y in range(h)
+                ]
+                out["media_id"].append(did)
+                out["content"].append(jpeg_encode_gray(rows))
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, "media_id bigint, content binary")
+    return extract_image_features(media, decoder=jpeg_image_decoder).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
+@_register(
     "multimodal_wav_decode_features",
     oracle="""
     WITH d AS (
@@ -1234,6 +1318,59 @@ def q_embedding_ann_index_txn_lifecycle(
     ann_index_txn_delete(spark, path, F.col("vec_id") % 97 == 3)
     # batch scorer: bit-identical to the per-query probe (pinned by test),
     # ONE pruned read + O(1) plan instead of per-query scan unions
+    return ann_index_txn_topk_batch(
+        spark, path, query, n_probe=3, k=10, refine_factor=4,
+        refine_with=corpus,
+    ).withColumn("query_id", F.col("query_id").cast("bigint"))
+
+
+# Settled txn-ANN index directories, one per sf_dir (VERDICT r12 item 2:
+# the steady-state build happens outside the timed region, once per
+# process; see q_scale_ops._STEADY_CACHE for the dedup-index siblings).
+_ANN_STEADY_CACHE: dict[str, str] = {}
+
+
+@_register(
+    "ann_index_steady_probe",
+    oracle=_ivfpq_int8_oracle("a.vec_id % 97 = 3"),
+)
+def q_ann_index_steady_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEADY-STATE probe of the PRE-BUILT transactional ANN index
+    (VERDICT r12 item 2 — the retrieval-side member of the steady-state
+    family beside fpindex/lshindex_steady_admission): the full lifecycle
+    query above (``embedding_ann_index_txn_lifecycle``) rebuilds the
+    index — create(evens) + add(odds) + MoR delete — inside the query
+    every run, so its 5.43 s bench row measures commits, not retrieval.
+    Here the identical index state is settled ONCE per process (cached
+    per sf_dir) and the registered query pays only what a production
+    query path pays: ONE batch probe through the manifest-stats-pruned
+    per-cell read (unprobed cells' files never open) with the
+    deletion-vector overlay applied — O(probed cells + refine), flat in
+    corpus commits. Read-only, so re-runs are trivially deterministic;
+    the oracle is the lifecycle twin's IVFPQ SQL verbatim (same settled
+    state: evens + odds - deleted slice)."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_txn_add,
+        ann_index_txn_delete,
+        ann_index_txn_topk_batch,
+        write_ann_index_txn,
+    )
+
+    corpus, query, codebook, cents = _int8_ivfpq_inputs(spark, sf_dir)
+    path = _ANN_STEADY_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sjs_annx_steady_")
+        write_ann_index_txn(
+            corpus.filter(F.col("vec_id") % 2 == 0), path, codebook,
+            n_centroids=10, centroids=cents,
+        )
+        ann_index_txn_add(
+            spark, path, corpus.filter(F.col("vec_id") % 2 == 1)
+        )
+        ann_index_txn_delete(spark, path, F.col("vec_id") % 97 == 3)
+        _ANN_STEADY_CACHE[sf_dir] = path
     return ann_index_txn_topk_batch(
         spark, path, query, n_probe=3, k=10, refine_factor=4,
         refine_with=corpus,

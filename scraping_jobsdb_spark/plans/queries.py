@@ -78,100 +78,99 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-12 window (registry 238, window 50). Evidence going in (latest-
-# evidence join over CORRECTNESS_r01-r11): r11 went 47 hash-green + 3 clean
-# rows-only, 0 red; histogram r7:42 / r8:48 / r9:49 / r10:48 / r11:50, plus
-# seven queries registered this round with no rows yet. 7 + 1 + 42 = 50:
-# (a) the 7 never-evidenced queries: streaming_minhash_online_admission —
-#     the foreachBatch-driven ONLINE admission path of the LSH signature
-#     index (VERDICT r11 gap 1 / item 3: admit_stream_batch finally gate-
-#     evidenced, kept-only index state replayed in the oracle) — and
-#     the REAL-codec trio (VERDICT item 7): multimodal_png_decode_features
-#     (stdlib PNG — DEFLATE + scanline filters — through the Arrow decode
-#     stage, decoded features hash-matched to DuckDB's closed-form pixel
-#     arithmetic), multimodal_wav_decode_features (RIFF/WAVE PCM, encoder
-#     cross-checked against the stdlib wave reader), and
-#     multimodal_y4m_frame_sample (YUV4MPEG2 frame fan-out, frames
-#     sha-matched byte-for-byte) — and warc_ingest_roundtrip (the
-#     Common-Crawl WARC source: real per-record-gzip archives written by
-#     foreachPartition, read back through the binaryFile + Arrow record
-#     walk, status/length/sha hash-matched to the documents table) — and
-#     url_canonical_dedup (URL-level crawl dedup; the oracle states the
-#     expected canonical string INDEPENDENTLY from doc_id arithmetic) —
-#     and jsonl_ingest_roundtrip (gzipped JSON-Lines interchange,
-#     schema-first nested read, corrupt-record gate asserted empty).
+# Round-13 window (registry 250, window 50). Evidence going in (latest-
+# evidence join over CORRECTNESS_r01-r12 on the live registry): r12 went
+# 48 hash-green + 2 clean rows-only, 0 red; histogram r8:48 / r9:49 /
+# r10:48 / r11:49 / r12:50, plus six queries registered this round with
+# no rows yet. 6 + 1 + 43 = 50:
+# (a) the 6 never-evidenced queries (VERDICT r12 items 2/4/6/7):
+#     fpindex_steady_admission / lshindex_steady_admission /
+#     ann_index_steady_probe — the STEADY-STATE posture of the persisted
+#     indexes (settle once per process outside the timed region; the
+#     query pays only the epoch-replay admission check and the
+#     batch-sized probes, so the driver artifact finally evidences the
+#     O(batch) claim instead of re-charging the one-time create);
+#     online_admission_intra_batch — the intra-batch keep-list composed
+#     with online admission, both stages replayed in the oracle;
+#     curriculum_pack_order_approx — the percentile_approx production
+#     twin (distribution-free invariants gated; exact-vs-approx rank
+#     tolerance in pytest); multimodal_jpeg_decode_features — the REAL
+#     baseline-JPEG codec (Annex-K tables, solid-tile DC-exact round
+#     trip, hand-derived codeword pin in tests).
 # (b) the query whose implementation changed this round:
-#     embedding_neardup_pairs (ADVICE-high fix: the in-bucket GEMM's
-#     off-diagonal blocks now order-NORMALIZE pairs instead of
-#     order-filtering, so super-block buckets keep cross-block pairs;
-#     sub-block outputs — including every gate dataset — are unchanged;
-#     bucket dispatch also moved from per-group applyInPandas to
-#     partition-sorted mapInPandas runs). VERDICT item 4's md5 gram-key
-#     swap for exact_substring_dedup_spans was implemented, A/B-measured
-#     13% SLOWER at 100x (compression already eats the text-gram
-#     redundancy; digests are incompressible), and REVERTED — the
-#     operator is byte-identical to its r11-green form, so it returns
-#     its window slot.
-# (c) the ENTIRE 42-member r7-stale cohort (VERDICT item 2 — after this
-#     window no query's evidence is older than r8).
-# The r8 cohort members that briefly held (d) slots this round all
-# ceded them to the new registrations (cdc_apply_changes_txn,
-# bpe_learned_merges, bm25_doc_ranking, bloom_point_lookup_txn,
-# asof_join_forward_window); the r8 tail rotation resumes next round.
+#     url_canonical_dedup (canonicalize_url port-strip fix — :443 now
+#     strips ONLY for https, scheme-less inputs pass through; the gate
+#     dataset is all-http(s) and the output is locally value-hash
+#     verified unchanged, but the transform's code changed, so it
+#     re-gates). Two other r13 code touches are deliberately NOT
+#     re-windowed: streaming_minhash_online_admission gained an
+#     error-path-only awaitTermination timeout guard (output unchanged
+#     when the stream drains; hash-verified locally), and the WARC
+#     reader's per-record isolation fix only affects malformed records
+#     the roundtrip query never writes (hash-verified locally).
+# (c) 43 of the 48-member r8-stale cohort (VERDICT item 1). Five
+#     members defer to r14 because the window is full and each has
+#     FRESHER family evidence standing in: embedding_topk_np (ANN family
+#     green via embedding_ann_index_topk r9-r11 + ann_index_steady_probe
+#     this round), scalar_date_pack (scalar packs green r12),
+#     nation_volume_shipping + market_share_by_year (classic join/agg
+#     family green r12 via pricing_summary/large_order_customers),
+#     shipping_priority_top10 (top-k family green r12 via
+#     sorted_page_offset). They lead the r14 window with the r9 cohort.
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
-    "streaming_minhash_online_admission",
-    "multimodal_png_decode_features",
-    "multimodal_wav_decode_features",
-    "multimodal_y4m_frame_sample",
-    "warc_ingest_roundtrip",
-    "url_canonical_dedup",
-    "jsonl_ingest_roundtrip",
+    "fpindex_steady_admission",
+    "lshindex_steady_admission",
+    "ann_index_steady_probe",
+    "online_admission_intra_batch",
+    "curriculum_pack_order_approx",
+    "multimodal_jpeg_decode_features",
     # (b) implementation changed this round
-    "embedding_neardup_pairs",
-    # (c) the full r7-stale cohort (alphabetical)
-    "cdc_row_changes_bucketed_txn",
-    "cdc_row_changes_txn",
-    "count_distinct_pagination",
-    "cross_join_param_grid",
-    "customer_order_histogram",
-    "deterministic_sample_split",
-    "doc_text_normalize",
-    "embedding_kmeans_cells",
-    "events_hourly_tumbling",
-    "events_ohlc_hourly",
-    "events_session_streaming",
-    "events_session_window",
-    "events_sliding_streaming",
-    "events_sliding_windows",
-    "events_stream_stream_join",
-    "events_streaming_dedup",
-    "events_user_zscore",
-    "funnel_click_to_purchase",
-    "group_share_threshold",
-    "large_order_customers",
-    "latest_event_per_user",
-    "llm_corpus_prep",
-    "minhash_neardup_pairs",
-    "multimodal_binary_features",
-    "multimodal_corpus_prep",
-    "order_flow_pagerank_redistribute",
-    "pricing_summary",
-    "promo_revenue_ratio",
-    "range_join_followups",
-    "robust_stats_mad",
-    "salted_groupby_skewed",
-    "scalar_json_pack",
-    "scalar_misc_pack",
-    "semantic_dedup_embeddings",
-    "small_quantity_revenue",
-    "sorted_page_offset",
-    "stats_regression_pack",
-    "stratified_sample_per_lang",
-    "tfidf_top_terms",
-    "top_revenue_suppliers",
-    "value_histogram_bins",
-    "window_moving_average",
+    "url_canonical_dedup",
+    # (c) 43 of the r8-stale cohort (alphabetical; 5 defer to r14, see above)
+    "asof_join_forward_window",
+    "bloom_point_lookup_txn",
+    "bm25_doc_ranking",
+    "bpe_learned_merges",
+    "cdc_apply_changes_txn",
+    "cms_term_frequencies",
+    "decontamination_ngram_overlap",
+    "dedup_keep_best_quality",
+    "dedup_pipeline_winnowing",
+    "doc_bigram_perplexity",
+    "doc_chunking",
+    "doc_pii_redaction",
+    "doc_repetition_stats",
+    "doc_segment_dedup_global",
+    "doc_top_ngrams",
+    "doc_unigram_surprisal",
+    "embedding_int8_cosine_topk",
+    "embedding_ivf_topk",
+    "events_daily_gap_fill",
+    "events_ohlc_streaming",
+    "events_time_weighted_value",
+    "fuzzy_join_supplier_names",
+    "gopher_quality_flags",
+    "hll_portable_registers",
+    "incremental_mv_refresh",
+    "kmv_distinct_sketches",
+    "leakage_safe_split_stats",
+    "merge_upsert_txn",
+    "minhash_portable_neardup_pairs",
+    "mixture_weighted_corpus_sample",
+    "quality_top_fraction_per_lang",
+    "quantile_hash_sample",
+    "recursive_event_chains",
+    "regional_supplier_volume",
+    "retention_cohorts",
+    "skew_join_salted",
+    "sole_supplier_orders",
+    "term_postings_index",
+    "token_budget_sample_per_lang",
+    "txn_merge_full_sync",
+    "variant_json_surface",
+    "weighted_sample_by_length",
+    "winnowing_containment_pairs",
 ]
 
 

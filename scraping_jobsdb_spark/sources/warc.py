@@ -166,11 +166,17 @@ def parse_warc_members(blob: bytes, gzipped: bool = True) -> list[tuple]:
     if gzipped:
         try:
             for member in _split_members(blob):
-                rec = _parse_record(member)
+                try:
+                    rec = _parse_record(member)
+                except Exception:
+                    # one malformed RECORD (e.g. non-UTF-8 header bytes)
+                    # must not drop the rest of the file — the gzip
+                    # member walk still resyncs at the next member
+                    continue
                 if rec is not None:
                     out.append(rec)
         except zlib.error:
-            # a corrupt member ends the walk (members are a stream —
+            # a corrupt MEMBER ends the walk (members are a stream —
             # there is no trustworthy resync point past bad DEFLATE
             # data); records already parsed from this file survive
             pass

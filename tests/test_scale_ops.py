@@ -3129,3 +3129,92 @@ def test_global_ordered_rank_equals_global_window_and_is_parallel(spark):
     ]
     assert len(live_range_exchanges) == 1, final
     assert len(reused) == 1, final
+
+
+def test_curriculum_approx_matches_exact_within_rank_tolerance(spark):
+    """curriculum_pack_order_approx (the percentile_approx production
+    twin) vs the exact twin: each approx tertile cut must sit within the
+    GK sketch's rank-error bound of its exact target rank over the
+    quality distribution, and the twin's invariant row must be all-true
+    (VERDICT r12 item 4's evidence split — values in pytest, invariants
+    in the gate)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from scraping_jobsdb_spark.operators.textops import quality_score
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+    from scraping_jobsdb_spark.sources.tables import load_table as lt
+
+    row = (
+        REGISTRY["curriculum_pack_order_approx"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()
+    )
+    assert len(row) == 1
+    r = row[0]
+    assert r.positions_are_permutation
+    assert r.buckets_contiguous_ordered
+    assert r.bucket_order_matches_quality
+    assert r.cut_rank_error_bounded
+
+    docs = (
+        lt(spark, SF_SMOKE, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    assert r.total_rows == docs.count()
+    scores = sorted(
+        x.q
+        for x in docs.select(
+            F.round(quality_score("text"), 9).alias("q")
+        ).collect()
+    )
+    approx_cuts = (
+        docs.select(F.round(quality_score("text"), 9).alias("q"))
+        .agg(
+            F.expr(
+                "percentile_approx(q, array(1.0D/3.0D, 2.0D/3.0D), 10000)"
+            ).alias("qs")
+        )
+        .collect()[0]
+        .qs
+    )
+    n = len(scores)
+    for frac, cut in zip((1.0 / 3.0, 2.0 / 3.0), approx_cuts):
+        target = frac * n
+        lo = bisect.bisect_left(scores, cut)
+        hi = bisect.bisect_right(scores, cut)
+        tol = max(2.0, 2 * n * 1e-4)  # ε-bound; tie width via [lo,hi]
+        assert lo - tol <= target <= hi + tol, (
+            f"cut {cut} at fraction {frac}: rank window [{lo},{hi}], "
+            f"target {target}"
+        )
+
+
+def test_steady_admission_queries_are_run_stable(spark):
+    """The steady-state index queries settle once per process and must
+    return BYTE-IDENTICAL rows on every subsequent run (the epoch replay
+    no-ops, the probes self-exclude) — the property that makes a cached
+    settled index sound under min-of-N bench timing."""
+    from scraping_jobsdb_spark.plans import q_scale_ops
+    from scraping_jobsdb_spark.plans.queries import REGISTRY
+
+    for name, kind in (
+        ("fpindex_steady_admission", "fpidx"),
+        ("lshindex_steady_admission", "lshidx"),
+        ("online_admission_intra_batch", "intralsh"),
+    ):
+        first = sorted(
+            tuple(r) for r in REGISTRY[name].spark_fn(spark, SF_SMOKE).collect()
+        )
+        assert (kind, SF_SMOKE) in q_scale_ops._STEADY_CACHE, name
+        path_after_first = q_scale_ops._STEADY_CACHE[(kind, SF_SMOKE)]
+        second = sorted(
+            tuple(r) for r in REGISTRY[name].spark_fn(spark, SF_SMOKE).collect()
+        )
+        assert first == second, f"{name}: replay drifted"
+        assert (
+            q_scale_ops._STEADY_CACHE[(kind, SF_SMOKE)] == path_after_first
+        ), f"{name}: settled index was rebuilt on re-run"
+        assert len(first) > 0, name

@@ -27,6 +27,14 @@ def test_canonicalize_url_cases(spark):
         ("http://example.org:443/x", "http://example.org:443/x"),
         # param order normalized
         ("http://example.org/x?z=1&y=2&utm_medium=m", "http://example.org/x?y=2&z=1"),
+        # :443 is https's default, NOT ftp's — other schemes keep explicit ports
+        ("ftp://Host.example:443/x", "ftp://host.example:443/x"),
+        ("ftp://Host.example:21/x", "ftp://host.example:21/x"),
+        # non-default https port survives
+        ("https://example.org:8443/x", "https://example.org:8443/x"),
+        # scheme-less input passes through unchanged (contract: scheme required)
+        ("example.com/path?utm_source=x", "example.com/path?utm_source=x"),
+        ("", ""),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r[0] for r in df.select(canonicalize_url("u")).collect()]

@@ -62,6 +62,28 @@ def test_warc_corrupt_file_isolated(spark, tmp_path):
     assert got == {"http://t.example/ok": 200, "http://t.example/other": 301}
 
 
+def test_warc_malformed_record_isolated_within_file():
+    """A record whose WARC header block holds non-UTF-8 bytes (raises in
+    the header decode) is skipped; the SAME file's other records — before
+    AND after it — still parse (per-record isolation, not per-file)."""
+    from scraping_jobsdb_spark.sources.warc import (
+        parse_warc_members,
+        warc_gz_file,
+        warc_response_record,
+    )
+
+    before = warc_response_record("http://t.example/before", b"b1")
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://t.example/\xff\xfe-latin\r\n"
+        b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    after = warc_response_record("http://t.example/after", b"a1")
+    blob = warc_gz_file([before, bad, after])
+    urls = [r[0] for r in parse_warc_members(blob)]
+    assert urls == ["http://t.example/before", "http://t.example/after"]
+
+
 def test_warc_warcinfo_passthrough_and_plain_mode(spark, tmp_path):
     from scraping_jobsdb_spark.sources.warc import (
         read_warc,

@@ -79,6 +79,9 @@ REQUIRED = [
     ("corpus_pmi_pairs", "TakeOrderedAndProject"),
     # whitening: both corpus passes are Arrow-batched (moments + transform)
     ("embedding_whitening_topk", "MapInPandas"),
+    # JPEG decode: two chained Arrow stages (encode fan-out + decode),
+    # never row-at-a-time Python
+    ("multimodal_jpeg_decode_features", "MapInPandas"),
 ]
 
 FORBIDDEN = [
@@ -395,6 +398,23 @@ FORBIDDEN = [
     # beyond the sketch state, no join, no Python
     ("approx_topk_native", "Join"),
     ("approx_topk_native", "BatchEvalPython"),
+    # --- round 13 additions ---
+    # steady-state index probes: batch fingerprint/signature equi-joins
+    # against the stored index (batch side broadcast) — never a product,
+    # never row-at-a-time Python
+    ("fpindex_steady_admission", "CartesianProduct"),
+    ("fpindex_steady_admission", "BatchEvalPython"),
+    ("lshindex_steady_admission", "CartesianProduct"),
+    ("lshindex_steady_admission", "BatchEvalPython"),
+    ("online_admission_intra_batch", "CartesianProduct"),
+    ("online_admission_intra_batch", "BatchEvalPython"),
+    ("ann_index_steady_probe", "CartesianProduct"),
+    ("ann_index_steady_probe", "BatchEvalPython"),
+    # percentile_approx curriculum twin: bounded sketch state — the exact
+    # percentile's full value buffer must never reappear, and the rank is
+    # the range-exchange form, never a single-partition window
+    ("curriculum_pack_order_approx", "percentile("),
+    ("curriculum_pack_order_approx", "BatchEvalPython"),
 ]
 
 

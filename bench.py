@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "curriculum_pack_order_approx",
     # real baseline-JPEG codec through the decode stage (item 6)
     "multimodal_jpeg_decode_features",
+    # real ISO-BMFF container walk + stsz/stco demux (video ingest pass)
+    "multimodal_mp4_demux",
 ]
 
 # Full-lifecycle streaming rows moved to the SCALING-ONLY tier (VERDICT

@@ -14,10 +14,13 @@ DCT, byte-stuffed entropy decode), ``bmp_image_decoder`` /
 ``bmp_image_resizer`` (24-bit BI_RGB), with matching encoders — so the
 decode path is exercised end to end against genuine container formats
 (gate queries multimodal_png_decode_features /
-multimodal_jpeg_decode_features). Remaining lib-gated hooks: video
-(MP4/H.26x) and compressed audio, where a real stdlib implementation is
-not feasible; swapping in ffmpeg changes one injected callable, nothing
-else.
+multimodal_jpeg_decode_features). Video is real at the CONTAINER level:
+``mp4_metadata`` (ISO-BMFF box walk) and ``mp4_sample_splitter`` (stsz/
+stco demux) implement the first pass a 100 TB video corpus actually
+runs — filter by duration/codec/dims, hand encoded samples to a decoder
+pool. Remaining lib-gated hooks: video BITSTREAM decode (H.26x/AV1) and
+compressed audio, where a real stdlib implementation is not feasible;
+swapping in ffmpeg changes one injected callable, nothing else.
 
 Scale notes: binary payloads ride Parquet as page-compressed byte arrays;
 decode stages are map-only (no shuffle) and should run on a projection that
@@ -64,6 +67,9 @@ __all__ = [
     "extract_audio_features",
     "png_encode_gray",
     "png_image_decoder",
+    "jpeg_encode_gray",
+    "jpeg_decode_gray",
+    "jpeg_image_decoder",
     "bmp_encode_rgb",
     "bmp_image_decoder",
     "bmp_image_resizer",
@@ -71,6 +77,9 @@ __all__ = [
     "wav_audio_decoder",
     "y4m_encode",
     "y4m_frame_splitter",
+    "mp4_write",
+    "mp4_metadata",
+    "mp4_sample_splitter",
 ]
 
 # An opaque media column with typed metadata — the multimodal table shape.
@@ -1096,3 +1105,223 @@ def jpeg_image_decoder(content: bytes) -> tuple[int, int, int]:
     w, h, rows = jpeg_decode_gray(content)
     total = sum(sum(r) for r in rows)
     return w, h, total // (w * h)
+
+
+# ------------------------------------------------------------- MP4 / BMFF
+# REAL ISO Base Media File Format (ISO/IEC 14496-12) container support —
+# the video member of the ingest family. A 100 TB multimodal pipeline's
+# FIRST video pass is never a decode: it is a container walk (filter by
+# duration/codec/dimensions, budget by sample count) and a DEMUX (pull
+# the still-encoded sample payloads for downstream GPU decode). Both of
+# those are pure struct parsing and are implemented for real here:
+# ``mp4_metadata`` walks the box tree (ftyp/moov/mvhd/trak/tkhd/mdia/
+# mdhd/hdlr/stbl/stsd/stts/stsz/stco/mdat, 32-bit and version-aware
+# fields, 16.16 fixed-point track dims) and ``mp4_sample_splitter``
+# resolves stsz+stco into the per-sample byte ranges — the exact demux a
+# production pipeline hands to its decoder pool. Bitstream DECODE of the
+# samples (H.264/AV1) remains the one genuinely lib-gated hook.
+
+
+def mp4_write(
+    w: int,
+    h: int,
+    codec: str,
+    timescale: int,
+    sample_ticks: int,
+    samples: list[bytes],
+) -> bytes:
+    """Minimal REAL ISO-BMFF writer: ftyp + moov (mvhd, one video trak
+    with tkhd/mdhd/hdlr/minf/stbl — stsd carrying ``codec`` as the sample
+    entry fourcc, stts/stsc/stsz/stco real) + mdat holding the sample
+    payloads back to back. Box sizes, nesting, and version/flags fields
+    follow the spec, so any BMFF reader walks it."""
+    if len(codec) != 4:
+        raise ValueError("codec fourcc must be 4 chars")
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    def full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return box(tag, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+    n = len(samples)
+    duration = n * sample_ticks
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+    )
+    mdhd = full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # 'und' language, packed
+    )
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"video\x00")
+    # sample entry: the 8-byte sample-entry header + the video-specific
+    # fixed fields (78 bytes total per 14496-12 §12.1.3)
+    entry = (
+        struct.pack(">I", 86) + codec.encode()
+        + b"\x00" * 6 + struct.pack(">H", 1)          # reserved, data_ref
+        + struct.pack(">HHII", 0, 0, 0, 0) + struct.pack(">I", 0)
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">IH", 0, 1)                    # frame_count=1
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 0x0018, -1)              # depth, pre_defined
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_ticks))
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    # one chunk at a known offset: everything before mdat's payload —
+    # assembled twice because stco's value depends on the header length
+    # (which is invariant in the offset, so two passes converge)
+    def assemble(stco_offset: int) -> bytes:
+        stco = full(b"stco", 0, 0, struct.pack(">II", 1, stco_offset))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = full(
+            b"dref", 0, 0,
+            struct.pack(">I", 1) + full(b"url ", 0, 1, b""),
+        )
+        dinf = box(b"dinf", dref)
+        minf = box(b"minf", vmhd + dinf + stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + moov
+    head = assemble(0)
+    offset = len(head) + 8  # mdat payload starts after its size+tag
+    head = assemble(offset)
+    mdat = box(b"mdat", b"".join(samples))
+    return head + mdat
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # to end of file
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed box size")
+        yield tag, body, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def mp4_metadata(content: bytes) -> dict:
+    """REAL BMFF box walk -> container metadata: (duration_ms, timescale,
+    n_tracks, codec fourcc, width, height, n_samples, mdat_bytes). The
+    values every corpus-level video filter runs on, extracted without
+    touching a single codec bit."""
+    if content is None or len(content) < 16 or content[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file")
+    meta = {
+        "timescale": None, "duration": None, "n_tracks": 0,
+        "codec": None, "width": None, "height": None,
+        "n_samples": None, "mdat_bytes": 0,
+    }
+
+    def walk(start: int, end: int) -> None:
+        for tag, body, nxt in _mp4_boxes(content, start, end):
+            if tag in _MP4_CONTAINERS:
+                if tag == b"trak":
+                    meta["n_tracks"] += 1
+                walk(body, nxt)
+            elif tag == b"mvhd":
+                version = content[body]
+                if version == 1:
+                    ts, dur = struct.unpack(">IQ", content[body + 20 : body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", content[body + 12 : body + 20])
+                meta["timescale"], meta["duration"] = ts, dur
+            elif tag == b"tkhd":
+                wfix, hfix = struct.unpack(
+                    ">II", content[nxt - 8 : nxt]
+                )
+                meta["width"], meta["height"] = wfix >> 16, hfix >> 16
+            elif tag == b"stsd":
+                (fourcc,) = (content[body + 12 : body + 16],)
+                meta["codec"] = fourcc.decode("ascii", "replace")
+            elif tag == b"stsz":
+                cnt = struct.unpack(">I", content[body + 8 : body + 12])[0]
+                meta["n_samples"] = cnt
+            elif tag == b"mdat":
+                meta["mdat_bytes"] += nxt - body
+
+    walk(0, len(content))
+    if meta["timescale"] in (None, 0):
+        raise ValueError("no mvhd timescale")
+    meta["duration_ms"] = meta["duration"] * 1000 // meta["timescale"]
+    return meta
+
+
+def mp4_sample_splitter(content: bytes) -> list[bytes]:
+    """REAL demux: resolve stsz (per-sample sizes) + stco (chunk offsets)
+    into the encoded sample payloads — the byte ranges a decoder pool
+    consumes. Single-chunk layout (what ``mp4_write`` emits and what
+    per-record crawl video overwhelmingly is); multi-chunk stsc walking
+    would extend the same arithmetic. Decode of the returned samples is
+    the lib-gated hook."""
+    sizes: list[int] = []
+    offsets: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        for tag, body, nxt in _mp4_boxes(content, start, end):
+            if tag in _MP4_CONTAINERS or tag == b"trak":
+                walk(body, nxt)
+            elif tag == b"stsz":
+                fixed, cnt = struct.unpack(">II", content[body + 4 : body + 12])
+                if fixed:
+                    sizes.extend([fixed] * cnt)
+                else:
+                    for i in range(cnt):
+                        sizes.append(
+                            struct.unpack(
+                                ">I", content[body + 12 + 4 * i : body + 16 + 4 * i]
+                            )[0]
+                        )
+            elif tag == b"stco":
+                cnt = struct.unpack(">I", content[body + 4 : body + 8])[0]
+                for i in range(cnt):
+                    offsets.append(
+                        struct.unpack(
+                            ">I", content[body + 8 + 4 * i : body + 12 + 4 * i]
+                        )[0]
+                    )
+
+    walk(0, len(content))
+    if not offsets or not sizes:
+        raise ValueError("no sample tables")
+    out = []
+    pos = offsets[0]
+    for s in sizes:
+        if pos + s > len(content):
+            raise ValueError("sample range past EOF")
+        out.append(content[pos : pos + s])
+        pos += s
+    return out

@@ -746,6 +746,140 @@ def q_multimodal_y4m_frame_sample(
 
 
 @_register(
+    "multimodal_mp4_demux",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               3 + doc_id % 4 AS n,
+               600 * (1 + doc_id % 4) AS ts,
+               40 + doc_id % 25 AS ticks,
+               CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                               WHEN 2 THEN 'vp09' ELSE 'av01' END AS codec,
+               16 * (1 + doc_id % 5) AS w,
+               16 * (1 + doc_id % 3) AS h
+        FROM documents
+    ), s AS (
+        SELECT d.*, unnest(range(0, n)) AS i FROM d
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           substr(sha256(repeat(
+               chr(CAST(32 + (doc_id * 13 + i * 7) % 64 AS INT)),
+               CAST(20 + (doc_id + 3 * i) % 30 AS INT))), 1, 16)
+               AS frame_sha,
+           CAST(n * ticks * 1000 // ts AS BIGINT) AS duration_ms,
+           CAST(ts AS INT) AS timescale,
+           codec,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n AS INT) AS n_samples
+    FROM s WHERE i % 2 = 0
+    """,
+)
+def q_multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 (ISO-BMFF 14496-12) through the video ingest pass a
+    100 TB corpus actually runs FIRST — container metadata + demux, no
+    bitstream decode: each document becomes a structurally-real MP4
+    (``mp4_write``: ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl
+    with live stsd/stts/stsc/stsz/stco tables + mdat) whose sample
+    payloads are single-ASCII-value runs the oracle can restate with
+    repeat(chr(v)). ONE Arrow stage then walks the box tree back
+    (``mp4_metadata``: version-aware mvhd/tkhd fields, 16.16 fixed track
+    dims, stsd fourcc) and demuxes the encoded samples
+    (``mp4_sample_splitter``: stsz sizes + stco offsets -> exact byte
+    ranges), keeping every 2nd sample — one output row per kept sample
+    carrying the per-file metadata. DuckDB re-derives duration/codec/
+    dims/sample-count from the generators and sha256s each sample's
+    reconstructed bytes, so the whole container walk AND the demux
+    arithmetic are verified byte-for-byte. Bitstream decode of the
+    samples stays the documented lib-gated hook. Scale shape: two
+    chained map-only Arrow stages on an (id)-projection, no shuffle;
+    per-record failures isolate (malformed files drop, siblings
+    survive)."""
+    from scraping_jobsdb_spark.session import ship_package
+
+    ship_package(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        import pandas as pd
+
+        from scraping_jobsdb_spark.operators.multimodal import mp4_write
+
+        codecs = ["avc1", "hvc1", "vp09", "av01"]
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+                samples = [
+                    bytes([32 + (did * 13 + i * 7) % 64])
+                    * (20 + (did + 3 * i) % 30)
+                    for i in range(n)
+                ]
+                out["media_id"].append(did)
+                out["content"].append(
+                    mp4_write(
+                        16 * (1 + did % 5),
+                        16 * (1 + did % 3),
+                        codecs[did % 4],
+                        600 * (1 + did % 4),
+                        40 + did % 25,
+                        samples,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(encode, "media_id bigint, content binary")
+
+    def demux(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from scraping_jobsdb_spark.operators.multimodal import (
+            mp4_metadata,
+            mp4_sample_splitter,
+        )
+
+        cols = (
+            "media_id", "frame_idx", "frame_sha", "duration_ms",
+            "timescale", "codec", "width", "height", "n_samples",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    blob = bytes(content)
+                    meta = mp4_metadata(blob)
+                    samples = mp4_sample_splitter(blob)
+                except Exception:  # noqa: BLE001 — per-record isolation
+                    continue
+                for i, payload in enumerate(samples):
+                    if i % 2:
+                        continue
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["frame_sha"].append(
+                        hashlib.sha256(payload).hexdigest()[:16]
+                    )
+                    out["duration_ms"].append(meta["duration_ms"])
+                    out["timescale"].append(meta["timescale"])
+                    out["codec"].append(meta["codec"])
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["n_samples"].append(meta["n_samples"])
+            yield pd.DataFrame(out, columns=list(cols))
+
+    return media.mapInPandas(
+        demux,
+        "media_id bigint, frame_idx int, frame_sha string, "
+        "duration_ms bigint, timescale int, codec string, width int, "
+        "height int, n_samples int",
+    )
+
+
+@_register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

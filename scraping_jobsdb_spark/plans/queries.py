@@ -82,8 +82,8 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # evidence join over CORRECTNESS_r01-r12 on the live registry): r12 went
 # 48 hash-green + 2 clean rows-only, 0 red; histogram r8:48 / r9:49 /
 # r10:48 / r11:49 / r12:50, plus six queries registered this round with
-# no rows yet. 6 + 1 + 43 = 50:
-# (a) the 6 never-evidenced queries (VERDICT r12 items 2/4/6/7):
+# no rows yet. 7 + 1 + 42 = 50:
+# (a) the 7 never-evidenced queries (VERDICT r12 items 2/4/6/7):
 #     fpindex_steady_admission / lshindex_steady_admission /
 #     ann_index_steady_probe — the STEADY-STATE posture of the persisted
 #     indexes (settle once per process outside the timed region; the
@@ -96,7 +96,10 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     twin (distribution-free invariants gated; exact-vs-approx rank
 #     tolerance in pytest); multimodal_jpeg_decode_features — the REAL
 #     baseline-JPEG codec (Annex-K tables, solid-tile DC-exact round
-#     trip, hand-derived codeword pin in tests).
+#     trip, hand-derived codeword pin in tests);
+#     multimodal_mp4_demux — REAL ISO-BMFF container walk + stsz/stco
+#     demux, per-sample bytes sha-matched (bitstream decode stays the
+#     documented lib-gated hook).
 # (b) the query whose implementation changed this round:
 #     url_canonical_dedup (canonicalize_url port-strip fix — :443 now
 #     strips ONLY for https, scheme-less inputs pass through; the gate
@@ -108,15 +111,16 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     when the stream drains; hash-verified locally), and the WARC
 #     reader's per-record isolation fix only affects malformed records
 #     the roundtrip query never writes (hash-verified locally).
-# (c) 43 of the 48-member r8-stale cohort (VERDICT item 1). Five
+# (c) 42 of the 48-member r8-stale cohort (VERDICT item 1). Six
 #     members defer to r14 because the window is full and each has
 #     FRESHER family evidence standing in: embedding_topk_np (ANN family
 #     green via embedding_ann_index_topk r9-r11 + ann_index_steady_probe
 #     this round), scalar_date_pack (scalar packs green r12),
-#     nation_volume_shipping + market_share_by_year (classic join/agg
-#     family green r12 via pricing_summary/large_order_customers),
-#     shipping_priority_top10 (top-k family green r12 via
-#     sorted_page_offset). They lead the r14 window with the r9 cohort.
+#     nation_volume_shipping + market_share_by_year +
+#     regional_supplier_volume (classic join/agg family green r12 via
+#     pricing_summary/large_order_customers), shipping_priority_top10
+#     (top-k family green r12 via sorted_page_offset). They lead the r14
+#     window with the r9 cohort.
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
     "fpindex_steady_admission",
@@ -125,6 +129,7 @@ _GATE_PRIORITY = [
     "online_admission_intra_batch",
     "curriculum_pack_order_approx",
     "multimodal_jpeg_decode_features",
+    "multimodal_mp4_demux",
     # (b) implementation changed this round
     "url_canonical_dedup",
     # (c) 43 of the r8-stale cohort (alphabetical; 5 defer to r14, see above)
@@ -161,7 +166,6 @@ _GATE_PRIORITY = [
     "quality_top_fraction_per_lang",
     "quantile_hash_sample",
     "recursive_event_chains",
-    "regional_supplier_volume",
     "retention_cohorts",
     "skew_join_salted",
     "sole_supplier_orders",

@@ -199,6 +199,8 @@ FAMILIES = [
     "curriculum_pack_order_approx",
     # real baseline-JPEG codec through the Arrow decode stage
     "multimodal_jpeg_decode_features",
+    # real ISO-BMFF container walk + demux through the Arrow stage
+    "multimodal_mp4_demux",
     # NOT measured: jdbc_live_roundtrip — a scale row there would measure
     # the embedded Derby test double's single-JVM serial ingest (12.6x at
     # 10x when tried), not a plan property of this engine; production

@@ -1194,3 +1194,64 @@ def test_jpeg_codec_laws():
         jpeg_decode_gray(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(ValueError):
         jpeg_decode_gray(blob[:40])
+
+
+def test_mp4_container_walk_and_demux_laws():
+    """ISO-BMFF laws: the writer's box tree walks back exactly (metadata
+    fields, 16.16 track dims, stsd fourcc, sample count), the demux
+    returns the exact payload byte ranges, 64-bit largesize and
+    size-to-EOF boxes parse, and malformed inputs raise instead of
+    mis-parsing."""
+    import struct
+
+    import pytest
+
+    from scraping_jobsdb_spark.operators.multimodal import (
+        mp4_metadata,
+        mp4_sample_splitter,
+        mp4_write,
+    )
+
+    samples = [bytes([40 + i]) * (15 + 3 * i) for i in range(7)]
+    blob = mp4_write(48, 32, "hvc1", 2400, 100, samples)
+    m = mp4_metadata(blob)
+    assert m["width"] == 48 and m["height"] == 32
+    assert m["codec"] == "hvc1" and m["n_samples"] == 7
+    assert m["timescale"] == 2400 and m["duration_ms"] == 700 * 1000 // 2400
+    assert m["n_tracks"] == 1
+    assert m["mdat_bytes"] == sum(len(s) for s in samples)
+    assert mp4_sample_splitter(blob) == samples
+
+    # size==0 (to end of file) on the trailing mdat still parses
+    i = blob.rfind(b"mdat") - 4
+    zero_size = blob[:i] + struct.pack(">I", 0) + blob[i + 4 :]
+    assert mp4_metadata(zero_size)["mdat_bytes"] == m["mdat_bytes"]
+
+    # 64-bit largesize form of mdat: the box WALK handles it (metadata
+    # parses, mdat byte count right). The 8 extra header bytes shift the
+    # payload while stco still points at the old absolute offsets — a
+    # stale-offset file by construction — so the demux must NOT return
+    # the original samples as if nothing happened.
+    (old_size,) = struct.unpack(">I", blob[i : i + 4])
+    large = (
+        blob[:i]
+        + struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", old_size + 8)
+        + blob[i + 8 :]
+    )
+    assert mp4_metadata(large)["mdat_bytes"] == m["mdat_bytes"]
+    try:
+        shifted = mp4_sample_splitter(large)
+        assert shifted != samples
+    except ValueError:
+        pass  # a range error is equally correct for stale offsets
+
+    with pytest.raises(ValueError):
+        mp4_metadata(b"\x00\x00\x00\x08free")  # no ftyp
+    with pytest.raises(ValueError):
+        mp4_metadata(blob[:32])  # truncated box tree
+    bad = bytearray(blob)
+    bad[0:4] = struct.pack(">I", 3)  # box size < 8
+    with pytest.raises(ValueError):
+        mp4_metadata(bytes(bad))

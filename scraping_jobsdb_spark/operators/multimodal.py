@@ -18,9 +18,11 @@ multimodal_jpeg_decode_features). Video is real at the CONTAINER level:
 ``mp4_metadata`` (ISO-BMFF box walk) and ``mp4_sample_splitter`` (stsz/
 stco demux) implement the first pass a 100 TB video corpus actually
 runs — filter by duration/codec/dims, hand encoded samples to a decoder
-pool. Remaining lib-gated hooks: video BITSTREAM decode (H.26x/AV1) and
-compressed audio, where a real stdlib implementation is not feasible;
-swapping in ffmpeg changes one injected callable, nothing else.
+pool. Compressed audio is real too: IMA-ADPCM (WAV fmt 0x0011) encode/
+decode (``wav_encode_adpcm`` / ``adpcm_audio_decoder``). Remaining
+lib-gated hooks: video BITSTREAM decode (H.26x/AV1) and perceptual audio
+(MP3/AAC), where a real stdlib implementation is not feasible; swapping
+in ffmpeg changes one injected callable, nothing else.
 
 Scale notes: binary payloads ride Parquet as page-compressed byte arrays;
 decode stages are map-only (no shuffle) and should run on a projection that
@@ -75,6 +77,9 @@ __all__ = [
     "bmp_image_resizer",
     "wav_encode_pcm16",
     "wav_audio_decoder",
+    "wav_encode_adpcm",
+    "wav_decode_adpcm",
+    "adpcm_audio_decoder",
     "y4m_encode",
     "y4m_frame_splitter",
     "mp4_write",
@@ -1325,3 +1330,183 @@ def mp4_sample_splitter(content: bytes) -> list[bytes]:
         out.append(content[pos : pos + s])
         pos += s
     return out
+
+
+# --------------------------------------------------------------- IMA-ADPCM
+# REAL compressed-audio codec: IMA/DVI ADPCM inside the WAV container
+# (format tag 0x0011 — the spec-public 4-bit-per-sample compressed WAV
+# every legacy toolchain reads). Closes the "compressed audio decode is
+# lib-gated" gap for a real format; perceptual codecs (MP3/AAC) remain
+# the genuinely lib-gated hooks. The coder is the standard integer state
+# machine (step table + index table from the IMA spec); both sides below
+# share the tables, and decode parity on constant signals is EXACT
+# (nibble 0 at step index 0 moves the predictor by step>>3 = 0), which is
+# what a future hash-oracled gate row will pin — registration deferred to
+# the r14 window (r13's is full; tests cover the codec now).
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _adpcm_encode_nibble(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    """One IMA quantize step: returns (nibble, new_pred, new_index)."""
+    step = _ADPCM_STEPS[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    # magnitude bits by successive approximation (the spec's reference flow)
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    pred = _adpcm_decode_nibble(nibble, pred, index)[0]
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return nibble, pred, index
+
+
+def _adpcm_decode_nibble(nibble: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA reconstruct step: returns (new_pred, new_index)."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = _adpcm_clamp16(pred - diff if nibble & 8 else pred + diff)
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def wav_encode_adpcm(rate: int, samples: list[int], block_samples: int = 505) -> bytes:
+    """REAL IMA-ADPCM WAV encoder (fmt tag 0x0011, mono): block-aligned
+    stream — each block opens with the raw 16-bit predictor sample + step
+    index, then 4-bit codes two-per-byte (low nibble first). Block layout
+    and fmt fields (block_align = 4 + ceil((block_samples-1)/2) rounded
+    to even, samples_per_block in the fact chunk's sibling cbSize field)
+    follow the Microsoft/IMA spec."""
+    if not samples:
+        raise ValueError("empty PCM stream")
+    if block_samples < 2 or block_samples % 2 == 0:
+        raise ValueError("block_samples must be odd and >= 3")
+    nib_bytes = (block_samples - 1) // 2
+    block_align = 4 + nib_bytes
+    blocks = []
+    index = 0
+    for start in range(0, len(samples), block_samples):
+        chunk = samples[start : start + block_samples]
+        pred = _adpcm_clamp16(int(chunk[0]))
+        head = struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for s in chunk[1:]:
+            nib, pred, index = _adpcm_encode_nibble(int(s), pred, index)
+            nibs.append(nib)
+        while len(nibs) < block_samples - 1:  # pad the final short block
+            nib, pred, index = _adpcm_encode_nibble(pred, pred, index)
+            nibs.append(nib)
+        body = bytes(
+            (nibs[i] & 0x0F) | ((nibs[i + 1] & 0x0F) << 4)
+            for i in range(0, len(nibs), 2)
+        )
+        blocks.append(head + body)
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, 1, rate,
+        rate * block_align // block_samples,  # nominal byte rate
+        block_align, 4,
+        2,              # cbSize
+        block_samples,  # wSamplesPerBlock
+    )
+    fact = struct.pack("<I", len(samples))
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_decode_adpcm(content: bytes) -> tuple[int, list[int]]:
+    """REAL IMA-ADPCM WAV decoder: RIFF walk, fmt 0x0011 required, block
+    header (predictor + step index) then the nibble state machine; the
+    fact chunk's sample count trims final-block padding. Returns
+    (rate, samples)."""
+    if content is None or len(content) < 12:
+        raise ValueError("truncated media payload")
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE signature")
+    pos = 12
+    rate = block_align = spb = None
+    total = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _br, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 0x0011 or ch != 1 or bits != 4:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt:#06x}, ch={ch}, bits={bits})"
+                )
+            spb = struct.unpack("<H", body[18:20])[0]
+        elif tag == b"fact":
+            total = struct.unpack("<I", body[:4])[0]
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)
+    if rate is None or data is None or spb is None:
+        raise ValueError("missing fmt/data chunk")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block")
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        if index > 88:
+            raise ValueError("corrupt step index")
+        out.append(pred)
+        for b in block[4:]:
+            for nib in (b & 0x0F, b >> 4):
+                pred, index = _adpcm_decode_nibble(nib, pred, index)
+                out.append(pred)
+    if total is not None:
+        out = out[:total]
+    return int(rate), out
+
+
+def adpcm_audio_decoder(content: bytes) -> tuple[int, int, int]:
+    """IMA-ADPCM decode -> (sample_rate, n_samples, rms) — the
+    ``extract_audio_features`` decoder contract, interchangeable with
+    ``wav_audio_decoder`` (PCM16) behind the same Arrow stage."""
+    rate, samples = wav_decode_adpcm(content)
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty ADPCM stream")
+    return rate, n, int((sum(s * s for s in samples) / n) ** 0.5)

@@ -1255,3 +1255,67 @@ def test_mp4_container_walk_and_demux_laws():
     bad[0:4] = struct.pack(">I", 3)  # box size < 8
     with pytest.raises(ValueError):
         mp4_metadata(bytes(bad))
+
+
+def test_adpcm_codec_laws(spark):
+    """IMA-ADPCM (WAV fmt 0x0011) laws: constant signals round-trip
+    EXACTLY (nibble 0 at step index 0 moves the predictor by 0 — the
+    future gate row's pin); sine content decodes at textbook 4-bit ADPCM
+    fidelity (SNR > 30 dB); the coder state carries across block
+    boundaries; the fact chunk trims final-block padding to the original
+    sample count; malformed inputs raise; and the decoder is
+    interchangeable behind the same Arrow stage as the PCM16 decoder."""
+    import math
+
+    import pytest
+
+    from scraping_jobsdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        adpcm_audio_decoder,
+        extract_audio_features,
+        wav_decode_adpcm,
+        wav_encode_adpcm,
+        wav_encode_pcm16,
+    )
+
+    for v in (0, 1000, -2500, 32000, -32768):
+        rate, back = wav_decode_adpcm(wav_encode_adpcm(8000, [v] * 1200))
+        assert rate == 8000 and len(back) == 1200
+        assert all(s == v for s in back), v
+
+    sig = [int(8000 * math.sin(i / 20)) for i in range(3000)]
+    rate, back = wav_decode_adpcm(wav_encode_adpcm(16000, sig))
+    assert len(back) == len(sig)  # fact chunk trims the padded tail
+    rms_err = (sum((a - b) ** 2 for a, b in zip(sig, back)) / len(sig)) ** 0.5
+    rms_sig = (sum(s * s for s in sig) / len(sig)) ** 0.5
+    snr_db = 20 * math.log10(rms_sig / rms_err)
+    assert snr_db > 30, snr_db  # measured ~40 dB; 30 is the alarm floor
+
+    # block-boundary continuity: a ramp spanning many 505-sample blocks
+    # must not jump at block edges (the index/predictor reset bug shape)
+    ramp = list(range(-3000, 3000, 2))
+    _, rback = wav_decode_adpcm(wav_encode_adpcm(8000, ramp))
+    worst_edge = max(
+        abs(rback[i] - rback[i - 1]) for i in range(500, len(ramp), 505)
+    )
+    assert worst_edge < 200, worst_edge  # ramp step is 2; slack for requant
+
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        wav_decode_adpcm(wav_encode_pcm16(8000, [0] * 100))
+    with pytest.raises(ValueError):
+        wav_decode_adpcm(wav_encode_adpcm(8000, [0] * 1200)[:40])
+
+    rows = [
+        (0, "audio", "audio/adpcm",
+         bytearray(wav_encode_adpcm(8000, [500] * 900)), 0),
+        (1, "audio", "audio/adpcm", bytearray(b"RIFFxxxx"), 0),  # corrupt
+    ]
+    got = {
+        r.media_id: (r.sample_rate, r.duration_ms, r.rms)
+        for r in extract_audio_features(
+            spark.createDataFrame(rows, MEDIA_SCHEMA),
+            decoder=adpcm_audio_decoder,
+        ).collect()
+    }
+    assert got[0] == (8000, 900 * 1000 // 8000, 500)
+    assert got[1] == (None, None, None)  # corruption isolated

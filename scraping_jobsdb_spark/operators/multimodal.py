@@ -888,14 +888,20 @@ def jpeg_encode_gray(rows: list[bytes], quality: int = 50) -> bytes:
     padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
     shifted = padded.astype(np.float64) - 128.0
 
+    # ALL blocks DCT'd/quantized in one einsum batch (the per-block
+    # 8x8 matmul form spent its time in numpy call overhead — the r13
+    # 100x sweep measured the batched form ~4x faster end to end)
+    blocks = (
+        shifted.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coefs = np.einsum("ij,njk,kl->nil", t, blocks, t.T, optimize=True)
+    qall = np.rint(coefs / qmat).astype(np.int64).reshape(-1, 64)
+    zzall = qall[:, _JPEG_ZZ]  # zigzag reorder, vectorized
+
     writer = _JpegBitWriter()
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = t @ block @ t.T
-            q = np.rint(coef / qmat).astype(np.int64).reshape(64)
-            zz = [int(q[i]) for i in _JPEG_ZZ]
+    for b in range(bh * bw):
+            zz = zzall[b].tolist()
             diff = zz[0] - prev_dc
             prev_dc = zz[0]
             size, bits = _jpeg_magnitude(diff)
@@ -1069,35 +1075,39 @@ def jpeg_decode_gray(content: bytes) -> tuple[int, int, list[bytes]]:
     dc_tree, ac_tree = dc_trees[comp_dc], ac_trees[comp_ac]
     t = _jpeg_dct_matrix()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    nb = bh * bw
     rd = _JpegBitReader(content, scan_at)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = [0] * 64
-            size = _jpeg_read_symbol(rd, dc_tree)
-            prev_dc += _jpeg_extend(rd.bits(size), size)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _jpeg_read_symbol(rd, ac_tree)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _jpeg_extend(rd.bits(size), size)
-                i += 1
-            nat = np.zeros(64)
-            for k, idx in enumerate(_JPEG_ZZ):
-                nat[idx] = zz[k]
-            coef = nat.reshape(8, 8) * qmat
-            block = t.T @ coef @ t + 128.0
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    zzall = np.zeros((nb, 64), dtype=np.int64)
+    for b in range(nb):
+        zz = zzall[b]
+        size = _jpeg_read_symbol(rd, dc_tree)
+        prev_dc += _jpeg_extend(rd.bits(size), size)
+        zz[0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _jpeg_read_symbol(rd, ac_tree)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _jpeg_extend(rd.bits(size), size)
+            i += 1
+    # inverse zigzag + dequantize + IDCT for ALL blocks in one batch
+    nat = np.zeros((nb, 64), dtype=np.float64)
+    nat[:, _JPEG_ZZ] = zzall
+    coef = nat.reshape(-1, 8, 8) * qmat
+    blocks = np.einsum("ji,njk,kl->nil", t, coef, t, optimize=True) + 128.0
+    img = (
+        blocks.reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+    )
     pixels = np.clip(np.rint(img[:h, :w]), 0, 255).astype(np.uint8)
     return w, h, [pixels[y].tobytes() for y in range(h)]
 

@@ -569,7 +569,9 @@ def q_curriculum_pack_order_approx(
     takes two values, so even EXACT tertiles yield two buckets), so the
     gate row pins the DISTRIBUTION-FREE invariants of a valid curriculum
     order: every document ordered (total_rows), positions a 1..N
-    permutation, bucket blocks contiguous and in curriculum order, bucket
+    permutation (exact integer moment checks — min/max/sum/sum-of-squares
+    against their closed forms, one aggregate pass, no distinct
+    exchange), bucket blocks contiguous and in curriculum order, bucket
     membership consistent with quality (max quality of bucket b+1 <= min
     of bucket b — the bucketing never scrambles), and the GK guarantee
     itself — each returned cut\'s rank within accuracy^-1 of its target
@@ -660,12 +662,33 @@ def q_curriculum_pack_order_approx(
         F.col("acc").getField("ok_pos").alias("buckets_contiguous_ordered"),
         F.col("acc").getField("ok_q").alias("bucket_order_matches_quality"),
     )
+    # permutation check by exact integer MOMENTS (min/max/sum/sum-of-
+    # squares against the closed forms), all riding the ONE aggregate
+    # pass — the count_distinct form this replaces compiled to its own
+    # hash-distinct exchange over every position, which dominated the
+    # 100x sweep row (the audit was costing more than the production
+    # plan it audits). Sum-of-squares reaches ~4e19 at 5M rows, past
+    # int64 — hence the decimal(38,0) accumulators.
+    pos_d = F.col("position").cast("decimal(19,0)")
+    n_d = F.col("total_rows").cast("decimal(38,0)")
     perm = ranked.agg(
         F.count(F.lit(1)).alias("total_rows"),
+        F.min("position").alias("__min_p"),
+        F.max("position").alias("__max_p"),
+        F.sum(pos_d).alias("__sum_p"),
+        F.sum(pos_d * pos_d).alias("__sumsq_p"),
+    ).select(
+        "total_rows",
         (
-            (F.min("position") == 1)
-            & (F.max("position") == F.count(F.lit(1)))
-            & (F.count_distinct("position") == F.count(F.lit(1)))
+            (F.col("__min_p") == 1)
+            & (F.col("__max_p") == F.col("total_rows"))
+            & (F.col("__sum_p") * 2 == n_d * (F.col("total_rows") + 1))
+            & (
+                F.col("__sumsq_p") * 6
+                == n_d
+                * (F.col("total_rows") + 1)
+                * (2 * F.col("total_rows") + 1)
+            )
         ).alias("positions_are_permutation"),
     )
     # The GK guarantee, checked end to end: rank(cut) within eps*N of the

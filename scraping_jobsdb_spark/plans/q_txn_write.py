@@ -501,7 +501,19 @@ def q_multimodal_png_decode_features(
     from scraping_jobsdb_spark.session import ship_package
 
     ship_package(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The encode/decode stages are CPU-bound Python: their parallelism is
+    # the id-projection's partition count, which follows the PARQUET FILE
+    # COUNT (a compact table collapses the whole codec pipeline onto a
+    # handful of tasks — the r13 100x sweep measured the JPEG row at
+    # 284 s on ~4 tasks vs ~36 s spread across the machine). One
+    # round-robin exchange of an 8-byte column is noise next to that; on
+    # a real cluster the same explicit repartition is the standard move
+    # before any Arrow stage whose cost is compute, not I/O.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import pandas as pd
@@ -582,7 +594,19 @@ def q_multimodal_jpeg_decode_features(
     from scraping_jobsdb_spark.session import ship_package
 
     ship_package(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The encode/decode stages are CPU-bound Python: their parallelism is
+    # the id-projection's partition count, which follows the PARQUET FILE
+    # COUNT (a compact table collapses the whole codec pipeline onto a
+    # handful of tasks — the r13 100x sweep measured the JPEG row at
+    # 284 s on ~4 tasks vs ~36 s spread across the machine). One
+    # round-robin exchange of an 8-byte column is noise next to that; on
+    # a real cluster the same explicit repartition is the standard move
+    # before any Arrow stage whose cost is compute, not I/O.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import pandas as pd
@@ -655,7 +679,19 @@ def q_multimodal_wav_decode_features(
     from scraping_jobsdb_spark.session import ship_package
 
     ship_package(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The encode/decode stages are CPU-bound Python: their parallelism is
+    # the id-projection's partition count, which follows the PARQUET FILE
+    # COUNT (a compact table collapses the whole codec pipeline onto a
+    # handful of tasks — the r13 100x sweep measured the JPEG row at
+    # 284 s on ~4 tasks vs ~36 s spread across the machine). One
+    # round-robin exchange of an 8-byte column is noise next to that; on
+    # a real cluster the same explicit repartition is the standard move
+    # before any Arrow stage whose cost is compute, not I/O.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import pandas as pd
@@ -719,7 +755,19 @@ def q_multimodal_y4m_frame_sample(
     from scraping_jobsdb_spark.session import ship_package
 
     ship_package(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The encode/decode stages are CPU-bound Python: their parallelism is
+    # the id-projection's partition count, which follows the PARQUET FILE
+    # COUNT (a compact table collapses the whole codec pipeline onto a
+    # handful of tasks — the r13 100x sweep measured the JPEG row at
+    # 284 s on ~4 tasks vs ~36 s spread across the machine). One
+    # round-robin exchange of an 8-byte column is noise next to that; on
+    # a real cluster the same explicit repartition is the standard move
+    # before any Arrow stage whose cost is compute, not I/O.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import pandas as pd
@@ -799,7 +847,19 @@ def q_multimodal_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scraping_jobsdb_spark.session import ship_package
 
     ship_package(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # The encode/decode stages are CPU-bound Python: their parallelism is
+    # the id-projection's partition count, which follows the PARQUET FILE
+    # COUNT (a compact table collapses the whole codec pipeline onto a
+    # handful of tasks — the r13 100x sweep measured the JPEG row at
+    # 284 s on ~4 tasks vs ~36 s spread across the machine). One
+    # round-robin exchange of an 8-byte column is noise next to that; on
+    # a real cluster the same explicit repartition is the standard move
+    # before any Arrow stage whose cost is compute, not I/O.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def encode(batches):
         import pandas as pd

@@ -105,12 +105,18 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     strips ONLY for https, scheme-less inputs pass through; the gate
 #     dataset is all-http(s) and the output is locally value-hash
 #     verified unchanged, but the transform's code changed, so it
-#     re-gates). Two other r13 code touches are deliberately NOT
+#     re-gates). Three other r13 code touches are deliberately NOT
 #     re-windowed: streaming_minhash_online_admission gained an
 #     error-path-only awaitTermination timeout guard (output unchanged
-#     when the stream drains; hash-verified locally), and the WARC
+#     when the stream drains; hash-verified locally); the WARC
 #     reader's per-record isolation fix only affects malformed records
-#     the roundtrip query never writes (hash-verified locally).
+#     the roundtrip query never writes (hash-verified locally); and the
+#     r12 codec trio (png/wav/y4m) gained the same plan-only
+#     defaultParallelism repartition as the new jpeg/mp4 rows (the r13
+#     100x sweep caught the compact-table partition collapse serializing
+#     the CPU-bound Arrow stages onto ~4 tasks — 284 s -> 16 s for JPEG;
+#     per-row map outputs are partitioning-independent and all five were
+#     re-hash-verified locally).
 # (c) 42 of the 48-member r8-stale cohort (VERDICT item 1). Six
 #     members defer to r14 because the window is full and each has
 #     FRESHER family evidence standing in: embedding_topk_np (ANN family

@@ -209,6 +209,21 @@ FAMILIES = [
 ]
 
 
+# Queries that SETTLE a persisted index on their first in-process call
+# (the documented steady-state design: the one-time create happens outside
+# the timed region). Their first run at each sf_dir pays the settle, which
+# at 100x exceeds _time's 60 s second-run skip — so the sweep must warm
+# them once untimed per directory or the row silently re-measures the
+# create (caught in r13: fpindex_steady_admission read 114 s / 20x when
+# the settle leaked into the timed region, vs the actual steady state).
+STEADY_SETTLE = {
+    "fpindex_steady_admission",
+    "lshindex_steady_admission",
+    "ann_index_steady_probe",
+    "online_admission_intra_batch",
+}
+
+
 def _run_registry(spark, name: str, sf_dir: str) -> None:
     REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
@@ -282,7 +297,11 @@ def _spot_check_100x(big_dir: str, factor: int, families: list[str]) -> None:
         # the sweep's most important possible finding — record it as a
         # flagged failure and keep measuring the rest instead of dying
         try:
+            if name in STEADY_SETTLE:
+                _run_registry(spark, name, BASE_DIR)  # settle, untimed
             t_base = _time(lambda: _run_registry(spark, name, BASE_DIR))
+            if name in STEADY_SETTLE:
+                _run_registry(spark, name, big_dir)  # settle, untimed
             t_big = _time(
                 lambda: _run_registry(spark, name, big_dir), min_runs=1
             )
@@ -378,7 +397,11 @@ def main() -> None:
         "families": {},
     }
     for name in families:
+        if name in STEADY_SETTLE:
+            _run_registry(spark, name, BASE_DIR)  # settle, untimed
         t_base = _time(lambda: _run_registry(spark, name, BASE_DIR))
+        if name in STEADY_SETTLE:
+            _run_registry(spark, name, BIG_DIR)  # settle, untimed
         t_big = _time(lambda: _run_registry(spark, name, BIG_DIR))
         ratio = round(t_big / t_base, 2) if t_base > 0 else None
         out["families"][name] = {

@@ -2143,9 +2143,10 @@ def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest, end to end and hash-oracled (sources/warc.py — the
     Common-Crawl generalization of the reference's live-HTTP ingest,
     ``airflow/dags/scrape_url.py``): the documents table is written out
-    as REAL ``.warc.gz`` archives — 8 files of per-record gzip members,
+    as REAL ``.warc.gz`` archives of per-record gzip members,
     each record a spec-conformant WARC/1.0 response wrapping a full
-    HTTP/1.1 response whose body is the document text — then read back
+    HTTP/1.1 response whose body is the document text (one archive per
+    task, defaultParallelism of them) — then read back
     through ``read_warc`` (binaryFile scan → one Arrow stage walking
     member gunzip, WARC header parse, Content-Length framing, HTTP
     status/body split). DuckDB recomputes status/length/sha straight
@@ -2163,7 +2164,11 @@ def q_warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
-        .repartition(8)
+        # one archive per task: write AND read parallelism = this count,
+        # so pin it to the machine, not a literal (the r13 sweep's
+        # partition-collapse lesson — 8 archives capped the member-walk
+        # read at 8 of 32 cores at 100x data)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def write_part(rows) -> None:
@@ -2240,7 +2245,10 @@ def q_jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("lang", "source", "n_chars").alias("meta"),
             "text",
         )
-        .repartition(8)
+        # one gz file per task: the read-back's parallelism is this file
+        # count (gzip is unsplittable), so pin it to the machine, not a
+        # literal (the r13 partition-collapse lesson)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     docs.write.json(out, compression="gzip")
     schema = (

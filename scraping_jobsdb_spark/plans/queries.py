@@ -116,7 +116,11 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     100x sweep caught the compact-table partition collapse serializing
 #     the CPU-bound Arrow stages onto ~4 tasks — 284 s -> 16 s for JPEG;
 #     per-row map outputs are partitioning-independent and all five were
-#     re-hash-verified locally).
+#     re-hash-verified locally); warc/jsonl_ingest_roundtrip got the same
+#     treatment for their one-file-per-task write fan (archive/gz-file
+#     count = read parallelism; 8 literal -> defaultParallelism, 100x
+#     rows 10.5x -> 4.9x and 9.2x -> 4.9x, outputs path-free and
+#     re-hash-verified).
 # (c) 42 of the 48-member r8-stale cohort (VERDICT item 1). Six
 #     members defer to r14 because the window is full and each has
 #     FRESHER family evidence standing in: embedding_topk_np (ANN family

@@ -82,6 +82,10 @@ REQUIRED = [
     # JPEG decode: two chained Arrow stages (encode fan-out + decode),
     # never row-at-a-time Python
     ("multimodal_jpeg_decode_features", "MapInPandas"),
+    # steady-state index probes stream the BROADCAST batch side over the
+    # index scan — the O(batch) shape the whole family claims
+    ("fpindex_steady_admission", "BroadcastHashJoin"),
+    ("lshindex_steady_admission", "BroadcastHashJoin"),
 ]
 
 FORBIDDEN = [

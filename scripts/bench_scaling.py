@@ -180,6 +180,9 @@ FAMILIES = [
     "streaming_minhash_online_admission",
     # real PNG codec through the Arrow decode stage (DEFLATE + filters)
     "multimodal_png_decode_features",
+    # real RIFF/WAVE PCM decode + YUV4MPEG2 frame fan-out
+    "multimodal_wav_decode_features",
+    "multimodal_y4m_frame_sample",
     # WARC archive write + member-walk read (parallelism = file count)
     "warc_ingest_roundtrip",
     # URL canonicalization + one hash aggregate

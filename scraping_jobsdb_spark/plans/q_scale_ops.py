@@ -1386,15 +1386,16 @@ def q_range_partition_balance_approx(
     keys = fan_out(load_table(spark, sf_dir, "orders")).select(
         F.col("o_custkey").alias("k")
     )
+    # ONE GK sketch evaluated at the 15-fraction ARRAY, not 15 separate
+    # percentile_approx instances — the exact twin learned this in r9
+    # (each instance keeps its own aggregation state per partial); the
+    # array form carried this query from 5.6x to ~2x at 10x data in the
+    # r13 sweep, and one shared sketch also makes the returned cuts
+    # monotone by construction.
+    fracs = ", ".join(f"{i}.0D/16.0D" for i in range(1, 16))
     bnds = keys.agg(
-        F.array(
-            *[
-                F.expr(
-                    f"percentile_approx(cast(k as double), {i}.0D/16.0D,"
-                    " 10000)"
-                )
-                for i in range(1, 16)
-            ]
+        F.expr(
+            f"percentile_approx(cast(k as double), array({fracs}), 10000)"
         ).alias("bs")
     )
     assigned = keys.crossJoin(F.broadcast(bnds)).select(

@@ -120,7 +120,12 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 #     treatment for their one-file-per-task write fan (archive/gz-file
 #     count = read parallelism; 8 literal -> defaultParallelism, 100x
 #     rows 10.5x -> 4.9x and 9.2x -> 4.9x, outputs path-free and
-#     re-hash-verified).
+#     re-hash-verified); and range_partition_balance_approx now computes
+#     its 15 cuts from ONE GK sketch evaluated at a fraction ARRAY
+#     instead of 15 separate percentile_approx instances (the exact
+#     twin's own r9 lesson; 10x row 5.6x -> 1.6x) — its gate row is the
+#     invariant summary (counts + booleans), re-hash-verified, and the
+#     exact-vs-approx rank-tolerance test re-passed.
 # (c) 42 of the 48-member r8-stale cohort (VERDICT item 1). Six
 #     members defer to r14 because the window is full and each has
 #     FRESHER family evidence standing in: embedding_topk_np (ANN family

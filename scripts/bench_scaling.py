@@ -428,14 +428,21 @@ def main() -> None:
         }
         print(f"reference_pipeline_10x_grid: {t_base}s -> {t_big}s ({ratio}x)", flush=True)
 
+    prior_path = REPO / "BENCH_SCALING.json"
     if only:
-        prior_path = REPO / "BENCH_SCALING.json"
         if prior_path.exists():
             prior = json.loads(prior_path.read_text())
             merged = prior.get("families", {})
             merged.update(out["families"])
             prior["families"] = merged
             out = prior
+    elif prior_path.exists():
+        # a FULL re-sweep replaces the 10x section but must carry the
+        # deep-scale section forward (r13: a full run silently dropped
+        # data_factor_100 and with it every 100x row)
+        prior = json.loads(prior_path.read_text())
+        if "data_factor_100" in prior:
+            out["data_factor_100"] = prior["data_factor_100"]
 
     flagged = sorted(
         n for n, v in out["families"].items() if v["super_linear"]

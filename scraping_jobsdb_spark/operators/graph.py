@@ -16,7 +16,11 @@ algorithm targets (Kiveris et al., "Connected Components in MapReduce and
 Beyond"): logarithmic rounds on high-diameter graphs, while staying two
 joins per round on the shallow clusters dedup actually produces.
 ``localCheckpoint`` truncates lineage each round so the plan doesn't grow
-with the iteration count (the classic iterative-algorithm trap on Spark).
+with the iteration count (the classic iterative-algorithm trap on Spark);
+pass ``checkpoint_dir=`` (a reliable HDFS/S3 path) to switch every
+materialization to fault-tolerant ``checkpoint()`` — the cluster-scale
+posture, since executor loss under truncated lineage otherwise kills the
+run (see ``_materialize``).
 
 At billion-edge scale the same loop holds: both joins shuffle on node id,
 labels are (id, label) pairs — the GraphX/GraphFrames propagation pattern.
@@ -30,12 +34,36 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_keep_list", "dedup_keep_best", "pagerank"]
 
 
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Lineage truncation for the iterative loops, in one of two modes.
+
+    ``checkpoint_dir=None`` (default): ``localCheckpoint()`` — blocks live
+    on executors, no filesystem round-trip. Right for local mode and for
+    clusters where re-running a failed job is acceptable; NOT fault-
+    tolerant, because an executor loss mid-iteration destroys blocks whose
+    lineage was truncated (no recompute path — the whole job dies).
+
+    ``checkpoint_dir=<reliable path>`` (HDFS/S3/shared fs): reliable
+    ``df.checkpoint()`` against that directory — each round's state is
+    written out, so executor loss costs a re-read, not the job. The
+    cluster-scale posture for long iterative runs; costs one fs write +
+    read per materialization. Both modes produce bit-identical results
+    (pinned by tests/test_graph.py)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     small_graph_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, component) for every node of the undirected pair graph, where
     ``component`` is the minimum node id reachable from ``id`` — a canonical,
@@ -58,7 +86,7 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint()
+    sym = _materialize(sym.distinct(), checkpoint_dir)
 
     # the checkpoint above already paid for an exact size; the count is a
     # metadata-cheap action over materialized partitions
@@ -81,7 +109,7 @@ def connected_components(
 
     _dsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     init_obs = Observation()
-    labels = labels.observe(init_obs, _dsum).localCheckpoint()
+    labels = _materialize(labels.observe(init_obs, _dsum), checkpoint_dir)
     prev_sum = init_obs.get["s"]
 
     for _ in range(max_iter):
@@ -105,8 +133,8 @@ def connected_components(
                 ).alias("label"),
             )
             .observe(prop_obs, _dsum)
-            .localCheckpoint()
         )
+        propagated = _materialize(propagated, checkpoint_dir)
         # A propagation fixpoint IS full convergence (every label already
         # equals the component minimum), so an unchanged sum here ends the
         # loop before paying the jump join at all.
@@ -134,8 +162,8 @@ def connected_components(
                 ).alias("label"),
             )
             .observe(jump_obs, _dsum)
-            .localCheckpoint()
         )
+        new_labels = _materialize(new_labels, checkpoint_dir)
         labels = new_labels
         prev_sum = jump_obs.get["s"]
     raise RuntimeError(
@@ -238,6 +266,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     dangling: str = "leak",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """INTEGER-EXACT PageRank over a directed edge list — fixed-iteration
     power method with every arithmetic step in scaled integers, so the
@@ -271,7 +300,9 @@ def pagerank(
     Scale shape: one groupBy(src) for out-degrees, then per iteration ONE
     join of the rank frame with the (static, re-usable) edge list and ONE
     aggregate on dst — the standard Pregel-style message pass; ranks ride
-    ``localCheckpoint`` each round so the plan stays O(1) deep regardless
+    ``localCheckpoint`` each round — or reliable ``checkpoint()`` when
+    ``checkpoint_dir`` is given (the fault-tolerant cluster posture, see
+    ``_materialize``) — so the plan stays O(1) deep regardless
     of ``iterations`` (the same lineage-truncation discipline as
     ``connected_components``). The edge list is checkpointed ONCE and both
     per-iteration consumers (join, degree lookup) reuse it. Returns
@@ -285,15 +316,15 @@ def pagerank(
         raise ValueError(
             f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
         )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .localCheckpoint()
+    e = _materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        checkpoint_dir,
     )
-    nodes = (
+    nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -302,7 +333,9 @@ def pagerank(
         # danglers are static (outdeg never changes); N is a driver
         # constant computed once so the per-node share stays a pure
         # integer expression
-        danglers = nodes.join(outdeg, "node", "left_anti").localCheckpoint()
+        danglers = _materialize(
+            nodes.join(outdeg, "node", "left_anti"), checkpoint_dir
+        )
         n_nodes = nodes.count()
     rank = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     base = ((1000 - damping_milli) * scale)
@@ -337,8 +370,8 @@ def pagerank(
                         f" * (coalesce(contrib, 0) + {share})) div 1000"
                     ).alias("rank"),
                 )
-                .localCheckpoint()
             )
+            rank = _materialize(rank, checkpoint_dir)
         else:
             rank = (
                 nodes.join(contrib, "node", "left")
@@ -349,6 +382,6 @@ def pagerank(
                         f" + {damping_milli} * coalesce(contrib, 0)) div 1000"
                     ).alias("rank"),
                 )
-                .localCheckpoint()
             )
+            rank = _materialize(rank, checkpoint_dir)
     return rank

@@ -15,8 +15,9 @@ DCT, byte-stuffed entropy decode), ``bmp_image_decoder`` /
 decode path is exercised end to end against genuine container formats
 (gate queries multimodal_png_decode_features /
 multimodal_jpeg_decode_features). Video is real at the CONTAINER level:
-``mp4_metadata`` (ISO-BMFF box walk) and ``mp4_sample_splitter`` (stsz/
-stco demux) implement the first pass a 100 TB video corpus actually
+``mp4_metadata`` (ISO-BMFF box walk, per-track attribution) and
+``mp4_sample_splitter`` (stsz/stsc/stco chunk-walk demux, multi-chunk
+and multi-track safe) implement the first pass a 100 TB video corpus actually
 runs — filter by duration/codec/dims, hand encoded samples to a decoder
 pool. Compressed audio is real too: IMA-ADPCM (WAV fmt 0x0011) encode/
 decode (``wav_encode_adpcm`` / ``adpcm_audio_decoder``). Remaining
@@ -973,7 +974,12 @@ class _JpegBitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # Mask consumed bits out (the writer does the same in put()):
+        # without this acc grows 8 bits per scan byte and every extraction
+        # shifts an ever-growing bigint — O(n^2) in scan length.
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0
@@ -1131,10 +1137,12 @@ def jpeg_image_decoder(content: bytes) -> tuple[int, int, int]:
 # those are pure struct parsing and are implemented for real here:
 # ``mp4_metadata`` walks the box tree (ftyp/moov/mvhd/trak/tkhd/mdia/
 # mdhd/hdlr/stbl/stsd/stts/stsz/stco/mdat, 32-bit and version-aware
-# fields, 16.16 fixed-point track dims) and ``mp4_sample_splitter``
-# resolves stsz+stco into the per-sample byte ranges — the exact demux a
-# production pipeline hands to its decoder pool. Bitstream DECODE of the
-# samples (H.264/AV1) remains the one genuinely lib-gated hook.
+# fields, 16.16 fixed-point track dims, first-'vide'-trak attribution on
+# multi-track files) and ``mp4_sample_splitter`` resolves the video
+# trak's stsz+stsc+stco/co64 via the real per-chunk walk into the
+# per-sample byte ranges — the exact demux a production pipeline hands
+# to its decoder pool. Bitstream DECODE of the samples (H.264/AV1)
+# remains the one genuinely lib-gated hook.
 
 
 def mp4_write(
@@ -1144,12 +1152,21 @@ def mp4_write(
     timescale: int,
     sample_ticks: int,
     samples: list[bytes],
+    samples_per_chunk: int | None = None,
 ) -> bytes:
     """Minimal REAL ISO-BMFF writer: ftyp + moov (mvhd, one video trak
     with tkhd/mdhd/hdlr/minf/stbl — stsd carrying ``codec`` as the sample
     entry fourcc, stts/stsc/stsz/stco real) + mdat holding the sample
-    payloads back to back. Box sizes, nesting, and version/flags fields
-    follow the spec, so any BMFF reader walks it."""
+    payloads. Box sizes, nesting, and version/flags fields follow the
+    spec, so any BMFF reader walks it.
+
+    ``samples_per_chunk=None`` (default) packs every sample into ONE
+    chunk — byte-identical to the r13 writer. A positive value produces
+    a genuinely MULTI-CHUNK layout: per-chunk stco offsets, an stsc run
+    table (two runs when the last chunk is partial), and a 4-byte pad
+    between chunks inside mdat standing in for the interleaved
+    other-track data a real muxer puts there — so a reader that ignores
+    offsets[1:] reconstructs provably wrong bytes."""
     if len(codec) != 4:
         raise ValueError("codec fourcc must be 4 chars")
 
@@ -1197,16 +1214,53 @@ def mp4_write(
     )
     stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_ticks))
-    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+
+    # Chunk layout: list of per-chunk sample counts + stsc run table.
+    spc = n if samples_per_chunk is None else samples_per_chunk
+    if spc < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
+    chunk_counts = [spc] * (n // spc)
+    if n % spc:
+        chunk_counts.append(n % spc)
+    if not chunk_counts:
+        chunk_counts = [0]  # zero samples: one empty chunk keeps tables valid
+    runs = [(1, chunk_counts[0])]
+    for ci, cnt in enumerate(chunk_counts[1:], start=2):
+        if cnt != runs[-1][1]:
+            runs.append((ci, cnt))
+    stsc = full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", first, cnt, 1) for first, cnt in runs),
+    )
     stsz = full(
         b"stsz", 0, 0,
         struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(s)) for s in samples),
     )
-    # one chunk at a known offset: everything before mdat's payload —
+    # mdat payload: chunks back to back, a 4-byte pad between chunks when
+    # multi-chunk (where a real muxer interleaves the other track)
+    pad = b"" if len(chunk_counts) == 1 else b"PAD\x00"
+    chunks: list[bytes] = []
+    si = 0
+    for cnt in chunk_counts:
+        chunks.append(b"".join(samples[si : si + cnt]))
+        si += cnt
+    payload = pad.join(chunks)
+    rel_offsets = []
+    pos = 0
+    for c in chunks:
+        rel_offsets.append(pos)
+        pos += len(c) + len(pad)
+
+    # chunk offsets are absolute: everything before mdat's payload —
     # assembled twice because stco's value depends on the header length
     # (which is invariant in the offset, so two passes converge)
-    def assemble(stco_offset: int) -> bytes:
-        stco = full(b"stco", 0, 0, struct.pack(">II", 1, stco_offset))
+    def assemble(payload_start: int) -> bytes:
+        stco = full(
+            b"stco", 0, 0,
+            struct.pack(">I", len(rel_offsets))
+            + b"".join(struct.pack(">I", payload_start + r) for r in rel_offsets),
+        )
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
         vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
         dref = full(
@@ -1222,7 +1276,7 @@ def mp4_write(
     head = assemble(0)
     offset = len(head) + 8  # mdat payload starts after its size+tag
     head = assemble(offset)
-    mdat = box(b"mdat", b"".join(samples))
+    mdat = box(b"mdat", payload)
     return head + mdat
 
 
@@ -1248,24 +1302,127 @@ def _mp4_boxes(data: bytes, start: int, end: int):
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
 
 
+def _mp4_tracks(content: bytes) -> list[dict]:
+    """Walk every trak and collect its sample tables PER TRACK: handler
+    fourcc (hdlr), sample-entry codec (stsd), 16.16 track dims (tkhd),
+    stsz sizes, stsc runs, and chunk offsets (stco or 64-bit co64). The
+    per-track split is what makes multi-track files safe — a flat walk
+    would interleave audio and video tables (last-write-wins bug class)."""
+    tracks: list[dict] = []
+
+    def walk(start: int, end: int, cur: dict | None) -> None:
+        for tag, body, nxt in _mp4_boxes(content, start, end):
+            if tag == b"trak":
+                t = {
+                    "handler": None, "codec": None, "width": None,
+                    "height": None, "sizes": [], "stsc": [], "offsets": [],
+                }
+                tracks.append(t)
+                walk(body, nxt, t)
+            elif tag in _MP4_CONTAINERS:
+                walk(body, nxt, cur)
+            elif cur is None:
+                continue
+            elif tag == b"tkhd":
+                wfix, hfix = struct.unpack(">II", content[nxt - 8 : nxt])
+                cur["width"], cur["height"] = wfix >> 16, hfix >> 16
+            elif tag == b"hdlr":
+                cur["handler"] = content[body + 8 : body + 12].decode(
+                    "ascii", "replace"
+                )
+            elif tag == b"stsd":
+                cur["codec"] = content[body + 12 : body + 16].decode(
+                    "ascii", "replace"
+                )
+            elif tag == b"stsz":
+                fixed, cnt = struct.unpack(">II", content[body + 4 : body + 12])
+                if fixed:
+                    cur["sizes"] = [fixed] * cnt
+                else:
+                    cur["sizes"] = [
+                        struct.unpack(
+                            ">I", content[body + 12 + 4 * i : body + 16 + 4 * i]
+                        )[0]
+                        for i in range(cnt)
+                    ]
+            elif tag == b"stsc":
+                cnt = struct.unpack(">I", content[body + 4 : body + 8])[0]
+                cur["stsc"] = [
+                    struct.unpack(
+                        ">III", content[body + 8 + 12 * i : body + 20 + 12 * i]
+                    )
+                    for i in range(cnt)
+                ]
+            elif tag == b"stco":
+                cnt = struct.unpack(">I", content[body + 4 : body + 8])[0]
+                cur["offsets"] = [
+                    struct.unpack(
+                        ">I", content[body + 8 + 4 * i : body + 12 + 4 * i]
+                    )[0]
+                    for i in range(cnt)
+                ]
+            elif tag == b"co64":
+                cnt = struct.unpack(">I", content[body + 4 : body + 8])[0]
+                cur["offsets"] = [
+                    struct.unpack(
+                        ">Q", content[body + 8 + 8 * i : body + 16 + 8 * i]
+                    )[0]
+                    for i in range(cnt)
+                ]
+
+    walk(0, len(content), None)
+    return tracks
+
+
+def _mp4_video_track(tracks: list[dict]) -> dict:
+    """The track a video pipeline operates on: the FIRST 'vide'-handler
+    trak; a single handler-less trak passes through (legacy writers omit
+    hdlr). Anything ambiguous raises — rejected loudly, never
+    mis-attributed."""
+    vide = [t for t in tracks if t["handler"] == "vide"]
+    if vide:
+        return vide[0]
+    if len(tracks) == 1:
+        return tracks[0]
+    raise ValueError("no video track in multi-track file")
+
+
+def _mp4_chunk_sample_counts(stsc: list[tuple], n_chunks: int) -> list[int]:
+    """Expand the stsc run table into per-chunk sample counts. Each entry
+    (first_chunk, samples_per_chunk, _sdi) applies until the next entry's
+    first_chunk; the last runs to the stco chunk count."""
+    if not stsc:
+        raise ValueError("no stsc table")
+    counts: list[int] = []
+    for i, (first, per, _sdi) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        if first < 1 or first != len(counts) + 1 or last < first - 1:
+            raise ValueError("malformed stsc run table")
+        counts.extend([per] * (last - first + 1))
+    if len(counts) != n_chunks:
+        raise ValueError("stsc does not cover stco chunk count")
+    return counts
+
+
 def mp4_metadata(content: bytes) -> dict:
     """REAL BMFF box walk -> container metadata: (duration_ms, timescale,
     n_tracks, codec fourcc, width, height, n_samples, mdat_bytes). The
     values every corpus-level video filter runs on, extracted without
-    touching a single codec bit."""
+    touching a single codec bit. On multi-track files the codec/dims/
+    sample-count fields come from the FIRST 'vide'-handler trak (never
+    last-write-wins across an audio trak); no video track among several
+    raises."""
     if content is None or len(content) < 16 or content[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF file")
     meta = {
-        "timescale": None, "duration": None, "n_tracks": 0,
+        "timescale": None, "duration": None,
         "codec": None, "width": None, "height": None,
         "n_samples": None, "mdat_bytes": 0,
     }
 
     def walk(start: int, end: int) -> None:
         for tag, body, nxt in _mp4_boxes(content, start, end):
-            if tag in _MP4_CONTAINERS:
-                if tag == b"trak":
-                    meta["n_tracks"] += 1
+            if tag == b"moov":
                 walk(body, nxt)
             elif tag == b"mvhd":
                 version = content[body]
@@ -1274,21 +1431,18 @@ def mp4_metadata(content: bytes) -> dict:
                 else:
                     ts, dur = struct.unpack(">II", content[body + 12 : body + 20])
                 meta["timescale"], meta["duration"] = ts, dur
-            elif tag == b"tkhd":
-                wfix, hfix = struct.unpack(
-                    ">II", content[nxt - 8 : nxt]
-                )
-                meta["width"], meta["height"] = wfix >> 16, hfix >> 16
-            elif tag == b"stsd":
-                (fourcc,) = (content[body + 12 : body + 16],)
-                meta["codec"] = fourcc.decode("ascii", "replace")
-            elif tag == b"stsz":
-                cnt = struct.unpack(">I", content[body + 8 : body + 12])[0]
-                meta["n_samples"] = cnt
             elif tag == b"mdat":
                 meta["mdat_bytes"] += nxt - body
 
     walk(0, len(content))
+    tracks = _mp4_tracks(content)
+    meta["n_tracks"] = len(tracks)
+    if tracks:
+        t = _mp4_video_track(tracks)
+        meta["codec"], meta["width"], meta["height"] = (
+            t["codec"], t["width"], t["height"],
+        )
+        meta["n_samples"] = len(t["sizes"]) if t["sizes"] or t["offsets"] else None
     if meta["timescale"] in (None, 0):
         raise ValueError("no mvhd timescale")
     meta["duration_ms"] = meta["duration"] * 1000 // meta["timescale"]
@@ -1296,49 +1450,31 @@ def mp4_metadata(content: bytes) -> dict:
 
 
 def mp4_sample_splitter(content: bytes) -> list[bytes]:
-    """REAL demux: resolve stsz (per-sample sizes) + stco (chunk offsets)
+    """REAL demux: resolve the video trak's stsz (per-sample sizes) +
+    stsc (samples per chunk, run-length) + stco/co64 (chunk offsets)
     into the encoded sample payloads — the byte ranges a decoder pool
-    consumes. Single-chunk layout (what ``mp4_write`` emits and what
-    per-record crawl video overwhelmingly is); multi-chunk stsc walking
-    would extend the same arithmetic. Decode of the returned samples is
-    the lib-gated hook."""
-    sizes: list[int] = []
-    offsets: list[int] = []
-
-    def walk(start: int, end: int) -> None:
-        for tag, body, nxt in _mp4_boxes(content, start, end):
-            if tag in _MP4_CONTAINERS or tag == b"trak":
-                walk(body, nxt)
-            elif tag == b"stsz":
-                fixed, cnt = struct.unpack(">II", content[body + 4 : body + 12])
-                if fixed:
-                    sizes.extend([fixed] * cnt)
-                else:
-                    for i in range(cnt):
-                        sizes.append(
-                            struct.unpack(
-                                ">I", content[body + 12 + 4 * i : body + 16 + 4 * i]
-                            )[0]
-                        )
-            elif tag == b"stco":
-                cnt = struct.unpack(">I", content[body + 4 : body + 8])[0]
-                for i in range(cnt):
-                    offsets.append(
-                        struct.unpack(
-                            ">I", content[body + 8 + 4 * i : body + 12 + 4 * i]
-                        )[0]
-                    )
-
-    walk(0, len(content))
+    consumes. The stsc chunk walk makes interleaved/multi-chunk layouts
+    (the common real-world mux) demux correctly: each chunk's samples
+    start at ITS offset, never contiguously from offsets[0]. Decode of
+    the returned samples is the lib-gated hook."""
+    track = _mp4_video_track(_mp4_tracks(content))
+    sizes, offsets = track["sizes"], track["offsets"]
     if not offsets or not sizes:
         raise ValueError("no sample tables")
-    out = []
-    pos = offsets[0]
-    for s in sizes:
-        if pos + s > len(content):
-            raise ValueError("sample range past EOF")
-        out.append(content[pos : pos + s])
-        pos += s
+    counts = _mp4_chunk_sample_counts(track["stsc"], len(offsets))
+    if sum(counts) != len(sizes):
+        raise ValueError("stsc/stsz sample-count mismatch")
+    out: list[bytes] = []
+    si = 0
+    for off, cnt in zip(offsets, counts):
+        pos = off
+        for _ in range(cnt):
+            s = sizes[si]
+            si += 1
+            if pos + s > len(content):
+                raise ValueError("sample range past EOF")
+            out.append(content[pos : pos + s])
+            pos += s
     return out
 
 

@@ -568,10 +568,15 @@ def q_curriculum_pack_order_approx(
     bucket COUNTS legitimately lopsided — at sf0.01 the quality score
     takes two values, so even EXACT tertiles yield two buckets), so the
     gate row pins the DISTRIBUTION-FREE invariants of a valid curriculum
-    order: every document ordered (total_rows), positions a 1..N
-    permutation (exact integer moment checks — min/max/sum/sum-of-squares
-    against their closed forms, one aggregate pass, no distinct
-    exchange), bucket blocks contiguous and in curriculum order, bucket
+    order: every document ordered (total_rows), positions CONSISTENT
+    with a 1..N permutation (exact integer min/max/sum/sum-of-squares
+    moments PLUS an independent bit-XOR aggregate, each against its
+    closed form — one aggregate pass, no distinct exchange; a strong
+    consistency gate, not a formal proof, since rare multisets can match
+    all five invariants — the exact permutation verification lives in
+    tests/test_scale_ops.py on the shared rank operator where the
+    count-distinct shuffle cost doesn't matter), bucket blocks
+    contiguous and in curriculum order, bucket
     membership consistent with quality (max quality of bucket b+1 <= min
     of bucket b — the bucketing never scrambles), and the GK guarantee
     itself — each returned cut\'s rank within accuracy^-1 of its target
@@ -662,21 +667,36 @@ def q_curriculum_pack_order_approx(
         F.col("acc").getField("ok_pos").alias("buckets_contiguous_ordered"),
         F.col("acc").getField("ok_q").alias("bucket_order_matches_quality"),
     )
-    # permutation check by exact integer MOMENTS (min/max/sum/sum-of-
-    # squares against the closed forms), all riding the ONE aggregate
-    # pass — the count_distinct form this replaces compiled to its own
+    # permutation CONSISTENCY check by exact integer MOMENTS (min/max/
+    # sum/sum-of-squares against the closed forms) plus an INDEPENDENT
+    # bit-XOR aggregate (xor of 1..N has a closed form by N mod 4;
+    # xor is not a polynomial moment, so multiset swaps that preserve
+    # all four moments — e.g. {2,6,7}->{3,4,8} — are caught when they
+    # flip any bit-column parity), all riding the ONE aggregate pass —
+    # the count_distinct form this replaces compiled to its own
     # hash-distinct exchange over every position, which dominated the
     # 100x sweep row (the audit was costing more than the production
-    # plan it audits). Sum-of-squares reaches ~4e19 at 5M rows, past
-    # int64 — hence the decimal(38,0) accumulators.
+    # plan it audits). This is a strong consistency gate, NOT a formal
+    # permutation proof; the exact count-distinct verification lives in
+    # tests/test_scale_ops.py where its shuffle cost doesn't matter.
+    # Sum-of-squares reaches ~4e19 at 5M rows, past int64 — hence the
+    # decimal(38,0) accumulators.
     pos_d = F.col("position").cast("decimal(19,0)")
     n_d = F.col("total_rows").cast("decimal(38,0)")
+    n4 = F.col("total_rows") % 4
+    xor_closed = (
+        F.when(n4 == 0, F.col("total_rows"))
+        .when(n4 == 1, F.lit(1))
+        .when(n4 == 2, F.col("total_rows") + 1)
+        .otherwise(F.lit(0))
+    )
     perm = ranked.agg(
         F.count(F.lit(1)).alias("total_rows"),
         F.min("position").alias("__min_p"),
         F.max("position").alias("__max_p"),
         F.sum(pos_d).alias("__sum_p"),
         F.sum(pos_d * pos_d).alias("__sumsq_p"),
+        F.bit_xor("position").alias("__xor_p"),
     ).select(
         "total_rows",
         (
@@ -689,6 +709,7 @@ def q_curriculum_pack_order_approx(
                 * (F.col("total_rows") + 1)
                 * (2 * F.col("total_rows") + 1)
             )
+            & (F.col("__xor_p") == xor_closed)
         ).alias("positions_are_permutation"),
     )
     # The GK guarantee, checked end to end: rank(cut) within eps*N of the

@@ -135,6 +135,60 @@ def test_connected_components_chain_and_clusters(spark):
     assert {i for i, k in keep.items() if k} == {1, 10, 20}
 
 
+def test_graph_reliable_checkpoint_mode_bit_identical(spark, tmp_path):
+    """VERDICT r13 item 3: the iterative graph operators take an opt-in
+    ``checkpoint_dir`` that swaps every per-round localCheckpoint() for a
+    reliable checkpoint() against that directory — the fault-tolerant
+    cluster posture (executor loss under truncated lineage otherwise
+    kills the job, since there is no recompute path). Both modes must be
+    bit-identical for connected components (distributed loop forced) AND
+    PageRank (both dangling modes), and the reliable run must actually
+    write RDD checkpoint state under the given dir."""
+    from scraping_jobsdb_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    local_cc = sorted(
+        (r.id, r.component)
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    )
+    reliable_cc = sorted(
+        (r.id, r.component)
+        for r in connected_components(
+            edges, small_graph_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    )
+    assert local_cc == reliable_cc
+
+    pr_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 5)],
+        "src bigint, dst bigint",
+    )
+    for mode in ("leak", "redistribute"):
+        local_pr = sorted(
+            (r.node, r.rank)
+            for r in pagerank(pr_edges, iterations=5, dangling=mode).collect()
+        )
+        reliable_pr = sorted(
+            (r.node, r.rank)
+            for r in pagerank(
+                pr_edges, iterations=5, dangling=mode, checkpoint_dir=ckpt
+            ).collect()
+        )
+        assert local_pr == reliable_pr, mode
+
+    # the reliable dir really holds checkpointed RDD state
+    import os
+
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
 def test_connected_components_nonconvergence_raises(spark):
     from scraping_jobsdb_spark.operators.graph import connected_components
 

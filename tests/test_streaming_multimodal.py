@@ -1257,6 +1257,85 @@ def test_mp4_container_walk_and_demux_laws():
         mp4_metadata(bytes(bad))
 
 
+def test_mp4_multichunk_and_multitrack():
+    """The r13 ADVICE demux gaps, now laws: (1) a genuinely multi-chunk
+    layout (per-chunk stco offsets, stsc run table, interleave pads
+    between chunks in mdat) demuxes to the exact original samples — the
+    contiguous-from-offsets[0] shortcut would return pad-shifted bytes;
+    (2) a multi-track file attributes codec/dims/samples to the FIRST
+    'vide' trak regardless of trak order (never last-write-wins), and the
+    demux reads the video trak's tables only; (3) multi-track with no
+    video trak raises instead of guessing."""
+    import struct
+
+    import pytest
+
+    from scraping_jobsdb_spark.operators.multimodal import (
+        _mp4_tracks,
+        mp4_metadata,
+        mp4_sample_splitter,
+        mp4_write,
+    )
+
+    samples = [bytes([50 + i]) * (11 + 7 * i) for i in range(7)]
+    # 7 samples / 3 per chunk -> chunks of 3,3,1 -> a two-run stsc table
+    mb = mp4_write(64, 48, "av01", 3000, 125, samples, samples_per_chunk=3)
+    assert mp4_sample_splitter(mb) == samples
+    mm = mp4_metadata(mb)
+    assert mm["n_samples"] == 7 and mm["codec"] == "av01"
+    # the pads are IN mdat (2 chunk gaps x 4 bytes) — proof the layout is
+    # non-contiguous and the walk used offsets[1:], not arithmetic
+    assert mm["mdat_bytes"] == sum(len(s) for s in samples) + 2 * 4
+    t = _mp4_tracks(mb)[0]
+    assert len(t["offsets"]) == 3 and len(t["stsc"]) == 2
+
+    # even chunking (6 samples / 3) -> one stsc run, still padded layout
+    eb = mp4_write(64, 48, "av01", 3000, 125, samples[:6], samples_per_chunk=3)
+    assert mp4_sample_splitter(eb) == samples[:6]
+    assert len(_mp4_tracks(eb)[0]["stsc"]) == 1
+
+    # multi-track: splice a patched audio copy AFTER the video trak, so a
+    # last-write-wins walk would report the audio codec
+    blob = mp4_write(48, 32, "hvc1", 2400, 100, samples)
+    tp = blob.find(b"trak") - 4
+    tsz = struct.unpack(">I", blob[tp : tp + 4])[0]
+    trak = blob[tp : tp + tsz]
+    audio = trak.replace(b"vide", b"soun", 1).replace(b"hvc1", b"mp4a", 1)
+    mp = blob.find(b"moov") - 4
+    msz = struct.unpack(">I", blob[mp : mp + 4])[0]
+    patched = bytearray(
+        blob[:mp] + struct.pack(">I", msz + len(audio))
+        + blob[mp + 4 : tp + tsz] + audio + blob[tp + tsz :]
+    )
+    # splicing grew moov, shifting mdat: rebase the video trak's single
+    # chunk offset so its table is live again (the audio copy's stays
+    # stale — harmless, the demux never reads it)
+    so = patched.find(b"stco")
+    (old_off,) = struct.unpack(">I", patched[so + 12 : so + 16])
+    patched[so + 12 : so + 16] = struct.pack(">I", old_off + len(audio))
+    patched = bytes(patched)
+    pm = mp4_metadata(patched)
+    assert pm["n_tracks"] == 2 and pm["codec"] == "hvc1"
+    assert pm["width"] == 48 and pm["n_samples"] == 7
+    assert [t["handler"] for t in _mp4_tracks(patched)] == ["vide", "soun"]
+    assert mp4_sample_splitter(patched) == samples  # video trak's tables
+
+    # no video among several tracks: loud rejection
+    no_vide = patched.replace(b"vide", b"text", 1)
+    with pytest.raises(ValueError):
+        mp4_metadata(no_vide)
+    with pytest.raises(ValueError):
+        mp4_sample_splitter(no_vide)
+
+    # stsc that doesn't cover the stco chunk count: loud rejection
+    bad = bytearray(mb)
+    si = bytes(bad).find(b"stsc") + 4
+    # first run's first_chunk 1 -> 2 breaks consecutive coverage
+    bad[si + 8 : si + 12] = struct.pack(">I", 2)
+    with pytest.raises(ValueError):
+        mp4_sample_splitter(bytes(bad))
+
+
 def test_adpcm_codec_laws(spark):
     """IMA-ADPCM (WAV fmt 0x0011) laws: constant signals round-trip
     EXACTLY (nibble 0 at step index 0 moves the predictor by 0 — the

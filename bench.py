@@ -290,6 +290,13 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode_features",
     # real ISO-BMFF container walk + stsz/stco demux (video ingest pass)
     "multimodal_mp4_demux",
+    # --- round 14 additions (keep appending, never reorder) ---
+    # real IMA-ADPCM compressed-audio decode (fmt 0x0011 WAV)
+    "multimodal_adpcm_decode_features",
+    # container -> pixels: multi-chunk MP4 of JPEG samples, demux + decode
+    "multimodal_mp4_jpeg_pipeline",
+    # 100-query batch probe of the settled txn ANN index (O(1) in queries)
+    "ann_index_batch_topk",
 ]
 
 # Full-lifecycle streaming rows moved to the SCALING-ONLY tier (VERDICT

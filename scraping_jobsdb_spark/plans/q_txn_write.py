@@ -1459,18 +1459,25 @@ _IVFPQ_INT8_ORACLE = r"""
     """
 
 
-def _ivfpq_int8_oracle(deleted_pred: str | None = None) -> str:
+def _ivfpq_int8_oracle(
+    deleted_pred: str | None = None, query_pred: str | None = None
+) -> str:
     """The shared int8-IVFPQ oracle, optionally excluding MoR-deleted
     vectors from the candidate set (queries themselves stay eligible —
     deletion removes a vector from the INDEX, not from the caller's query
-    frame, matching the DV-overlay read path)."""
+    frame, matching the DV-overlay read path) and/or swapping the 3-id
+    gate query set for another predicate (the batch-probe row runs a
+    corpus-slice query SET through the same settled state)."""
+    sql = _IVFPQ_INT8_ORACLE
+    if query_pred is not None:
+        q_anchor = "WHERE q.vec_id IN (0, 100, 200)"
+        assert q_anchor in sql
+        sql = sql.replace(q_anchor, f"WHERE {query_pred}")
     if deleted_pred is None:
-        return _IVFPQ_INT8_ORACLE
+        return sql
     anchor = "WHERE a.vec_id != p.query_id"
-    assert anchor in _IVFPQ_INT8_ORACLE
-    return _IVFPQ_INT8_ORACLE.replace(
-        anchor, f"{anchor} AND NOT ({deleted_pred})"
-    )
+    assert anchor in sql
+    return sql.replace(anchor, f"{anchor} AND NOT ({deleted_pred})")
 
 
 def _int8_ivfpq_inputs(spark: SparkSession, sf_dir: str):
@@ -1618,7 +1625,72 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("query_id", F.col("query_id").cast("bigint"))
 
 
-@_register("reference_pipeline_e2e", oracle=None)
+@_register(
+    "reference_pipeline_e2e",
+    oracle="""
+    WITH grid AS (
+        SELECT * FROM (VALUES
+            ('data_engineer', 11000, 20000), ('data_engineer', 20000, 30000),
+            ('data_engineer', 30000, 50000), ('data_analyst', 11000, 20000),
+            ('data_analyst', 20000, 30000), ('data_analyst', 30000, 50000),
+            ('software_engineer', 11000, 20000),
+            ('software_engineer', 20000, 30000),
+            ('software_engineer', 30000, 50000)
+        ) g(kw, lo, hi)
+    ), tot AS (
+        SELECT kw, lo, hi,
+               CAST(concat('0x', substr(md5(kw || '|' || lo || '|' || hi),
+                    1, 8)) AS UBIGINT) % 70 AS t0,
+               CAST(concat('0x', substr(md5('ids|' || kw || '|' || lo || '|'
+                    || hi), 1, 8)) AS UBIGINT) AS base
+        FROM grid
+    ), ids AS (
+        SELECT t.kw, t.lo, t.hi,
+               CAST(100000 + (t.base + i.i) % 900000 AS VARCHAR) AS job_id
+        FROM tot t
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(0, CAST(CASE WHEN t.t0 < 5 THEN 0 ELSE t.t0
+                                        END AS BIGINT))) AS i
+        ) i
+    ), imput AS (
+        SELECT job_id, MIN(lo) AS imp_min, MAX(hi) AS imp_max
+        FROM ids GROUP BY 1
+    ), detail AS (
+        SELECT job_id, imp_min, imp_max,
+               CAST(concat('0x', substr(md5(job_id), 1, 8)) AS UBIGINT) AS h
+        FROM imput
+    )
+    SELECT job_id,
+           ['Data Engineer', 'Analyst', 'ML Engineer', 'Backend Developer']
+               [CAST(h % 4 AS INT) + 1] AS job_title,
+           ['Acme Ltd', 'Globex', 'Initech', 'Umbrella Corp']
+               [CAST(h % 4 AS INT) + 1] AS company_name,
+           'Great ' || ['Data Engineer', 'Analyst', 'ML Engineer',
+                        'Backend Developer'][CAST(h % 4 AS INT) + 1]
+               || ' role at '
+               || ['Acme Ltd', 'Globex', 'Initech', 'Umbrella Corp']
+                  [CAST(h % 4 AS INT) + 1] || '.' AS job_description,
+           ['Central', 'Kwun Tong', 'Tsim Sha Tsui'][CAST(h % 3 AS INT) + 1]
+               AS location,
+           CASE WHEN h % 5 = 0
+                THEN DATE '2026-08-13' - CAST(1 + h % 9 AS INT)
+                ELSE DATE '2022-10-03' END AS official_post_date,
+           CASE WHEN h % 3 = 0 THEN CAST((20 + h % 30) * 1000 AS INT) END
+               AS min_official_salary,
+           CASE WHEN h % 3 = 0 THEN CAST((55 + h % 40) * 1000 AS INT) END
+               AS max_official_salary,
+           ['Entry Level', 'Middle', 'Senior'][CAST(h % 3 AS INT) + 1]
+               AS career_level,
+           'Degree' AS qualification,
+           'Full Time' AS job_type,
+           ['IT;Data', 'Finance;Accounting', 'Engineering;Hardware']
+               [CAST(h % 3 AS INT) + 1] AS job_functions,
+           'Information Technology' AS industry,
+           CAST(imp_min AS INT) AS min_salary,
+           CAST(imp_max AS INT) AS max_salary
+    FROM detail
+    """,
+)
 def q_reference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's OWN end-to-end path (SURVEY §3.1-3.3) as one run:
     ingest (param-grid fan-out → rate-limited fetch via mapInPandas →
@@ -1628,10 +1700,25 @@ def q_reference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals MERGEd into the parsed table) — against the deterministic
     offline site (sources/fake_site.py), exactly as the e2e pytest drives
     it. Returns the final parsed-and-imputed table. Independent of sf_dir
-    by construction (the corpus is the fake site's); registered rows-only
-    so the driver and bench exercise the composed pipeline every round —
-    the reference's Airflow DAG surface (airflow/dags/scrape_url.py,
-    parse_html.py, impute SQL) had only pytest evidence before."""
+    by construction (the corpus is the fake site's).
+
+    HASH-ORACLED since r14 (VERDICT r13 item 4 — the last rows-only row
+    with a deterministic output): the fake site is a pure md5-seeded
+    function, so DuckDB re-derives the ENTIRE pipeline output in closed
+    form — the 3x3 param grid, per-combo corpus size and job-id stream
+    (the md5-prefix hash restated as CAST('0x'||substr(md5(..),1,8) AS
+    UBIGINT) — bit-equal to Python's int(md5[:8],16)), the cross-combo
+    dedup (GROUP BY job_id), every detail-page field from the id hash
+    (title/company and location/level/functions index-locked exactly as
+    the site locks them), the salary-span and posted-date branches
+    (including 'N days ago' against the pinned 2026-08-13 run date), the
+    HTML-extraction outputs, and the impute MERGE (min lo / max hi over
+    band memberships). A hash match therefore verifies fetch fan-out,
+    pagination, link explode, exactly-once membership append, catalog
+    anti-join, HTML parse AND the transactional MERGE in one row — the
+    reference's Airflow DAG surface (airflow/dags/scrape_url.py,
+    parse_html.py, impute SQL) had only pytest + rows-only evidence
+    before."""
     import tempfile
     from datetime import date as _date
 
@@ -1799,6 +1886,56 @@ def q_ann_index_steady_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_txn_topk_batch(
         spark, path, query, n_probe=3, k=10, refine_factor=4,
         refine_with=corpus,
+    ).withColumn("query_id", F.col("query_id").cast("bigint"))
+
+
+@_register(
+    "ann_index_batch_topk",
+    oracle=_ivfpq_int8_oracle("a.vec_id % 97 = 3", "q.vec_id % 5 = 0"),
+)
+def q_ann_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval through the settled transactional ANN index
+    (VERDICT r13 item 6): production retrieval is many-queries, and the
+    batch prober's plan is O(1) in the query count — ONE multi-cell
+    manifest-stats-pruned read of the union of all probed cells (unprobed
+    cells' files never open), one broadcast (query_id, cell) equi-join,
+    one vectorized ADC scoring stage, the shared top-k/refine tail —
+    where the per-query form would issue a pruned read PER query. This
+    row pushes a 100-query set (20% corpus slice, vec_id % 5 = 0;
+    400 queries at the sf0.1 bench dir) through that path against the
+    SAME settled index state as ``ann_index_steady_probe`` (one
+    process-cached create(evens)+add(odds)+MoR-delete — the build stays
+    outside the timed region), so the driver row evidences the batch
+    economics, not the commit cost. The oracle is the shared int8-IVFPQ
+    SQL with the query predicate swapped in — every ADC entry and
+    refined cosine stays a sum of small-integer products, exact in IEEE
+    double, for all 100 queries. Batch-vs-per-query row-identity is
+    additionally pinned in tests/test_similarity.py."""
+    import tempfile
+
+    from scraping_jobsdb_spark.operators.pq import (
+        ann_index_txn_add,
+        ann_index_txn_delete,
+        ann_index_txn_topk_batch,
+        write_ann_index_txn,
+    )
+
+    corpus, _q3, codebook, cents = _int8_ivfpq_inputs(spark, sf_dir)
+    path = _ANN_STEADY_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="sjs_annx_steady_")
+        write_ann_index_txn(
+            corpus.filter(F.col("vec_id") % 2 == 0), path, codebook,
+            n_centroids=10, centroids=cents,
+        )
+        ann_index_txn_add(
+            spark, path, corpus.filter(F.col("vec_id") % 2 == 1)
+        )
+        ann_index_txn_delete(spark, path, F.col("vec_id") % 97 == 3)
+        _ANN_STEADY_CACHE[sf_dir] = path
+    return ann_index_txn_topk_batch(
+        spark, path, corpus.filter(F.col("vec_id") % 5 == 0),
+        n_probe=3, k=10, refine_factor=4, refine_with=corpus,
     ).withColumn("query_id", F.col("query_id").cast("bigint"))
 
 

@@ -78,118 +78,122 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-13 window (registry 250, window 50). Evidence going in (latest-
-# evidence join over CORRECTNESS_r01-r12 on the live registry): r12 went
-# 48 hash-green + 2 clean rows-only, 0 red; histogram r8:48 / r9:49 /
-# r10:48 / r11:49 / r12:50, plus six queries registered this round with
-# no rows yet. 7 + 1 + 42 = 50:
-# (a) the 7 never-evidenced queries (VERDICT r12 items 2/4/6/7):
-#     fpindex_steady_admission / lshindex_steady_admission /
-#     ann_index_steady_probe — the STEADY-STATE posture of the persisted
-#     indexes (settle once per process outside the timed region; the
-#     query pays only the epoch-replay admission check and the
-#     batch-sized probes, so the driver artifact finally evidences the
-#     O(batch) claim instead of re-charging the one-time create);
-#     online_admission_intra_batch — the intra-batch keep-list composed
-#     with online admission, both stages replayed in the oracle;
-#     curriculum_pack_order_approx — the percentile_approx production
-#     twin (distribution-free invariants gated; exact-vs-approx rank
-#     tolerance in pytest); multimodal_jpeg_decode_features — the REAL
-#     baseline-JPEG codec (Annex-K tables, solid-tile DC-exact round
-#     trip, hand-derived codeword pin in tests);
-#     multimodal_mp4_demux — REAL ISO-BMFF container walk + stsz/stco
-#     demux, per-sample bytes sha-matched (bitstream decode stays the
-#     documented lib-gated hook).
-# (b) the query whose implementation changed this round:
-#     url_canonical_dedup (canonicalize_url port-strip fix — :443 now
-#     strips ONLY for https, scheme-less inputs pass through; the gate
-#     dataset is all-http(s) and the output is locally value-hash
-#     verified unchanged, but the transform's code changed, so it
-#     re-gates). Three other r13 code touches are deliberately NOT
-#     re-windowed: streaming_minhash_online_admission gained an
-#     error-path-only awaitTermination timeout guard (output unchanged
-#     when the stream drains; hash-verified locally); the WARC
-#     reader's per-record isolation fix only affects malformed records
-#     the roundtrip query never writes (hash-verified locally); and the
-#     r12 codec trio (png/wav/y4m) gained the same plan-only
-#     defaultParallelism repartition as the new jpeg/mp4 rows (the r13
-#     100x sweep caught the compact-table partition collapse serializing
-#     the CPU-bound Arrow stages onto ~4 tasks — 284 s -> 16 s for JPEG;
-#     per-row map outputs are partitioning-independent and all five were
-#     re-hash-verified locally); warc/jsonl_ingest_roundtrip got the same
-#     treatment for their one-file-per-task write fan (archive/gz-file
-#     count = read parallelism; 8 literal -> defaultParallelism, 100x
-#     rows 10.5x -> 4.9x and 9.2x -> 4.9x, outputs path-free and
-#     re-hash-verified); and range_partition_balance_approx now computes
-#     its 15 cuts from ONE GK sketch evaluated at a fraction ARRAY
-#     instead of 15 separate percentile_approx instances (the exact
-#     twin's own r9 lesson; 10x row 5.6x -> 1.6x) — its gate row is the
-#     invariant summary (counts + booleans), re-hash-verified, and the
-#     exact-vs-approx rank-tolerance test re-passed.
-# (c) 42 of the 48-member r8-stale cohort (VERDICT item 1). Six
-#     members defer to r14 because the window is full and each has
-#     FRESHER family evidence standing in: embedding_topk_np (ANN family
-#     green via embedding_ann_index_topk r9-r11 + ann_index_steady_probe
-#     this round), scalar_date_pack (scalar packs green r12),
-#     nation_volume_shipping + market_share_by_year +
-#     regional_supplier_volume (classic join/agg family green r12 via
-#     pricing_summary/large_order_customers), shipping_priority_top10
-#     (top-k family green r12 via sorted_page_offset). They lead the r14
-#     window with the r9 cohort.
+# Round-14 window (registry 254, window 50). Evidence going in (latest-
+# evidence join over CORRECTNESS_r01-r13 on the live registry): r13 went
+# 49 hash-green + 1 clean rows-only (bpe_learned_merges, by design),
+# 0 red; histogram r8:6 / r9:49 / r10:48 / r11:49 / r12:49 / r13:50,
+# plus three queries registered this round with no rows yet.
+# 3 + 4 + 6 + 37 = 50:
+# (a) the 3 never-evidenced queries (VERDICT r13 items 2/5/6):
+#     multimodal_adpcm_decode_features — the r13-built IMA-ADPCM codec
+#     finally driver-evidenced (per-block-constant staircase, integer-
+#     exact through the lossy coder);
+#     multimodal_mp4_jpeg_pipeline — container -> pixels: multi-chunk
+#     MP4 (real stsc run table + per-chunk offsets + interleave pads)
+#     whose samples are real baseline JPEGs, demuxed and entropy-decoded
+#     end to end in one Arrow stage;
+#     ann_index_batch_topk — 100-query batch probe of the settled txn
+#     ANN index (one pruned multi-cell read, O(1) plan in query count —
+#     the production retrieval economics the single-probe rows don't
+#     show).
+# (b) the 4 queries whose implementation changed this round:
+#     reference_pipeline_e2e — flipped rows-only -> HASH-ORACLED
+#     (VERDICT item 4): DuckDB re-derives the fake site's md5-seeded
+#     corpus and every pipeline stage in closed form;
+#     multimodal_mp4_demux — the demux now walks the real stsc chunk
+#     table per track (r13 ADVICE medium: multi-chunk files previously
+#     mis-demuxed silently; multi-track files mixed audio/video fields
+#     last-write-wins). Gate output hash-identical (single-chunk
+#     single-track corpus), but the transform changed, so it re-gates;
+#     multimodal_jpeg_decode_features — the scan bit reader now masks
+#     consumed bits (r13 ADVICE low: decode was O(n^2) in scan length);
+#     output unchanged, code changed, re-gates;
+#     curriculum_pack_order_approx — the permutation gate gained an
+#     independent bit-XOR invariant and honest moment-consistency
+#     wording (r13 ADVICE low); flag value unchanged, plan changed,
+#     re-gates.
+#     One other r14 code touch is deliberately NOT re-windowed: the
+#     iterative graph operators gained an opt-in reliable-checkpoint
+#     mode (VERDICT item 3) whose default path is plan-identical
+#     (localCheckpoint, as before); all six graph-backed gate rows were
+#     re-hash-verified locally and a both-modes bit-identity test landed
+#     in tests/test_scale_ops.py.
+# (c) the 6 r8-stale members deferred from the r13 window (VERDICT
+#     item 1 — they lead, as promised): embedding_topk_np,
+#     scalar_date_pack, nation_volume_shipping, market_share_by_year,
+#     regional_supplier_volume, shipping_priority_top10.
+# (d) 37 of the 49-member r9-stale cohort (alphabetical). Twelve defer
+#     to r15 because the window is full and each has FRESHER family
+#     evidence standing in: embedding_topk + embedding_ivfpq_topk +
+#     embedding_binary_hamming_topk + embedding_matryoshka_topk +
+#     embedding_random_projection + embedding_whitening_topk +
+#     embedding_hard_negatives (embedding family green r13 via
+#     embedding_int8_cosine_topk/embedding_ivf_topk, plus
+#     embedding_topk_np in this window), embedding_ann_index_topk +
+#     embedding_ann_index_txn_lifecycle (persisted-ANN family green r13
+#     via ann_index_steady_probe, plus ann_index_batch_topk in this
+#     window), events_hourly_streaming (streaming family green r13 via
+#     events_ohlc_streaming), approx_distinct_sketch (sketch family
+#     green r13 via hll_portable_registers/kmv_distinct_sketches/
+#     cms_term_frequencies), semantic_dedup_kmeans_cells (rows-only by
+#     design; oracled sibling semantic_dedup_embeddings green r12).
+#     They lead the r15 window with the r10 cohort.
 _GATE_PRIORITY = [
     # (a) never-evidenced / new registrations
-    "fpindex_steady_admission",
-    "lshindex_steady_admission",
-    "ann_index_steady_probe",
-    "online_admission_intra_batch",
-    "curriculum_pack_order_approx",
-    "multimodal_jpeg_decode_features",
-    "multimodal_mp4_demux",
+    "multimodal_adpcm_decode_features",
+    "multimodal_mp4_jpeg_pipeline",
+    "ann_index_batch_topk",
     # (b) implementation changed this round
-    "url_canonical_dedup",
-    # (c) 43 of the r8-stale cohort (alphabetical; 5 defer to r14, see above)
-    "asof_join_forward_window",
-    "bloom_point_lookup_txn",
-    "bm25_doc_ranking",
-    "bpe_learned_merges",
-    "cdc_apply_changes_txn",
-    "cms_term_frequencies",
-    "decontamination_ngram_overlap",
-    "dedup_keep_best_quality",
-    "dedup_pipeline_winnowing",
-    "doc_bigram_perplexity",
-    "doc_chunking",
-    "doc_pii_redaction",
-    "doc_repetition_stats",
-    "doc_segment_dedup_global",
-    "doc_top_ngrams",
-    "doc_unigram_surprisal",
-    "embedding_int8_cosine_topk",
-    "embedding_ivf_topk",
-    "events_daily_gap_fill",
-    "events_ohlc_streaming",
-    "events_time_weighted_value",
-    "fuzzy_join_supplier_names",
-    "gopher_quality_flags",
-    "hll_portable_registers",
-    "incremental_mv_refresh",
-    "kmv_distinct_sketches",
-    "leakage_safe_split_stats",
-    "merge_upsert_txn",
-    "minhash_portable_neardup_pairs",
-    "mixture_weighted_corpus_sample",
-    "quality_top_fraction_per_lang",
-    "quantile_hash_sample",
-    "recursive_event_chains",
-    "retention_cohorts",
-    "skew_join_salted",
-    "sole_supplier_orders",
-    "term_postings_index",
-    "token_budget_sample_per_lang",
-    "txn_merge_full_sync",
-    "variant_json_surface",
-    "weighted_sample_by_length",
-    "winnowing_containment_pairs",
+    "reference_pipeline_e2e",
+    "multimodal_mp4_demux",
+    "multimodal_jpeg_decode_features",
+    "curriculum_pack_order_approx",
+    # (c) the 6 r8-stale members deferred from r13 (they lead)
+    "embedding_topk_np",
+    "scalar_date_pack",
+    "nation_volume_shipping",
+    "market_share_by_year",
+    "regional_supplier_volume",
+    "shipping_priority_top10",
+    # (d) 37 of the r9-stale cohort (alphabetical; 12 defer to r15, see
+    # header)
+    "anti_join_not_in",
+    "attribution_last_touch",
+    "bpe_merge_candidates",
+    "corpus_pmi_pairs",
+    "corpus_to_training_examples",
+    "cube_flag_status",
+    "dedup_distinct_on",
+    "doc_boilerplate_removal",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_lang_quality",
+    "doc_ngram_jaccard",
+    "doc_perplexity_buckets",
+    "doc_quality_streaming",
+    "doc_text_stats",
+    "doc_token_entropy",
+    "domain_cap_sample",
+    "dsir_importance_sample",
+    "epoch_repeat_expansion",
+    "events_value_psi_daily",
+    "exists_order_priority_count",
+    "forecast_revenue_delta",
+    "group_by_all_rollup",
+    "groupby_min_max",
+    "grouped_sorted_list",
+    "hybrid_rrf_retrieval",
+    "incremental_batch_dedup",
+    "join_dims_broadcast",
+    "join_left_outer_agg",
+    "k_anonymity_report",
+    "lang_kl_divergence",
+    "quality_classifier_nb",
+    "quality_ensemble_verdicts",
+    "referential_integrity_report",
+    "temperature_mixture_corpus",
+    "unigram_seed_candidates",
+    "wordpiece_corpus_tokenize",
 ]
 
 

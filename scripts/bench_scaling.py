@@ -204,6 +204,14 @@ FAMILIES = [
     "multimodal_jpeg_decode_features",
     # real ISO-BMFF container walk + demux through the Arrow stage
     "multimodal_mp4_demux",
+    # --- round 14 additions ---
+    # real IMA-ADPCM compressed-audio decode through the Arrow stage
+    "multimodal_adpcm_decode_features",
+    # container -> pixels: multi-chunk MP4 demux feeding the JPEG decoder
+    "multimodal_mp4_jpeg_pipeline",
+    # batch probe of the settled txn ANN index (one pruned multi-cell
+    # read + one vectorized scoring stage for the whole query set)
+    "ann_index_batch_topk",
     # NOT measured: jdbc_live_roundtrip — a scale row there would measure
     # the embedded Derby test double's single-JVM serial ingest (12.6x at
     # 10x when tried), not a plan property of this engine; production
@@ -223,6 +231,7 @@ STEADY_SETTLE = {
     "fpindex_steady_admission",
     "lshindex_steady_admission",
     "ann_index_steady_probe",
+    "ann_index_batch_topk",
     "online_admission_intra_batch",
 }
 

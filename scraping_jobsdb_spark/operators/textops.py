@@ -2438,6 +2438,7 @@ def exact_substring_spans(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_prefilter: bool = False,
 ) -> DataFrame:
     """ExactSubstr dedup spans (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better") — per document, the token spans
@@ -2469,7 +2470,33 @@ def exact_substring_spans(
     26.7 s) despite ~3x smaller logical keys — shuffle compression
     already collapses the redundant text grams on the wire, while
     digests are incompressible AND cost one md5 per window (~corpus
-    token count of them). Raw string keys kept deliberately."""
+    token count of them). Raw string keys kept deliberately.
+
+    ``hash_prefilter=True`` (VERDICT r13 item 8) changes the SHUFFLE
+    SHAPE, not just the key width, which is why it can win where the
+    md5 keying lost: the corpus-wide aggregate runs over
+    ``xxhash64(gram)`` (one codegen'd 8-byte hash per window — no md5
+    string materialization), the duplicated-hash set — tiny, duplicates
+    are rare — comes back as an AQE-sized join (broadcast in practice),
+    and only the surviving candidate windows pay the EXACT gram
+    aggregate + join, which now run on a frame ~the duplicate count
+    instead of the corpus. Exactness is preserved by construction: a
+    hash collision can only ADD a candidate, and the exact-gram verify
+    removes it (equality pinned across both modes in
+    tests/test_similarity.py). Cost shift: the gram explode runs twice
+    (the candidate join side recomputes the map-only stage instead of
+    reusing the full-gram exchange) — a linear re-scan traded for the
+    corpus-wide wide-row shuffle write.
+
+    MEASURED at local[32] (r14, interleaved A/B): a wash at 10x data
+    (6.2-7.6 s both modes) and ~35% SLOWER at 100x (plain 33.6/35.7 s
+    vs prefiltered 46.6/47.8 s) — on one machine the gram shuffle is a
+    compressed memory/disk copy, so the duplicated explode dominates,
+    the same economics that made the r12 md5 keying lose. Default stays
+    False; the opt-in exists for real clusters where the corpus-wide
+    gram shuffle crosses the NETWORK and spills (the regime the local
+    box cannot represent), and any flip there should be re-measured in
+    place."""
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     staged = docs.select(id_col, ws.alias("__ws"))
     nw = F.size("__ws")
@@ -2491,13 +2518,30 @@ def exact_substring_spans(
             )
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
-    dup = (
-        wins.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select("gram")
-    )
-    dwin = wins.join(dup, "gram").select(id_col, "pos")
+    if hash_prefilter:
+        winsh = wins.withColumn("__h", F.xxhash64("gram"))
+        hdup = (
+            winsh.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("__h")
+        )
+        cand = winsh.join(hdup, "__h")
+        gdup = (
+            cand.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("gram")
+        )
+        dwin = cand.join(gdup, "gram").select(id_col, "pos")
+    else:
+        dup = (
+            wins.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+            .select("gram")
+        )
+        dwin = wins.join(dup, "gram").select(id_col, "pos")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")

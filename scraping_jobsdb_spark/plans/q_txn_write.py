@@ -1891,7 +1891,9 @@ def q_ann_index_steady_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ann_index_batch_topk",
-    oracle=_ivfpq_int8_oracle("a.vec_id % 97 = 3", "q.vec_id % 5 = 0"),
+    oracle=_ivfpq_int8_oracle(
+        "a.vec_id % 97 = 3", "q.vec_id % 5 = 0 AND q.vec_id < 500"
+    ),
 )
 def q_ann_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH retrieval through the settled transactional ANN index
@@ -1934,7 +1936,8 @@ def q_ann_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_txn_delete(spark, path, F.col("vec_id") % 97 == 3)
         _ANN_STEADY_CACHE[sf_dir] = path
     return ann_index_txn_topk_batch(
-        spark, path, corpus.filter(F.col("vec_id") % 5 == 0),
+        spark, path,
+        corpus.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 500)),
         n_probe=3, k=10, refine_factor=4, refine_with=corpus,
     ).withColumn("query_id", F.col("query_id").cast("bigint"))
 

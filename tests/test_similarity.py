@@ -2000,3 +2000,45 @@ def test_exact_substring_spans_interval_merge(spark):
     assert (out[2].n_dup_windows, out[2].n_spans, out[2].n_masked_tokens) == (4, 1, 11)
     assert (out[3].n_dup_windows, out[3].n_masked_tokens, out[3].n_spans) == (0, 0, 0)
     assert (out[4].n_tokens, out[4].n_dup_windows) == (2, 0)
+
+
+def test_exact_substring_spans_hash_prefilter_identical(spark):
+    """The xxhash64-prefiltered shuffle shape (VERDICT r13 item 8) is
+    bit-identical to the raw-gram form on the hand-crafted case AND on a
+    generated corpus with heavy cross-document repetition: a hash
+    collision can only add a candidate window, and the exact-gram verify
+    stage removes it, so both modes must agree row for row."""
+    from scraping_jobsdb_spark.operators.textops import exact_substring_spans
+
+    shared = "a b c d e f g h i j k"
+    rows = [
+        (1, shared + " unique1 tail1 x1 y1 z1"),
+        (2, "lead2 w2 " + shared),
+        (3, "entirely different words with no repeats at all here ok"),
+        (4, "short doc"),
+    ] + [
+        # generated: every third doc repeats a rotating 10-token block,
+        # the rest are unique token streams
+        (
+            100 + i,
+            (
+                " ".join(f"blk{i % 7}tok{t}" for t in range(10))
+                + " "
+                + " ".join(f"u{i}w{t}" for t in range(6))
+                if i % 3 == 0
+                else " ".join(f"only{i}tok{t}" for t in range(14))
+            ),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    plain = sorted(
+        tuple(r) for r in exact_substring_spans(docs, min_len=8).collect()
+    )
+    fast = sorted(
+        tuple(r)
+        for r in exact_substring_spans(
+            docs, min_len=8, hash_prefilter=True
+        ).collect()
+    )
+    assert plain == fast and len(plain) == 64

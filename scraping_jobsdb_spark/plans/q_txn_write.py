@@ -1672,9 +1672,9 @@ def q_embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   [CAST(h % 4 AS INT) + 1] || '.' AS job_description,
            ['Central', 'Kwun Tong', 'Tsim Sha Tsui'][CAST(h % 3 AS INT) + 1]
                AS location,
-           CASE WHEN h % 5 = 0
+           CAST(CASE WHEN h % 5 = 0
                 THEN DATE '2026-08-13' - CAST(1 + h % 9 AS INT)
-                ELSE DATE '2022-10-03' END AS official_post_date,
+                ELSE DATE '2022-10-03' END AS VARCHAR) AS official_post_date,
            CASE WHEN h % 3 = 0 THEN CAST((20 + h % 30) * 1000 AS INT) END
                AS min_official_salary,
            CASE WHEN h % 3 = 0 THEN CAST((55 + h % 40) * 1000 AS INT) END
@@ -1744,8 +1744,17 @@ def q_reference_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array<string> job_functions column is serialized to a joined string
     # (the same workaround term_postings_index uses for its posting list;
     # also the reference's own CSV-export serialization, pipelines/export.py).
-    return read_table_any(spark, f"{base}/parsed").withColumn(
-        "job_functions", F.array_join("job_functions", ";")
+    # DATE surfaces as datetime.date objects from Spark but datetime64 from
+    # DuckDB, so the driver's stringified value hash can never match —
+    # serialize to ISO strings, the repo-wide date-output convention
+    # (q_analytic.py:450) and the reference's own CSV-export serialization.
+    return (
+        read_table_any(spark, f"{base}/parsed")
+        .withColumn("job_functions", F.array_join("job_functions", ";"))
+        .withColumn(
+            "official_post_date",
+            F.date_format("official_post_date", "yyyy-MM-dd"),
+        )
     )
 
 

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from scraping_jobsdb_spark.operators.similarity import (
     minhash_band_keys_portable,
-    shingles,
+    shingles_sql,
     simhash_fp_frame,
 )
 from scraping_jobsdb_spark.sources.mv import IncrementalAggView
@@ -96,15 +96,16 @@ def simhash_band_keys_portable(
     shuffle."""
     if bits % bands:
         raise ValueError(f"bands ({bands}) must divide bits ({bits})")
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # one F.expr SQL string instead of the Column-DSL transform lambda —
+    # same expressions, a fraction of the py4j plan-construction cost
+    # (see minhash_band_keys_portable)
+    toks = f"array_distinct(split(trim(`{text_col}`), '\\\\s+'))"
     fp_frame = simhash_fp_frame(
         df,
         id_col,
-        F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                "bigint"
-            ),
+        F.expr(
+            f"transform({toks}, t -> cast(conv(substring(md5(t), 1, 15), "
+            f"16, 10) as bigint))"
         ),
         bits=bits,
         chunk_bits=bits // bands,
@@ -136,47 +137,31 @@ def minhash_band_keys_fast(
     if k % bands:
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     rows = k // bands
+    # SQL-string construction (see minhash_band_keys_portable): identical
+    # expressions, one parse instead of k lambda round-trips
     hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(
-            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        F.expr(
+            f"transform({shingles_sql(text_col, shingle_n)}, "
+            "s -> xxhash64(s))"
         ).alias("__sh"),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(F.lit(i), h))
-            )
+    sig = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(__sh, h -> xxhash64({i}, h)))"
             for i in range(k)
-        ]
+        )
+        + ")"
     )
-    return (
-        hashed.select("doc", sig.alias("__sig"))
-        .select(
-            "doc",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__sig").getItem(b * rows + r)
-                                    for r in range(rows)
-                                ],
-                            ).alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select(
-            F.col("doc").alias(id_col),
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        )
+    bks = ", ".join(
+        f"struct({b} as band, concat_ws(',', "
+        + ", ".join(f"__sig[{b * rows + r}]" for r in range(rows))
+        + ") as key)"
+        for b in range(bands)
+    )
+    return hashed.select("doc", F.expr(sig).alias("__sig")).select(
+        F.col("doc").alias(id_col), F.expr(f"inline(array({bks}))")
     )
 
 

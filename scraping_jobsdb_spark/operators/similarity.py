@@ -70,6 +70,18 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingles_sql(col_name: str, n: int = 3) -> str:
+    """``shingles`` as a SQL expression STRING — same expressions, one
+    ``F.expr`` parse instead of the Column DSL's py4j lambda round-trips
+    (the higher-order-function builders dominate driver plan-construction
+    time for the signature operators; see minhash_band_keys_portable)."""
+    t = f"split(trim(`{col_name}`), '\\\\s+')"
+    return (
+        f"array_distinct(transform(sequence(0, greatest(size({t}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({t}, i + 1, {n}))))"
+    )
+
+
 def minhash_signature(shingle_col: Column, k: int = 32) -> Column:
     """k-permutation MinHash signature over a shingle array.
 
@@ -106,34 +118,32 @@ def minhash_candidate_pairs(
     """
     rows = k // bands
     # Materialize hashed shingles as a column: the k permutation transforms
-    # then reference it without re-hashing the shingle strings.
+    # then reference it without re-hashing the shingle strings. SQL-string
+    # construction (see minhash_band_keys_portable): identical expressions,
+    # one parse instead of k lambda round-trips.
     hashed = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
-            "__sh"
-        ),
+        F.expr(
+            f"transform({shingles_sql(text_col, shingle_n)}, "
+            "s -> xxhash64(s))"
+        ).alias("__sh"),
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh"), lambda h, i=i: F.xxhash64(F.lit(i), h)))
+    sig = (
+        "array("
+        + ", ".join(
+            f"array_min(transform(__sh, h -> xxhash64({i}, h)))"
             for i in range(k)
-        ]
+        )
+        + ")"
     )
-    banded = hashed.select("doc", sig.alias("sig")).select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * rows + r) for r in range(rows)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+    bks = ", ".join(
+        f"struct({b} as band, xxhash64("
+        + ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+        + ") as bhash)"
+        for b in range(bands)
+    )
+    banded = hashed.select("doc", F.expr(sig).alias("sig")).select(
+        "doc", F.expr(f"explode(array({bks}))").alias("bk")
     )
     buckets = (
         banded.groupBy("bk")
@@ -1239,15 +1249,22 @@ def minhash_band_keys_portable(
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     rows = k // bands
     n_blocks = (k + 3) // 4
-    sh = shingles(F.col(text_col), shingle_n)
-
-    def _digests(s: Column) -> Column:
-        return F.array(
-            *[
-                F.md5(s if b == 0 else F.concat_ws(":", s, F.lit(b)))
-                for b in range(n_blocks)
-            ]
+    # Plan construction is a HANDFUL of ``F.expr`` SQL strings rather than
+    # the Column-DSL tree it used to be: the k ``transform(...)``
+    # permutation lambdas cost ~2,000 py4j round-trips (~0.6 s of DRIVER
+    # wall per call, measured r14 — guide §5: the driver should do almost
+    # no work), and the index lifecycle queries build this plan 4-5 times
+    # per run. The SQL parser receives the same expressions in one call;
+    # the plan and every output value are unchanged (family hash oracles).
+    sh = shingles_sql(text_col, shingle_n)
+    digests = (
+        "array("
+        + ", ".join(
+            "md5(s)" if b == 0 else f"md5(concat_ws(':', s, '{b}'))"
+            for b in range(n_blocks)
         )
+        + ")"
+    )
 
     # stage the per-shingle digest arrays behind an alias: the k permutation
     # minima below are k consumers — without the projection boundary the
@@ -1255,43 +1272,33 @@ def minhash_band_keys_portable(
     # physical-shape note for the CollapseProject reference-count rule)
     staged = df.select(
         F.col(id_col).alias("doc"),
-        F.transform(sh, _digests).alias("__dg"),
+        F.expr(f"transform({sh}, s -> {digests})").alias("__dg"),
     )
 
-    def _perm_min(p: int) -> Column:
+    def _perm_min(p: int) -> str:
         block, win = p // 4, p % 4
-        return F.array_min(
-            F.transform(
-                "__dg",
-                lambda d: F.conv(
-                    F.substring(d[block], 1 + 7 * win, 7), 16, 10
-                ).cast("bigint"),
-            )
+        return (
+            f"array_min(transform(__dg, d -> cast(conv(substring("
+            f"d[{block}], {1 + 7 * win}, 7), 16, 10) as bigint)))"
         )
 
     sig = staged.select(
-        "doc", F.array(*[_perm_min(p) for p in range(k)]).alias("__sig")
+        "doc",
+        F.expr(
+            "array(" + ", ".join(_perm_min(p) for p in range(k)) + ")"
+        ).alias("__sig"),
     )
+    bks = ", ".join(
+        f"struct({b} as band, concat_ws(',', "
+        + ", ".join(f"__sig[{b * rows + r}]" for r in range(rows))
+        + ") as key)"
+        for b in range(bands)
+    )
+    # inline() fans the struct array straight out to (band, key) columns —
+    # one generator select instead of explode + a rename projection
     return sig.select(
-        F.col("doc").alias(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("__sig").getItem(b * rows + r)
-                                for r in range(rows)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col("doc").alias(id_col), F.expr(f"inline(array({bks}))")
+    )
 
 
 def minhash_candidate_pairs_portable(

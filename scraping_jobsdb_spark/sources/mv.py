@@ -217,7 +217,16 @@ class IncrementalAggView:
         if not files:
             self._view().overwrite(self.read(), meta=meta)
             return target
-        schema = source.read(target).schema
+        # schema straight from the manifest — building source.read(target)
+        # just to take .schema costs a full DataSource resolution (~0.1 s
+        # of driver time per refresh, measured r14)
+        import json as _json
+
+        from pyspark.sql.types import StructType as _StructType
+
+        schema = _StructType.fromJson(
+            _json.loads(source._manifest(target)["schema"])
+        )
         delta = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.source_path, f) for f in files]
         )

@@ -86,12 +86,20 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = _materialize(sym.distinct(), checkpoint_dir)
+    sym = sym.distinct()
 
-    # the checkpoint above already paid for an exact size; the count is a
-    # metadata-cheap action over materialized partitions
-    if sym.count() <= small_graph_threshold:
-        return _components_driver_side(sym)
+    # Small-graph probe in ONE action: collect at most threshold+1 edges.
+    # If everything fit, those rows ARE the graph — solve driver-side with
+    # no checkpoint job and no separate count (this was checkpoint + count
+    # + collect, three jobs, before r14). Union-find is order-independent
+    # and keys each component by its MIN member, so an arbitrary
+    # limit-order changes nothing. Oversized graphs pay one discarded
+    # partial scan (rare by construction: pairs are the output of an
+    # aggressive candidate filter) and then take the distributed loop.
+    head = sym.limit(small_graph_threshold + 1).collect()
+    if len(head) <= small_graph_threshold:
+        return _components_driver_side(sym, head)
+    sym = _materialize(sym, checkpoint_dir)
 
     labels = (
         sym.select(F.col("u").alias("id"))
@@ -173,12 +181,13 @@ def connected_components(
     )
 
 
-def _components_driver_side(sym: DataFrame) -> DataFrame:
+def _components_driver_side(sym: DataFrame, rows) -> DataFrame:
     """Union-find over a collected small edge list (both directions
     present; direction is irrelevant to union). Path-halving find keeps
     the scan near-linear; the component key is the MINIMUM member id,
     assigned in a final pass so the result matches the distributed
-    min-label loop bit-for-bit regardless of union order."""
+    min-label loop bit-for-bit regardless of union order. ``sym`` supplies
+    only schema/session; ``rows`` is the already-collected edge list."""
     parent: dict = {}
 
     def find(x):
@@ -187,7 +196,7 @@ def _components_driver_side(sym: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for u, v in sym.collect():
+    for u, v in rows:
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -267,6 +276,7 @@ def pagerank(
     dst: str = "dst",
     dangling: str = "leak",
     checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """INTEGER-EXACT PageRank over a directed edge list — fixed-iteration
     power method with every arithmetic step in scaled integers, so the
@@ -299,14 +309,20 @@ def pagerank(
 
     Scale shape: one groupBy(src) for out-degrees, then per iteration ONE
     join of the rank frame with the (static, re-usable) edge list and ONE
-    aggregate on dst — the standard Pregel-style message pass; ranks ride
-    ``localCheckpoint`` each round — or reliable ``checkpoint()`` when
-    ``checkpoint_dir`` is given (the fault-tolerant cluster posture, see
-    ``_materialize``) — so the plan stays O(1) deep regardless
-    of ``iterations`` (the same lineage-truncation discipline as
-    ``connected_components``). The edge list is checkpointed ONCE and both
-    per-iteration consumers (join, degree lookup) reuse it. Returns
-    (node, rank) for every node appearing as src or dst.
+    aggregate on dst — the standard Pregel-style message pass. In ``leak``
+    mode each iteration references the previous rank exactly ONCE, so the
+    unrolled plan grows linearly and ranks only need materializing every
+    ``checkpoint_interval`` rounds (the GraphX/ALS checkpointInterval
+    discipline): a 5-iteration run is ONE job instead of five
+    materialization jobs, and lineage still stays bounded for long runs.
+    ``redistribute`` mode consumes the previous rank TWICE (update + the
+    dangling-mass aggregate), so skipping materialization would double the
+    plan per round — it materializes every iteration regardless of the
+    interval. Materialization is ``localCheckpoint`` — or reliable
+    ``checkpoint()`` when ``checkpoint_dir`` is given (the fault-tolerant
+    cluster posture, see ``_materialize``). The edge list is checkpointed
+    ONCE and both per-iteration consumers (join, degree lookup) reuse it.
+    Returns (node, rank) for every node appearing as src or dst.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -316,39 +332,47 @@ def pagerank(
         raise ValueError(
             f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
         )
-    e = _materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-        checkpoint_dir,
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Out-degree is STATIC: attach it to the edge list ONCE (one shuffle,
+    # here, at build) instead of re-joining rank⋈outdeg inside every
+    # iteration (guide §2.4 — the per-iteration message pass drops from
+    # two joins to one, removing one Exchange per round at any scale).
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e2 = _materialize(e.join(outdeg, "src"), checkpoint_dir)  # (src,dst,d)
+    # every e row's src has outdeg >= 1, so e2 spans exactly e's rows
     nodes = _materialize(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e2.select(F.col("src").alias("node"))
+        .union(e2.select(F.col("dst").alias("node")))
         .distinct(),
         checkpoint_dir,
-    )
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
     )
     if dangling == "redistribute":
         # danglers are static (outdeg never changes); N is a driver
         # constant computed once so the per-node share stays a pure
         # integer expression
         danglers = _materialize(
-            nodes.join(outdeg, "node", "left_anti"), checkpoint_dir
+            nodes.join(
+                e2.select(F.col("src").alias("node")), "node", "left_anti"
+            ),
+            checkpoint_dir,
         )
         n_nodes = nodes.count()
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     rank = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     base = ((1000 - damping_milli) * scale)
-    for _ in range(iterations):
+    for it in range(iterations):
         # `div` is integral division on integer operands — exact at any
         # magnitude, unlike `/` (DOUBLE division + truncation, which loses
         # ulps past 2^53 on big aggregated masses)
+        # rank div d is a pure per-(node, d) integer — computing it on the
+        # joined edge row replays the old per-node value exactly
         contrib = (
-            rank.join(outdeg, "node")
-            .select("node", F.expr("rank div d").alias("c"))
-            .join(e, F.col("node") == F.col("src"))
+            rank.join(e2, rank.node == e2.src)
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum(F.expr("rank div d")).alias("contrib"))
         )
         if dangling == "redistribute":
             # ONE global integer scalar per iteration: the danglers' total
@@ -383,5 +407,9 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            rank = _materialize(rank, checkpoint_dir)
+            # single-reference chain: only truncate lineage every
+            # checkpoint_interval rounds (never after the last — the
+            # caller's action materializes the final state)
+            if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+                rank = _materialize(rank, checkpoint_dir)
     return rank

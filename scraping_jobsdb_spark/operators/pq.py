@@ -370,25 +370,29 @@ def _encode_with_cell(
 def _adc_score(qvec, codebook: list[list[list[float]]]):
     """ADC score expression for ONE query vector over a ``codes`` column:
     T[j][c] = dot(q_j, centroid_jc) baked as literal arrays; the row score
-    is m element_at lookups summed — the scan never touches floats."""
+    is m element_at lookups summed — the scan never touches floats.
+
+    Built as ONE SQL string (``F.expr``) rather than m×k ``F.lit`` Column
+    calls: the literal tables cost ~400 py4j round-trips per query vector
+    (driver wall, guide §5). ``repr(float)`` round-trips exactly and the
+    ``D`` suffix makes the parser produce the same IEEE double as
+    ``F.lit`` would."""
     m = len(codebook)
     width = len(codebook[0][0])
-    score = None
+    terms = []
     for j in range(m):
-        table = F.array(
-            *[
-                F.lit(
-                    sum(
-                        float(qvec[j * width + i]) * codebook[j][c][i]
-                        for i in range(width)
-                    )
+        vals = ", ".join(
+            repr(
+                sum(
+                    float(qvec[j * width + i]) * codebook[j][c][i]
+                    for i in range(width)
                 )
-                for c in range(len(codebook[j]))
-            ]
+            )
+            + "D"
+            for c in range(len(codebook[j]))
         )
-        term = F.element_at(table, F.col("codes").getItem(j) + 1)
-        score = term if score is None else score + term
-    return score
+        terms.append(f"element_at(array({vals}), codes[{j}] + 1)")
+    return F.expr(" + ".join(terms))
 
 
 def pq_topk(

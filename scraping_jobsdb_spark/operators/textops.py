@@ -245,47 +245,43 @@ def gopher_quality_flags(
     bullet-led; ≤ 30 % of lines ellipsis-terminated; ≥ 2 distinct Gopher
     stopwords present. `keep` is the conjunction. Scale: pure map over the
     corpus — no shuffle, no UDF, whole-stage codegen end to end."""
-    c = F.col(text_col)
+    # SQL-string construction (one F.expr parse per stage) instead of the
+    # Column-DSL lambda trees: ~0.4 s of py4j driver wall per build before
+    # (measured r14, guide §5); expressions and values unchanged.
     staged = df.select(
         *[F.col(i) for i in id_cols],
-        c.alias("__t"),
-        tokens(c).alias("__ws"),
-        F.split(c, "\n").alias("__lines"),
+        F.col(text_col).alias("__t"),
+        F.expr(f"split(trim(`{text_col}`), '\\\\s+')").alias("__ws"),
+        F.expr(f"split(`{text_col}`, '\\\\n')").alias("__lines"),
     )
-    n_words = F.size(F.col("__ws"))
-    sum_chars = F.aggregate(
-        F.col("__ws"), F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    sum_chars = (
+        "aggregate(__ws, cast(0 as bigint), (a, x) -> a + length(x))"
     )
-    n_hash = F.length(F.col("__t")) - F.length(F.regexp_replace("__t", "#", ""))
+    n_hash = "length(__t) - length(regexp_replace(__t, '#', ''))"
     n_ellipsis = (
-        F.length(F.col("__t")) - F.length(F.regexp_replace("__t", r"\.\.\.", ""))
-    ) / F.lit(3)
-    n_lines = F.size(F.col("__lines"))
-    n_bullet = F.size(
-        F.filter(
-            F.col("__lines"),
-            lambda ln: ln.rlike(r"^\s*[-*•]"),
-        )
+        "(length(__t) - length(regexp_replace(__t, '\\\\.\\\\.\\\\.', '')))"
+        " / 3"
     )
-    n_ell_lines = F.size(
-        F.filter(F.col("__lines"), lambda ln: ln.rlike(r"(\.\.\.|…)\s*$"))
+    n_bullet = (
+        "size(filter(__lines, ln -> ln rlike '^\\\\s*[-*•]'))"
     )
-    lower_ws = F.transform(F.col("__ws"), F.lower)
-    n_stop = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(lower_ws, w),
-        )
+    n_ell_lines = (
+        "size(filter(__lines, ln -> ln rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))"
+    )
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS) + ")"
+    n_stop = (
+        f"size(filter({stop_arr}, "
+        "w -> array_contains(transform(__ws, x -> lower(x)), w)))"
     )
     stats = staged.select(
         *[F.col(i) for i in id_cols],
-        n_words.cast("bigint").alias("n_words"),
-        sum_chars.alias("sum_word_chars"),
-        (n_hash + n_ellipsis).cast("bigint").alias("n_symbols"),
-        n_lines.cast("bigint").alias("n_lines"),
-        n_bullet.cast("bigint").alias("n_bullet_lines"),
-        n_ell_lines.cast("bigint").alias("n_ellipsis_lines"),
-        n_stop.cast("bigint").alias("n_stopwords_present"),
+        F.expr("cast(size(__ws) as bigint)").alias("n_words"),
+        F.expr(sum_chars).alias("sum_word_chars"),
+        F.expr(f"cast({n_hash} + {n_ellipsis} as bigint)").alias("n_symbols"),
+        F.expr("cast(size(__lines) as bigint)").alias("n_lines"),
+        F.expr(f"cast({n_bullet} as bigint)").alias("n_bullet_lines"),
+        F.expr(f"cast({n_ell_lines} as bigint)").alias("n_ellipsis_lines"),
+        F.expr(f"cast({n_stop} as bigint)").alias("n_stopwords_present"),
     )
     w, sc, sym = F.col("n_words"), F.col("sum_word_chars"), F.col("n_symbols")
     flags = stats.select(
@@ -739,48 +735,55 @@ def winnowing_fingerprint_set(
     above); collapsing them re-inlines the producing expression per
     element and goes quadratic.
     """
+    # Expressions are built as SQL strings (one F.expr parse per stage)
+    # rather than Column-DSL lambda trees: the higher-order-function
+    # builders here cost hundreds of py4j round-trips per call and this
+    # operator is constructed 3-4x per index-lifecycle query (~0.25 s of
+    # driver wall each, measured r14 — guide §5). Expressions, stage
+    # boundaries, and every output value are unchanged (hash oracles +
+    # golden tests).
     powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
-    s = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("bigint"))
-    st1 = docs.select(id_col, codes.alias("__codes"))
+    s = f"regexp_replace(lower(trim(`{text_col}`)), '\\\\s+', ' ')"
+    codes = f"transform(split({s}, ''), c -> cast(ascii(c) as bigint))"
+    st1 = docs.select(id_col, F.expr(codes).alias("__codes"))
 
-    n = F.size("__codes")
     # gram positions 0..n-k; guard: sequence(0, negative) would DESCEND
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
+    idx = (
+        f"if(size(__codes) >= {k}, sequence(0, size(__codes) - {k}), "
+        "cast(array() as array<int>))"
+    )
+    # every intermediate < 255 * MOD << 2^63 — no overflow
+    gram = (
+        "(cast(0 as bigint)"
+        + "".join(
+            f" + element_at(__codes, i + {j + 1}) * {p}"
+            for j, p in enumerate(powers)
+        )
+        + f") % {WINNOW_MOD}"
+    )
+    st2 = st1.select(
+        id_col, F.expr(f"transform({idx}, i -> {gram})").alias("__hs")
     )
 
-    def _gram(i: Column) -> Column:
-        h = F.lit(0).cast("bigint")
-        for j, p in enumerate(powers):
-            # every intermediate < 255 * MOD << 2^63 — no overflow
-            h = h + F.element_at("__codes", i + j + 1) * F.lit(p)
-        return h % F.lit(WINNOW_MOD)
-
-    st2 = st1.select(id_col, F.transform(idx, _gram).alias("__hs"))
-
-    m = F.size("__hs")
     # trailing-window minimum at each position: min(hs[max(0,i-w+1) .. i])
-    wmins = F.transform(
-        F.sequence(F.lit(0), m - 1),
-        lambda i: F.array_min(
-            F.slice("__hs", F.greatest(i - w + 2, F.lit(1)), F.least(i + 1, F.lit(w)))
-        ),
+    wmins = (
+        "transform(sequence(0, size(__hs) - 1), i -> "
+        f"array_min(slice(__hs, greatest(i - {w} + 2, 1), "
+        f"least(i + 1, {w}))))"
     )
     st3 = st2.select(
         id_col,
         "__hs",
-        F.when(m > 0, wmins)
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("__wm"),
+        F.expr(
+            f"if(size(__hs) > 0, {wmins}, cast(array() as array<bigint>))"
+        ).alias("__wm"),
     )
-    selected = F.array_distinct(
-        F.filter(
-            F.zip_with("__hs", "__wm", lambda h, mn: F.when(h == mn, h)),
-            lambda x: x.isNotNull(),
-        )
+    selected = (
+        "array_distinct(filter("
+        "zip_with(__hs, __wm, (h, mn) -> if(h = mn, h, null)), "
+        "x -> x is not null))"
     )
-    return st3.select(id_col, F.explode(selected).alias("h"))
+    return st3.select(id_col, F.expr(f"explode({selected})").alias("h"))
 
 
 def fingerprint_containment_pairs(
@@ -811,22 +814,25 @@ def fingerprint_containment_pairs(
     otherwise growing the corpus (which turns ever more grams into
     stop-grams) silently deflates every ratio toward zero. Deterministic
     given (k, w, max_df)."""
-    # Materialize the fingerprint set ONCE: the downstream graph references
-    # it through rare/pruned/sizes/both join sides — five consumers — and
-    # Catalyst does not reuse the exchange across them (verified: without
-    # this the char-explode+window subtree appears 8x in the executed
-    # plan). One checkpoint turns O(consumers) recomputation of the
-    # expensive per-character stage into O(1).
-    fps = winnowing_fingerprint_set(docs, k, w, text_col, id_col).localCheckpoint()
-    rare = (
-        fps.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("h")
+    # Stop-gram pruning as ONE pass: document frequency is a count() window
+    # over h — the same shuffle the old groupBy(h)+join-back pair paid
+    # twice (agg exchange + join exchange of the full (id, h) stream), and
+    # it removes the intermediate `rare` frame entirely. The pruned set is
+    # then materialized ONCE for its three consumers (sizes + both
+    # self-join sides) — Catalyst does not reuse the exchange across them
+    # (verified: without this the char-explode subtree appears 8x in the
+    # executed plan). r14: was two localCheckpoints (fps + pruned), i.e.
+    # two eager materialization jobs and two pinned copies, for the same
+    # result.
+    from pyspark.sql import Window as _W
+
+    fps = winnowing_fingerprint_set(docs, k, w, text_col, id_col)
+    pruned = (
+        fps.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("h")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+        .localCheckpoint()
     )
-    # the pruned set feeds three consumers (sizes + both self-join sides);
-    # cheap to rebuild from the checkpointed fps, cheaper still to pin
-    pruned = fps.join(rare, "h").localCheckpoint()
     sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a = pruned.select(F.col(id_col).alias("id_a"), "h")
     b = pruned.select(F.col(id_col).alias("id_b"), "h")

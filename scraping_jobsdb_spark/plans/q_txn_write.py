@@ -1560,13 +1560,15 @@ def _int8_ivfpq_inputs(spark: SparkSession, sf_dir: str):
     lab_n: dict[int, int] = {}
     grp_s: dict[tuple[int, int], int] = {}
     grp_n: dict[int, int] = {}
-    for r in parts:
-        for pos, v in enumerate(r.s):
+    # tuple-unpack the collected Rows: Row.__getattr__ per element cost
+    # ~0.8 s of driver wall here (432k lookups, measured r14)
+    for label, grp, s, n in parts:
+        for pos, v in enumerate(s):
             iv = int(v)
-            lab_s[(r.label, pos)] = lab_s.get((r.label, pos), 0) + iv
-            grp_s[(r.grp, pos)] = grp_s.get((r.grp, pos), 0) + iv
-        lab_n[r.label] = lab_n.get(r.label, 0) + r.n
-        grp_n[r.grp] = grp_n.get(r.grp, 0) + r.n
+            lab_s[(label, pos)] = lab_s.get((label, pos), 0) + iv
+            grp_s[(grp, pos)] = grp_s.get((grp, pos), 0) + iv
+        lab_n[label] = lab_n.get(label, 0) + n
+        grp_n[grp] = grp_n.get(grp, 0) + n
     codebook = [
         [
             [

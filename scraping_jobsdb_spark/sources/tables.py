@@ -59,6 +59,16 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Inferred-schema cache for the static testdata tables: path -> (mtime,
+# size, schema). ``spark.read.parquet`` pays a full footer read + schema
+# inference (~100 ms driver wall, measured r14) on EVERY call; a catalog
+# or lakehouse manifest would hold the schema as metadata (guide §6 — the
+# practical argument for manifest-bearing table formats). Keyed on
+# (mtime, size) so a rewritten file re-infers; caches only schema
+# metadata, never data or results.
+_SCHEMA_CACHE: dict[str, tuple[float, int, StructType]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table: splittable parquet scan, columns pruned lazily.
 
@@ -70,8 +80,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+        return normalize_event_ts(_read_parquet_cached_schema(spark, path))
+    return _read_parquet_cached_schema(spark, path)
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    st = os.stat(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == st.st_mtime and hit[1] == st.st_size:
+        return spark.read.schema(hit[2]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = (st.st_mtime, st.st_size, df.schema)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

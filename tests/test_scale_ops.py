@@ -103,8 +103,15 @@ def test_bucketed_join_has_no_exchange(spark):
         plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
         assert joined.count() == plain.count()
     finally:
+        # conf.get(key, None) returns None when the conf was never
+        # EXPLICITLY set (it does not consult the SQLConf default), so
+        # "restore only if prev is not None" silently left -1 leaked into
+        # the shared session for every later test — unset() restores the
+        # real default semantics either way.
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
 

@@ -1152,6 +1152,40 @@ class TxnTable:
         never changes results."""
         return self.read_pruned_all({col: (lo, hi)}, version)
 
+    def read_pruned_in(
+        self, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot filtered to ``col IN values``, scanning each kept file
+        ONCE: a file survives when its manifest stats intersect ANY of the
+        values (driver-side file skipping, same stats walk as
+        ``pruned_files``). Exactly equivalent to — and the one-scan,
+        one-DV-overlay replacement for — unioning ``read_pruned(col, v,
+        v)`` per value, which built one scan + one deletion-vector overlay
+        per value (measured r14: ~0.13 s of driver plan construction per
+        union leg on the ANN probe path, and a |values|-leg Union plan
+        where one scan suffices). A file whose stats intersect two probed
+        values is scanned once here; the per-value union scanned it once
+        per value with disjoint point filters, so the row multiset is
+        identical."""
+        vals = sorted(set(values))
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        kept_set: set = set()
+        for v in vals:
+            kept_set.update(self.pruned_files(col, v, v, version))
+        files = [f for f in m["files"] if f in kept_set]
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self._dv_overlay(
+                self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                ),
+                m,
+                files,
+            )
+        return df.filter(F.col(col).isin(vals))
+
     def read_pruned_all(
         self, predicates: dict[str, tuple], version: int | None = None
     ) -> DataFrame:

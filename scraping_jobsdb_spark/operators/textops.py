@@ -1607,25 +1607,35 @@ def bigram_surprisal(
             )
         ).alias("g"),
     ).select(id_col, F.col("g.prev").alias("prev"), F.col("g.cur").alias("cur"))
-    grams = grams.localCheckpoint()  # model AND scoring join consume it
+    # grams is consumed by the model aggregate AND the scoring join, but it
+    # is a MAP-ONLY expansion of the corpus — recomputing it per consumer
+    # is one extra pipelined scan inside the same job, while checkpointing
+    # it (the r13 form) pinned the full |corpus tokens| bigram stream in
+    # executor storage memory and paid an extra eager materialization job
+    # at build time (guide §5: cache only when recompute beats the memory
+    # pressure; a zip-with-tail explode does not).
 
     bc = grams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
     bc = bc.localCheckpoint()  # context rollup AND scoring join consume it
     ctx = bc.groupBy("prev").agg(F.sum("bc").alias("ctx"))
-    v = (
+    # V rides the plan as a broadcast 1-row frame instead of an eager
+    # .first() (which forced a separate corpus-tokenize job at build time
+    # — r14; the pass still runs, but pipelined inside the one job). Same
+    # integer, same arithmetic.
+    vdf = (
         docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-        .agg(F.count_distinct("w"))
-        .first()[0]
+        .agg(F.count_distinct("w").alias("__v"))
     )
     scored = (
         grams.join(bc, ["prev", "cur"])
         .join(ctx, "prev")
+        .crossJoin(F.broadcast(vdf))
         .select(
             id_col,
             F.round(
                 -F.log(
                     (F.col("bc") + F.lit(1)).cast("double")
-                    / (F.col("ctx") + F.lit(int(v))).cast("double")
+                    / (F.col("ctx") + F.col("__v")).cast("double")
                 ),
                 9,
             )
@@ -1868,7 +1878,16 @@ def nb_quality_scores(
     boundary is cross-engine exact. Output: (id, label, score, predicted).
     """
     tf, weights, prior, _ = nb_train(docs, label, text_col=text_col, id_col=id_col)
-    scored = (
+    return _nb_score(tf, weights, prior, id_col)
+
+
+def _nb_score(
+    tf: DataFrame, weights: DataFrame, prior: DataFrame, id_col: str
+) -> DataFrame:
+    """Scoring tail of ``nb_quality_scores`` over an already-built
+    ``nb_train`` model — shared with ``quality_ensemble`` so the ensemble
+    can reuse the tf table across its NB and entropy legs."""
+    return (
         tf.join(F.broadcast(weights), "tok")
         .groupBy(id_col, "label")
         .agg(F.sum(F.col("tf").cast("decimal(10,0)") * F.col("w")).alias("__s"))
@@ -1886,7 +1905,6 @@ def nb_quality_scores(
             ).alias("predicted"),
         )
     )
-    return scored
 
 
 def nb_train(
@@ -2320,25 +2338,50 @@ def quality_ensemble(
     token docs), bigram surprisal ≤ ``surprisal_max`` (kills shuffled/
     templated word salad the unigram signals can't see).
 
-    Composition shape: each signal is the library operator unchanged (one
-    corpus scan each), joined on the doc key — the auditable form, where a
-    signal can be re-cut without re-running the others. A fused production
-    variant would share the (doc, token) tf aggregate across the NB and
-    entropy legs; the join-on-key form is chosen here because curation
-    pipelines tune cuts far more often than they re-tokenize. Docs with
-    < 2 tokens have no bigram signal and drop (inner join), matching the
-    "too short to score" rule every real pipeline applies first.
+    Composition shape: signals join on the doc key — the auditable form,
+    where a signal can be re-cut without re-running the others — and the
+    NB + entropy legs SHARE the (doc, token) tf aggregate (the fused
+    production variant this docstring used to defer: one corpus
+    tokenize + one doc-token-keyed exchange feeds both, r14; the bigram
+    leg still scans once itself — its unit is pairs, not tokens). Each
+    leg's arithmetic is the library operator's unchanged, so the fusion
+    moves no values (hash-oracled). Docs with < 2 tokens have no bigram
+    signal and drop (inner join), matching the "too short to score" rule
+    every real pipeline applies first.
 
     Determinism: every signal is already cross-engine exact (decimal-sum
     contracts of the component operators), so the literal-cut comparisons
     and the conjunction are exact too. Output: (id, n_tokens, nb_pred,
     entropy_nats, surprisal_nats, keep).
     """
-    nb = nb_quality_scores(docs, label, text_col=text_col, id_col=id_col).select(
+    # The NB and entropy legs share ONE corpus tokenize + (doc, token)
+    # aggregate: nb_train's localCheckpointed tf table IS token_entropy's
+    # tf (same tokens(lower(text)) + non-empty filter + per-(doc, token)
+    # count; the extra constant-per-doc label key changes no count), so
+    # the entropy leg reads the checkpoint instead of re-scanning and
+    # re-shuffling the corpus (guide §2.4 — the r13 form paid a second
+    # identical exchange). Values are bit-identical to token_entropy
+    # (same 9-dp rounding, same DECIMAL(18,9) sum; hash-oracled).
+    tf, weights, prior, _ = nb_train(
+        docs, label, text_col=text_col, id_col=id_col
+    )
+    nb = _nb_score(tf, weights, prior, id_col).select(
         id_col, F.col("predicted").alias("nb_pred")
     )
-    ent = token_entropy(docs, text_col=text_col, id_col=id_col).select(
-        id_col, "n_tokens", "entropy_nats"
+    w = Window.partitionBy(id_col)
+    p = F.col("tf").cast("double") / F.col("__n")
+    ent = (
+        tf.withColumn("__n", F.sum("tf").over(w))
+        .select(
+            id_col,
+            "__n",
+            F.round(-p * F.log(p), 9).cast("decimal(18,9)").alias("__term"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_tokens"),
+            F.sum("__term").cast("double").alias("entropy_nats"),
+        )
     )
     sur = bigram_surprisal(docs, text_col=text_col, id_col=id_col).select(
         id_col, "surprisal_nats"

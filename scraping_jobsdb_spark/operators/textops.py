@@ -131,13 +131,40 @@ def alpha_ratio(col: Column | str) -> Column:
 def quality_score(col: Column | str) -> Column:
     """Composite quality heuristic in [0,1]: length band + stopword presence
     + alphabetic purity. Mirrors the length/punct/stopword-ratio family of
-    pretraining quality filters; fixed weights keep it deterministic."""
-    c = F.col(col) if isinstance(col, str) else col
-    n_tok = token_count(c)
-    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    stop = stopword_ratio(c)
-    stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
-    return (0.4 * length_ok + 0.3 * stop_ok + 0.3 * alpha_ratio(c)).cast("double")
+    pretraining quality filters; fixed weights keep it deterministic.
+
+    Built as ONE parsed SQL expression when given a column NAME (every
+    engine call site does): the Column-DSL form cost ~0.5 s of py4j
+    driver wall per build (measured r14, guide §5) and this scalar is
+    constructed by six query families. `if(cond, x, y)` replays
+    `when/otherwise` exactly (a NULL condition takes the else branch),
+    the `D` suffixes pin the same double literals, and int/int `/` maps
+    to the same Divide — values are bit-identical (hash-oracled)."""
+    if not isinstance(col, str):
+        n_tok = token_count(col)
+        length_ok = F.when(
+            (n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        stop = stopword_ratio(col)
+        stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        return (
+            0.4 * length_ok + 0.3 * stop_ok + 0.3 * alpha_ratio(col)
+        ).cast("double")
+    c = f"`{col}`"
+    t = f"split(trim({c}), '\\\\s+')"
+    stops = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    stop_ratio = (
+        f"(size(filter({t}, x -> lower(x) in ({stops}))) / size({t}))"
+    )
+    return F.expr(
+        f"cast(0.4D * if(size({t}) >= 10 and size({t}) <= 100000, 1.0D, 0.0D)"
+        f" + 0.3D * if({stop_ratio} >= 0.01D and {stop_ratio} <= 0.6D,"
+        " 1.0D, 0.0D)"
+        f" + 0.3D * (length(regexp_replace({c}, '[^A-Za-z ]', ''))"
+        f" / length({c})) as double)"
+    )
 
 
 def lang_guess(col: Column | str) -> Column:

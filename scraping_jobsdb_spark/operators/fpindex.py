@@ -191,17 +191,23 @@ class FingerprintIndex:
         routing kept rows to the corpus sink would lose those docs on
         recovery. Contract: doc ids are unique across the stream (a
         re-sent id is the same document, never a self-duplicate)."""
+        # Fingerprint the batch ONCE and share the materialized set
+        # between the probe and the kept append (the r13 form paid a
+        # full-batch pass in the probe plus a kept-subset pass inside the
+        # append's write job; fingerprinting is deterministic per doc, so
+        # the filtered set is row-identical — r14).
+        fps_b = winnowing_fingerprint_set(
+            docs, self.k, self.w, text_col, self.id_col
+        ).localCheckpoint()
         verdict = self.probe(
             docs,
             threshold_milli=threshold_milli,
             text_col=text_col,
             exclude_self_ids=True,
+            _fps_b=fps_b,
         ).localCheckpoint()
         kept_ids = verdict.filter(F.col("kept")).select(self.id_col)
-        kept_docs = docs.join(kept_ids, self.id_col, "left_semi")
-        fps = winnowing_fingerprint_set(
-            kept_docs, self.k, self.w, text_col, self.id_col
-        )
+        fps = fps_b.join(kept_ids, self.id_col, "left_semi")
         TxnTable(self.spark, self.fps_path).stream_epoch_append(
             fps, app_id, epoch_id
         )
@@ -263,6 +269,7 @@ class FingerprintIndex:
         text_col: str = "text",
         broadcast_batch: bool = True,
         exclude_self_ids: bool = False,
+        _fps_b: DataFrame | None = None,
     ) -> DataFrame:
         """Score every batch document against the stored corpus: one row
         per batch doc — (id, n_fp, n_dup_of, kept), identical to
@@ -280,10 +287,19 @@ class FingerprintIndex:
         (a broadcast anti-join on the small batch-id set) — the
         replay-stability guard ``admit_stream_batch`` relies on."""
         stop = F.broadcast(self.stop_grams())
-        fps_b = winnowing_fingerprint_set(
-            batch, self.k, self.w, text_col, self.id_col
+        # ``_fps_b``: already-materialized batch fingerprints supplied by
+        # admit_stream_batch (fingerprinted once, shared with the kept
+        # append); only the standalone path pays its own checkpoint.
+        fps_b = (
+            winnowing_fingerprint_set(
+                batch, self.k, self.w, text_col, self.id_col
+            )
+            if _fps_b is None
+            else _fps_b
         )
-        pruned_b = fps_b.join(stop, "h", "left_anti").localCheckpoint()
+        pruned_b = fps_b.join(stop, "h", "left_anti")
+        if _fps_b is None:
+            pruned_b = pruned_b.localCheckpoint()
         if broadcast_batch:
             pruned_b = F.broadcast(pruned_b)
         pruned_c = self.fingerprints().join(stop, "h", "left_anti")

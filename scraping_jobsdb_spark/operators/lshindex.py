@@ -286,6 +286,7 @@ class LshSignatureIndex:
         epoch_id: int,
         app_id: str = "lshindex-admit",
         text_col: str = "text",
+        _sig_b: DataFrame | None = None,
     ) -> DataFrame:
         """ONLINE near-dup admission — the ``foreachBatch`` body of a
         deduplicating ingest stream: probe the batch against the current
@@ -313,8 +314,19 @@ class LshSignatureIndex:
         # signed twice: the probe's full-batch pass plus a second
         # kept-subset pass inside the append's write job — signing is
         # deterministic per doc, so sign(batch) filtered to kept ids is
-        # row-identical to sign(kept_docs), r14).
-        sig_b = self._sign(docs, text_col).localCheckpoint()
+        # row-identical to sign(kept_docs), r14). ``_sig_b`` lets a
+        # caller that ALREADY holds a materialized signature frame for
+        # exactly ``docs`` (row-identical to ``self._sign(docs,
+        # text_col)`` — e.g. an upstream intra-batch dedup stage that
+        # signed the same batch with the index's own parameters) hand it
+        # in, removing the whole signing map pass; the caller owns that
+        # equality (deterministic per-doc signing makes a filtered
+        # superset frame valid).
+        sig_b = (
+            self._sign(docs, text_col).localCheckpoint()
+            if _sig_b is None
+            else _sig_b
+        )
         verdict = self.probe(
             docs, text_col=text_col, exclude_self_ids=True, _sig_b=sig_b
         ).localCheckpoint()

@@ -1331,9 +1331,27 @@ def minhash_candidate_pairs_portable(
     """
     banded = minhash_band_keys_portable(
         df, id_col, text_col, k=k, bands=bands, shingle_n=shingle_n
-    ).select(F.col(id_col).alias("doc"), "band", "key")
+    )
+    return minhash_pairs_from_band_keys(banded, id_col=id_col, max_bucket=max_bucket)
+
+
+def minhash_pairs_from_band_keys(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate pairs from an ALREADY-COMPUTED band-key frame
+    ``(id_col, band, key)`` — the bucket-aggregate tail of
+    ``minhash_candidate_pairs_portable``, factored out (r14) so a caller
+    that has signed its documents once can reuse that pass instead of
+    re-signing (e.g. ``online_admission_intra_batch`` shares ONE signing
+    pass between the intra-batch pairing and the persisted-index
+    admission — guide §1.2 "don't compute things you throw away"). The
+    plan from the band keys down is identical to the self-contained
+    form's."""
     buckets = (
-        banded.groupBy("band", "key")
+        banded.select(F.col(id_col).alias("doc"), "band", "key")
+        .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc")).alias("docs"))
         .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket))
     )

@@ -2780,7 +2780,8 @@ def q_online_admission_intra_batch(
     list), and the replay verdicts against the settled state."""
     from scraping_jobsdb_spark.operators.lshindex import LshSignatureIndex
     from scraping_jobsdb_spark.operators.similarity import (
-        minhash_candidate_pairs_portable,
+        minhash_band_keys_portable,
+        minhash_pairs_from_band_keys,
     )
 
     docs = _steady_docs(spark, sf_dir).filter(F.col("text").isNotNull())
@@ -2791,11 +2792,25 @@ def q_online_admission_intra_batch(
             F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
         )
     )
-    pairs = minhash_candidate_pairs_portable(
-        batch, "doc_id", "text", k=16, bands=4, shingle_n=3, max_bucket=64
-    )
+    # ONE signing pass for the whole composition (r14 — guide §1.2): the
+    # intra-batch pairing and the index admission use IDENTICAL signing
+    # parameters (k=16, bands=4, shingle_n=3, md5-portable — pinned in the
+    # index manifest), so the batch is signed once, materialized, and
+    # shared: the pair stage consumes the band keys directly
+    # (minhash_pairs_from_band_keys) and the admission receives the
+    # survivor subset via ``_sig_b`` (signing is deterministic per doc, so
+    # the semi-joined subset is row-identical to re-signing the
+    # survivors). The r13 form signed the batch twice per run — once
+    # inside the pair stage and once inside admit_stream_batch.
+    bk = minhash_band_keys_portable(
+        batch, "doc_id", "text", k=16, bands=4, shingle_n=3
+    ).localCheckpoint()
+    pairs = minhash_pairs_from_band_keys(bk, id_col="doc_id", max_bucket=64)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = batch.join(dropped, "doc_id", "left_anti")
+    sig_surv = bk.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    )
     path = _steady_dir("intralsh", sf_dir)
     if path is None:
         import tempfile
@@ -2805,13 +2820,15 @@ def q_online_admission_intra_batch(
             spark, path, docs.filter(F.col("doc_id") % 5 != 0),
             k=16, bands=4, shingle_n=3, max_bucket=64,
         )
-        idx.admit_stream_batch(survivors, epoch_id=0, app_id="intra-admit")
+        idx.admit_stream_batch(
+            survivors, epoch_id=0, app_id="intra-admit", _sig_b=sig_surv
+        )
         _steady_done("intralsh", sf_dir, path)
     idx = LshSignatureIndex(spark, path)
     # epoch-0 replay: probe vs the settled index (self-excluding the
     # batch's own admitted signatures), kept-only append no-ops
     verdict = idx.admit_stream_batch(
-        survivors, epoch_id=0, app_id="intra-admit"
+        survivors, epoch_id=0, app_id="intra-admit", _sig_b=sig_surv
     )
     flags = batch.join(
         dropped.withColumn("__dropped", F.lit(True)), "doc_id", "left"

@@ -323,3 +323,35 @@ def test_lsh_index_simhash_hasher(spark, tmp_path):
         4,
         "simhash-portable",
     )
+
+
+def test_lsh_index_admit_with_presigned_batch_identical(spark, tmp_path):
+    """``admit_stream_batch(_sig_b=...)`` — the shared-signing-pass form
+    (r14: a caller that already signed the batch, e.g. an intra-batch
+    dedup stage, hands the materialized signatures in instead of paying a
+    second signing map pass) — yields verdicts AND index state
+    bit-identical to the self-signing form, including when the supplied
+    frame is a semi-join filtered subset of a larger signed batch."""
+    corpus, batch1, _ = _splits(spark)
+    survivors = batch1.filter(F.col("doc_id") % 10 == 0)
+
+    plain = LshSignatureIndex.create(
+        spark, str(tmp_path / "plain"), corpus, k=16, bands=4, max_bucket=64
+    )
+    v_plain = _rows(plain.admit_stream_batch(survivors, epoch_id=0))
+
+    shared = LshSignatureIndex.create(
+        spark, str(tmp_path / "shared"), corpus, k=16, bands=4, max_bucket=64
+    )
+    bk_full = minhash_band_keys_portable(
+        batch1, "doc_id", "text", k=16, bands=4, shingle_n=3
+    ).localCheckpoint()
+    sig_surv = bk_full.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    )
+    v_shared = _rows(
+        shared.admit_stream_batch(survivors, epoch_id=0, _sig_b=sig_surv)
+    )
+
+    assert v_plain == v_shared and len(v_plain) > 0
+    assert _rows(plain.signatures()) == _rows(shared.signatures())

@@ -164,13 +164,20 @@ def bloom_prefilter_join(
     available to any join the caller chooses.
 
     Mechanics: one aggregate over ``small`` collects the DISTINCT probe
-    positions of its keys (``sketches.probe_positions`` — the md5
-    hash-once-slice construction shared by the CMS and the txn Bloom
-    index), the driver packs them into a ``bits/8``-byte bitset, and the
-    bitset rides the plan as ONE binary literal (a single py4j call and
-    one task-binary shipment — never a per-element literal array). The big
-    side's membership test is pure JVM expression work: per probe, one
-    dynamic one-byte ``substring`` of the literal + hex→int + bit shift.
+    positions of its keys, the driver packs them into a ``bits/8``-byte
+    bitset, and the bitset rides the plan as ONE binary literal (a single
+    py4j call and one task-binary shipment — never a per-element literal
+    array). The big side's membership test is pure JVM expression work:
+    per probe, one dynamic one-byte ``substring`` of the literal +
+    hex→int + bit shift. Positions come from ``xxhash64(key, probe_seed)``
+    (native, codegen, no digest string), NOT the md5 construction the
+    CMS/txn Bloom index share: those sketches are PERSISTED/ORACLED and
+    need engine portability, while this bitset lives only inside one plan
+    — and the probe runs on EVERY big-side row, so its per-row cost is
+    the scan stage at 100 TB (measured r14: the md5 form was ~4× the
+    whole-stage CPU of the xxhash64 form). The key is still stringified
+    first so both sides hash identical bytes even when their column
+    types differ (int vs bigint keys).
 
     EXACTNESS: a Bloom filter has no false negatives, and every false
     positive is eliminated by the real join that follows — the result is
@@ -188,7 +195,13 @@ def bloom_prefilter_join(
         )
     if bits % 8:
         raise ValueError(f"bits must be a multiple of 8, got {bits}")
-    from scraping_jobsdb_spark.operators.sketches import probe_positions
+
+    def probe_positions(col: Column, n_probes: int, width: int) -> list[Column]:
+        # one native 64-bit hash per probe; pmod keeps positions in [0, width)
+        return [
+            F.pmod(F.xxhash64(col, F.lit(s)), F.lit(width)).cast("bigint")
+            for s in range(n_probes)
+        ]
 
     key = F.col(on).cast("string")
     # NULL small-side keys never match an inner/left_semi join, so dropping

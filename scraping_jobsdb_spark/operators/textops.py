@@ -2109,11 +2109,15 @@ def boilerplate_span_removal(
     Output: (id, n_tokens, n_removed, clean_text).
     """
     t = tokens(F.lower(F.col(text_col)))
-    base = docs.select(F.col(id_col), t.alias("__t"))
+    # ONE tokenize pass, checkpointed as the per-doc token ARRAYS (≈ the
+    # text's own bytes): every downstream frame (position stream ×2,
+    # trigram stream ×2) is a map-only explode over it. Checkpointing the
+    # exploded streams instead (the r13 form) tokenized the corpus twice
+    # and pinned |corpus tokens| ROWS of executor storage — guide §5.
+    base = docs.select(F.col(id_col), t.alias("__t")).localCheckpoint()
     pos = base.select(
         id_col, F.posexplode("__t").alias("pos", "tok")
     ).filter(F.col("tok") != "")
-    pos = pos.localCheckpoint()  # trigram build AND anti join consume it
 
     # guard: sequence(0, -1) would COUNT DOWN in Spark, not return empty
     starts = F.when(
@@ -2136,7 +2140,6 @@ def boilerplate_span_removal(
             )
         ).alias("g"),
     ).select(id_col, F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
-    tri = tri.localCheckpoint()  # df-count AND coverage join consume it
 
     freq = tri.groupBy("gram").agg(
         F.count_distinct(id_col).alias("df")

@@ -124,8 +124,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the engine's headline scan+agg
     (exercises predicate pushdown, partial aggregation, decimal-exact sums).
     Covers the aggregate family the reference delegates to Postgres
-    (SURVEY.md §2.4 closing note)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    (SURVEY.md §2.4 closing note). The decimal partial aggregation is the
+    CPU of this query; fan_out keeps it off a single task when the scan
+    has fewer splits than cores (the filter still pushes below the
+    repartition, so PushedFilters stays at the scan). Keyed on the
+    high-cardinality price column because keyless round-robin pays a
+    per-task sort of its input first (guide §2.5) — measured 0.85→0.52 s
+    exec at sf0.1."""
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem"), cols=["l_extendedprice"]
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -109,8 +109,13 @@ def q_stats_regression_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→double cast (observed in DuckDB: int128→double then /10^scale
     — two roundings, last-ulp drift). The one-pass sufficient-stats shape
     is also the scale answer: one aggregate, no second scan, mergeable
-    across shards."""
-    li = load_table(spark, sf_dir, "lineitem")
+    across shards. The six decimal product-sums are the CPU; fan_out
+    keeps the partial aggregation off a single task when the scan has
+    fewer splits than cores (keyed on the high-cardinality price column —
+    keyless round-robin pays a per-task pre-sort, guide §2.5)."""
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem"), cols=["l_extendedprice"]
+    )
     dec = "decimal(30,6)"
     xd = F.col("l_quantity").cast("decimal(12,2)")
     yd = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -236,7 +241,11 @@ def q_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     a property in tests/test_scale_ops.py)."""
     from scraping_jobsdb_spark.operators.sketches import cms_build, cms_estimate
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # the md5 probe derivation per (term, seed) is the CPU of the sketch
+    # build; fan_out keeps it off a single task on a narrow scan
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("text")
+    ).filter(F.col("text").isNotNull())
     terms = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )

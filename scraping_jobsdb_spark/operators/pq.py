@@ -205,27 +205,29 @@ def _codes_expr(codebook: list[list[list[float]]], vec_col: str):
     m = len(codebook)
     width = len(codebook[0][0])
 
-    def best_cell(j: int):
+    def best_cell(j: int) -> str:
         # argmin as array_min over (distance, cell) structs: lexicographic
         # struct comparison picks the smallest distance, ties to the lowest
         # cell. Linear expression size — a chained when/otherwise here would
         # duplicate the accumulator per step and explode exponentially.
-        sub = F.slice(F.col(vec_col), j * width + 1, width).cast("array<double>")
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _l2sq(sub, F.array(*[F.lit(x) for x in codebook[j][c]])).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(len(codebook[j]))
-                ]
+        # Emitted as SQL text (m × k × width literals through py4j cost
+        # ~0.5 s of driver wall per encode plan, r14); D-suffixed
+        # shortest-repr literals round-trip to identical doubles and the
+        # fold order is unchanged.
+        sub = f"CAST(slice(`{vec_col}`, {j * width + 1}, {width}) AS ARRAY<DOUBLE>)"
+        terms = []
+        for c in range(len(codebook[j])):
+            lits = ", ".join(f"{float(x)!r}D" for x in codebook[j][c])
+            d = (
+                f"aggregate(zip_with({sub}, array({lits}), "
+                f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
             )
-        )["c"]
+            terms.append(f"named_struct('d', {d}, 'c', {c})")
+        return f"array_min(array({', '.join(terms)})).c"
 
-    return F.when(
-        F.col(vec_col).isNotNull(),
-        F.array(*[best_cell(j) for j in range(m)]),
+    cells = ", ".join(best_cell(j) for j in range(m))
+    return F.expr(
+        f"CASE WHEN `{vec_col}` IS NOT NULL THEN array({cells}) END"
     )
 
 
@@ -480,47 +482,33 @@ def _centroid_rows(
 def _cell_expr(cent_rows: list[tuple[int, list[float]]], vec_col: str):
     """Nearest-centroid cell as a PURE map expression: lexicographic
     struct-min over (-cosine, cell) literals — no crossJoin, no window, no
-    shuffle; ties go to the lowest cell id."""
+    shuffle; ties go to the lowest cell id. Emitted as ONE parsed SQL
+    string (k × dim literals through py4j cost ~0.5 s of driver wall per
+    plan, r14); literals/fold order replicate the Column-DSL tree
+    exactly."""
     import math
 
-    def _cos_lit(vec_expr, cvec: list[float]):
+    vec_cast = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    # Zero-guard mirrors the `or 1.0` on the centroid norm and the
+    # driver-side _probe_cells: an all-zero corpus vector must score 0
+    # (not NaN) so executor-side cell assignment and driver-side probe
+    # scoring agree on degenerate rows.
+    vnorm = (
+        f"greatest(sqrt(aggregate({vec_cast}, 0.0D, "
+        f"(acc, v) -> acc + v * v)), {1e-12!r}D)"
+    )
+    terms = []
+    for cid, cvec in cent_rows:
         norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        dot = F.aggregate(
-            F.zip_with(
-                vec_expr.cast("array<double>"),
-                F.array(*[F.lit(float(x)) for x in cvec]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        lits = ", ".join(f"{float(x)!r}D" for x in cvec)
+        dot = (
+            f"aggregate(zip_with({vec_cast}, array({lits}), "
+            f"(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
         )
-        # Zero-guard mirrors the `or 1.0` on the centroid norm and the
-        # driver-side _probe_cells: an all-zero corpus vector must score 0
-        # (not NaN) so executor-side cell assignment and driver-side probe
-        # scoring agree on degenerate rows.
-        vnorm = F.greatest(
-            F.sqrt(
-                F.aggregate(
-                    vec_expr.cast("array<double>"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
-                )
-            ),
-            F.lit(1e-12),
+        terms.append(
+            f"named_struct('d', -({dot} / ({vnorm} * {norm!r}D)), 'c', {cid})"
         )
-        return dot / (vnorm * F.lit(norm))
-
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (-_cos_lit(F.col(vec_col), cvec)).alias("d"),
-                    F.lit(cid).alias("c"),
-                )
-                for cid, cvec in cent_rows
-            ]
-        )
-    )["c"]
+    return F.expr(f"array_min(array({', '.join(terms)})).c")
 
 
 def _probe_cells(

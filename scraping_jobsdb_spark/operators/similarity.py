@@ -1006,31 +1006,11 @@ def ivf_topk(
     )
     staged = corpus.select(id_col, vec_col, vn.alias("__vn"))
 
-    def _ccos(cvec: list[float]) -> Column:
-        import math
-
-        # plain left-fold sum, NOT fsum: mirrors the sequential fold order
-        # of cosine() / DuckDB's list norm (the nearest_centroid_classify
-        # recipe, hash-green at the gate since r5)
-        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in cvec]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return _q(dot / (F.col("__vn") * F.lit(cn)))
-
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct((-_ccos(cvec)).alias("d"), F.lit(cid).alias("cell"))
-                for cid, cvec in cent_rows
-            ]
-        )
+    # plain left-fold sum inside the parsed expr, NOT fsum: mirrors the
+    # sequential fold order of cosine() / DuckDB's list norm (the
+    # nearest_centroid_classify recipe, hash-green at the gate since r5)
+    best = _centroid_argmin_expr(
+        cent_rows, vec_col, "__vn", "cell", quantize_dp
     )
     assigned = staged.select(
         id_col, vec_col, best.getField("cell").alias("cell")
@@ -1636,6 +1616,38 @@ def label_centroids(
     )
 
 
+def _centroid_argmin_expr(
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str,
+    vn_col: str,
+    field_name: str,
+    quantize_dp: int | None,
+) -> Column:
+    """Struct-min argmin over driver-baked centroid literals, built as ONE
+    parsed SQL string instead of k × dim ``F.lit``/HOF Column calls — the
+    Column-DSL form costs thousands of py4j round-trips (~1.4 s of driver
+    wall at k=10, dim=64, measured r14) while the expression tree is the
+    same after constant folding: D-suffixed shortest-repr literals
+    round-trip to identical doubles, the zip_with/aggregate fold order is
+    unchanged, and the struct-min tie-break on the lowest id is preserved
+    by the same (-cos, id) struct ordering."""
+    import math
+
+    terms = []
+    for cid, cvec in cent_rows:
+        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        lits = ", ".join(f"{float(x)!r}D" for x in cvec)
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, array({lits}), "
+            f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, v) -> acc + v)"
+        )
+        cos = f"{dot} / (`{vn_col}` * {cn!r}D)"
+        if quantize_dp is not None:
+            cos = f"round({cos}, {quantize_dp})"
+        terms.append(f"named_struct('d', -({cos}), '{field_name}', {cid})")
+    return F.expr(f"array_min(array({', '.join(terms)}))")
+
+
 def nearest_centroid_classify(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1687,29 +1699,7 @@ def nearest_centroid_classify(
         vn.alias("__vn"),
     )
 
-    def _qcos(cvec: list[float]):
-        import math
-
-        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in cvec]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.round(dot / (F.col("__vn") * F.lit(cn)), quantize_dp)
-
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct((-_qcos(cvec)).alias("d"), F.lit(lbl).alias("lbl"))
-                for lbl, cvec in cent_rows
-            ]
-        )
-    )
+    best = _centroid_argmin_expr(cent_rows, vec_col, "__vn", "lbl", quantize_dp)
     return staged.select(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],

@@ -1702,7 +1702,16 @@ def perplexity_buckets(
     bucket: (bucket, n_docs, n_bigrams, min_nats, max_nats) with the nats
     rounded to 9 dp.
     """
-    scored = bigram_surprisal(docs, text_col=text_col, id_col=id_col)
+    # Materialize the per-doc score table ONCE (id, n_bigrams, nats — 3
+    # narrow columns): the percentile aggregate AND the bucketing pass
+    # both read it, and without the checkpoint each consumer re-ran the
+    # WHOLE surprisal pipeline — corpus tokenize, bigram explode, model
+    # scoring join, per-doc aggregate (the curriculum_pack_order pattern;
+    # contrast bigram_surprisal's own internals, where only a map-only
+    # explode is recomputed per consumer).
+    scored = bigram_surprisal(
+        docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
     cuts = scored.agg(
         F.expr(
             "percentile(surprisal_nats, array(CAST(1 AS DOUBLE)/3,"

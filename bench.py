@@ -372,8 +372,7 @@ def main() -> None:
     # 1.15×) — if the canary's end/start ratio tracks that drift, the cause
     # is single-JVM session aging (code cache / GC pressure growing with
     # the suite), not plan regressions.
-    def _time_query(name: str) -> float:
-        q = REGISTRY[name]
+    def _time_fn(build_fn) -> float:
         runs: list[float] = []
         # min-of-2 steady-state timing (the deployed posture of a
         # long-running cluster), robust to one-off GC/compilation hiccups
@@ -383,19 +382,67 @@ def main() -> None:
         # large says at least one run was not steady-state).
         for _ in range(2):
             t0 = time.perf_counter()
-            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            build_fn().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         if max(runs) > 1.4 * min(runs):
             t0 = time.perf_counter()
-            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            build_fn().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
+    def _time_query(name: str) -> float:
+        return _time_fn(lambda: REGISTRY[name].spark_fn(spark, sf_dir))
+
+    def _canary_df():
+        # FROZEN canary plan — the r10-r13 pricing_summary shape, inlined
+        # verbatim. The canary exists to measure HOST/session drift, so
+        # its plan must never change even when the registry query it was
+        # cloned from is optimized (r14 batch 9 added fan_out to the
+        # registry's pricing_summary, halving it; timing the registry
+        # form against the r10-pinned CANARY_REF would report drift=0.5
+        # on an unchanged host and silently inflate every normalized
+        # number). This frozen form keeps CANARY_REF and the canary
+        # series comparable across all rounds.
+        from pyspark.sql import functions as F
+
+        from scraping_jobsdb_spark.plans._shared import _dsum
+        from scraping_jobsdb_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _dsum("l_quantity").alias("sum_qty"),
+                _dsum("l_extendedprice").alias("sum_base_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                )
+                .cast("double")
+                .alias("sum_disc_price"),
+                (
+                    F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
     def _canary() -> float:
-        return _time_query("pricing_summary")
+        return _time_fn(_canary_df)
 
     def _pycanary() -> float:
         return _time_query("pandas_udf_token_count")
+
+    # codegen-warm the frozen canary plan (its registry sibling warmed the
+    # page cache above, but the frozen form compiles its own stage)
+    _canary_df().write.format("noop").mode("overwrite").save()
 
     canary = {"canary_start": _canary(), "pycanary_start": _pycanary()}
 

@@ -437,12 +437,45 @@ def main() -> None:
     def _canary() -> float:
         return _time_fn(_canary_df)
 
-    def _pycanary() -> float:
-        return _time_query("pandas_udf_token_count")
+    def _pycanary_df():
+        # FROZEN Python-lane canary plan — the r8-r14 shape of
+        # pandas_udf_token_count, inlined verbatim (fan_out scan +
+        # Arrow-vectorized pandas_udf regex count), for the same reason
+        # _canary_df is frozen: the canary measures HOST/session drift on
+        # the Python-worker lane, so its plan must stay fixed even if the
+        # registry query it was cloned from is later optimized — otherwise
+        # an optimization would read as drift against the pinned
+        # PYCANARY_REF and skew every normalized number (the exact failure
+        # the JVM canary hit in r14 batch 9).
+        import re
 
-    # codegen-warm the frozen canary plan (its registry sibling warmed the
-    # page cache above, but the frozen form compiles its own stage)
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        from scraping_jobsdb_spark.sources.tables import fan_out, load_table
+
+        pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+        def _count(s):
+            return s.map(
+                lambda t: len(pat.findall(t)) if t is not None else None
+            )
+
+        _count.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        counter = pandas_udf(_count, "bigint")
+        docs = fan_out(load_table(spark, sf_dir, "documents"))
+        return docs.select(
+            "doc_id", counter(F.col("text")).alias("n_bpe_tokens")
+        )
+
+    def _pycanary() -> float:
+        return _time_fn(_pycanary_df)
+
+    # codegen-warm the frozen canary plans (their registry siblings warmed
+    # the page cache above, but the frozen forms compile their own stages)
     _canary_df().write.format("noop").mode("overwrite").save()
+    _pycanary_df().write.format("noop").mode("overwrite").save()
 
     canary = {"canary_start": _canary(), "pycanary_start": _pycanary()}
 

@@ -125,14 +125,38 @@ class FingerprintIndex:
 
     # ------------------------------------------------------------- maintain
 
-    def add(self, docs: DataFrame, text_col: str = "text") -> int:
+    def fingerprint(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """``docs``' winnowing fingerprints ``(id, h)`` under THIS index's
+        pinned (k, w) parameters — the exact frame every write/probe path
+        derives internally. Public so a caller composing probe-then-add
+        over the same batch can materialize the signing ONCE
+        (``localCheckpoint``) and hand it to both via ``_fps_b``/``_fps``
+        (fingerprinting is deterministic per doc, so the shared frame is
+        row-identical to each path's own derivation)."""
+        return winnowing_fingerprint_set(
+            docs, self.k, self.w, text_col, self.id_col
+        )
+
+    def add(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        _fps: DataFrame | None = None,
+    ) -> int:
         """Admit ``docs`` into the corpus: append their fingerprints
         (transactional — all-or-nothing visibility) and fold the append
         delta into the document-frequency view. Cost: fingerprint(docs) +
         O(|delta| + |distinct grams|) — never a corpus rescan. Returns the
-        new fps-table version."""
-        fps = winnowing_fingerprint_set(
-            docs, self.k, self.w, text_col, self.id_col
+        new fps-table version. ``_fps``: an already-materialized
+        ``fingerprint(docs)`` frame (e.g. shared with a preceding
+        ``probe`` of the same batch) — skips the signing map pass; the
+        caller owns the row-identity."""
+        fps = (
+            winnowing_fingerprint_set(
+                docs, self.k, self.w, text_col, self.id_col
+            )
+            if _fps is None
+            else _fps
         )
         t = TxnTable(self.spark, self.fps_path)
         t.append(fps)

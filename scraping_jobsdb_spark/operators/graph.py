@@ -28,7 +28,7 @@ labels are (id, label) pairs — the GraphX/GraphFrames propagation pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_keep_list", "dedup_keep_best", "pagerank"]
@@ -315,10 +315,14 @@ def pagerank(
     ``checkpoint_interval`` rounds (the GraphX/ALS checkpointInterval
     discipline): a 5-iteration run is ONE job instead of five
     materialization jobs, and lineage still stays bounded for long runs.
-    ``redistribute`` mode consumes the previous rank TWICE (update + the
-    dangling-mass aggregate), so skipping materialization would double the
-    plan per round — it materializes every iteration regardless of the
-    interval. Materialization is ``localCheckpoint`` — or reliable
+    ``redistribute`` mode needs each round's dangling mass as a driver
+    scalar before the NEXT round's plan can be built, so it materializes
+    every iteration (except the last — the caller's action covers it);
+    the mass itself is OBSERVED on that materialization (a static dangler
+    flag on the node frame + ``observe``), so the previous rank frame is
+    referenced exactly once per round — no second aggregate/broadcast
+    subtree, and the plan stays linear. Materialization is
+    ``localCheckpoint`` — or reliable
     ``checkpoint()`` when ``checkpoint_dir`` is given (the fault-tolerant
     cluster posture, see ``_materialize``). The edge list is checkpointed
     ONCE and both per-iteration consumers (join, degree lookup) reuse it.
@@ -340,23 +344,32 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     e2 = _materialize(e.join(outdeg, "src"), checkpoint_dir)  # (src,dst,d)
     # every e row's src has outdeg >= 1, so e2 spans exactly e's rows
-    nodes = _materialize(
+    nodes = (
         e2.select(F.col("src").alias("node"))
         .union(e2.select(F.col("dst").alias("node")))
-        .distinct(),
-        checkpoint_dir,
+        .distinct()
     )
     if dangling == "redistribute":
-        # danglers are static (outdeg never changes); N is a driver
-        # constant computed once so the per-node share stays a pure
-        # integer expression
-        danglers = _materialize(
-            nodes.join(
-                e2.select(F.col("src").alias("node")), "node", "left_anti"
-            ),
-            checkpoint_dir,
-        )
-        n_nodes = nodes.count()
+        # Danglers are STATIC (outdeg never changes), so the node frame
+        # carries a dangler FLAG from the start: each round's dangling
+        # mass is then OBSERVED on the rank materialization the round
+        # already pays (guide §2.4/§5 — r14 referenced the previous rank
+        # frame a second time per round for a separate aggregate +
+        # broadcast + cross join; the observe rides the checkpoint job,
+        # so that whole subtree is gone). N and the initial mass
+        # D_0 = |danglers| * scale are driver constants from one agg.
+        srcs = e2.select(F.col("src").alias("node")).distinct()
+        nodes = nodes.join(
+            srcs.withColumn("__dang", F.lit(False)), "node", "left"
+        ).select("node", F.coalesce("__dang", F.lit(True)).alias("__dang"))
+    nodes = _materialize(nodes, checkpoint_dir)
+    if dangling == "redistribute":
+        counts = nodes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__dang"), 1).otherwise(0)).alias("nd"),
+        ).collect()[0]
+        n_nodes = int(counts["n"])
+        d_mass = int(counts["nd"] or 0) * scale
     if checkpoint_interval < 1:
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
@@ -375,27 +388,40 @@ def pagerank(
             .agg(F.sum(F.expr("rank div d")).alias("contrib"))
         )
         if dangling == "redistribute":
-            # ONE global integer scalar per iteration: the danglers' total
-            # rank, shared uniformly (D div N per node). Rides the plan as
-            # a broadcast 1-row cross join — no driver round-trip.
-            dmass = F.broadcast(
-                rank.join(danglers, "node", "left_semi").agg(
-                    F.coalesce(F.sum("rank"), F.lit(0)).alias("__dm")
-                )
-            )
-            share = f"(__dm div {n_nodes})"
+            # The danglers' total rank D is known from the PREVIOUS
+            # round's observation (D_0 exactly |danglers| * scale), so
+            # the uniform share D div N is a pure integer LITERAL —
+            # same value the r14 broadcast aggregate computed (Python //
+            # == SQL div for the non-negative D), with one reference to
+            # the previous rank frame instead of two.
+            share = (d_mass // n_nodes) if n_nodes else 0
             rank = (
                 nodes.join(contrib, "node", "left")
-                .crossJoin(dmass)
                 .select(
                     "node",
+                    "__dang",
                     F.expr(
                         f"(CAST({base} AS BIGINT) + {damping_milli}"
                         f" * (coalesce(contrib, 0) + {share})) div 1000"
                     ).alias("rank"),
                 )
             )
-            rank = _materialize(rank, checkpoint_dir)
+            # materialize to learn this round's D — except after the
+            # LAST round, whose D feeds nothing (the caller's action
+            # materializes the final state; one fewer checkpoint job)
+            if it + 1 < iterations:
+                obs = Observation()
+                rank = _materialize(
+                    rank.observe(
+                        obs,
+                        F.sum(
+                            F.when(F.col("__dang"), F.col("rank"))
+                        ).alias("__dm"),
+                    ),
+                    checkpoint_dir,
+                )
+                dm = obs.get["__dm"]
+                d_mass = int(dm) if dm is not None else 0
         else:
             rank = (
                 nodes.join(contrib, "node", "left")
@@ -412,4 +438,6 @@ def pagerank(
             # caller's action materializes the final state)
             if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
                 rank = _materialize(rank, checkpoint_dir)
+    if dangling == "redistribute":
+        rank = rank.select("node", "rank")
     return rank

@@ -245,13 +245,32 @@ class LshSignatureIndex:
 
     # ------------------------------------------------------------- maintain
 
-    def add(self, docs: DataFrame, text_col: str = "text") -> int:
+    def sign(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """``docs``' band signatures ``(id, band, key)`` under THIS
+        index's pinned (k, bands, shingle_n, hasher) parameters — the
+        exact frame every write/probe path derives internally. Public so
+        a caller composing probe-then-add over the same batch can
+        materialize the signing ONCE (``localCheckpoint``) and hand it to
+        both via ``_sig_b``/``_sigs`` (signing is deterministic per doc,
+        so the shared frame is row-identical to each path's own
+        derivation)."""
+        return self._sign(docs, text_col)
+
+    def add(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        _sigs: DataFrame | None = None,
+    ) -> int:
         """Admit ``docs`` into the corpus: append their band signatures
         (transactional — all-or-nothing visibility) and fold the append
         delta into the bucket-size view. Cost: sign(docs) +
         O(|delta| + |distinct buckets|) — never a corpus rescan. Returns
-        the new sigs-table version."""
-        sigs = self._sign(docs, text_col)
+        the new sigs-table version. ``_sigs``: an already-materialized
+        ``sign(docs)`` frame (e.g. shared with a preceding ``probe`` of
+        the same batch) — skips the signing map pass; the caller owns the
+        row-identity."""
+        sigs = self._sign(docs, text_col) if _sigs is None else _sigs
         t = TxnTable(self.spark, self.sigs_path)
         t.append(sigs)
         self._bs_view.refresh()

@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scraping_jobsdb_spark.operators.similarity import cosine
+from scraping_jobsdb_spark.operators.similarity import (
+    _sql_double_lit,
+    _sql_id_lit,
+    cosine,
+)
 from scraping_jobsdb_spark.session import local_df
 
 __all__ = [
@@ -217,7 +221,7 @@ def _codes_expr(codebook: list[list[list[float]]], vec_col: str):
         sub = f"CAST(slice(`{vec_col}`, {j * width + 1}, {width}) AS ARRAY<DOUBLE>)"
         terms = []
         for c in range(len(codebook[j])):
-            lits = ", ".join(f"{float(x)!r}D" for x in codebook[j][c])
+            lits = ", ".join(_sql_double_lit(x) for x in codebook[j][c])
             d = (
                 f"aggregate(zip_with({sub}, array({lits}), "
                 f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
@@ -499,14 +503,15 @@ def _cell_expr(cent_rows: list[tuple[int, list[float]]], vec_col: str):
     )
     terms = []
     for cid, cvec in cent_rows:
-        norm = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        lits = ", ".join(f"{float(x)!r}D" for x in cvec)
+        norm = math.sqrt(sum(float(x) * float(x) for x in cvec)) or 1.0
+        lits = ", ".join(_sql_double_lit(x) for x in cvec)
         dot = (
             f"aggregate(zip_with({vec_cast}, array({lits}), "
             f"(a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
         )
         terms.append(
-            f"named_struct('d', -({dot} / ({vnorm} * {norm!r}D)), 'c', {cid})"
+            f"named_struct('d', -({dot} / ({vnorm} * "
+            f"{_sql_double_lit(norm)})), 'c', {_sql_id_lit(cid)})"
         )
     return F.expr(f"array_min(array({', '.join(terms)})).c")
 

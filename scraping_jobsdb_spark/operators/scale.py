@@ -206,7 +206,9 @@ def bloom_prefilter_join(
     key = F.col(on).cast("string")
     # NULL small-side keys never match an inner/left_semi join, so dropping
     # them before probe collection is semantics-preserving — and required:
-    # md5(NULL) yields NULL positions that would crash the int() pack below.
+    # xxhash64 hashes a NULL input as just its seed (non-NULL result), so
+    # an unfiltered NULL key would set real bits and loosen the filter for
+    # every big-side row colliding with those positions.
     pos_rows = (
         small.filter(F.col(on).isNotNull())
         .select(

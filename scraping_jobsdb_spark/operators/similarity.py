@@ -1616,6 +1616,42 @@ def label_centroids(
     )
 
 
+def _sql_double_lit(x: float) -> str:
+    """One double as SQL text. ``repr`` of a non-finite double ('inf',
+    'nan') does not parse as a SQL literal, and the F.lit form this
+    replaced handled it — so interpolating one raw would turn a data
+    problem into an AnalysisException deep in an unrelated-looking plan.
+    Refuse it eagerly with a message that names the real cause."""
+    import math
+
+    xf = float(x)
+    if not math.isfinite(xf):
+        raise ValueError(
+            f"non-finite value {x!r} cannot be baked into a SQL literal "
+            "plan (centroid/codebook components must be finite doubles)"
+        )
+    return f"{xf!r}D"
+
+
+def _sql_id_lit(v) -> str:
+    """One centroid/cell id as SQL text. Int ids embed as integer
+    literals; string ids (reachable via ivf_topk's default
+    ``_seed_centroids`` path, where cent_id is the corpus id column and
+    may be a string) embed as quoted string literals — interpolated raw
+    they would misresolve as column references or fail to parse."""
+    if isinstance(v, bool):
+        raise ValueError(f"boolean id {v!r} cannot key a centroid cell")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
+    raise ValueError(
+        f"centroid/cell id {v!r} must be an int or string to be baked "
+        "into a SQL literal plan"
+    )
+
+
 def _centroid_argmin_expr(
     cent_rows: list[tuple[int, list[float]]],
     vec_col: str,
@@ -1635,16 +1671,19 @@ def _centroid_argmin_expr(
 
     terms = []
     for cid, cvec in cent_rows:
-        cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
-        lits = ", ".join(f"{float(x)!r}D" for x in cvec)
+        cn = math.sqrt(sum(float(x) * float(x) for x in cvec)) or 1.0
+        lits = ", ".join(_sql_double_lit(x) for x in cvec)
         dot = (
             f"aggregate(zip_with(`{vec_col}`, array({lits}), "
             f"(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, v) -> acc + v)"
         )
-        cos = f"{dot} / (`{vn_col}` * {cn!r}D)"
+        cos = f"{dot} / (`{vn_col}` * {_sql_double_lit(cn)})"
         if quantize_dp is not None:
             cos = f"round({cos}, {quantize_dp})"
-        terms.append(f"named_struct('d', -({cos}), '{field_name}', {cid})")
+        terms.append(
+            f"named_struct('d', -({cos}), "
+            f"'{field_name}', {_sql_id_lit(cid)})"
+        )
     return F.expr(f"array_min(array({', '.join(terms)}))")
 
 

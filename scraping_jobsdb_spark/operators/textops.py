@@ -836,8 +836,9 @@ def fingerprint_containment_pairs(
     guard: hashes selected by more than ``max_df`` documents are dropped
     before the join (boilerplate grams shared by half the corpus would
     otherwise quadratically expand the pair stream; identical to the
-    max_bucket guard on MinHash bands). Containment is measured over the
-    PRUNED sets — sizes and shared counts from the same universe —
+    max_bucket guard on MinHash bands; a PPJoin prefix filter on top was
+    measured slower — see the inline note). Containment is measured over
+    the PRUNED sets — sizes and shared counts from the same universe —
     otherwise growing the corpus (which turns ever more grams into
     stop-grams) silently deflates every ratio toward zero. Deterministic
     given (k, w, max_df)."""
@@ -851,6 +852,20 @@ def fingerprint_containment_pairs(
     # executed plan). r14: was two localCheckpoints (fps + pruned), i.e.
     # two eager materialization jobs and two pinned copies, for the same
     # result.
+    #
+    # Measured non-optimization (r15, interleaved same-box 10x sweeps): a
+    # PPJoin-style PREFIX-FILTERED candidate join (rarest-first (df, h)
+    # per-doc vectors; only the smaller side's first n−α+1 fingerprints
+    # generate candidates; exact array_intersect verify) was value-
+    # identical and cut the pair-join fan-in as designed, but measured
+    # NEUTRAL at the base point and 9-14% SLOWER at 10x on both consumer
+    # families (winnowing_containment_pairs big point 7.7→8.4 s,
+    # dedup_keep_best_quality 14.8→16.2 s): with max_df=50 already
+    # capping every cell, the quadratic it bounds is not the binding
+    # cost, while the per-doc collect_list/array_sort aggregate, the
+    # candidate distinct, and the two verify joins are new corpus-sized
+    # work. Kept the exhaustive-cell form; revisit only if max_df is
+    # ever raised.
     from pyspark.sql import Window as _W
 
     fps = winnowing_fingerprint_set(docs, k, w, text_col, id_col)
@@ -2542,13 +2557,15 @@ def exact_substring_spans(
     positions; every duplicated L-window lies inside a maximal repeat),
     so masking duplicated-L-window positions masks EXACTLY the
     suffix-array span set. Shape: map-only window/gram construction (the
-    ``_word_ngrams`` staged-alias form, one row per window), ONE
-    gram-keyed aggregate for multiplicity, an equi-join back (AQE sizes
-    it), then a per-document interval merge — running-max-exclusive over
-    window starts (the gaps-and-islands rule) — on the DUPLICATED windows
-    only, which are few per document. Two shuffles total (gram agg,
-    doc-keyed merge window); every output is an integer, so the whole
-    operator value-hash oracles. Downstream composition decides the
+    ``_word_ngrams`` staged-alias form, one row per window), corpus-wide
+    multiplicity as ONE ``count()`` window over the gram (one gram-keyed
+    exchange; no aggregate + join-back, whose probe side re-ran the whole
+    gram build a second time — r15), then a per-document interval merge —
+    running-max-exclusive over window starts (the gaps-and-islands rule)
+    — on the DUPLICATED windows only, which are few per document. Two
+    shuffles total (gram window, doc-keyed merge window) and ONE pass of
+    the gram build; every output is an integer, so the whole operator
+    value-hash oracles. Downstream composition decides the
     policy (mask spans, drop docs over a masked-ratio cap, or keep-first
     via the dedup families).
 
@@ -2623,13 +2640,23 @@ def exact_substring_spans(
         )
         dwin = cand.join(gdup, "gram").select(id_col, "pos")
     else:
-        dup = (
-            wins.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__n"))
+        # Corpus-wide multiplicity as ONE count() window over gram instead
+        # of groupBy(gram) + join-back (r15, the fingerprint_containment_
+        # pairs construction — guide §2.4): the join-back referenced the
+        # window explode TWICE (Catalyst does not reuse the un-exchanged
+        # map subtree across the aggregate and the join probe side), so
+        # the whole split→slice→concat gram build ran two full passes;
+        # the window pays one exchange of (id, pos, gram) rows — the same
+        # gram-keyed shuffle the aggregate paid, the 12 extra bytes
+        # compress away next to the overlapping gram text — sorts on the
+        # gram within partitions, and needs no join at all. Row set
+        # identical (count ≥ 2 per gram either way).
+        w_gram = Window.partitionBy("gram")
+        dwin = (
+            wins.withColumn("__n", F.count(F.lit(1)).over(w_gram))
             .filter(F.col("__n") >= 2)
-            .select("gram")
+            .select(id_col, "pos")
         )
-        dwin = wins.join(dup, "gram").select(id_col, "pos")
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")

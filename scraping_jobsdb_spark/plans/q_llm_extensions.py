@@ -797,9 +797,11 @@ def q_bloom_prefilter_supplier_revenue(
     the explicit form of Spark's threshold-gated runtime bloom-filter
     injection, for the regime where the dimension is too large to
     broadcast exactly but its key set sketches into kilobytes. The bitset
-    is built by ONE aggregate over the small side (md5 probe_positions —
-    the portable construction the CMS/txn-bloom share) and ships as a
-    single binary literal. Bloom filters have no false negatives and the
+    is built by ONE aggregate over the small side (xxhash64 probe
+    positions — native and codegen-resident, since this bitset lives only
+    inside one plan; the persisted CMS/txn-bloom sketches keep their
+    engine-portable md5 construction) and ships as a single binary
+    literal. Bloom filters have no false negatives and the
     real join removes false positives, so the result is row-identical to
     the plain join — hash-oracled here against DuckDB's exact join.
     Row-prune factor asserted in tests/test_scale_ops.py."""

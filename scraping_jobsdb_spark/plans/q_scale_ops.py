@@ -772,10 +772,17 @@ def q_incremental_indexed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="sjs_fpidx_q_"), corpus,
         k=8, w=4, max_df=50,
     )
-    v1 = idx.probe(batch1, threshold_milli=800).withColumn(
+    # Fingerprint batch 1 ONCE and share the materialized frame between
+    # the probe and the admission append (fingerprinting is deterministic
+    # per doc, so the shared frame is row-identical to each path's own
+    # derivation — the r14 admit_stream_batch construction, applied to
+    # the probe-then-add composition; one signing map pass per batch
+    # instead of two, at any scale).
+    fps_b1 = idx.fingerprint(batch1).localCheckpoint()
+    v1 = idx.probe(batch1, threshold_milli=800, _fps_b=fps_b1).withColumn(
         "batch_no", F.lit(1).cast("int")
     )
-    idx.add(batch1)
+    idx.add(batch1, _fps=fps_b1)
     v2 = idx.probe(batch2, threshold_milli=800).withColumn(
         "batch_no", F.lit(2).cast("int")
     )
@@ -1702,8 +1709,13 @@ def q_incremental_minhash_indexed_dedup(
         spark, tempfile.mkdtemp(prefix="sjs_lshidx_q_"), corpus,
         k=16, bands=4, shingle_n=3, max_bucket=64,
     )
-    v1 = idx.probe(batch1).withColumn("batch_no", F.lit(1).cast("int"))
-    idx.add(batch1)
+    # sign batch 1 ONCE, shared by probe + admission append (deterministic
+    # per-doc signing — see incremental_indexed_dedup)
+    sig_b1 = idx.sign(batch1).localCheckpoint()
+    v1 = idx.probe(batch1, _sig_b=sig_b1).withColumn(
+        "batch_no", F.lit(1).cast("int")
+    )
+    idx.add(batch1, _sigs=sig_b1)
     v2 = idx.probe(batch2).withColumn("batch_no", F.lit(2).cast("int"))
     return v1.unionByName(v2).select(
         "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"
@@ -1891,8 +1903,13 @@ def q_incremental_simhash_indexed_dedup(
         spark, tempfile.mkdtemp(prefix="sjs_shidx_q_"), corpus,
         k=60, bands=4, max_bucket=256, hasher="simhash-portable",
     )
-    v1 = idx.probe(batch1).withColumn("batch_no", F.lit(1).cast("int"))
-    idx.add(batch1)
+    # sign batch 1 ONCE, shared by probe + admission append (deterministic
+    # per-doc signing — see incremental_indexed_dedup)
+    sig_b1 = idx.sign(batch1).localCheckpoint()
+    v1 = idx.probe(batch1, _sig_b=sig_b1).withColumn(
+        "batch_no", F.lit(1).cast("int")
+    )
+    idx.add(batch1, _sigs=sig_b1)
     v2 = idx.probe(batch2).withColumn("batch_no", F.lit(2).cast("int"))
     return v1.unionByName(v2).select(
         "doc_id", "batch_no", "n_bands_hit", "n_cand", "kept"

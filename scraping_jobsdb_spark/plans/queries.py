@@ -78,122 +78,101 @@ from scraping_jobsdb_spark.plans import q_graph_monitor as _q_graph_monitor  # n
 # tests in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
-# Round-14 window (registry 254, window 50). Evidence going in (latest-
-# evidence join over CORRECTNESS_r01-r13 on the live registry): r13 went
-# 49 hash-green + 1 clean rows-only (bpe_learned_merges, by design),
-# 0 red; histogram r8:6 / r9:49 / r10:48 / r11:49 / r12:49 / r13:50,
-# plus three queries registered this round with no rows yet.
-# 3 + 4 + 6 + 37 = 50:
-# (a) the 3 never-evidenced queries (VERDICT r13 items 2/5/6):
-#     multimodal_adpcm_decode_features — the r13-built IMA-ADPCM codec
-#     finally driver-evidenced (per-block-constant staircase, integer-
-#     exact through the lossy coder);
-#     multimodal_mp4_jpeg_pipeline — container -> pixels: multi-chunk
-#     MP4 (real stsc run table + per-chunk offsets + interleave pads)
-#     whose samples are real baseline JPEGs, demuxed and entropy-decoded
-#     end to end in one Arrow stage;
-#     ann_index_batch_topk — 100-query batch probe of the settled txn
-#     ANN index (one pruned multi-cell read, O(1) plan in query count —
-#     the production retrieval economics the single-probe rows don't
-#     show).
-# (b) the 4 queries whose implementation changed this round:
-#     reference_pipeline_e2e — flipped rows-only -> HASH-ORACLED
-#     (VERDICT item 4): DuckDB re-derives the fake site's md5-seeded
-#     corpus and every pipeline stage in closed form;
-#     multimodal_mp4_demux — the demux now walks the real stsc chunk
-#     table per track (r13 ADVICE medium: multi-chunk files previously
-#     mis-demuxed silently; multi-track files mixed audio/video fields
-#     last-write-wins). Gate output hash-identical (single-chunk
-#     single-track corpus), but the transform changed, so it re-gates;
-#     multimodal_jpeg_decode_features — the scan bit reader now masks
-#     consumed bits (r13 ADVICE low: decode was O(n^2) in scan length);
-#     output unchanged, code changed, re-gates;
-#     curriculum_pack_order_approx — the permutation gate gained an
-#     independent bit-XOR invariant and honest moment-consistency
-#     wording (r13 ADVICE low); flag value unchanged, plan changed,
-#     re-gates.
-#     One other r14 code touch is deliberately NOT re-windowed: the
-#     iterative graph operators gained an opt-in reliable-checkpoint
-#     mode (VERDICT item 3) whose default path is plan-identical
-#     (localCheckpoint, as before); all six graph-backed gate rows were
-#     re-hash-verified locally and a both-modes bit-identity test landed
-#     in tests/test_scale_ops.py.
-# (c) the 6 r8-stale members deferred from the r13 window (VERDICT
-#     item 1 — they lead, as promised): embedding_topk_np,
-#     scalar_date_pack, nation_volume_shipping, market_share_by_year,
-#     regional_supplier_volume, shipping_priority_top10.
-# (d) 37 of the 49-member r9-stale cohort (alphabetical). Twelve defer
-#     to r15 because the window is full and each has FRESHER family
-#     evidence standing in: embedding_topk + embedding_ivfpq_topk +
-#     embedding_binary_hamming_topk + embedding_matryoshka_topk +
-#     embedding_random_projection + embedding_whitening_topk +
-#     embedding_hard_negatives (embedding family green r13 via
-#     embedding_int8_cosine_topk/embedding_ivf_topk, plus
-#     embedding_topk_np in this window), embedding_ann_index_topk +
-#     embedding_ann_index_txn_lifecycle (persisted-ANN family green r13
-#     via ann_index_steady_probe, plus ann_index_batch_topk in this
-#     window), events_hourly_streaming (streaming family green r13 via
-#     events_ohlc_streaming), approx_distinct_sketch (sketch family
-#     green r13 via hll_portable_registers/kmv_distinct_sketches/
-#     cms_term_frequencies), semantic_dedup_kmeans_cells (rows-only by
-#     design; oracled sibling semantic_dedup_embeddings green r12).
-#     They lead the r15 window with the r10 cohort.
+# Round-15 window (registry 254, window 50). Evidence going in: r14 went
+# 50/50 green (CORRECTNESS_r14); latest-evidence join over
+# CORRECTNESS_r01-r14 on the live registry (counting clean rows-only
+# rows): histogram r9:12 / r10:47 / r11:46 / r12:47 / r13:46 / r14:50,
+# with the 6 rows-only tokenizer/kmeans rows carrying only pre-r12
+# rows-only evidence by design. 6 + 24 + 12 + 8 = 50, ordered so the
+# driver's oracle verifies BOTH optimization rounds' own changes first
+# (VERDICT r14 item 1 and ADVICE: the r14 window rotated toward stale
+# queries and missed the round's optimizer-touched set entirely):
+# (a) the 6 queries whose implementation changed in r15 (optimization
+#     round 2): exact_substring_dedup_spans (gram multiplicity as one
+#     count() window — one gram-build pass), order_flow_pagerank_
+#     redistribute (per-round dangling mass observed on the round's own
+#     materialization), both pagerank gate rows (shared setup), and the
+#     three incremental_*_indexed_dedup lifecycles (batch 1 signed once,
+#     shared by probe + admission append).
+# (b) the 24 r14-optimizer-touched queries the r14 window missed —
+#     pricing/profile/CMS/bloom/Q21 exec-side batch, the centroid/PQ
+#     parsed-SQL consumers, the steady admission family, the LSH
+#     signature builders' pair queries, events_time_weighted_value, and
+#     the fingerprint-pair + quality_score consumers (window-df pruning,
+#     batch-5 parsed quality_score).
+# (c) the 12 r9-stale members deferred from the r14 window, as promised
+#     there (embedding family, persisted-ANN lifecycle, streaming,
+#     sketch; semantic_dedup_kmeans_cells + embedding_whitening_topk are
+#     rows-only by design).
+# (d) 8 of the r10-stale cohort (alphabetical; several other r10-stale
+#     members — column_profile_orders, waiting_supplier_report,
+#     embedding_pq_topk, nearest_centroid_confusion — already sit in (b);
+#     the remainder rotates in next round).
 _GATE_PRIORITY = [
-    # (a) never-evidenced / new registrations
-    "multimodal_adpcm_decode_features",
-    "multimodal_mp4_jpeg_pipeline",
-    "ann_index_batch_topk",
-    # (b) implementation changed this round
-    "reference_pipeline_e2e",
-    "multimodal_mp4_demux",
-    "multimodal_jpeg_decode_features",
-    "curriculum_pack_order_approx",
-    # (c) the 6 r8-stale members deferred from r13 (they lead)
-    "embedding_topk_np",
-    "scalar_date_pack",
-    "nation_volume_shipping",
-    "market_share_by_year",
-    "regional_supplier_volume",
-    "shipping_priority_top10",
-    # (d) 37 of the r9-stale cohort (alphabetical; 12 defer to r15, see
-    # header)
-    "anti_join_not_in",
-    "attribution_last_touch",
-    "bpe_merge_candidates",
-    "corpus_pmi_pairs",
-    "corpus_to_training_examples",
-    "cube_flag_status",
-    "dedup_distinct_on",
-    "doc_boilerplate_removal",
-    "doc_exact_dedup",
-    "doc_fingerprint",
-    "doc_lang_quality",
-    "doc_ngram_jaccard",
-    "doc_perplexity_buckets",
-    "doc_quality_streaming",
-    "doc_text_stats",
-    "doc_token_entropy",
-    "domain_cap_sample",
-    "dsir_importance_sample",
-    "epoch_repeat_expansion",
-    "events_value_psi_daily",
-    "exists_order_priority_count",
-    "forecast_revenue_delta",
-    "group_by_all_rollup",
-    "groupby_min_max",
-    "grouped_sorted_list",
-    "hybrid_rrf_retrieval",
-    "incremental_batch_dedup",
-    "join_dims_broadcast",
-    "join_left_outer_agg",
-    "k_anonymity_report",
-    "lang_kl_divergence",
-    "quality_classifier_nb",
-    "quality_ensemble_verdicts",
-    "referential_integrity_report",
-    "temperature_mixture_corpus",
-    "unigram_seed_candidates",
-    "wordpiece_corpus_tokenize",
+    # (a) implementation changed THIS round (r15) — optimizer-touched
+    # queries gate in the same round they change (r14 ADVICE):
+    # exact_substring_spans' gram-window multiplicity, the pagerank
+    # redistribute observe scheme, the sign-once incremental lifecycle
+    # composition, and the graph setup shared by both pagerank modes.
+    "exact_substring_dedup_spans",
+    "order_flow_pagerank_redistribute",
+    "order_flow_pagerank",
+    "incremental_indexed_dedup",
+    "incremental_minhash_indexed_dedup",
+    "incremental_simhash_indexed_dedup",
+    # (b) r14-optimizer-touched queries the r14 window missed (VERDICT
+    # r14 item 1 — their correctness rested on r13 rows + local checks;
+    # the driver's oracle closes the loop here), plus the r14-touched
+    # fingerprint-pair/quality_score consumers in the same position.
+    "pricing_summary",
+    "stats_regression_pack",
+    "column_profile_orders",
+    "cms_term_frequencies",
+    "bloom_prefilter_supplier_revenue",
+    "waiting_supplier_report",
+    "nearest_centroid_confusion",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    "semantic_dedup_embeddings",
+    "fpindex_steady_admission",
+    "lshindex_steady_admission",
+    "ann_index_steady_probe",
+    "online_admission_intra_batch",
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
+    "minhash_portable_neardup_pairs",
+    "simhash_portable_neardup_pairs",
+    "events_time_weighted_value",
+    "dedup_keep_best_quality",
+    "winnowing_containment_pairs",
+    "dedup_pipeline_winnowing",
+    "leakage_safe_split_stats",
+    "quality_top_fraction_per_lang",
+    # (c) the 12 r9-stale members deferred from the r14 window (as
+    # promised there — embedding family + streaming + sketch stand-ins
+    # have been carrying their evidence since r9).
+    "approx_distinct_sketch",
+    "embedding_ann_index_topk",
+    "embedding_ann_index_txn_lifecycle",
+    "embedding_binary_hamming_topk",
+    "embedding_hard_negatives",
+    "embedding_ivfpq_topk",
+    "embedding_matryoshka_topk",
+    "embedding_random_projection",
+    "embedding_topk",
+    "embedding_whitening_topk",
+    "events_hourly_streaming",
+    "semantic_dedup_kmeans_cells",
+    # (d) 8 of the r10-stale cohort (alphabetical; the rest rotate in
+    # next round — several r10-stale members already sit in (a)/(b)).
+    "approx_topk_native",
+    "argmin_supplier_per_part",
+    "array_hof_pack",
+    "array_set_ops_pack",
+    "badwords_filter_report",
+    "bitmap_exact_distinct",
+    "cdc_appends_since_txn",
+    "conditional_aggregates",
 ]
 
 
